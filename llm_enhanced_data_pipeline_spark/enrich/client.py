@@ -1,0 +1,114 @@
+"""Pluggable LLM client + rate limiting (SURVEY.md §2.2 P19/P20).
+
+The reference wraps chat-completion HTTP calls in a thread pool with a
+global min-delay lock, exponential backoff (max 5 tries / 300 s) and
+Retry-After handling (enhance_fields_of_study.py:49-96,
+enhance_summary.py:55-111). In the Spark engine the same discipline
+lives *inside each partition*: executor-local token-bucket + client
+retries (never Spark task retries — a task retry would re-spend paid
+calls; see sources/checkpoint.py for the durability half).
+
+`DeterministicFakeLLM` makes correctness runs reproducible: responses
+are seeded by the prompt's md5, and it deliberately emits the
+reference's malformed-output pathologies (fenced JSON, prose-wrapped
+JSON, bare key:value lines) so the P11 parser cascade is exercised.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Protocol
+
+
+class LLMClient(Protocol):
+    def generate(self, prompt: str, max_tokens: int = 300) -> str: ...
+
+
+@dataclass
+class RateLimiter:
+    """Token bucket: at most `rate` calls per second, burst `burst`.
+
+    Executor-local (one per mapInPandas partition iterator); total
+    cluster concurrency = partitions × rate, the Spark analog of the
+    reference's MAX_WORKERS × BASE_DELAY throttle.
+    """
+
+    rate: float = 10.0
+    burst: int = 5
+    _tokens: float = field(default=0.0, init=False)
+    _last: float = field(default=0.0, init=False)
+
+    def acquire(self) -> None:
+        now = time.monotonic()
+        if self._last == 0.0:
+            self._tokens = float(self.burst)
+        else:
+            self._tokens = min(self.burst, self._tokens + (now - self._last) * self.rate)
+        self._last = now
+        if self._tokens < 1.0:
+            wait = (1.0 - self._tokens) / self.rate
+            time.sleep(wait)
+            self._tokens = 1.0
+            self._last = time.monotonic()
+        self._tokens -= 1.0
+
+
+def retry_with_backoff(fn, max_tries: int = 5, base_delay: float = 0.1, max_delay: float = 300.0):
+    """backoff.expo-equivalent (enhance_fields_of_study.py:61-66)."""
+    delay = base_delay
+    for attempt in range(max_tries):
+        try:
+            return fn()
+        except Exception:
+            if attempt == max_tries - 1:
+                raise
+            time.sleep(min(delay, max_delay))
+            delay *= 2
+
+
+@dataclass
+class DeterministicFakeLLM:
+    """Seeded fake: same prompt → same response, forever.
+
+    `malform_every`: every Nth response is emitted in one of the
+    malformed shapes the reference's parser cascade handles.
+    """
+
+    task: str = "scoring"
+    malform_every: int = 7
+
+    def _seed(self, prompt: str) -> int:
+        return int(hashlib.md5(prompt.encode("utf-8")).hexdigest()[:8], 16)
+
+    def generate(self, prompt: str, max_tokens: int = 300) -> str:
+        seed = self._seed(prompt)
+        if self.task == "scoring":
+            payload = {
+                "novelty": seed % 11,
+                "technical_depth": (seed // 11) % 11,
+                "clarity": (seed // 121) % 11,
+                "impact_potential": (seed // 1331) % 11,
+                "confidence": round(0.3 + (seed % 70) / 100.0, 2),
+            }
+        elif self.task == "keywords":
+            payload = [f"kw_{(seed + i) % 97}" for i in range(5 + seed % 4)]
+        elif self.task == "fields":
+            fields = ["Machine Learning", "Computer Vision", "Robotics", "NLP", "Theory"]
+            payload = [fields[(seed + i) % len(fields)] for i in range(1 + seed % 3)]
+        else:  # contributions
+            payload = {
+                "problem": f"problem_{seed % 1000}",
+                "method": f"method_{seed % 997}",
+                "key_contributions": [f"c_{(seed + i) % 31}" for i in range(1 + seed % 3)],
+                "application_scenarios": [f"app_{(seed + i) % 17}" for i in range(1 + seed % 2)],
+            }
+        text = json.dumps(payload)
+        shape = (seed % self.malform_every == 0) and (seed % 3)
+        if shape == 1:
+            return f"```json\n{text}\n```"
+        if shape == 2:
+            return f"Here is the result you asked for:\n{text}\nLet me know if you need more."
+        return text

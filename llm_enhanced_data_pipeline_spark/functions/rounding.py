@@ -1,0 +1,24 @@
+"""Engine-stable rounding.
+
+``round(double, n)`` disagrees between engines at exact half-boundaries
+(Spark rounds the exact binary value via BigDecimal HALF_UP; DuckDB
+scales-and-rounds in floating point). ``stable_round`` uses
+floor(x * 10^n + 0.5) / 10^n — identical floating-point operations on
+identical inputs give identical outputs everywhere. Intended for
+non-negative ratio/score outputs that cross the oracle boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def stable_round(col: Column, decimals: int) -> Column:
+    scale = float(10**decimals)
+    return F.floor(col * scale + 0.5) / scale
+
+
+def stable_round_sql(expr: str, decimals: int) -> str:
+    scale = float(10**decimals)
+    return f"(floor(({expr}) * {scale} + 0.5) / {scale})"

@@ -1,0 +1,69 @@
+"""Aggregation operators (SURVEY.md §2.5, A1-A12).
+
+All single-pass hash aggregates: Catalyst plans partial (map-side)
+aggregation before the shuffle, so these scale linearly with input and
+shuffle only the per-group partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pct(cond: Column, decimals: int = 2) -> Column:
+    """``100 * avg(cond ? 1 : 0)`` — the reference's `%` stats
+    (data_quality_comparison.py:56-76)."""
+    return F.round(100.0 * F.avg(F.when(cond, 1.0).otherwise(0.0)), decimals)
+
+
+def stage_quality_stats(
+    df: DataFrame,
+    text_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """A1-shaped stats: count, avg length, % non-empty, avg word count."""
+    from .cleaning import tokens
+
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg(F.length(text_col)), 4).alias("avg_len"),
+        pct(F.length(F.trim(F.col(text_col))) > 0).alias("pct_nonempty"),
+        F.round(F.avg(F.size(tokens(F.col(text_col)))), 4).alias("avg_words"),
+    ]
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def value_histogram(df: DataFrame, col: str, bucket: Column) -> DataFrame:
+    """A2 distribution: value counts by bucket."""
+    return df.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def iqr_outlier_stats(df: DataFrame, col: str) -> DataFrame:
+    """A6 IQR outliers: exact percentiles (Q1/Q3 ± 1.5·IQR), one pass +
+    one filtered agg. Uses exact `percentile` so the DuckDB
+    quantile_cont oracle matches bit-for-bit."""
+    q = df.agg(
+        F.expr(f"percentile({col}, 0.25)").alias("q1"),
+        F.expr(f"percentile({col}, 0.75)").alias("q3"),
+    )
+    joined = df.crossJoin(F.broadcast(q))
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col(col) < F.col("q1") - 1.5 * iqr) | (
+        F.col(col) > F.col("q3") + 1.5 * iqr
+    )
+    return joined.agg(
+        F.round(F.first("q1"), 6).alias("q1"),
+        F.round(F.first("q3"), 6).alias("q3"),
+        F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+def distribution(df: DataFrame, key: Column | str, order_desc: bool = True) -> DataFrame:
+    """A9 topic distribution: group → count → sort."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    out = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    return out

@@ -1,0 +1,326 @@
+"""Deduplication operators (SURVEY.md §2.3 + training-data dedup suite).
+
+Reference parity (semantics only — the implementations are Spark-first):
+- D1 merge + first-wins key dedup   Data_Collection/merge_jsonl.py:11-23
+- D2 exact-ID dedup, null-preserving strict_deduplication.py:21-32
+- D3 title-hash dedup               strict_deduplication.py:35-45
+- D4 title-similarity dedup         strict_deduplication.py:48-76
+
+Scale posture (100 TB): every keep-one is a window over a hash
+partition (shuffle on the dedup key only, no global sort); the fuzzy
+family avoids the reference's O(n^2) loop via MinHash banding / SimHash
+bucketing so candidate generation is an equi-join, with the exact
+pairwise check only inside buckets. The plain pairwise variants are
+kept for small inputs and as the oracle-checkable ground truth.
+
+Greedy-chain note: the reference's O(n^2) loop removes j only when its
+earlier partner i itself survived. That sequential rule is inherently
+iterative; the distributed semantics implemented here (and documented
+as the engine's contract) is "a row is removed if ANY earlier row is
+similar to it", which equals the reference's output whenever similarity
+is transitive within groups (the common case for >=0.9 thresholds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing
+from .cleaning import normalize_whitespace, tokens
+
+
+# ---------------------------------------------------------------------------
+# D1 — union N sources, first occurrence of a key wins. "First" is
+# (source_rank, order_in_source); in Spark order-in-file is not a given,
+# so callers pass explicit ordering columns.
+
+def union_first_wins(
+    dfs: list[DataFrame], key: Column | str, order_cols: list[Column | str]
+) -> DataFrame:
+    ranked = [df.withColumn("_src_rank", F.lit(i)) for i, df in enumerate(dfs)]
+    out = ranked[0]
+    for df in ranked[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    key_col = F.col(key) if isinstance(key, str) else key
+    w = Window.partitionBy(key_col).orderBy("_src_rank", *order_cols)
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src_rank")
+    )
+
+
+# D2 — exact-key dedup that KEEPS every null/empty-key row
+# (strict_deduplication.py:27-29: `elif not pid: unique_papers.append`).
+# A bare dropDuplicates would collapse all null keys into one row.
+
+def dedup_exact_null_preserving(
+    df: DataFrame, key: Column | str, order_cols: list[Column | str]
+) -> DataFrame:
+    key_col = F.col(key) if isinstance(key, str) else key
+    keyless = key_col.isNull() | (key_col.cast("string") == F.lit(""))
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    ranked = df.withColumn(
+        "_rn", F.when(keyless, F.lit(1)).otherwise(F.row_number().over(w))
+    )
+    return ranked.filter(F.col("_rn") == 1).drop("_rn")
+
+
+# D3 — content-hash dedup: md5(lower(trim(text))), keep first. The
+# reference hashes even empty titles (one survivor among empties); the
+# notebook variant exempts empties — exposed via `keep_all_empty`.
+
+def content_hash(col: Column) -> Column:
+    return hashing.md5_hex(F.lower(F.trim(col)))
+
+
+def dedup_content_hash(
+    df: DataFrame,
+    text_col: str,
+    order_cols: list[Column | str],
+    keep_all_empty: bool = False,
+) -> DataFrame:
+    h = content_hash(F.coalesce(F.col(text_col), F.lit("")))
+    w = Window.partitionBy(h).orderBy(*order_cols)
+    is_empty = F.trim(F.coalesce(F.col(text_col), F.lit(""))) == F.lit("")
+    rn = F.row_number().over(w)
+    keep = (rn == 1) | (F.lit(keep_all_empty) & is_empty)
+    return df.withColumn("_keep", keep).filter(F.col("_keep")).drop("_keep")
+
+
+# ---------------------------------------------------------------------------
+# Pairwise similarity primitives
+
+def jaccard_token_sets(a: Column, b: Column) -> Column:
+    """|A ∩ B| / |A ∪ B| over two token arrays (set semantics)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def word_shingles(toks: Column, n: int) -> Column:
+    """n-gram shingles (space-joined consecutive token windows)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def word_shingles_sql(tokens_expr: str, n: int) -> str:
+    """DuckDB twin of :func:`word_shingles` (1-based list_slice)."""
+    return (
+        f"list_transform(range(1, greatest(len({tokens_expr}) - {n - 1}, 0) + 1), "
+        f"_i -> array_to_string(list_slice({tokens_expr}, _i, _i + {n - 1}), ' '))"
+    )
+
+
+# D4 — similarity dedup, exact pairwise form ("remove if any earlier
+# similar row exists"). Quadratic — correct for modest partitions and
+# the oracle ground truth for the LSH path.
+
+def dedup_similarity_exact(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    threshold: float = 0.9,
+    prefer_desc_col: str | None = None,
+) -> DataFrame:
+    """Keep-first fuzzy dedup.
+
+    ``prefer_desc_col`` mirrors the reference's keep-newest rule: rows
+    are ordered by (prefer desc, id asc) and a row is dropped when any
+    predecessor in that order has Jaccard >= threshold.
+    """
+    toks = F.array_distinct(F.col(token_col))
+    base = df.withColumn("_set", toks)
+    if prefer_desc_col:
+        left_cols = [
+            F.col(id_col).alias("_lid"),
+            F.col(prefer_desc_col).alias("_lpref"),
+            F.col("_set").alias("_lset"),
+        ]
+        right_cols = [
+            F.col(id_col).alias("_rid"),
+            F.col(prefer_desc_col).alias("_rpref"),
+            F.col("_set").alias("_rset"),
+        ]
+        precedes = (F.col("_lpref") > F.col("_rpref")) | (
+            (F.col("_lpref") == F.col("_rpref")) & (F.col("_lid") < F.col("_rid"))
+        )
+    else:
+        left_cols = [F.col(id_col).alias("_lid"), F.col("_set").alias("_lset")]
+        right_cols = [F.col(id_col).alias("_rid"), F.col("_set").alias("_rset")]
+        precedes = F.col("_lid") < F.col("_rid")
+    dup_ids = (
+        base.select(*left_cols)
+        .join(base.select(*right_cols), precedes)
+        .filter(F.size("_rset") > 0)
+        .filter(F.size("_lset") > 0)
+        .filter(jaccard_token_sets(F.col("_lset"), F.col("_rset")) >= F.lit(threshold))
+        .select(F.col("_rid").alias(id_col))
+        .distinct()
+    )
+    return base.join(dup_ids, id_col, "left_anti").drop("_set")
+
+
+# MinHash + LSH banding — the 100 TB path for D4. Candidate pairs come
+# from equality joins on band keys (shuffle, no cross product); each
+# candidate is verified with the exact Jaccard.
+
+def minhash_signature(toks: Column, num_hashes: int) -> Column:
+    """Tokens are md5-hashed once; components use affine mixes."""
+    hashes = F.transform(toks, lambda t: hashing.stable_hash32(t))
+    return hashing.minhash_signature_from_hashes(hashes, num_hashes)
+
+
+def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """band key = band index + md5 of the band's signature slice."""
+    keys = []
+    for b in range(bands):
+        band_slice = F.slice(signature, b * rows_per_band + 1, rows_per_band)
+        digest = hashing.md5_hex(F.concat_ws(",", F.transform(band_slice, lambda v: v.cast("string"))))
+        keys.append(F.concat(F.lit(f"{b}:"), digest))
+    return F.array(*keys)
+
+
+def near_dup_pairs_minhash(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) candidate pairs with jaccard >= threshold.
+
+    Banding: 16 hashes in 8 bands of 2 → collision prob at s=0.8 is
+    1-(1-s^2)^8 ≈ 0.99.
+    """
+    rows_per_band = num_hashes // bands
+    toks = F.array_distinct(F.col(token_col))
+    sig = df.select(
+        F.col(id_col),
+        toks.alias("_set"),
+        minhash_signature(toks, num_hashes).alias("_sig"),
+    ).withColumn("_band", F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)))
+    left = sig.select(
+        F.col(id_col).alias("id_a"), F.col("_set").alias("_aset"), F.col("_band")
+    )
+    right = sig.select(
+        F.col(id_col).alias("id_b"), F.col("_set").alias("_bset"), F.col("_band")
+    )
+    pairs = (
+        left.join(right, "_band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_aset", "_bset")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("jaccard", jaccard_token_sets(F.col("_aset"), F.col("_bset")))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return pairs
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Keep-first fuzzy dedup at scale: drop b of every (a<b) near pair."""
+    pairs = near_dup_pairs_minhash(df, id_col, token_col, threshold, num_hashes, bands)
+    dup_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dup_ids, id_col, "left_anti")
+
+
+# SimHash near-dup: single 60-bit fingerprint per doc; near-dups =
+# hamming distance <= k. Bucketing by rotating bit-blocks keeps the
+# candidate join linear (pigeonhole: distance<=k pairs share at least
+# one of k+1 blocks).
+
+def with_simhash(df: DataFrame, token_col: str, out_col: str = "simhash") -> DataFrame:
+    hashes = F.transform(F.col(token_col), lambda t: hashing.stable_hash60(t))
+    return df.withColumn("_th", hashes).withColumn(
+        out_col, hashing.simhash60_from_hashes(F.col("_th"))
+    ).drop("_th")
+
+
+def near_dup_pairs_simhash(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with distance <= max_hamming.
+
+    Requires blocks >= max_hamming + 1 for exact recall (pigeonhole on
+    15-bit blocks of the 60-bit fingerprint).
+    """
+    sh = with_simhash(df, token_col).select(F.col(id_col), F.col("simhash"))
+    block_bits = 60 // blocks
+    block_keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                ((F.shiftright(F.col("simhash"), b * block_bits)) % F.lit(2**block_bits)).cast("string"),
+            )
+            for b in range(blocks)
+        ]
+    )
+    keyed = sh.withColumn("_bk", F.explode(block_keys))
+    left = keyed.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_ha"), "_bk")
+    right = keyed.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_hb"), "_bk")
+    return (
+        left.join(right, "_bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hashing.hamming60(F.col("_ha"), F.col("_hb")))
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# n-gram Jaccard near-dup: shingle then exact pairwise Jaccard (the
+# content-aware variant; word order matters through the shingles).
+
+def near_dup_pairs_ngram(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    toks = tokens(F.col(text_col))
+    sh = df.select(
+        F.col(id_col), F.array_distinct(word_shingles(toks, n)).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    left = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
+    right = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
+    return (
+        left.join(right, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jaccard_token_sets(F.col("_sa"), F.col("_sb")), 6))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# Embedding-cosine near-dup (see vector.py for the general kNN/topk).
+
+def near_dup_pairs_embedding(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    from .vector import cosine_similarity  # local import to avoid cycle
+
+    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        left.join(right, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )

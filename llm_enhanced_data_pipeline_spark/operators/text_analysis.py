@@ -1,0 +1,159 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's own surface (BASELINE.json north star): language
+identification, quality scoring, token counting, and document
+fingerprinting — each a pure-SQL-expression operator that scales as a
+single projection (no shuffle) over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..functions import hashing
+from .cleaning import tokens
+
+# ---------------------------------------------------------------------------
+# Language ID: tiny stopword-profile heuristic. Real pipelines plug a
+# fastText model in via predict_batch_udf; the heuristic keeps the
+# operator deterministic and oracle-checkable. Score per language =
+# fraction of tokens in that language's stopword list; argmax with
+# 'und' (undetermined) when no list matches.
+
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "von"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "de", "que", "por"),
+}
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    n = F.greatest(F.size(toks), F.lit(1))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).cast("double")
+        / n
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(toks: Column) -> Column:
+    """Predicted language code; ties resolved by language-code order,
+    'und' when every score is zero.
+
+    Note: uses set-intersection ratio (distinct stopwords present /
+    total tokens), deliberately cheap; the per-occurrence count variant
+    is a one-line change.
+    """
+    scores = lang_scores(toks)
+    best_lang = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang in sorted(LANG_STOPWORDS):  # deterministic tie order
+        s = scores[lang]
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+def lang_id_sql(tokens_expr: str) -> str:
+    """DuckDB twin of :func:`lang_id` (same fold, same tie order)."""
+    expr = "'und'"
+    score = "0.0"
+    # fold in sorted order, rebuilding the when-chain bottom-up
+    chain: list[tuple[str, str]] = []
+    for lang in sorted(LANG_STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        s = (
+            f"(len(list_intersect({tokens_expr}, [{words}]))::DOUBLE"
+            f" / greatest(len({tokens_expr}), 1))"
+        )
+        chain.append((lang, s))
+    for lang, s in chain:
+        expr = f"(CASE WHEN {s} > {score} THEN '{lang}' ELSE {expr} END)"
+        score = f"(CASE WHEN {s} > {score} THEN {s} ELSE {score} END)"
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace words plus a BPE-ish regex sub-token count
+# (splits words into alpha runs, digit runs, and punctuation singles —
+# the usual pre-tokenizer shape).
+
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def word_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def subtoken_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def subtoken_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))"
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: deterministic heuristics in [0,1] —
+#  - length_score: saturating chars/2000
+#  - diversity: type-token ratio (distinct/total words)
+#  - stopword_score: presence of common-word signal (capped ratio*5)
+#  - avg word length sanity band [3, 12]
+# weighted like the reference's ruler scorer shape
+# (Data_Analysis/evaluation/quality_scoring.py:98-133: weighted sum of
+# component scores, rounded).
+
+QUALITY_WEIGHTS = {"length": 0.3, "diversity": 0.3, "stopword": 0.2, "wordlen": 0.2}
+_EN_STOP = LANG_STOPWORDS["en"]
+
+
+def text_quality_components(text: Column) -> dict[str, Column]:
+    toks = tokens(text)
+    n = F.greatest(F.size(toks), F.lit(1))
+    length_score = F.least(F.length(text).cast("double") / 2000.0, F.lit(1.0))
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*_EN_STOP))).cast("double") / n
+    )
+    stopword_score = F.least(stop_ratio * 5.0, F.lit(1.0))
+    awl = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    ) / n
+    wordlen_score = F.when((awl >= 3.0) & (awl <= 12.0), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    return {
+        "length": length_score,
+        "diversity": diversity,
+        "stopword": stopword_score,
+        "wordlen": wordlen_score,
+    }
+
+
+def text_quality_score(text: Column) -> Column:
+    from ..functions.rounding import stable_round
+
+    comps = text_quality_components(text)
+    total = F.lit(0.0)
+    for name, weight in QUALITY_WEIGHTS.items():
+        total = total + comps[name] * F.lit(weight)
+    return stable_round(total, 4)
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting
+
+def fingerprint_md5(text: Column) -> Column:
+    """Content fingerprint: md5 of the whitespace-normalized lowercase
+    text (the reference's title hash generalized, strict_deduplication.py:40)."""
+    from .cleaning import normalize_whitespace
+
+    return hashing.md5_hex(F.lower(normalize_whitespace(text)))
+
+
+def fingerprint_rolling(text: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over tokens (mod prime)."""
+    return hashing.rolling_token_hash(tokens(text))

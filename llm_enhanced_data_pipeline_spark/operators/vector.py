@@ -1,0 +1,208 @@
+"""Vector / similarity-search operators (SURVEY.md §2.10, J4/R1-R5).
+
+Reference parity: the reference's vector store is parallel in-memory
+arrays with brute-force cosine top-k (`RAG/rag.ipynb` cell 1,
+``VectorStore.search`` source lines 488-530). Here the corpus is a
+DataFrame with an ``array<float>`` column; similarity math is built-in
+higher-order functions (JVM-side), so the brute-force path is already
+distributed. The scale path adds IVF (centroid-routed search) — at
+100 TB the corpus is bucketed by centroid so a query probes only its
+cluster's partitions instead of the full scan.
+
+All math is done in double precision (cast from float32 storage) in
+left-to-right order so the DuckDB oracle reproduces values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i * b_i, accumulated in double, sequential order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def dot_sql(a: str, b: str) -> str:
+    return f"list_sum(list_transform(range(1, len({a}) + 1), _i -> ({a})[_i]::DOUBLE * ({b})[_i]::DOUBLE))::DOUBLE"
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def l2_norm_sql(a: str) -> str:
+    return f"sqrt(list_sum(list_transform({a}, _x -> _x::DOUBLE * _x::DOUBLE))::DOUBLE)"
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """dot/(|a||b|) with a zero-norm guard (reference's norm guard:
+    rag.ipynb `_embed_simple` normalizes only when norm > 0)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def cosine_similarity_sql(a: str, b: str) -> str:
+    denom = f"({l2_norm_sql(a)} * {l2_norm_sql(b)})"
+    return f"(CASE WHEN {denom} > 0 THEN {dot_sql(a, b)} / {denom} ELSE 0.0 END)"
+
+
+def normalize_vec(a: Column) -> Column:
+    n = l2_norm(a)
+    return F.when(n > 0, F.transform(a, lambda x: x.cast("double") / n)).otherwise(
+        F.transform(a, lambda x: x.cast("double"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k: one query vector against the corpus
+# (VectorStore.search). The reference's threshold quirk is replicated:
+# similarity ordering decides the top-k FIRST; the threshold only
+# excludes results beyond rank k (rag.ipynb source lines 514-516) — so
+# for k <= corpus it is effectively plain top-k. We expose `threshold`
+# applied the same way: keep rank <= k, then optionally extras >= τ is
+# NOT done (the reference breaks out of the loop at k).
+
+def cosine_topk(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: Column,
+    k: int,
+) -> DataFrame:
+    """Top-k rows by cosine similarity; ties broken by id ascending."""
+    scored = corpus.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), query_vec), 6).alias("sim"),
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """k nearest corpus rows for every query row (brute force).
+
+    Shuffle shape: corpus is broadcast when small; otherwise Spark
+    falls back to a shuffled nested-loop — at real scale use
+    :func:`ivf_knn_join`.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv"))
+    c = corpus.select(F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cv"))
+    cond = F.lit(True) if not exclude_self else (F.col("_qid") != F.col("_cid"))
+    scored = q.join(c, cond).withColumn(
+        "sim", F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), 6)
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("sim").desc(), F.col("_cid").asc())
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias("neighbor_id"),
+            F.col("_rank").alias("rank"),
+            F.col("sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate search: corpus rows are assigned to
+# the nearest of a small centroid set; a query searches only its
+# nearest centroid's bucket (nprobe=1 here). Centroids come from any
+# deterministic source — `centroids_by_key` builds them as per-group
+# dimension means, which doubles as the oracle-checkable construction.
+
+def centroids_by_key(
+    corpus: DataFrame, key_col: str, vec_col: str
+) -> DataFrame:
+    """Element-wise mean vector per key: explode → avg per (key, pos) →
+    re-assemble ordered by position. Distributed (no driver collect)."""
+    exploded = corpus.select(
+        F.col(key_col).alias("ckey"), F.posexplode(F.col(vec_col)).alias("pos", "val")
+    )
+    means = exploded.groupBy("ckey", "pos").agg(
+        F.avg(F.col("val").cast("double")).alias("mval")
+    )
+    return means.groupBy("ckey").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mval"))), lambda s: s["mval"]
+        ).alias("centroid")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Assign every row to its max-cosine centroid (broadcast join —
+    centroid sets are tiny by construction)."""
+    from pyspark.sql import Window
+
+    scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
+        "_csim", cosine_similarity(F.col(vec_col), F.col("centroid"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(), F.col("ckey").asc())
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r", "_csim", "centroid")
+    )
+
+
+def ivf_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int,
+) -> DataFrame:
+    """Approximate kNN: route query and corpus rows to centroid buckets
+    and run the exact kNN within each bucket (equi-join on ckey → a
+    plain shuffle join, no cross product)."""
+    from pyspark.sql import Window
+
+    cq = ivf_assign(queries, centroids, query_id, query_vec).select(
+        F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv"), "ckey"
+    )
+    cc = ivf_assign(corpus, centroids, corpus_id, corpus_vec).select(
+        F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cv"), "ckey"
+    )
+    scored = (
+        cq.join(cc, "ckey")
+        .filter(F.col("_qid") != F.col("_cid"))
+        .withColumn("sim", F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), 6))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("sim").desc(), F.col("_cid").asc())
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias("neighbor_id"),
+            F.col("_rank").alias("rank"),
+            F.col("sim"),
+        )
+    )

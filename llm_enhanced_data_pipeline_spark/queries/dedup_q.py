@@ -1,0 +1,357 @@
+"""Dedup queries (SURVEY.md §2.3 D1-D4 + training-data dedup suite).
+
+The synthetic corpus has no natural duplicates, so every query builds a
+deterministic augmented corpus (original docs ∪ variants with the first
+token dropped / exact copies) identically on both engines — the dedup
+operators then have real work to do and the oracle checks the removals,
+not just a passthrough.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hashing
+from ..operators import dedup
+from ..tables import load_table
+from .registry import register
+
+# Shared corpus construction: documents ∪ near-dup variants (doc_id%10
+# == 0 → copy with the first token dropped, id offset by 1_000_000).
+VARIANT_OFFSET = 1_000_000
+
+
+def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    variants = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + VARIANT_OFFSET).alias("doc_id"),
+            F.concat_ws(" ", F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))).alias(
+                "text"
+            ),
+        )
+    )
+    return docs.unionByName(variants)
+
+
+_DOCS_WITH_NEAR_DUPS_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {VARIANT_OFFSET} AS doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 2,
+                                    len(string_split(text, ' '))), ' ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+"""
+
+_DOCS_WITH_EXACT_DUPS_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {VARIANT_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _docs_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    variants = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + VARIANT_OFFSET).alias("doc_id"), "text"
+    )
+    return docs.unionByName(variants)
+
+
+@register(
+    "dedup_merge_first_wins",
+    doc="D1: union of two sources, first occurrence of a key wins "
+    "(merge_jsonl.py:11-23; source rank then in-source order).",
+    oracle="""
+WITH u AS (
+  SELECT doc_id, 'A' AS src, 0 AS _rnk FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, 'B' AS src, 1 AS _rnk FROM documents
+)
+SELECT doc_id, src FROM (
+  SELECT doc_id, src,
+         row_number() OVER (PARTITION BY doc_id ORDER BY _rnk, doc_id) AS rn
+  FROM u
+) WHERE rn = 1
+""",
+)
+def dedup_merge_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    src_a = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.lit("A").alias("src")
+    )
+    src_b = docs.select("doc_id", F.lit("B").alias("src"))
+    return dedup.union_first_wins([src_a, src_b], "doc_id", ["doc_id"]).select(
+        "doc_id", "src"
+    )
+
+
+@register(
+    "dedup_null_preserving",
+    doc="D2: exact-key dedup keeping ALL null-key rows "
+    "(strict_deduplication.py:21-32 — a bare dropDuplicates would "
+    "collapse the nulls).",
+    oracle="""
+WITH k AS (
+  SELECT o_orderkey, nullif(o_custkey % 40, 13) AS key_val FROM orders
+)
+SELECT o_orderkey, key_val FROM (
+  SELECT o_orderkey, key_val,
+         CASE WHEN key_val IS NULL THEN 1
+              ELSE row_number() OVER (PARTITION BY key_val ORDER BY o_orderkey) END AS rn
+  FROM k
+) WHERE rn = 1
+""",
+)
+def dedup_null_preserving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", F.nullif(F.col("o_custkey") % 40, F.lit(13)).alias("key_val")
+    )
+    return dedup.dedup_exact_null_preserving(o, "key_val", ["o_orderkey"]).select(
+        "o_orderkey", "key_val"
+    )
+
+
+@register(
+    "dedup_content_hash",
+    doc="D3: md5(lower(trim(text))) keep-first dedup over a corpus with "
+    "injected exact copies (strict_deduplication.py:35-45).",
+    oracle=f"""
+WITH u AS ({_DOCS_WITH_EXACT_DUPS_SQL})
+SELECT doc_id FROM (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                            ORDER BY doc_id) AS rn
+  FROM u
+) WHERE rn = 1
+""",
+)
+def dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_exact_dups(spark, sf_dir)
+    return dedup.dedup_content_hash(corpus, "text", [F.col("doc_id")]).select("doc_id")
+
+
+@register(
+    "dedup_fuzzy_jaccard",
+    doc="D4: exact pairwise token-set Jaccard >= 0.95, keep the longer "
+    "text (reference keeps newer year; strict_deduplication.py:48-76). "
+    "Quadratic ground-truth variant — the scale path is dedup_minhash.",
+    oracle=f"""
+WITH u AS ({_DOCS_WITH_NEAR_DUPS_SQL}),
+t AS (
+  SELECT doc_id, length(text) AS tlen,
+         list_distinct(string_split(text, ' ')) AS toks
+  FROM u
+),
+dup AS (
+  SELECT DISTINCT b.doc_id
+  FROM t a JOIN t b
+    ON ((a.tlen > b.tlen) OR (a.tlen = b.tlen AND a.doc_id < b.doc_id))
+  WHERE len(a.toks) > 0 AND len(b.toks) > 0
+    AND len(list_intersect(a.toks, b.toks))::DOUBLE
+        / len(list_distinct(a.toks || b.toks)) >= 0.95
+)
+SELECT doc_id FROM t WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+""",
+)
+def dedup_fuzzy_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_near_dups(spark, sf_dir).withColumn(
+        "tlen", F.length("text")
+    ).withColumn("toks", F.split(F.col("text"), " "))
+    return dedup.dedup_similarity_exact(
+        corpus, "doc_id", "toks", threshold=0.95, prefer_desc_col="tlen"
+    ).select("doc_id")
+
+
+# 3-gram shingles: discriminative even on a small vocabulary (the
+# token-*set* variant saturates on this corpus — see dedup_fuzzy_jaccard
+# for the set semantics). Shingle-MinHash is the classic C4/GPT-style
+# training-data dedup shape.
+_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1), "
+    "_i -> array_to_string(list_slice(string_split(text, ' '), _i, _i + 2), ' ')))"
+)
+
+_MINHASH_CTE = f"""
+WITH u AS ({_DOCS_WITH_NEAR_DUPS_SQL}),
+t AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS toks FROM u
+),
+th AS (
+  SELECT doc_id, toks, {hashing.token_hashes32_sql('toks')} AS hs FROM t
+),
+sig AS (
+  SELECT doc_id, toks, {hashing.minhash_signature_sql('hs', 16)} AS sg
+  FROM th
+),
+banded AS (
+  SELECT doc_id,
+         (_b::VARCHAR || ':' || md5(array_to_string(
+            list_transform(list_slice(sg, _b * 2 + 1, _b * 2 + 2), _v -> _v::VARCHAR),
+            ','))) AS band
+  FROM sig, range(0, 8) r(_b)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+)
+"""
+
+
+def _minhash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    toks = dedup.tokens(F.col("text"))
+    return corpus.withColumn(
+        "shingles", F.array_distinct(dedup.word_shingles(toks, 3))
+    )
+
+
+@register(
+    "near_dup_pairs_minhash",
+    bench=True,
+    doc="MinHash(16)+LSH(8 bands of 2) over 3-gram shingles, candidate "
+    "pairs verified at Jaccard >= 0.8 — the 100 TB path for D4 "
+    "(equi-join on band keys, no cross product). Oracle replicates the "
+    "banding bit-for-bit via md5-based hashes.",
+    oracle=_MINHASH_CTE
+    + """
+SELECT id_a, id_b, jaccard FROM (
+  SELECT p.id_a, p.id_b,
+         round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+               / len(list_distinct(ta.toks || tb.toks)), 6) AS jaccard
+  FROM pairs p
+  JOIN t ta ON ta.doc_id = p.id_a
+  JOIN t tb ON tb.doc_id = p.id_b
+) WHERE jaccard >= 0.8
+""",
+)
+def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _minhash_corpus(spark, sf_dir)
+    return dedup.near_dup_pairs_minhash(
+        corpus, "doc_id", "shingles", threshold=0.8, num_hashes=16, bands=8
+    )
+
+
+@register(
+    "dedup_minhash_survivors",
+    doc="MinHash-LSH dedup final survivors (drop the higher id of every "
+    "near pair) — keep-first semantics at scale, 3-gram shingles.",
+    oracle=_MINHASH_CTE
+    + """,
+dup AS (
+  SELECT DISTINCT id_b AS doc_id FROM (
+    SELECT p.id_a, p.id_b,
+           len(list_intersect(ta.toks, tb.toks))::DOUBLE
+           / len(list_distinct(ta.toks || tb.toks)) AS jac
+    FROM pairs p
+    JOIN t ta ON ta.doc_id = p.id_a
+    JOIN t tb ON tb.doc_id = p.id_b
+  ) WHERE jac >= 0.8
+)
+SELECT doc_id FROM t WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+""",
+)
+def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _minhash_corpus(spark, sf_dir)
+    return dedup.dedup_minhash_lsh(
+        corpus, "doc_id", "shingles", threshold=0.8, num_hashes=16, bands=8
+    ).select("doc_id")
+
+
+from ..functions.hashing import simhash60_sql_from_hashes
+
+_SIMHASH_ORACLE = f"""
+WITH u AS ({_DOCS_WITH_NEAR_DUPS_SQL}),
+t AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), _t ->
+           CAST(('0x' || substring(md5(_t), 1, 15)) AS UBIGINT)::BIGINT) AS hs
+  FROM u
+),
+s AS (
+  SELECT doc_id, {simhash60_sql_from_hashes('hs')} AS sh FROM t
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.sh::UBIGINT, b.sh::UBIGINT))::INTEGER AS hamming
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+) WHERE hamming <= 3
+"""
+
+
+@register(
+    "near_dup_pairs_simhash",
+    doc="SimHash(60-bit) near-dup pairs at hamming <= 3. Spark uses "
+    "rotating 15-bit block bucketing (lossless for distance <= 3 by "
+    "pigeonhole), so the oracle can be the plain all-pairs check.",
+    oracle=_SIMHASH_ORACLE,
+)
+def near_dup_pairs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_near_dups(spark, sf_dir).withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    out = dedup.near_dup_pairs_simhash(corpus, "doc_id", "toks", max_hamming=3, blocks=4)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@register(
+    "near_dup_pairs_ngram",
+    doc="3-gram shingle Jaccard near-dup pairs (order-aware variant of "
+    "D4) at >= 0.5 over the augmented corpus.",
+    oracle=f"""
+WITH u AS ({_DOCS_WITH_NEAR_DUPS_SQL}),
+tk AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                     _x -> _x <> '') AS toks
+  FROM u
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 0) + 1),
+           _i -> array_to_string(list_slice(toks, _i, _i + 2), ' '))) AS sset
+  FROM tk
+),
+nonempty AS (SELECT * FROM sh WHERE len(sset) > 0)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.sset, b.sset))::DOUBLE
+               / len(list_distinct(a.sset || b.sset)), 6) AS jaccard
+  FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+) WHERE jaccard >= 0.5
+""",
+)
+def near_dup_pairs_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    return dedup.near_dup_pairs_ngram(corpus, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register(
+    "near_dup_pairs_embedding",
+    doc="Embedding-cosine near-dup pairs (cosine >= 0.45); double-"
+    "precision math in deterministic order on both engines.",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           (CASE WHEN (sqrt(list_sum(list_transform(a.v, _x -> _x::DOUBLE * _x::DOUBLE))::DOUBLE)
+                       * sqrt(list_sum(list_transform(b.v, _x -> _x::DOUBLE * _x::DOUBLE))::DOUBLE)) > 0
+             THEN list_sum(list_transform(range(1, len(a.v) + 1),
+                      _i -> a.v[_i]::DOUBLE * b.v[_i]::DOUBLE))::DOUBLE
+                  / (sqrt(list_sum(list_transform(a.v, _x -> _x::DOUBLE * _x::DOUBLE))::DOUBLE)
+                     * sqrt(list_sum(list_transform(b.v, _x -> _x::DOUBLE * _x::DOUBLE))::DOUBLE))
+             ELSE 0.0 END), 6) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+) WHERE cosine >= 0.45
+""",
+)
+def near_dup_pairs_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return dedup.near_dup_pairs_embedding(emb, "vec_id", "embedding", threshold=0.45)

@@ -1,0 +1,202 @@
+"""Event-stream queries (batch forms; streaming twins live in
+llm_enhanced_data_pipeline_spark/streaming/).
+
+events.ts is parquet TIMESTAMP(NANOS): Spark reads epoch-nano longs
+(nanosAsLong conf, set inside load_table), DuckDB reads native
+timestamps — so time math crosses the oracle boundary as epoch
+integers only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import aggregates, quality
+from ..operators.cleaning import safe_int
+from ..tables import load_table
+from .registry import register
+
+NS_PER_HOUR = 3_600_000_000_000
+NS_PER_S = 1_000_000_000
+
+
+@register(
+    "events_hourly_rollup",
+    bench=True,
+    doc="Tumbling-window rollup (batch twin of the Structured Streaming "
+    "pipeline): per hour × event_type count + value sum.",
+    oracle=f"""
+SELECT (epoch_ns(ts) // {NS_PER_HOUR}) AS hour_bucket,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY hour_bucket, event_type
+""",
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.withColumn("hour_bucket", F.expr(f"ts div {NS_PER_HOUR}"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_json_extract",
+    doc="Map/JSON ops (S4/P11 fast path): parse the props JSON column, "
+    "extract k, aggregate per event_type.",
+    oracle="""
+SELECT event_type,
+       round(avg(try_cast(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       sum(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events
+GROUP BY event_type
+""",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"), F.sum(k).alias("sum_k")
+    )
+
+
+@register(
+    "events_safe_cast",
+    doc="P8 safe_int: regex number-rescue casts on string payloads "
+    "(bulid_final_dataset.py:84-130).",
+    oracle="""
+SELECT event_id,
+       coalesce(try_cast(trim(CAST(props AS VARCHAR)) AS BIGINT),
+                try_cast(nullif(regexp_extract(CAST(props AS VARCHAR), '[-+]?\\d+', 0), '') AS BIGINT)) AS k_rescued
+FROM events
+""",
+)
+def events_safe_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select("event_id", safe_int(F.col("props")).alias("k_rescued"))
+
+
+@register(
+    "events_score_clamp",
+    doc="P9: clamp scores into range, round(1), derive overall as the "
+    "dim mean (enhance_scoring.py:53-117).",
+    oracle="""
+SELECT event_id,
+       round(least(greatest(value, 0.0), 10.0), 1) AS v_clamped,
+       round((round(least(greatest(value, 0.0), 10.0), 1)
+              + (user_id % 10)::DOUBLE) / 2.0, 1) AS overall
+FROM events
+""",
+)
+def events_score_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    v = F.round(quality.clamp(F.col("value"), 0.0, 10.0), 1)
+    dim2 = (F.col("user_id") % 10).cast("double")
+    return ev.select(
+        "event_id",
+        v.alias("v_clamped"),
+        quality.derived_overall([v, dim2]).alias("overall"),
+    )
+
+
+@register(
+    "events_sessionize",
+    doc="Gap-based sessionization (30-min inactivity) per user via "
+    "lag + running sum — the batch twin of stateful streaming "
+    "sessions.",
+    oracle=f"""
+WITH gaps AS (
+  SELECT user_id, epoch_ns(ts) AS tns,
+         CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > {30 * 60 * NS_PER_S}
+              OR lag(epoch_ns(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+FROM gaps GROUP BY user_id
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60 * NS_PER_S), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "events_iqr_outliers",
+    doc="A6: exact-percentile IQR outlier detection "
+    "(ablation_error_analysis.py:171-192).",
+    oracle="""
+WITH q AS (
+  SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3 FROM events
+)
+SELECT round(q.q1, 6) AS q1, round(q.q3, 6) AS q3,
+       sum(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                 OR e.value > q.q3 + 1.5 * (q.q3 - q.q1) THEN 1 ELSE 0 END) AS n_outliers,
+       count(*) AS n_total
+FROM events e CROSS JOIN q
+GROUP BY q.q1, q.q3
+""",
+)
+def events_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return aggregates.iqr_outlier_stats(ev, "value")
+
+
+@register(
+    "events_corr",
+    doc="A3: Pearson correlation value↔k plus summary stats "
+    "(quality_scoring.py:446-479 shape).",
+    oracle="""
+SELECT round(corr(value, try_cast(json_extract_string(props, '$.k') AS BIGINT)), 4) AS corr_vk,
+       round(avg(value), 4) AS mean_v,
+       round(stddev_samp(value), 4) AS std_v,
+       round(min(value), 2) AS min_v,
+       round(max(value), 2) AS max_v
+FROM events
+""",
+)
+def events_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("bigint")
+    return ev.agg(
+        F.round(F.corr(F.col("value"), k), 4).alias("corr_vk"),
+        F.round(F.avg("value"), 4).alias("mean_v"),
+        F.round(F.stddev_samp("value"), 4).alias("std_v"),
+        F.round(F.min("value"), 2).alias("min_v"),
+        F.round(F.max("value"), 2).alias("max_v"),
+    )
+
+
+@register(
+    "events_value_histogram",
+    doc="A2: value-counts distribution over integer buckets "
+    "(enhance_scoring.py:501-537 shape).",
+    oracle="""
+SELECT floor(value / 50.0)::BIGINT AS bucket, count(*) AS n
+FROM events GROUP BY bucket
+""",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return aggregates.value_histogram(
+        ev, "value", F.floor(F.col("value") / 50.0).cast("bigint")
+    )

@@ -1,0 +1,187 @@
+"""End-to-end pipeline queries: the flagship entry chain, schema
+alignment, global stage stats, and the (rows-only) LLM enrichment pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import cleaning, dedup, text_analysis
+from ..operators.cleaning import tokens_sql
+from ..tables import load_table
+from .registry import register
+
+_TOKS = tokens_sql("text")
+
+
+@register(
+    "stage_stats_global",
+    doc="A1 single-row corpus stats (the reference's stage-over-stage "
+    "comparison row, data_quality_comparison.py:40-115).",
+    oracle=f"""
+SELECT count(*) AS n_rows,
+       round(avg(length(text)), 4) AS avg_len,
+       round(100.0 * avg(CASE WHEN length(trim(text)) > 0 THEN 1.0 ELSE 0.0 END), 2) AS pct_nonempty,
+       round(avg(len({_TOKS})), 4) AS avg_words,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources
+FROM documents
+""",
+)
+def stage_stats_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_len"),
+        F.round(
+            100.0 * F.avg(F.when(F.length(F.trim(F.col("text"))) > 0, 1.0).otherwise(0.0)),
+            2,
+        ).alias("pct_nonempty"),
+        F.round(F.avg(F.size(cleaning.tokens(F.col("text")))), 4).alias("avg_words"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "align_schema",
+    doc="P1: canonical projection with coalesce defaults over a source "
+    "with injected missing values (format_alignment.py:4-29).",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+         nullif(source, 'src0') AS source,
+         nullif(lang, 'de') AS lang,
+         CASE WHEN doc_id % 5 = 0 THEN NULL ELSE text END AS text,
+         CASE WHEN doc_id % 3 = 0 THEN NULL ELSE n_chars END AS n_chars
+  FROM documents
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_key,
+       coalesce(source, '') AS source,
+       coalesce(lang, '') AS lang,
+       coalesce(text, '') AS text,
+       coalesce(n_chars, 0) AS n_chars
+FROM raw
+""",
+)
+def align_schema_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    raw = docs.select(
+        F.col("doc_id").cast("string").alias("doc_key"),
+        F.nullif(F.col("source"), F.lit("src0")).alias("source"),
+        F.nullif(F.col("lang"), F.lit("de")).alias("lang"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(F.col("text")).alias("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    aligned = cleaning.align_schema(
+        raw,
+        string_fields=["doc_key", "source", "lang", "text"],
+        array_fields=[],
+        int_fields=["n_chars"],
+    )
+    return aligned
+
+
+@register(
+    "flagship_pipeline",
+    bench=True,
+    doc="The entry() chain: cleanse → content-hash dedup → quality "
+    "score → per-lang rollup (the reference's full batch pipeline in "
+    "one lineage, SURVEY.md §3.1).",
+    oracle=f"""
+WITH cleaned AS (
+  SELECT doc_id, lang, source,
+         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+  FROM documents
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                                 ORDER BY doc_id) AS rn
+    FROM cleaned
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT lang,
+         least(length(text)::DOUBLE / 2000.0, 1.0) * 0.3
+         + (len(list_distinct({_TOKS}))::DOUBLE / greatest(len({_TOKS}), 1)) * 0.3
+         + least((len(list_filter({_TOKS}, _t -> _t IN ('the','a','and','of','to','in','is','that','it','for')))::DOUBLE
+                 / greatest(len({_TOKS}), 1)) * 5.0, 1.0) * 0.2
+         + CASE WHEN (list_sum(list_transform({_TOKS}, _t -> length(_t)::DOUBLE))::DOUBLE
+                      / greatest(len({_TOKS}), 1)) BETWEEN 3.0 AND 12.0
+                THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END AS q,
+         length(text) AS n_chars
+  FROM deduped
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(q), 4) AS avg_quality,
+       round(avg(n_chars), 4) AS avg_chars
+FROM scored GROUP BY lang
+""",
+)
+def flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    cleaned = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        cleaning.normalize_whitespace(F.col("text")).alias("text"),
+    )
+    deduped = dedup.dedup_content_hash(cleaned, "text", [F.col("doc_id")])
+    comps = text_analysis.text_quality_components(F.col("text"))
+    q = (
+        comps["length"] * 0.3
+        + comps["diversity"] * 0.3
+        + comps["stopword"] * 0.2
+        + comps["wordlen"] * 0.2
+    )
+    scored = deduped.select("lang", q.alias("q"), F.length("text").alias("n_chars"))
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@register(
+    "llm_enrichment_fake",
+    oracle=None,  # non-SQL-expressible: mapInPandas + client calls (P19)
+    doc="P19/P20/P11: the enrichment harness end-to-end on the "
+    "deterministic fake client — prompt build → rate-limited batched "
+    "calls → parser cascade. Rows-only driver check; full semantics "
+    "covered in tests/test_enrich.py.",
+)
+def llm_enrichment_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..enrich import DeterministicFakeLLM, enrich_with_llm
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
+
+    def prompts(pdf: pd.DataFrame) -> pd.Series:
+        return "Score this document: " + pdf["text"].str.slice(0, 200)
+
+    out = enrich_with_llm(
+        docs,
+        "doc_id",
+        prompts,
+        lambda: DeterministicFakeLLM(task="scoring"),
+        rate_per_sec=10_000.0,
+    )
+    parsed = out.select(
+        "doc_id",
+        F.from_json(
+            F.col("llm_json"),
+            "struct<novelty:int, technical_depth:int, clarity:int, impact_potential:int, confidence:double>",
+        ).alias("s"),
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("s.novelty").alias("novelty"),
+        F.col("s.technical_depth").alias("technical_depth"),
+        F.col("s.clarity").alias("clarity"),
+        F.col("s.confidence").alias("confidence"),
+    )

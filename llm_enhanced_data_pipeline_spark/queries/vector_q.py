@@ -1,0 +1,221 @@
+"""Similarity-search queries (SURVEY.md §2.4 J4, §2.10 R4 + ANN suite).
+
+All cosine math is double-precision in deterministic element order on
+both engines; similarities are rounded to 6dp and every ranking has a
+total tie-break (sim desc, id asc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import vector
+from ..tables import load_table
+from .registry import register
+
+# DuckDB cosine(a, b) between two list columns, double precision,
+# zero-norm guarded — textual twin of operators.vector.cosine_similarity.
+
+
+def _cos_sql(a: str, b: str) -> str:
+    na = f"sqrt(list_sum(list_transform({a}, _x -> _x::DOUBLE * _x::DOUBLE))::DOUBLE)"
+    nb = f"sqrt(list_sum(list_transform({b}, _x -> _x::DOUBLE * _x::DOUBLE))::DOUBLE)"
+    dt = (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"_i -> ({a})[_i]::DOUBLE * ({b})[_i]::DOUBLE))::DOUBLE"
+    )
+    return f"(CASE WHEN ({na} * {nb}) > 0 THEN {dt} / ({na} * {nb}) ELSE 0.0 END)"
+
+
+@register(
+    "cosine_topk",
+    bench=True,
+    doc="J4/R4: brute-force cosine top-k of one query vector against the "
+    "corpus (VectorStore.search, rag.ipynb:488-530). Replicates the "
+    "reference's threshold-after-top-k quirk: plain top-k.",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, round({_cos_sql('e.embedding', 'q.qv')}, 6) AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 5
+""",
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    corpus = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    scored = corpus.select(
+        "vec_id",
+        F.round(vector.cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias("sim"),
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(5)
+
+
+@register(
+    "knn_brute_force",
+    bench=True,
+    doc="Exact kNN join: 3 nearest neighbors for each of the first 10 "
+    "vectors (broadcast corpus + per-query window top-k).",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         round({_cos_sql('q.qv', 'e.embedding')}, 6) AS sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, neighbor_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT qid AS vec_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 3
+""",
+)
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return vector.knn_join(
+        queries, emb, "vec_id", "vec_id", "embedding", "embedding", k=3
+    ).select("vec_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "sim")
+
+
+_IVF_CENT_SQL = """
+e AS (SELECT vec_id, label, embedding FROM embeddings),
+dims AS (
+  SELECT label AS ckey, _i, avg(embedding[_i]::DOUBLE) AS m
+  FROM e, range(1, 65) r(_i)
+  GROUP BY label, _i
+),
+cent AS (SELECT ckey, list(m ORDER BY _i) AS centroid FROM dims GROUP BY ckey)
+"""
+
+
+@register(
+    "ivf_assignments",
+    doc="IVF build: per-label mean centroids (distributed elementwise "
+    "avg, no driver collect) + max-cosine assignment of every vector.",
+    oracle=f"""
+WITH {_IVF_CENT_SQL},
+assign AS (
+  SELECT vec_id, ckey FROM (
+    SELECT e.vec_id, c.ckey,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.embedding', 'c.centroid')} DESC,
+                                       c.ckey ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+)
+SELECT vec_id, ckey AS cluster FROM assign
+""",
+)
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = vector.centroids_by_key(emb, "label", "embedding")
+    assigned = vector.ivf_assign(emb, cents, "vec_id", "embedding")
+    return assigned.select("vec_id", F.col("ckey").alias("cluster"))
+
+
+@register(
+    "ivf_knn",
+    doc="IVF-routed approximate kNN (nprobe=1): query + corpus bucketed "
+    "by nearest centroid, exact kNN inside the bucket — the equi-join "
+    "scale path for similarity search.",
+    oracle=f"""
+WITH {_IVF_CENT_SQL},
+assign AS (
+  SELECT vec_id, embedding, ckey FROM (
+    SELECT e.vec_id, e.embedding, c.ckey,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.embedding', 'c.centroid')} DESC,
+                                       c.ckey ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, embedding AS qv, ckey FROM assign WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, a.vec_id AS neighbor_id,
+         round({_cos_sql('q.qv', 'a.embedding')}, 6) AS sim
+  FROM q JOIN assign a ON q.ckey = a.ckey AND a.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, neighbor_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT qid AS vec_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 3
+""",
+)
+def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = vector.centroids_by_key(emb, "label", "embedding")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = vector.ivf_knn_join(
+        queries, emb, cents, "vec_id", "vec_id", "embedding", "embedding", k=3
+    )
+    return out.select(
+        "vec_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "sim"
+    )
+
+
+@register(
+    "rag_context_assembly",
+    doc="R5: top-3 retrieved docs for the query vector, formatted into "
+    "the numbered '[Doc i]' context block (rag.ipynb:720-733).",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, round({_cos_sql('e.embedding', 'q.qv')}, 6) AS sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+),
+top AS (
+  SELECT vec_id, sim, row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored QUALIFY rank <= 3
+)
+SELECT string_agg(
+         '[Doc ' || rank::VARCHAR || '] ' || substring(d.text, 1, 80) ||
+         ' (sim=' || format('{{:.4f}}', sim) || ')',
+         chr(10) ORDER BY rank) AS context
+FROM top JOIN documents d ON d.doc_id = top.vec_id
+""",
+)
+def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(vector.cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias(
+                "sim"
+            ),
+        )
+    )
+    top = (
+        scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(3)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())),
+        )
+    )
+    joined = top.join(docs, top.vec_id == docs.doc_id)
+    line = F.concat(
+        F.lit("[Doc "),
+        F.col("rank").cast("string"),
+        F.lit("] "),
+        F.substring(F.col("text"), 1, 80),
+        F.lit(" (sim="),
+        F.format_number(F.col("sim"), 4),
+        F.lit(")"),
+    )
+    return joined.select("rank", line.alias("line")).groupBy().agg(
+        F.concat_ws(
+            "\n", F.transform(F.array_sort(F.collect_list(F.struct("rank", "line"))), lambda s: s["line"])
+        ).alias("context")
+    )

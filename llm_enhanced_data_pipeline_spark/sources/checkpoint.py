@@ -1,0 +1,51 @@
+"""Checkpoint/resume sink (SURVEY.md §2.1 S9 + §2.4 J3).
+
+The reference writes partial enrichment results every N rows and on
+restart skips already-processed ids (enhance_fields_of_study.py:243-269,
+321-322, 344-356). Spark-first: an append-mode Parquet directory is the
+checkpoint; resume = left-anti join against the checkpoint's key set.
+
+This also protects paid, non-deterministic UDF outputs (LLM calls) from
+Spark task retries / plan re-execution: results are durable before any
+downstream consumption.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ParquetCheckpoint:
+    def __init__(self, spark: SparkSession, path: str, key: str):
+        self.spark = spark
+        self.path = path
+        self.key = key
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            name.endswith(".parquet") for name in os.listdir(self.path)
+        )
+
+    def load(self) -> DataFrame | None:
+        if not self.exists():
+            return None
+        return self.spark.read.parquet(self.path)
+
+    def append(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.path)
+
+    def remaining(self, todo: DataFrame) -> DataFrame:
+        """J3 — rows not yet processed."""
+        done = self.load()
+        if done is None:
+            return todo
+        return todo.join(done.select(self.key).distinct(), self.key, "left_anti")
+
+    def merged(self, new_rows: DataFrame) -> DataFrame:
+        """checkpointed ∪ new (enhance_keywords.py:451)."""
+        done = self.load()
+        if done is None:
+            return new_rows
+        return done.unionByName(new_rows, allowMissingColumns=True)
