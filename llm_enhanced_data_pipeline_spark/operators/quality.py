@@ -21,8 +21,12 @@ def clamp(col: Column, lo: float, hi: float) -> Column:
 
 
 def validated_score(col: Column, lo: float = 0.0, hi: float = 10.0, default: float | None = None) -> Column:
-    """safe_float → clamp → round(1); None → default (enhance_scoring.py:53-117)."""
-    v = F.round(clamp(safe_float(col), lo, hi), 1)
+    """safe_float → clamp → round(1); unparseable → default
+    (enhance_scoring.py:53-117). Null must survive the clamp — Spark's
+    ``greatest`` skips nulls, so clamping a null would silently yield
+    ``lo`` instead of falling through to the default."""
+    parsed = safe_float(col)
+    v = F.when(parsed.isNotNull(), F.round(clamp(parsed, lo, hi), 1))
     if default is not None:
         v = F.coalesce(v, F.lit(default))
     return v

@@ -40,12 +40,20 @@ def read_jsonl(
 
 
 def corrupt_lines(df: DataFrame) -> DataFrame:
+    """Bad-line diagnostics. Spark disallows queries that touch ONLY the
+    corrupt column of a raw JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+    the supported pattern is to cache the parsed frame first — fine
+    here because corrupt-line inspection is a small diagnostic read."""
     if CORRUPT_COL not in df.columns:
         return df.limit(0)
-    return df.filter(F.col(CORRUPT_COL).isNotNull())
+    return df.cache().filter(F.col(CORRUPT_COL).isNotNull())
 
 
 def valid_lines(df: DataFrame) -> DataFrame:
+    """Rows that parsed cleanly. Downstream queries must reference at
+    least one data column (a bare count() would prune the scan down to
+    the corrupt column alone, which Spark disallows on raw JSON —
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN)."""
     if CORRUPT_COL not in df.columns:
         return df
     return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)

@@ -1,0 +1,108 @@
+"""Dedup edge semantics from SURVEY.md §7.3 — the parts that are easy
+to silently get wrong in Spark (null keys, keep-first order, tie-breaks,
+idempotence)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from llm_enhanced_data_pipeline_spark.operators import dedup
+
+
+def test_null_preserving_keeps_every_null_key_row(spark):
+    df = spark.createDataFrame(
+        [
+            Row(i=1, k="a"),
+            Row(i=2, k="a"),
+            Row(i=3, k=None),
+            Row(i=4, k=None),
+            Row(i=5, k=""),
+            Row(i=6, k="b"),
+        ]
+    )
+    out = dedup.dedup_exact_null_preserving(df, "k", [F.col("i")])
+    got = sorted(r.i for r in out.collect())
+    # a→keep i=1; nulls i=3,4 kept; empty i=5 kept; b→i=6
+    assert got == [1, 3, 4, 5, 6]
+
+    # contrast: bare dropDuplicates collapses the nulls (the bug the
+    # operator exists to avoid)
+    bare = df.dropDuplicates(["k"]).count()
+    assert bare == 4
+
+
+def test_union_first_wins_prefers_earlier_source(spark):
+    a = spark.createDataFrame([Row(k=1, v="a1"), Row(k=2, v="a2")])
+    b = spark.createDataFrame([Row(k=2, v="b2"), Row(k=3, v="b3")])
+    out = dedup.union_first_wins([a, b], "k", ["k"])
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: "a1", 2: "a2", 3: "b3"}
+
+
+def test_content_hash_keep_first_and_empty_exemption(spark):
+    df = spark.createDataFrame(
+        [
+            Row(i=1, t="Hello  World"),
+            Row(i=2, t="hello world"),  # same after lower/trim? (no: inner spaces differ)
+            Row(i=3, t="Hello  World"),  # exact dup of i=1
+            Row(i=4, t=""),
+            Row(i=5, t="  "),  # trims to same as i=4
+        ]
+    )
+    keep_default = sorted(r.i for r in dedup.dedup_content_hash(df, "t", [F.col("i")]).collect())
+    # reference semantics: empties hash equal → one survivor among {4,5}
+    assert keep_default == [1, 2, 4]
+    keep_exempt = sorted(
+        r.i
+        for r in dedup.dedup_content_hash(df, "t", [F.col("i")], keep_all_empty=True).collect()
+    )
+    assert keep_exempt == [1, 2, 4, 5]
+
+
+def test_similarity_exact_keeps_preferred_and_is_idempotent(spark):
+    df = spark.createDataFrame(
+        [
+            Row(i=1, year=2020, toks=["deep", "learning", "for", "vision"]),
+            Row(i=2, year=2024, toks=["deep", "learning", "for", "vision"]),  # same set, newer
+            Row(i=3, year=2020, toks=["graph", "neural", "networks"]),
+            Row(i=4, year=2019, toks=["completely", "different", "topic"]),
+        ]
+    )
+    out = dedup.dedup_similarity_exact(df, "i", "toks", threshold=0.9, prefer_desc_col="year")
+    got = sorted(r.i for r in out.collect())
+    assert got == [2, 3, 4]  # newer year (i=2) survives the duplicate pair
+
+    # idempotence: running dedup again removes nothing
+    again = dedup.dedup_similarity_exact(out, "i", "toks", threshold=0.9, prefer_desc_col="year")
+    assert sorted(r.i for r in again.collect()) == got
+
+
+def test_minhash_finds_exact_jaccard_pairs(spark):
+    base = ["w%d" % i for i in range(30)]
+    df = spark.createDataFrame(
+        [
+            Row(i=1, toks=base),
+            Row(i=2, toks=base[:-1] + ["novel"]),  # jaccard 29/31 ≈ 0.935
+            Row(i=3, toks=["totally"] + ["other%d" % i for i in range(20)]),
+        ]
+    )
+    pairs = dedup.near_dup_pairs_minhash(df, "i", "toks", threshold=0.9, num_hashes=16, bands=8)
+    got = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert got == [(1, 2)]
+    survivors = dedup.dedup_minhash_lsh(df, "i", "toks", threshold=0.9)
+    assert sorted(r.i for r in survivors.collect()) == [1, 3]
+
+
+def test_simhash_hamming_zero_for_identical_and_blocks_lossless(spark):
+    toks = ["alpha", "beta", "gamma", "delta", "epsilon"] * 4
+    df = spark.createDataFrame(
+        [
+            Row(i=1, toks=toks),
+            Row(i=2, toks=toks),
+            Row(i=3, toks=["x%d" % k for k in range(25)]),
+        ]
+    )
+    pairs = dedup.near_dup_pairs_simhash(df, "i", "toks", max_hamming=3, blocks=4)
+    got = [(r.id_a, r.id_b, r.hamming) for r in pairs.collect()]
+    assert got == [(1, 2, 0)]

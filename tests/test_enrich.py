@@ -1,0 +1,89 @@
+"""Enrichment harness (P19/P20/P11): deterministic fake client through
+mapInPandas, rate limiting, checkpoint-protected resume."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from llm_enhanced_data_pipeline_spark.enrich import (
+    DeterministicFakeLLM,
+    RateLimiter,
+    enrich_with_llm,
+)
+from llm_enhanced_data_pipeline_spark.enrich.client import retry_with_backoff
+
+
+def _prompts(pdf: pd.DataFrame) -> pd.Series:
+    return "Score: " + pdf["title"]
+
+
+def test_fake_llm_is_deterministic():
+    c1, c2 = DeterministicFakeLLM(task="scoring"), DeterministicFakeLLM(task="scoring")
+    assert c1.generate("same prompt") == c2.generate("same prompt")
+    assert c1.generate("a") != c1.generate("b")
+
+
+def test_fake_llm_emits_malformed_shapes():
+    c = DeterministicFakeLLM(task="scoring")
+    shapes = {"fenced": 0, "prose": 0, "plain": 0}
+    for i in range(300):
+        r = c.generate(f"prompt {i}")
+        if r.startswith("```"):
+            shapes["fenced"] += 1
+        elif r.startswith("Here is"):
+            shapes["prose"] += 1
+        else:
+            shapes["plain"] += 1
+    assert shapes["fenced"] > 0 and shapes["prose"] > 0 and shapes["plain"] > 200
+
+
+def test_enrich_with_llm_parses_all_rows(spark):
+    df = spark.createDataFrame([Row(doc_id=i, title=f"paper {i}") for i in range(40)])
+
+    def prompts(pdf: pd.DataFrame) -> pd.Series:
+        return "Score: " + pdf["title"]
+
+    out = enrich_with_llm(
+        df, "doc_id", prompts, lambda: DeterministicFakeLLM(task="scoring"),
+        rate_per_sec=10_000.0,
+    ).collect()
+    assert len(out) == 40
+    for r in out:
+        parsed = json.loads(r.llm_json)
+        assert set(parsed) >= {"novelty", "clarity", "confidence"}
+        assert 0 <= parsed["novelty"] <= 10
+
+    # determinism across runs (same prompts → same parsed payloads)
+    out2 = enrich_with_llm(
+        df, "doc_id", prompts, lambda: DeterministicFakeLLM(task="scoring"),
+        rate_per_sec=10_000.0,
+    ).collect()
+    assert {r.doc_id: r.llm_json for r in out} == {r.doc_id: r.llm_json for r in out2}
+
+
+def test_rate_limiter_throttles():
+    import time
+
+    rl = RateLimiter(rate=50.0, burst=1)
+    t0 = time.monotonic()
+    for _ in range(6):
+        rl.acquire()
+    elapsed = time.monotonic() - t0
+    assert elapsed >= 0.08  # 5 waits at ~1/50s
+
+
+def test_retry_with_backoff_retries_then_succeeds():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert retry_with_backoff(flaky, max_tries=5, base_delay=0.001) == "ok"
+    assert calls["n"] == 3

@@ -1,0 +1,82 @@
+"""Structured Streaming twins produce the same answers as the batch
+operators on identical input."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from llm_enhanced_data_pipeline_spark.streaming import events as se
+
+
+def _write_events_jsonl(tmp_path, rows):
+    p = tmp_path / "stream_in"
+    p.mkdir()
+    # two "micro-batch" files
+    half = len(rows) // 2
+    for name, chunk in (("a.json", rows[:half]), ("b.json", rows[half:])):
+        with open(p / name, "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+    return str(p)
+
+
+def _rows():
+    out = []
+    for i in range(40):
+        out.append(
+            {
+                "event_id": i,
+                "ts": f"2024-01-01T{i // 20:02d}:{(i * 3) % 60:02d}:00.000Z",
+                "user_id": i % 4,
+                "event_type": "click" if i % 2 == 0 else "view",
+                "value": float(i),
+                "props": json.dumps({"k": i}),
+            }
+        )
+    return out
+
+
+def test_hourly_rollup_stream_matches_batch(spark, tmp_path):
+    path = _write_events_jsonl(tmp_path, _rows())
+    stream = se.read_event_stream(spark, path, max_files_per_trigger=1)
+    assert stream.isStreaming
+    rollup = se.hourly_rollup_stream(stream)
+    se.run_to_memory_sink(rollup, "rollup_test", timeout_s=120)
+    got = {
+        (str(r.window_start), r.event_type): (r.n, r.total_value)
+        for r in spark.sql("select * from rollup_test").collect()
+    }
+
+    batch = spark.read.schema(se.EVENT_SCHEMA).json(path)
+    expected = {
+        (str(r.window_start), r.event_type): (r.n, r.total_value)
+        for r in batch.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .collect()
+    }
+    assert got == expected
+    assert len(got) == 4  # 2 hours × 2 event types
+
+
+def test_sessionize_stream_counts_sessions(spark, tmp_path):
+    # user 0: two bursts 90 minutes apart → 2 sessions
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00.000Z", "user_id": 0,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:10:00.000Z", "user_id": 0,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T01:40:00.000Z", "user_id": 0,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+    ]
+    path = _write_events_jsonl(tmp_path, rows)
+    stream = se.read_event_stream(spark, path)
+    sessions = se.sessionize_stream(stream, gap="30 minutes")
+    se.run_to_memory_sink(sessions, "sessions_test", timeout_s=120)
+    got = spark.sql("select * from sessions_test").collect()
+    assert len(got) == 2
+    assert sorted(r.n_events for r in got) == [1, 2]
