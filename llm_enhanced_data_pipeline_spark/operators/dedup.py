@@ -182,6 +182,42 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     return F.array(*keys)
 
 
+def shingle_hash_rows(
+    df: DataFrame, id_col: str, token_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle_hash) rows: n-gram shingle hashes built from
+    per-token md5 hashes combined arithmetically over a lead() window.
+
+    Why this shape: higher-order array lambdas are interpreted (outside
+    whole-stage codegen) and re-evaluate captured subtrees per element,
+    so array-based shingling is 10-100x slower than it looks. Here the
+    token array is exploded once, the scalar md5 runs inside codegen,
+    and consecutive-token combination is two lead() calls over the
+    (id, pos) window. The window's hash partitioning on id is reused by
+    the downstream groupBy(id) aggregations — one shuffle total.
+
+    shingle_hash = fold over the n token hashes: acc*131 + h (mod p) —
+    identical arithmetic is trivially reproducible in the DuckDB oracle.
+    """
+    tok_rows = df.select(
+        F.col(id_col), F.posexplode(F.col(token_col)).alias("_pos", "_tok")
+    )
+    hashed = tok_rows.select(
+        F.col(id_col), F.col("_pos"), hashing.stable_hash32(F.col("_tok")).alias("_h")
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    sh = F.col("_h") % hashing.ROLLING_PRIME
+    last = F.col("_h")
+    for k in range(1, n):
+        last = F.lead("_h", k).over(w)
+        sh = (sh * 131 + last) % hashing.ROLLING_PRIME
+    return (
+        hashed.select(F.col(id_col), sh.alias("_sh"), last.alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .select(F.col(id_col), F.col("_sh"))
+    )
+
+
 def near_dup_pairs_minhash(
     df: DataFrame,
     id_col: str,
@@ -189,35 +225,68 @@ def near_dup_pairs_minhash(
     threshold: float = 0.8,
     num_hashes: int = 16,
     bands: int = 8,
+    shingle_n: int | None = None,
 ) -> DataFrame:
-    """(id_a, id_b, jaccard) candidate pairs with jaccard >= threshold.
+    """(id_a, id_b, jaccard) candidate pairs with jaccard >= threshold
+    over hash sets: per-token hashes when ``shingle_n`` is None, n-gram
+    shingle hashes otherwise.
 
     Banding: 16 hashes in 8 bands of 2 → collision prob at s=0.8 is
     1-(1-s^2)^8 ≈ 0.99.
+
+    Execution shape (the part that matters at 100 TB):
+    - set semantics (distinct, intersect/union for Jaccard) run on
+      primitive longs — hash-set Jaccard equals token-set Jaccard up to
+      hash-collision probability (~1e-7 per pair element).
+    - the 16 signature minima are codegen hash AGGREGATES over the
+      exploded (id, hash) rows; min-over-duplicates == min-over-
+      distinct, so no dedup is needed before aggregation.
+    - the band self-join and pair dedup move ONLY (id, band) /
+      (id_a, id_b) rows; hash sets are joined back (from the persisted
+      per-id set frame) just for the final verification.
     """
     rows_per_band = num_hashes // bands
-    toks = F.array_distinct(F.col(token_col))
-    sig = df.select(
-        F.col(id_col),
-        toks.alias("_set"),
-        minhash_signature(toks, num_hashes).alias("_sig"),
-    ).withColumn("_band", F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)))
-    left = sig.select(
-        F.col(id_col).alias("id_a"), F.col("_set").alias("_aset"), F.col("_band")
-    )
-    right = sig.select(
-        F.col(id_col).alias("id_b"), F.col("_set").alias("_bset"), F.col("_band")
-    )
-    pairs = (
+    if shingle_n is None:
+        rows = df.select(
+            F.col(id_col), F.explode(F.col(token_col)).alias("_tok")
+        ).select(F.col(id_col), hashing.stable_hash32(F.col("_tok")).alias("_sh"))
+    else:
+        rows = shingle_hash_rows(df, id_col, token_col, shingle_n)
+    sig_cols = []
+    for i in range(num_hashes):
+        a, b = hashing._mix_consts(i)
+        sig_cols.append(
+            F.min((F.col("_sh") * a + b) % hashing.MINHASH_PRIME).alias(f"_s{i}")
+        )
+    grouped = rows.groupBy(id_col).agg(
+        F.collect_set("_sh").alias("_hset"), *sig_cols
+    ).persist()
+    band_keys = []
+    for b_idx in range(bands):
+        parts = [
+            F.col(f"_s{b_idx * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        digest = hashing.md5_hex(F.concat_ws(",", *parts))
+        band_keys.append(F.concat(F.lit(f"{b_idx}:"), digest))
+    banded = grouped.select(F.col(id_col), F.explode(F.array(*band_keys)).alias("_band"))
+    left = banded.select(F.col(id_col).alias("id_a"), "_band")
+    right = banded.select(F.col(id_col).alias("id_b"), "_band")
+    candidates = (
         left.join(right, "_band")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_aset", "_bset")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sets_a = grouped.select(F.col(id_col).alias("id_a"), F.col("_hset").alias("_aset"))
+    sets_b = grouped.select(F.col(id_col).alias("id_b"), F.col("_hset").alias("_bset"))
+    return (
+        candidates.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
         .withColumn("jaccard", jaccard_token_sets(F.col("_aset"), F.col("_bset")))
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return pairs
 
 
 def dedup_minhash_lsh(
@@ -227,9 +296,12 @@ def dedup_minhash_lsh(
     threshold: float = 0.8,
     num_hashes: int = 16,
     bands: int = 8,
+    shingle_n: int | None = None,
 ) -> DataFrame:
     """Keep-first fuzzy dedup at scale: drop b of every (a<b) near pair."""
-    pairs = near_dup_pairs_minhash(df, id_col, token_col, threshold, num_hashes, bands)
+    pairs = near_dup_pairs_minhash(
+        df, id_col, token_col, threshold, num_hashes, bands, shingle_n
+    )
     dup_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dup_ids, id_col, "left_anti")
 

@@ -170,24 +170,36 @@ def dedup_fuzzy_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 3-gram shingles: discriminative even on a small vocabulary (the
 # token-*set* variant saturates on this corpus — see dedup_fuzzy_jaccard
 # for the set semantics). Shingle-MinHash is the classic C4/GPT-style
-# training-data dedup shape.
-_SHINGLES_SQL = (
-    "list_distinct(list_transform("
-    "range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1), "
-    "_i -> array_to_string(list_slice(string_split(text, ' '), _i, _i + 2), ' ')))"
-)
+# training-data dedup shape. Shingle hashes are built from per-token
+# md5 hashes combined arithmetically ((acc*131 + h) mod p, matching
+# operators.dedup.shingle_hash_rows), and `toks` below is the DISTINCT
+# SET OF SHINGLE HASHES (bigint) — set ops and Jaccard run on hashes.
+_TOKHASH = "CAST(('0x' || substring(md5('0:' || _t), 1, 8)) AS UBIGINT)::BIGINT"
+_P = hashing.ROLLING_PRIME
+_SHINGLE_HASHES_SQL = f"""
+list_transform(
+  range(1, greatest(len(_th) - 2, 0) + 1),
+  _i -> (((_th[_i] % {_P}) * 131 + _th[_i + 1]) % {_P} * 131 + _th[_i + 2]) % {_P}
+)"""
 
 _MINHASH_CTE = f"""
 WITH u AS ({_DOCS_WITH_NEAR_DUPS_SQL}),
-t AS (
-  SELECT doc_id, {_SHINGLES_SQL} AS toks FROM u
+tk AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                       _x -> _x <> ''),
+           _t -> {_TOKHASH}) AS _th
+  FROM u
 ),
-th AS (
-  SELECT doc_id, toks, {hashing.token_hashes32_sql('toks')} AS hs FROM t
+t AS (
+  SELECT doc_id, list_distinct({_SHINGLE_HASHES_SQL}) AS toks
+  FROM tk
+  WHERE len(_th) >= 3
 ),
 sig AS (
-  SELECT doc_id, toks, {hashing.minhash_signature_sql('hs', 16)} AS sg
-  FROM th
+  SELECT doc_id, toks, {hashing.minhash_signature_sql('toks', 16)} AS sg
+  FROM t
 ),
 banded AS (
   SELECT doc_id,
@@ -204,11 +216,13 @@ pairs AS (
 
 
 def _minhash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _docs_with_near_dups(spark, sf_dir)
-    toks = dedup.tokens(F.col("text"))
-    return corpus.withColumn(
-        "shingles", F.array_distinct(dedup.word_shingles(toks, 3))
+    # Single-file parquet arrives as 1-2 splits; fan out BEFORE the
+    # tokenize/hash work so it uses every core (on a cluster the input
+    # is many splits and this repartition coalesces/noops).
+    corpus = _docs_with_near_dups(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
     )
+    return corpus.withColumn("toks", dedup.tokens(F.col("text")))
 
 
 @register(
@@ -233,7 +247,7 @@ SELECT id_a, id_b, jaccard FROM (
 def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _minhash_corpus(spark, sf_dir)
     return dedup.near_dup_pairs_minhash(
-        corpus, "doc_id", "shingles", threshold=0.8, num_hashes=16, bands=8
+        corpus, "doc_id", "toks", threshold=0.8, num_hashes=16, bands=8, shingle_n=3
     )
 
 
@@ -253,13 +267,13 @@ dup AS (
     JOIN t tb ON tb.doc_id = p.id_b
   ) WHERE jac >= 0.8
 )
-SELECT doc_id FROM t WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+SELECT doc_id FROM u WHERE doc_id NOT IN (SELECT doc_id FROM dup)
 """,
 )
 def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _minhash_corpus(spark, sf_dir)
     return dedup.dedup_minhash_lsh(
-        corpus, "doc_id", "shingles", threshold=0.8, num_hashes=16, bands=8
+        corpus, "doc_id", "toks", threshold=0.8, num_hashes=16, bands=8, shingle_n=3
     ).select("doc_id")
 
 
