@@ -133,6 +133,49 @@ def knn_join(
 # deterministic source — `centroids_by_key` builds them as per-group
 # dimension means, which doubles as the oracle-checkable construction.
 
+def random_hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for sign-LSH, derived
+    from md5 so any engine (or the SQL oracle) reproduces them exactly:
+    h[p][d] = md5_int32(f"{p}:{d}") / 2^32 - 0.5."""
+    import hashlib
+
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            row.append(h / 2**32 - 0.5)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit p set iff dot(vec, plane_p) > 0.
+
+    Planes are literals, so the captured lambda subtree is free to
+    re-evaluate; cosine-similar vectors land in the same bucket with
+    probability 1 - theta/pi per bit."""
+    bucket = F.lit(0).cast("bigint")
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        d = dot(vec, plane_col)
+        bucket = bucket + F.when(d > 0, F.lit(2**p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return bucket
+
+
+def lsh_bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """DuckDB twin of :func:`lsh_bucket` (identical literal planes)."""
+    terms = []
+    for p, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+        d = (
+            f"list_sum(list_transform(range(1, len({vec_expr}) + 1), "
+            f"_i -> ({vec_expr})[_i]::DOUBLE * ({arr})[_i]))::DOUBLE"
+        )
+        terms.append(f"(CASE WHEN {d} > 0 THEN {2**p}::BIGINT ELSE 0::BIGINT END)")
+    return "(" + " + ".join(terms) + ")"
+
+
 def centroids_by_key(
     corpus: DataFrame, key_col: str, vec_col: str
 ) -> DataFrame:

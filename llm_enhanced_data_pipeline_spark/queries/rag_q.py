@@ -1,0 +1,277 @@
+"""RAG-layer queries: the TF-fallback embedder (R2) and sign-LSH
+approximate search — the remaining §2.10 operators.
+
+The reference's fallback embedder (rag.ipynb `_embed_simple`, source
+lines 413-436) builds L2-normalized term-frequency vectors over a
+shared vocabulary; here the vocabulary is the corpus-wide top-K tokens
+(count desc, token asc — deterministic), built distributed with no
+driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import cleaning, vector
+from ..operators.cleaning import tokens_sql
+from ..tables import load_table
+from .registry import register
+
+_TOKS = tokens_sql("text")
+VOCAB_K = 32
+
+_VOCAB_SQL = f"""
+vocab AS (
+  SELECT _tok, row_number() OVER (ORDER BY cnt DESC, _tok ASC) - 1 AS pos
+  FROM (
+    SELECT _tok, count(*) AS cnt
+    FROM (SELECT unnest({_TOKS}) AS _tok FROM documents)
+    GROUP BY _tok
+  )
+  QUALIFY pos < {VOCAB_K}
+)
+"""
+
+
+def _tf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, embedding array<double>) — L2-normalized TF over the
+    top-K vocab. Vocab build and doc×vocab counts are both hash
+    aggregates; the vector assembles from a position map (no pivot)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(cleaning.tokens(F.col("text"))).alias("_tok")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("_tok").asc())
+    vocab = (
+        toks.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .filter(F.col("pos") < VOCAB_K)
+        .select("_tok", "pos")
+    )
+    counts = (
+        toks.join(F.broadcast(vocab), "_tok")
+        .groupBy("doc_id", "pos")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    as_map = counts.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("pos", "n"))).alias("m")
+    )
+    # docs with no vocab tokens still get a (zero) vector
+    with_all = load_table(spark, "documents", sf_dir).select("doc_id").join(
+        as_map, "doc_id", "left"
+    )
+    raw_vec = F.transform(
+        F.sequence(F.lit(0), F.lit(VOCAB_K - 1)),
+        lambda i: F.coalesce(F.try_element_at(F.col("m"), i), F.lit(0)).cast("double"),
+    )
+    vec = F.col("_raw")
+    norm = vector.l2_norm(vec)
+    normalized = F.when(norm > 0, F.transform(vec, lambda x: x / norm)).otherwise(vec)
+    return (
+        with_all.withColumn("_raw", raw_vec)
+        .withColumn("embedding", F.transform(normalized, lambda x: F.round(x, 6)))
+        .select("doc_id", "embedding")
+    )
+
+
+@register(
+    "tf_embeddings",
+    doc="R2: the reference's deterministic fallback embedder — "
+    "L2-normalized term-frequency vectors over the corpus top-32 vocab "
+    "(rag.ipynb _embed_simple:413-436), built fully distributed.",
+    oracle=f"""
+WITH {_VOCAB_SQL},
+counts AS (
+  SELECT doc_id, v.pos, count(*) AS n
+  FROM (SELECT doc_id, unnest({_TOKS}) AS _tok FROM documents) t
+  JOIN vocab v ON v._tok = t._tok
+  GROUP BY doc_id, v.pos
+),
+ent AS (
+  SELECT doc_id, list({{'pos': pos, 'n': n}}) AS es FROM counts GROUP BY doc_id
+),
+vecs AS (
+  SELECT d.doc_id,
+         list_transform(range(0, {VOCAB_K}), _i ->
+           coalesce(list_sum(list_transform(list_filter(e.es, _e -> _e.pos = _i), _e -> _e.n)), 0)::DOUBLE
+         ) AS raw
+  FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
+)
+SELECT doc_id,
+       CASE WHEN sqrt(list_sum(list_transform(raw, _x -> _x * _x))::DOUBLE) > 0
+            THEN list_transform(raw, _x -> round(_x / sqrt(list_sum(list_transform(raw, _y -> _y * _y))::DOUBLE), 6))
+            ELSE raw END AS embedding
+FROM vecs
+""",
+)
+def tf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tf_embeddings(spark, sf_dir)
+
+
+@register(
+    "tf_embedding_search",
+    doc="R2+R4 composed: cosine top-5 against doc 0 in the TF embedding "
+    "space — the reference's full fallback retrieval path.",
+    oracle=f"""
+WITH {_VOCAB_SQL},
+counts AS (
+  SELECT doc_id, v.pos, count(*) AS n
+  FROM (SELECT doc_id, unnest({_TOKS}) AS _tok FROM documents) t
+  JOIN vocab v ON v._tok = t._tok
+  GROUP BY doc_id, v.pos
+),
+ent AS (
+  SELECT doc_id, list({{'pos': pos, 'n': n}}) AS es FROM counts GROUP BY doc_id
+),
+vecs AS (
+  SELECT d.doc_id,
+         list_transform(range(0, {VOCAB_K}), _i ->
+           coalesce(list_sum(list_transform(list_filter(e.es, _e -> _e.pos = _i), _e -> _e.n)), 0)::DOUBLE
+         ) AS v
+  FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
+),
+q AS (SELECT v AS qv FROM vecs WHERE doc_id = 0),
+scored AS (
+  SELECT vecs.doc_id,
+         round(
+           (CASE WHEN (sqrt(list_sum(list_transform(vecs.v, _x -> _x * _x))::DOUBLE)
+                       * sqrt(list_sum(list_transform(q.qv, _x -> _x * _x))::DOUBLE)) > 0
+             THEN list_sum(list_transform(range(1, len(vecs.v) + 1),
+                      _i -> vecs.v[_i] * q.qv[_i]))::DOUBLE
+                  / (sqrt(list_sum(list_transform(vecs.v, _x -> _x * _x))::DOUBLE)
+                     * sqrt(list_sum(list_transform(q.qv, _x -> _x * _x))::DOUBLE))
+             ELSE 0.0 END), 6) AS sim
+  FROM vecs CROSS JOIN q WHERE vecs.doc_id <> 0
+)
+SELECT doc_id, sim FROM scored ORDER BY sim DESC, doc_id ASC LIMIT 5
+""",
+)
+def tf_embedding_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cosine on the UN-normalized counts (normalization cancels in
+    # cosine; avoids double-rounding the stored vectors)
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(cleaning.tokens(F.col("text"))).alias("_tok")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("_tok").asc())
+    vocab = (
+        toks.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .filter(F.col("pos") < VOCAB_K)
+        .select("_tok", "pos")
+    )
+    counts = (
+        toks.join(F.broadcast(vocab), "_tok")
+        .groupBy("doc_id", "pos")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    as_map = counts.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("pos", "n"))).alias("m")
+    )
+    raw_vec = F.transform(
+        F.sequence(F.lit(0), F.lit(VOCAB_K - 1)),
+        lambda i: F.coalesce(F.try_element_at(F.col("m"), i), F.lit(0)).cast("double"),
+    )
+    vecs = (
+        docs.select("doc_id")
+        .join(as_map, "doc_id", "left")
+        .withColumn("v", raw_vec)
+        .select("doc_id", "v")
+    )
+    q = vecs.filter(F.col("doc_id") == 0).select(F.col("v").alias("qv"))
+    scored = (
+        vecs.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.round(vector.cosine_similarity(F.col("v"), F.col("qv")), 6).alias("sim"),
+        )
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col("doc_id").asc()).limit(5)
+
+
+_PLANES = vector.random_hyperplanes(8, 64)
+
+
+@register(
+    "ann_lsh_buckets",
+    doc="Sign-LSH bucketing of the embedding corpus: 8 md5-derived "
+    "hyperplanes → 256 buckets; the equi-join ANN scale path "
+    "(complement of the IVF variant).",
+    oracle=f"""
+SELECT vec_id, {vector.lsh_bucket_sql('embedding', _PLANES)} AS bucket
+FROM embeddings
+""",
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return emb.select(
+        "vec_id", vector.lsh_bucket(F.col("embedding"), _PLANES).alias("bucket")
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    doc="ANN search: top-3 same-bucket neighbors for the first 10 "
+    "vectors (approximate — bucket-local exact kNN).",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {vector.lsh_bucket_sql('embedding', _PLANES)} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM b WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, b.vec_id AS neighbor_id,
+         round(
+           (CASE WHEN (sqrt(list_sum(list_transform(b.embedding, _x -> _x::DOUBLE * _x::DOUBLE))::DOUBLE)
+                       * sqrt(list_sum(list_transform(q.qv, _x -> _x::DOUBLE * _x::DOUBLE))::DOUBLE)) > 0
+             THEN list_sum(list_transform(range(1, len(b.embedding) + 1),
+                      _i -> b.embedding[_i]::DOUBLE * q.qv[_i]::DOUBLE))::DOUBLE
+                  / (sqrt(list_sum(list_transform(b.embedding, _x -> _x::DOUBLE * _x::DOUBLE))::DOUBLE)
+                     * sqrt(list_sum(list_transform(q.qv, _x -> _x::DOUBLE * _x::DOUBLE))::DOUBLE))
+             ELSE 0.0 END), 6) AS sim
+  FROM q JOIN b ON q.bucket = b.bucket AND b.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, neighbor_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT qid AS vec_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 3
+""",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        vector.lsh_bucket(F.col("embedding"), _PLANES).alias("bucket"),
+    )
+    q = b.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("_qid"), F.col("embedding").alias("_qv"), "bucket"
+    )
+    scored = (
+        q.join(b, "bucket")
+        .filter(F.col("vec_id") != F.col("_qid"))
+        .select(
+            "_qid",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                vector.cosine_similarity(F.col("_qv"), F.col("embedding")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("_qid").alias("vec_id"),
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            "sim",
+        )
+    )
