@@ -148,11 +148,27 @@ def flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_enrichment_fake",
-    oracle=None,  # non-SQL-expressible: mapInPandas + client calls (P19)
     doc="P19/P20/P11: the enrichment harness end-to-end on the "
-    "deterministic fake client — prompt build → rate-limited batched "
-    "calls → parser cascade. Rows-only driver check; full semantics "
-    "covered in tests/test_enrich.py.",
+    "deterministic fake client — prompt build → rate-limited Arrow "
+    "batches → 4-level parser cascade (the client deliberately emits "
+    "fenced/prose-wrapped shapes). Fully oracle-checked: the fake's "
+    "payload is md5 arithmetic on the prompt, so the SQL twin rebuilds "
+    "it — verifying the whole mapInPandas round trip, not just row "
+    "counts. Confidence crosses as an int (x100) to dodge double-"
+    "rounding ulp skew.",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5('Score this document: ' || substring(text, 1, 200)), 1, 8)) AS UBIGINT)::BIGINT AS seed
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id,
+       (seed % 11)::INTEGER AS novelty,
+       ((seed // 11) % 11)::INTEGER AS technical_depth,
+       ((seed // 121) % 11)::INTEGER AS clarity,
+       (30 + (seed % 70))::INTEGER AS conf_x100
+FROM s
+""",
 )
 def llm_enrichment_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -183,5 +199,5 @@ def llm_enrichment_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.novelty").alias("novelty"),
         F.col("s.technical_depth").alias("technical_depth"),
         F.col("s.clarity").alias("clarity"),
-        F.col("s.confidence").alias("confidence"),
+        F.round(F.col("s.confidence") * 100).cast("int").alias("conf_x100"),
     )
