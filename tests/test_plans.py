@@ -1,0 +1,58 @@
+"""Physical-plan regression guards: the optimizations the engine is
+designed around must actually appear in the plans (SURVEY.md §4.2).
+A refactor that silently turns a broadcast join into a cartesian
+product or un-pushes a filter should fail here, not at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+from llm_enhanced_data_pipeline_spark.queries import REGISTRY
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_filter_pushed_and_schema_pruned(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    # projection pruning: the scan must not read unused columns
+    assert "l_partkey" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_q3_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # pushed to customer scan
+
+
+def test_enrichment_join_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "enrichment_join_5way")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_minhash_band_join_is_equi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "near_dup_pairs_minhash")
+    # candidate generation must be a hash/sort-merge equi-join on the
+    # band key, never a nested-loop cross product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_anti_and_semi_joins_planned(spark, sf_dir):
+    assert "LeftAnti" in _plan(spark, sf_dir, "checkpoint_anti_join")
+    assert "LeftSemi" in _plan(spark, sf_dir, "semi_join_open_orders")
+
+
+def test_events_rollup_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_hourly_rollup")
+    # partial (map-side) agg before the exchange, final after
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
