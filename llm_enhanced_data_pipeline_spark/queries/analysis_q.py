@@ -327,3 +327,131 @@ def scrape_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("event_id", F.expr("ts div 1000000000").alias("ts_s"), "event_type")
     )
+
+
+# P18 full-fidelity ruler scoring: the reference's weighted components
+# (quality_scoring.py:106-115: completeness .15, recency .20,
+# substance .30, rigor .25, impact .10, relevance .15), its exact
+# exponential-decay recency buckets (:171-186), an indicator-term
+# substance score (:190-235 shape), a penalty, and the 6-bucket tier
+# ladder (:393-406). Dates are synthesized deterministically per doc
+# against a FIXED "today" so the decay arithmetic is reproducible.
+_RULER_TODAY = "DATE '2026-08-13'"
+_DAYS_AGO_SQL = "(doc_id % 500)"
+# all literals cast to DOUBLE: DuckDB would otherwise do exact DECIMAL
+# arithmetic while Spark does binary doubles, and the exact values land
+# on .5 rounding boundaries
+_RECENCY_SQL = f"""
+(CASE WHEN {_DAYS_AGO_SQL} <= 7 THEN 1.0::DOUBLE
+      WHEN {_DAYS_AGO_SQL} <= 30 THEN 0.9::DOUBLE - ({_DAYS_AGO_SQL} - 7) * 0.01::DOUBLE
+      WHEN {_DAYS_AGO_SQL} <= 90 THEN 0.7::DOUBLE - ({_DAYS_AGO_SQL} - 30) * 0.005::DOUBLE
+      WHEN {_DAYS_AGO_SQL} <= 365 THEN 0.4::DOUBLE - ({_DAYS_AGO_SQL} - 90) * 0.001::DOUBLE
+      ELSE greatest(0.1::DOUBLE, 0.3::DOUBLE - ({_DAYS_AGO_SQL} - 365) * 0.0001::DOUBLE) END)"""
+
+_SUBSTANCE_TERMS = "['fast', 'merge', 'vector', 'stream', 'window']"
+_RIGOR_TERMS = "['sort', 'hash', 'filter', 'group', 'join']"
+
+
+@register(
+    "ruler_score_full",
+    doc="P18 full ruler scorer: weighted completeness/recency/substance/"
+    "rigor components with the reference's exponential-decay buckets, "
+    "datediff-derived ages, penalty, and tier ladder "
+    "(quality_scoring.py:98-406).",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         date_diff('day', {_RULER_TODAY} - ({_DAYS_AGO_SQL})::INTEGER, {_RULER_TODAY})::INTEGER AS days_ago,
+         least(length(text)::DOUBLE / 400.0::DOUBLE, 1.0::DOUBLE) AS completeness,
+         {_RECENCY_SQL} AS recency,
+         least(len(list_intersect({_TOKS}, {_SUBSTANCE_TERMS}))::DOUBLE / 3.0::DOUBLE, 1.0::DOUBLE) AS substance,
+         least(len(list_intersect({_TOKS}, {_RIGOR_TERMS}))::DOUBLE / 3.0::DOUBLE, 1.0::DOUBLE) AS rigor,
+         CASE WHEN length(text) < 100 THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END AS penalty
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, days_ago,
+         greatest(completeness * 0.25::DOUBLE + recency * 0.25::DOUBLE + substance * 0.25::DOUBLE
+                  + rigor * 0.25::DOUBLE - penalty, 0.0::DOUBLE) AS total
+  FROM base
+)
+SELECT doc_id, days_ago,
+       {rounding.stable_round_sql('total', 4)} AS total_score,
+       {quality.tier_sql(rounding.stable_round_sql('total', 4))} AS tier
+FROM scored
+""",
+)
+def ruler_score_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    days_ago_expr = (F.col("doc_id") % 500).cast("int")
+    publish_date = F.date_sub(F.lit("2026-08-13").cast("date"), days_ago_expr)
+    days_ago = F.datediff(F.lit("2026-08-13").cast("date"), publish_date)
+    recency = (
+        F.when(days_ago <= 7, F.lit(1.0))
+        .when(days_ago <= 30, 0.9 - (days_ago - 7) * 0.01)
+        .when(days_ago <= 90, 0.7 - (days_ago - 30) * 0.005)
+        .when(days_ago <= 365, 0.4 - (days_ago - 90) * 0.001)
+        .otherwise(F.greatest(F.lit(0.1), 0.3 - (days_ago - 365) * 0.0001))
+    )
+    toks = cleaning.tokens(F.col("text"))
+    substance_terms = F.array(*[F.lit(t) for t in ["fast", "merge", "vector", "stream", "window"]])
+    rigor_terms = F.array(*[F.lit(t) for t in ["sort", "hash", "filter", "group", "join"]])
+    completeness = F.least(F.length("text").cast("double") / 400.0, F.lit(1.0))
+    substance = F.least(
+        F.size(F.array_intersect(toks, substance_terms)).cast("double") / 3.0, F.lit(1.0)
+    )
+    rigor = F.least(
+        F.size(F.array_intersect(toks, rigor_terms)).cast("double") / 3.0, F.lit(1.0)
+    )
+    penalty = F.when(F.length("text") < 100, F.lit(0.1)).otherwise(F.lit(0.0))
+    total = F.greatest(
+        completeness * 0.25 + recency * 0.25 + substance * 0.25 + rigor * 0.25 - penalty,
+        F.lit(0.0),
+    )
+    total4 = rounding.stable_round(total, 4)
+    return docs.select(
+        "doc_id",
+        days_ago.alias("days_ago"),
+        total4.alias("total_score"),
+        quality.tier(total4).alias("tier"),
+    )
+
+
+@register(
+    "rag_eval_report",
+    doc="A11/R9: the RAG-vs-baseline evaluation report — per-method "
+    "means, improvement rate (fraction of pairs where RAG wins), and "
+    "auto-vs-judge correlation (rag.ipynb generate_report:986-1022). "
+    "Scores are synthesized deterministically per event.",
+    oracle="""
+WITH pairs AS (
+  SELECT event_id,
+         value % 5.0 AS rag_score,
+         (try_cast(json_extract_string(props, '$.k') AS BIGINT) % 5)::DOUBLE AS base_score
+  FROM events
+)
+SELECT round(avg(rag_score), 4) AS mean_rag,
+       round(avg(base_score), 4) AS mean_baseline,
+       round(avg(rag_score - base_score), 4) AS mean_improvement,
+       round(avg(CASE WHEN rag_score > base_score THEN 1.0 ELSE 0.0 END), 4) AS win_rate,
+       round(corr(rag_score, base_score), 4) AS score_corr,
+       count(*) AS n_questions
+FROM pairs
+""",
+)
+def rag_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("bigint")
+    rag = F.col("value") % 5.0
+    base = (k % 5).cast("double")
+    pairs = ev.select(rag.alias("rag_score"), base.alias("base_score"))
+    return pairs.agg(
+        F.round(F.avg("rag_score"), 4).alias("mean_rag"),
+        F.round(F.avg("base_score"), 4).alias("mean_baseline"),
+        F.round(F.avg(F.col("rag_score") - F.col("base_score")), 4).alias("mean_improvement"),
+        F.round(
+            F.avg(F.when(F.col("rag_score") > F.col("base_score"), 1.0).otherwise(0.0)), 4
+        ).alias("win_rate"),
+        F.round(F.corr("rag_score", "base_score"), 4).alias("score_corr"),
+        F.count(F.lit(1)).alias("n_questions"),
+    )
