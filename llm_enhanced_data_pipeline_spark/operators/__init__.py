@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     joins,
     multimodal,
     quality,
+    skew,
     text_analysis,
     vector,
 )

@@ -306,6 +306,46 @@ def dedup_minhash_lsh(
     return df.join(dup_ids, id_col, "left_anti")
 
 
+def ml_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    threshold: float = 0.7,
+    num_hash_tables: int = 8,
+) -> DataFrame:
+    """Spark-ML variant of the MinHash-LSH near-dup join
+    (CountVectorizer → MinHashLSH.approxSimilarityJoin), per SURVEY.md
+    §2.3's suggested primitive.
+
+    Same output contract as :func:`near_dup_pairs_minhash`
+    ((id_a, id_b, jaccard) with jaccard >= threshold) but approximate
+    recall governed by ``numHashTables``, and NOT oracle-reproducible
+    (Spark-internal hash seeds) — the md5-based operator remains the
+    correctness-gated path; this one exists for ML-pipeline interop and
+    is exercised against the exact ground truth in tests.
+    """
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    base = df.select(F.col(id_col), F.col(token_col).alias("_toks")).filter(
+        F.size("_toks") > 0
+    )
+    cv = CountVectorizer(inputCol="_toks", outputCol="_features", binary=True)
+    feats = cv.fit(base).transform(base)
+    mh = MinHashLSH(
+        inputCol="_features", outputCol="_hashes", numHashTables=num_hash_tables, seed=42
+    )
+    model = mh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="_dist")
+    return (
+        joined.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round(1.0 - F.col("_dist"), 6).alias("jaccard"),
+        )
+    )
+
+
 # SimHash near-dup: single 60-bit fingerprint per doc; near-dups =
 # hamming distance <= k. Bucketing by rotating bit-blocks keeps the
 # candidate join linear (pigeonhole: distance<=k pairs share at least

@@ -106,3 +106,23 @@ def test_simhash_hamming_zero_for_identical_and_blocks_lossless(spark):
     pairs = dedup.near_dup_pairs_simhash(df, "i", "toks", max_hamming=3, blocks=4)
     got = [(r.id_a, r.id_b, r.hamming) for r in pairs.collect()]
     assert got == [(1, 2, 0)]
+
+
+def test_ml_minhash_lsh_agrees_with_exact_ground_truth(spark):
+    from pyspark.sql import Row
+
+    base = ["w%d" % i for i in range(30)]
+    df = spark.createDataFrame(
+        [
+            Row(i=1, toks=base),
+            Row(i=2, toks=base[:-2] + ["x", "y"]),      # jaccard 28/32 = 0.875
+            Row(i=3, toks=["z%d" % k for k in range(20)]),
+            Row(i=4, toks=base[:15] + ["q%d" % k for k in range(15)]),  # ~0.33
+        ]
+    )
+    pairs = dedup.ml_near_dup_pairs(df, "i", "toks", threshold=0.7, num_hash_tables=8)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    # approxSimilarityJoin post-filters on EXACT distance → precision is
+    # exact; with 8 tables the 0.875 pair is found w.h.p.
+    assert set(got) == {(1, 2)}
+    assert abs(got[(1, 2)] - 0.875) < 1e-6
