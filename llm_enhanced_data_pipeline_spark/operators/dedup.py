@@ -352,10 +352,39 @@ def ml_near_dup_pairs(
 # one of k+1 blocks).
 
 def with_simhash(df: DataFrame, token_col: str, out_col: str = "simhash") -> DataFrame:
+    """Array-expression SimHash (fine for one pass over materialized
+    token arrays; the self-join path below uses the explode/aggregate
+    form instead — see simhash_by_id)."""
     hashes = F.transform(F.col(token_col), lambda t: hashing.stable_hash60(t))
     return df.withColumn("_th", hashes).withColumn(
         out_col, hashing.simhash60_from_hashes(F.col("_th"))
     ).drop("_th")
+
+
+def simhash_by_id(df: DataFrame, id_col: str, token_col: str) -> DataFrame:
+    """(id, simhash) via explode + 60 codegen vote aggregates — the
+    whole-stage-codegen form of :func:`with_simhash` (same HOF-
+    interpretation rationale as the MinHash path). Docs with no tokens
+    get simhash 0, matching the array form's empty-fold result."""
+    tok_rows = df.select(F.col(id_col), F.explode(F.col(token_col)).alias("_tok")).select(
+        F.col(id_col), hashing.stable_hash60(F.col("_tok")).alias("_h")
+    )
+    votes = [
+        F.sum((F.shiftright(F.col("_h"), j) % 2) * 2 - 1).alias(f"_v{j}")
+        for j in range(60)
+    ]
+    sig = tok_rows.groupBy(id_col).agg(*votes)
+    out = F.lit(0).cast("bigint")
+    for j in range(60):
+        out = out + F.when(F.col(f"_v{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    sig = sig.select(F.col(id_col), out.alias("simhash"))
+    return (
+        df.select(id_col)
+        .join(sig, id_col, "left")
+        .select(F.col(id_col), F.coalesce(F.col("simhash"), F.lit(0)).alias("simhash"))
+    )
 
 
 def near_dup_pairs_simhash(
@@ -370,7 +399,7 @@ def near_dup_pairs_simhash(
     Requires blocks >= max_hamming + 1 for exact recall (pigeonhole on
     15-bit blocks of the 60-bit fingerprint).
     """
-    sh = with_simhash(df, token_col).select(F.col(id_col), F.col("simhash"))
+    sh = simhash_by_id(df, id_col, token_col).persist()
     block_bits = 60 // blocks
     block_keys = F.array(
         *[

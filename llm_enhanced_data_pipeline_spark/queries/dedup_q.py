@@ -306,8 +306,10 @@ SELECT id_a, id_b, hamming FROM (
     oracle=_SIMHASH_ORACLE,
 )
 def near_dup_pairs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _docs_with_near_dups(spark, sf_dir).withColumn(
-        "toks", F.split(F.col("text"), " ")
+    corpus = (
+        _docs_with_near_dups(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("toks", F.split(F.col("text"), " "))
     )
     out = dedup.near_dup_pairs_simhash(corpus, "doc_id", "toks", max_hamming=3, blocks=4)
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
