@@ -11,11 +11,18 @@ Implementations live in llm_enhanced_data_pipeline_spark/queries/.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from llm_enhanced_data_pipeline_spark import queries as _q
+# robust against being loaded by file path from any cwd
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from llm_enhanced_data_pipeline_spark import queries as _q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing
-from .cleaning import normalize_whitespace, tokens
+from .cleaning import tokens
 
 
 # ---------------------------------------------------------------------------
