@@ -306,6 +306,72 @@ def dedup_minhash_lsh(
     return df.join(dup_ids, id_col, "left_anti")
 
 
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(id, component) where component = min node id reachable through
+    the near-dup pair graph — the EXACT cluster semantics that the
+    reference's sequential greedy loop approximates (keep one row per
+    similarity component instead of per pairwise edge).
+
+    Iterative min-label propagation: labels start as own id; each round
+    every node takes the min of its own and its neighbors' labels; stop
+    at fixpoint. The loop is driver-side CONTROL only (a convergence
+    count per round) — data never leaves the cluster. Rounds needed =
+    graph diameter (near-dup components are tiny), and each round is
+    one shuffle join; for huge graphs swap in large-star/small-star.
+
+    ``pairs`` needs columns (id_a, id_b).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label")).persist()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+
+
+def dedup_components(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Keep exactly one row (the min-id representative) per similarity
+    component; rows with no near-dup partner survive unchanged."""
+    comps = connected_components(df.select(id_col), pairs, id_col)
+    keep = comps.filter(F.col(id_col) == F.col("component")).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
 def ml_near_dup_pairs(
     df: DataFrame,
     id_col: str,

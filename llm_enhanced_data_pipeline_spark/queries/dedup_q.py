@@ -371,3 +371,47 @@ SELECT id_a, id_b, cosine FROM (
 def near_dup_pairs_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return dedup.near_dup_pairs_embedding(emb, "vec_id", "embedding", threshold=0.45)
+
+
+_MINHASH_VERIFIED_PAIRS_SQL = """
+vp AS (
+  SELECT id_a, id_b FROM (
+    SELECT p.id_a, p.id_b,
+           len(list_intersect(ta.toks, tb.toks))::DOUBLE
+           / len(list_distinct(ta.toks || tb.toks)) AS jac
+    FROM pairs p
+    JOIN t ta ON ta.doc_id = p.id_a
+    JOIN t tb ON tb.doc_id = p.id_b
+  ) WHERE jac >= 0.8
+)
+"""
+
+
+@register(
+    "dedup_components",
+    doc="Connected-components dedup: one survivor (min-id representative) "
+    "per similarity component of the MinHash near-dup graph — the exact "
+    "cluster semantics the reference's greedy O(n^2) loop approximates. "
+    "Spark runs iterative min-label propagation (driver controls only "
+    "the convergence check); the oracle is a recursive CTE.",
+    oracle=(
+        _MINHASH_CTE
+        + ","
+        + _MINHASH_VERIFIED_PAIRS_SQL
+        + """,
+e AS (SELECT id_a AS a, id_b AS b FROM vp UNION ALL SELECT id_b, id_a FROM vp),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lbl FROM u
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.node
+)
+SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node
+"""
+    ).replace("WITH u AS", "WITH RECURSIVE u AS", 1),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _minhash_corpus(spark, sf_dir)
+    pairs = dedup.near_dup_pairs_minhash(
+        corpus, "doc_id", "toks", threshold=0.8, num_hashes=16, bands=8, shingle_n=3
+    )
+    return dedup.connected_components(corpus.select("doc_id"), pairs, "doc_id")

@@ -126,3 +126,21 @@ def test_ml_minhash_lsh_agrees_with_exact_ground_truth(spark):
     # exact; with 8 tables the 0.875 pair is found w.h.p.
     assert set(got) == {(1, 2)}
     assert abs(got[(1, 2)] - 0.875) < 1e-6
+
+
+def test_connected_components_chain_semantics(spark):
+    from pyspark.sql import Row
+
+    nodes = spark.createDataFrame([Row(i=n) for n in [1, 2, 3, 4, 5, 6]])
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=5, id_b=6)]
+    )
+    comps = {r.i: r.component for r in dedup.connected_components(nodes, pairs, "i").collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+    df = nodes
+    survivors = sorted(r.i for r in dedup.dedup_components(df, pairs, "i").collect())
+    # chain 1-2-3 keeps only 1 (the greedy pairwise rule would also kill
+    # 2 and 3 here, but on a~b, b~c with a!~c greedy keeps c; components
+    # define the cluster semantics exactly)
+    assert survivors == [1, 4, 5]
