@@ -70,6 +70,51 @@ def retry_with_backoff(fn, max_tries: int = 5, base_delay: float = 0.1, max_dela
 
 
 @dataclass
+class HttpChatClient:
+    """Production client shell for an OpenAI-compatible chat endpoint
+    (the reference's DeepSeek calls, enhance_fields_of_study.py:68-117).
+    Stdlib-only (urllib) so it needs no extra dependency; constructed
+    per partition via the client_factory so connections are never
+    pickled from the driver. Untested here by design — no network in
+    the test environment; the protocol surface matches
+    DeterministicFakeLLM exactly, so swapping clients is one argument.
+    """
+
+    base_url: str
+    api_key: str
+    model: str = "deepseek-chat"
+    temperature: float = 0.2
+    max_tries: int = 5
+
+    def generate(self, prompt: str, max_tokens: int = 300) -> str:  # pragma: no cover
+        import json as _json
+        import urllib.request
+
+        def call() -> str:
+            body = _json.dumps(
+                {
+                    "model": self.model,
+                    "messages": [{"role": "user", "content": prompt}],
+                    "temperature": self.temperature,
+                    "max_tokens": max_tokens,
+                }
+            ).encode("utf-8")
+            req = urllib.request.Request(
+                f"{self.base_url.rstrip('/')}/chat/completions",
+                data=body,
+                headers={
+                    "Content-Type": "application/json",
+                    "Authorization": f"Bearer {self.api_key}",
+                },
+            )
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                payload = _json.loads(resp.read().decode("utf-8"))
+            return payload["choices"][0]["message"]["content"]
+
+        return retry_with_backoff(call, max_tries=self.max_tries)
+
+
+@dataclass
 class DeterministicFakeLLM:
     """Seeded fake: same prompt → same response, forever.
 

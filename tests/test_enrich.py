@@ -87,3 +87,37 @@ def test_retry_with_backoff_retries_then_succeeds():
 
     assert retry_with_backoff(flaky, max_tries=5, base_delay=0.001) == "ok"
     assert calls["n"] == 3
+
+
+def test_embed_with_adapter_batches_and_normalizes(spark):
+    from llm_enhanced_data_pipeline_spark.enrich.embedding import (
+        deterministic_hash_embedder,
+        embed_with,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta doc {i}") for i in range(10)]
+        + [Row(doc_id=99, text="")]
+    )
+    out = embed_with(df, "doc_id", "text", deterministic_hash_embedder(dim=8), batch_size=4)
+    rows = {r.doc_id: r.embedding for r in out.collect()}
+    assert len(rows) == 11
+    assert len(rows[0]) == 8
+    norm = sum(v * v for v in rows[0]) ** 0.5
+    assert abs(norm - 1.0) < 1e-5
+    assert rows[99] == [0.0] * 8  # empty text → zero vector (norm guard)
+    # determinism across runs
+    rows2 = {r.doc_id: r.embedding for r in embed_with(
+        df, "doc_id", "text", deterministic_hash_embedder(dim=8)).collect()}
+    assert rows == rows2
+
+
+def test_sentence_transformer_embedder_is_cleanly_gated():
+    import pytest as _pytest
+
+    from llm_enhanced_data_pipeline_spark.enrich.embedding import (
+        sentence_transformer_embedder,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        sentence_transformer_embedder()
