@@ -448,3 +448,50 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta["n_bytes"].cast("bigint").alias("n_bytes"),
         meta["sha256"].alias("payload_sha256"),
     )
+
+
+@register(
+    "date_validation",
+    doc="P16 date-format check (§2.8 date surface): to_date parse "
+    "validation over well-formed / out-of-range / wrong-format / empty "
+    "date strings (provenance_compliance.py:319-323), plus date "
+    "arithmetic on the valid ones.",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN '2024-03-' || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0')
+           WHEN 1 THEN '2024-13-45'
+           WHEN 2 THEN '15/03/2024'
+           ELSE '' END AS date_str
+  FROM documents
+)
+SELECT doc_id, date_str,
+       try_cast(date_str AS DATE) IS NOT NULL AS is_valid,
+       try_cast(date_str AS DATE) AS parsed,
+       date_diff('day', try_cast(date_str AS DATE), DATE '2024-04-01')::INTEGER AS days_before_apr
+FROM raw
+""",
+)
+def date_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    date_str = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("2024-03-"),
+                F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+            ),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.lit("2024-13-45"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("15/03/2024"))
+        .otherwise(F.lit(""))
+    )
+    parsed = F.try_to_date(date_str)
+    return docs.select(
+        "doc_id",
+        date_str.alias("date_str"),
+        parsed.isNotNull().alias("is_valid"),
+        parsed.alias("parsed"),
+        F.datediff(F.lit("2024-04-01").cast("date"), parsed).alias("days_before_apr"),
+    )
