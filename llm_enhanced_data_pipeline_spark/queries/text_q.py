@@ -495,3 +495,48 @@ def date_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.alias("parsed"),
         F.datediff(F.lit("2024-04-01").cast("date"), parsed).alias("days_before_apr"),
     )
+
+
+@register(
+    "scalar_string_surface",
+    doc="§2.8 scalar string surface in one pass: startswith/endswith "
+    "(enhance_fields_of_study.py:120), contains-term tests (P18), "
+    "initcap (P6), split_part, lpad, left/right, reverse, instr, "
+    "translate — every remaining string builtin the reference leans on.",
+    oracle="""
+SELECT doc_id,
+       starts_with(source, 'src1') AS src_1x,
+       ends_with(source, '0') AS src_ends_0,
+       contains(text, 'spark') AS mentions_spark,
+       list_transform(string_split(substring(text, 1, 20), ' '),
+                      _w -> upper(_w[1]) || lower(_w[2:])) AS title_words,
+       split_part(source, 'c', 2) AS src_num,
+       lpad(split_part(source, 'c', 2), 4, '0') AS src_padded,
+       left(text, 5) AS head5,
+       right(text, 5) AS tail5,
+       reverse(source) AS src_rev,
+       instr(text, 'table')::BIGINT AS first_table_pos,
+       translate(source, 'src', 'SRC') AS src_upper
+FROM documents
+""",
+)
+def scalar_string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.col("source").startswith("src1").alias("src_1x"),
+        F.col("source").endswith("0").alias("src_ends_0"),
+        F.col("text").contains("spark").alias("mentions_spark"),
+        F.transform(
+            F.split(F.substring(F.col("text"), 1, 20), " "), F.initcap
+        ).alias("title_words"),
+        F.split_part(F.col("source"), F.lit("c"), F.lit(2)).alias("src_num"),
+        F.lpad(F.split_part(F.col("source"), F.lit("c"), F.lit(2)), 4, "0").alias(
+            "src_padded"
+        ),
+        F.substring(F.col("text"), 1, 5).alias("head5"),
+        F.col("text").substr(F.length("text") - 4, F.lit(5)).alias("tail5"),
+        F.reverse(F.col("source")).alias("src_rev"),
+        F.instr(F.col("text"), "table").cast("bigint").alias("first_table_pos"),
+        F.translate(F.col("source"), "src", "SRC").alias("src_upper"),
+    )

@@ -1,0 +1,77 @@
+"""Custom stateful streaming operator via applyInPandasWithState
+(SURVEY.md §2.9 extension; the harness for operators that the built-in
+windowed aggregates can't express).
+
+Example operator: per-user running counters with idle-timeout flush —
+each user's state (event count, value sum) accumulates across
+micro-batches and is emitted when the user goes idle (processing-time
+timeout) or the stream drains. The same shape hosts any per-key
+accumulator (e.g. the reference's checkpointed enrichment progress).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("flushed_by_timeout", T.BooleanType()),
+    ]
+)
+
+
+def _update_user_counters(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        n, total = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [total],
+             "flushed_by_timeout": [True]}
+        )
+        return
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, round(total, 6)))
+    state.setTimeoutDuration(30_000)  # flush after 30s idle
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 6)],
+         "flushed_by_timeout": [False]}
+    )
+
+
+def running_user_counters(events: DataFrame) -> DataFrame:
+    """Streaming per-user accumulator. Emits the updated counters on
+    every micro-batch a user appears in, plus a final timeout flush."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_counters,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

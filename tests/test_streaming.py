@@ -80,3 +80,31 @@ def test_sessionize_stream_counts_sessions(spark, tmp_path):
     got = spark.sql("select * from sessions_test").collect()
     assert len(got) == 2
     assert sorted(r.n_events for r in got) == [1, 2]
+
+
+def test_stateful_running_counters(spark, tmp_path):
+    from llm_enhanced_data_pipeline_spark.streaming.stateful import running_user_counters
+
+    rows = []
+    for i in range(30):
+        rows.append(
+            {"event_id": i, "ts": f"2024-01-01T00:{i:02d}:00.000Z",
+             "user_id": i % 3, "event_type": "click", "value": float(i), "props": "{}"}
+        )
+    path = _write_events_jsonl(tmp_path, rows)
+    stream = se.read_event_stream(spark, path, max_files_per_trigger=1)
+    out = running_user_counters(stream)
+    q = (
+        out.writeStream.format("memory").queryName("stateful_test")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = spark.sql(
+        "select user_id, max(n_events) n, max(total_value) t from stateful_test group by user_id"
+    ).collect()
+    by_user = {r.user_id: (r.n, r.t) for r in got}
+    for u in range(3):
+        expected_n = 10
+        expected_t = float(sum(i for i in range(30) if i % 3 == u))
+        assert by_user[u] == (expected_n, expected_t), by_user
