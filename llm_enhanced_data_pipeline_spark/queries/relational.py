@@ -299,3 +299,46 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@register(
+    "having_filter",
+    doc="Group-filter pattern (TPC-H Q18 shape): customers whose total "
+    "order value exceeds a threshold — HAVING over a hash aggregate.",
+    oracle="""
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spent
+FROM orders
+GROUP BY o_custkey
+HAVING sum(o_totalprice) > 1500000
+""",
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.sum("o_totalprice").alias("_raw"),
+        )
+        .filter(F.col("_raw") > 1500000)
+        .drop("_raw")
+    )
+
+
+@register(
+    "rollup_totals",
+    doc="ROLLUP hierarchy aggregate: per (lang, source), per lang, and "
+    "grand total in one pass (partial-agg friendly; NULL markers for "
+    "the rollup levels match across engines).",
+    oracle="""
+SELECT lang, source, count(*) AS n, round(avg(n_chars), 4) AS avg_chars
+FROM documents
+GROUP BY ROLLUP (lang, source)
+""",
+)
+def rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("n_chars"), 4).alias("avg_chars")
+    )
