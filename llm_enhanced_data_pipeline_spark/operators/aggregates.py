@@ -36,8 +36,8 @@ def stage_quality_stats(
     return df.agg(*aggs)
 
 
-def value_histogram(df: DataFrame, col: str, bucket: Column) -> DataFrame:
-    """A2 distribution: value counts by bucket."""
+def value_histogram(df: DataFrame, bucket: Column) -> DataFrame:
+    """A2 distribution: value counts by bucket expression."""
     return df.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
 
 

@@ -197,6 +197,4 @@ FROM events GROUP BY bucket
 )
 def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    return aggregates.value_histogram(
-        ev, "value", F.floor(F.col("value") / 50.0).cast("bigint")
-    )
+    return aggregates.value_histogram(ev, F.floor(F.col("value") / 50.0).cast("bigint"))
