@@ -132,6 +132,13 @@ def dedup_similarity_exact(
     """
     toks = F.array_distinct(F.col(token_col))
     base = df.withColumn("_set", toks)
+    # Lossless size-band prune: jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|),
+    # so pairs whose set sizes differ by more than the threshold ratio
+    # cannot match — the quadratic join only compares size-compatible
+    # rows. Output is provably unchanged.
+    size_band = (
+        F.size("_lset").cast("double") * threshold <= F.size("_rset").cast("double")
+    ) & (F.size("_rset").cast("double") * threshold <= F.size("_lset").cast("double"))
     if prefer_desc_col:
         left_cols = [
             F.col(id_col).alias("_lid"),
@@ -152,7 +159,7 @@ def dedup_similarity_exact(
         precedes = F.col("_lid") < F.col("_rid")
     dup_ids = (
         base.select(*left_cols)
-        .join(base.select(*right_cols), precedes)
+        .join(base.select(*right_cols), precedes & size_band)
         .filter(F.size("_rset") > 0)
         .filter(F.size("_lset") > 0)
         .filter(jaccard_token_sets(F.col("_lset"), F.col("_rset")) >= F.lit(threshold))
@@ -505,8 +512,12 @@ def near_dup_pairs_ngram(
     ).filter(F.size("_sh") > 0)
     left = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
     right = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
+    # same lossless size-band prune as dedup_similarity_exact
+    size_band = (
+        F.size("_sa").cast("double") * threshold <= F.size("_sb").cast("double")
+    ) & (F.size("_sb").cast("double") * threshold <= F.size("_sa").cast("double"))
     return (
-        left.join(right, F.col("id_a") < F.col("id_b"))
+        left.join(right, (F.col("id_a") < F.col("id_b")) & size_band)
         .withColumn("jaccard", F.round(jaccard_token_sets(F.col("_sa"), F.col("_sb")), 6))
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
