@@ -218,18 +218,23 @@ SELECT doc_id,
        CASE WHEN length(trim(problem_raw)) > 100
             THEN substring(trim(problem_raw), 1, 100) || '...'
             ELSE trim(problem_raw) END AS problem,
-       KC_PLACEHOLDER AS key_contributions
+       coalesce(array_to_string(KC_PLACEHOLDER, '|'), '') AS key_contributions
 FROM raw
 """.replace("KC_PLACEHOLDER", cleaning.bounded_distinct_list_sql("toks", 8)),
 )
 def contribution_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # key_contributions crosses the gate as a '|'-joined string: the
+    # driver canonicalizes results in pandas, and list cells are
+    # unhashable there (round-1 err row).
     docs = load_table(spark, "documents", sf_dir)
     problem_raw = F.trim(F.repeat(F.concat(F.col("source"), F.lit(" ")), (F.col("doc_id") % 40).cast("int")))
     toks = F.split(F.col("text"), " ")
     return docs.select(
         "doc_id",
         quality.truncate_with_ellipsis(problem_raw, 100).alias("problem"),
-        cleaning.bounded_distinct_list(toks, 8).alias("key_contributions"),
+        F.concat_ws("|", cleaning.bounded_distinct_list(toks, 8)).alias(
+            "key_contributions"
+        ),
     )
 
 

@@ -54,7 +54,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        round(avg(try_cast(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
-       sum(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+       sum(try_cast(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k
 FROM events
 GROUP BY event_type
 """,
@@ -119,7 +119,7 @@ WITH gaps AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
 FROM gaps GROUP BY user_id
 """,
 )
@@ -150,7 +150,7 @@ WITH q AS (
 )
 SELECT round(q.q1, 6) AS q1, round(q.q3, 6) AS q3,
        sum(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
-                 OR e.value > q.q3 + 1.5 * (q.q3 - q.q1) THEN 1 ELSE 0 END) AS n_outliers,
+                 OR e.value > q.q3 + 1.5 * (q.q3 - q.q1) THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
        count(*) AS n_total
 FROM events e CROSS JOIN q
 GROUP BY q.q1, q.q3

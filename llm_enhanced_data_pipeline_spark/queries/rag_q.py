@@ -34,7 +34,9 @@ vocab AS (
 """
 
 
-def _tf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _tf_embeddings(
+    spark: SparkSession, sf_dir: str, rounded: bool = True
+) -> DataFrame:
     """(doc_id, embedding array<double>) — L2-normalized TF over the
     top-K vocab. Vocab build and doc×vocab counts are both hash
     aggregates; the vector assembles from a position map (no pivot)."""
@@ -69,9 +71,12 @@ def _tf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = F.col("_raw")
     norm = vector.l2_norm(vec)
     normalized = F.when(norm > 0, F.transform(vec, lambda x: x / norm)).otherwise(vec)
+    emb = (
+        F.transform(normalized, lambda x: F.round(x, 6)) if rounded else normalized
+    )
     return (
         with_all.withColumn("_raw", raw_vec)
-        .withColumn("embedding", F.transform(normalized, lambda x: F.round(x, 6)))
+        .withColumn("embedding", emb)
         .select("doc_id", "embedding")
     )
 
@@ -100,14 +105,31 @@ vecs AS (
   FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
 )
 SELECT doc_id,
-       CASE WHEN sqrt(list_sum(list_transform(raw, _x -> _x * _x))::DOUBLE) > 0
-            THEN list_transform(raw, _x -> round(_x / sqrt(list_sum(list_transform(raw, _y -> _y * _y))::DOUBLE), 6))
-            ELSE raw END AS embedding
+       array_to_string(list_transform(
+         CASE WHEN sqrt(list_sum(list_transform(raw, _x -> _x * _x))::DOUBLE) > 0
+              THEN list_transform(raw, _x -> _x / sqrt(list_sum(list_transform(raw, _y -> _y * _y))::DOUBLE))
+              ELSE raw END,
+         _x -> (floor(_x * 1000000 + 0.5)::BIGINT)::VARCHAR), '|') AS embedding
 FROM vecs
 """,
 )
 def tf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _tf_embeddings(spark, sf_dir)
+    # The gate output serializes the vector as '|'-joined micro-units
+    # (floor(x*1e6 + 0.5), non-negative TF values): the driver's pandas
+    # canonicalizer cannot hash list cells, and scaled integers dodge
+    # engine float-format differences entirely. _tf_embeddings keeps
+    # returning the real array<double> for downstream R3/R4 use.
+    arr = _tf_embeddings(spark, sf_dir, rounded=False)
+    return arr.select(
+        "doc_id",
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("long").cast("string"),
+            ),
+        ).alias("embedding"),
+    )
 
 
 @register(
@@ -271,7 +293,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("_qid").alias("vec_id"),
             "neighbor_id",
-            F.col("rank").cast("int").alias("rank"),
+            F.col("rank").cast("long").alias("rank"),
             "sim",
         )
     )

@@ -60,7 +60,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o.o_orderkey,
        round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-       CAST(o.o_orderdate AS DATE)                           AS orderdate
+       CAST(o.o_orderdate AS DATE)::VARCHAR                  AS orderdate
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -90,7 +90,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select(
-            "o_orderkey", "revenue", F.to_date("o_orderdate").alias("orderdate")
+            "o_orderkey",
+            "revenue",
+            # ISO string, not DATE: keeps both engines' pandas dtypes
+            # identical for the driver's value hash.
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("orderdate"),
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
@@ -296,7 +300,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             "o_orderkey",
             F.round("o_totalprice", 2).alias("totalprice"),
-            "rank",
+            F.col("rank").cast("long").alias("rank"),
         )
     )
 

@@ -311,11 +311,11 @@ def provenance_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(provenance_compliance.py:267-333).",
     oracle="""
 SELECT doc_id,
-       list_filter([
+       coalesce(array_to_string(list_filter([
          CASE WHEN length(text) < 100 THEN 'text_too_short' ELSE NULL END,
          CASE WHEN lang = 'und' OR lang IS NULL THEN 'missing_lang' ELSE NULL END,
          CASE WHEN n_chars <> length(text) THEN 'bad_char_count' ELSE NULL END
-       ], _x -> _x IS NOT NULL) AS issues,
+       ], _x -> _x IS NOT NULL), '|'), '') AS issues,
        CASE WHEN len(list_filter([
               CASE WHEN length(text) < 100 THEN 'text_too_short' ELSE NULL END,
               CASE WHEN lang = 'und' OR lang IS NULL THEN 'missing_lang' ELSE NULL END,
@@ -338,9 +338,11 @@ def compliance_issue_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bad_char_count": F.col("n_chars") != F.length("text"),
     }
     issues = compliance.quality_issue_flags(checks)
+    # '|'-joined for driver hashability (list cells are unhashable in
+    # the driver's pandas canonicalizer).
     return docs.select(
         "doc_id",
-        issues.alias("issues"),
+        F.concat_ws("|", issues).alias("issues"),
         compliance.severity_from_issues(issues).alias("severity"),
     )
 
@@ -362,17 +364,19 @@ def topic_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="P7 clean_list: order-preserving dedup capped at 10 "
     "(build_simple_dataset.py:50-75).",
     oracle=f"""
-SELECT doc_id, {cleaning.bounded_distinct_list_sql(tokens_sql('text'), 10)} AS top_tokens
+SELECT doc_id, coalesce(array_to_string({cleaning.bounded_distinct_list_sql(tokens_sql('text'), 10)}, '|'), '') AS top_tokens
 FROM documents
 """,
 )
 def bounded_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # '|'-joined for driver hashability (pandas canonicalizer cannot
+    # sort list cells).
     docs = load_table(spark, "documents", sf_dir)
     return docs.select(
         "doc_id",
-        cleaning.bounded_distinct_list(cleaning.tokens(F.col("text")), 10).alias(
-            "top_tokens"
-        ),
+        F.concat_ws(
+            "|", cleaning.bounded_distinct_list(cleaning.tokens(F.col("text")), 10)
+        ).alias("top_tokens"),
     )
 
 
@@ -468,8 +472,8 @@ WITH raw AS (
 )
 SELECT doc_id, date_str,
        try_cast(date_str AS DATE) IS NOT NULL AS is_valid,
-       try_cast(date_str AS DATE) AS parsed,
-       date_diff('day', try_cast(date_str AS DATE), DATE '2024-04-01')::INTEGER AS days_before_apr
+       try_cast(date_str AS DATE)::VARCHAR AS parsed,
+       date_diff('day', try_cast(date_str AS DATE), DATE '2024-04-01')::BIGINT AS days_before_apr
 FROM raw
 """,
 )
@@ -492,8 +496,11 @@ def date_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         date_str.alias("date_str"),
         parsed.isNotNull().alias("is_valid"),
-        parsed.alias("parsed"),
-        F.datediff(F.lit("2024-04-01").cast("date"), parsed).alias("days_before_apr"),
+        # ISO string, not DATE: identical pandas dtype on both engines.
+        F.date_format(parsed, "yyyy-MM-dd").alias("parsed"),
+        F.datediff(F.lit("2024-04-01").cast("date"), parsed)
+        .cast("long")
+        .alias("days_before_apr"),
     )
 
 
@@ -508,8 +515,8 @@ SELECT doc_id,
        starts_with(source, 'src1') AS src_1x,
        ends_with(source, '0') AS src_ends_0,
        contains(text, 'spark') AS mentions_spark,
-       list_transform(string_split(substring(text, 1, 20), ' '),
-                      _w -> upper(_w[1]) || lower(_w[2:])) AS title_words,
+       array_to_string(list_transform(string_split(substring(text, 1, 20), ' '),
+                      _w -> upper(_w[1]) || lower(_w[2:])), ' ') AS title_words,
        split_part(source, 'c', 2) AS src_num,
        lpad(split_part(source, 'c', 2), 4, '0') AS src_padded,
        left(text, 5) AS head5,
@@ -527,8 +534,9 @@ def scalar_string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").startswith("src1").alias("src_1x"),
         F.col("source").endswith("0").alias("src_ends_0"),
         F.col("text").contains("spark").alias("mentions_spark"),
-        F.transform(
-            F.split(F.substring(F.col("text"), 1, 20), " "), F.initcap
+        F.concat_ws(
+            " ",
+            F.transform(F.split(F.substring(F.col("text"), 1, 20), " "), F.initcap),
         ).alias("title_words"),
         F.split_part(F.col("source"), F.lit("c"), F.lit(2)).alias("src_num"),
         F.lpad(F.split_part(F.col("source"), F.lit("c"), F.lit(2)), 4, "0").alias(

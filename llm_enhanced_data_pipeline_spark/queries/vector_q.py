@@ -80,7 +80,7 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     return vector.knn_join(
         queries, emb, "vec_id", "vec_id", "embedding", "embedding", k=3
-    ).select("vec_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "sim")
+    ).select("vec_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim")
 
 
 _IVF_CENT_SQL = """
@@ -157,7 +157,7 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, cents, "vec_id", "vec_id", "embedding", "embedding", k=3
     )
     return out.select(
-        "vec_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "sim"
+        "vec_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim"
     )
 
 
