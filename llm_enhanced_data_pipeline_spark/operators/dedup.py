@@ -30,6 +30,33 @@ from ..functions import hashing
 from .cleaning import tokens
 
 
+# Persisted intermediates (minhash signature frames, simhash
+# fingerprints, component edges) are still referenced by the LAZY
+# result frames these operators return, so they cannot be unpersisted
+# before the caller materializes the result. They register here
+# instead; long-lived sessions call :func:`release_caches` after
+# consuming results to keep cached blocks from accumulating.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    cached = df.persist()
+    _LIVE_CACHES.append(cached)
+    return cached
+
+
+def release_caches() -> int:
+    """Unpersist every cached intermediate created by this module's
+    operators since the last release. Returns the number released.
+    Call AFTER materializing results; a released result frame simply
+    recomputes if re-used."""
+    n = len(_LIVE_CACHES)
+    for df in _LIVE_CACHES:
+        df.unpersist()
+    _LIVE_CACHES.clear()
+    return n
+
+
 # ---------------------------------------------------------------------------
 # D1 — union N sources, first occurrence of a key wins. "First" is
 # (source_rank, order_in_source); in Spark order-in-file is not a given,
@@ -140,14 +167,19 @@ def dedup_similarity_exact(
         F.size("_lset").cast("double") * threshold <= F.size("_rset").cast("double")
     ) & (F.size("_rset").cast("double") * threshold <= F.size("_lset").cast("double"))
     if prefer_desc_col:
+        # Falsy-to-0 like the reference ('publish_year or 0',
+        # strict_deduplication.py:68-69): a null preference must still
+        # order (a null comparison would null the join predicate and
+        # silently keep both rows of a near-dup pair).
+        pref = F.coalesce(F.col(prefer_desc_col), F.lit(0))
         left_cols = [
             F.col(id_col).alias("_lid"),
-            F.col(prefer_desc_col).alias("_lpref"),
+            pref.alias("_lpref"),
             F.col("_set").alias("_lset"),
         ]
         right_cols = [
             F.col(id_col).alias("_rid"),
-            F.col(prefer_desc_col).alias("_rpref"),
+            pref.alias("_rpref"),
             F.col("_set").alias("_rset"),
         ]
         precedes = (F.col("_lpref") > F.col("_rpref")) | (
@@ -265,9 +297,9 @@ def near_dup_pairs_minhash(
         sig_cols.append(
             F.min((F.col("_sh") * a + b) % hashing.MINHASH_PRIME).alias(f"_s{i}")
         )
-    grouped = rows.groupBy(id_col).agg(
-        F.collect_set("_sh").alias("_hset"), *sig_cols
-    ).persist()
+    grouped = _persist_tracked(
+        rows.groupBy(id_col).agg(F.collect_set("_sh").alias("_hset"), *sig_cols)
+    )
     band_keys = []
     for b_idx in range(bands):
         parts = [
@@ -333,11 +365,10 @@ def connected_components(
 
     ``pairs`` needs columns (id_a, id_b).
     """
-    edges = (
+    edges = _persist_tracked(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .persist()
     )
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label")).persist()
     for _ in range(max_iterations):
@@ -366,6 +397,9 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    # labels is materialized (the convergence count ran); register it
+    # so release_caches() can reclaim the final cached generation too.
+    _LIVE_CACHES.append(labels)
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
 
 
@@ -472,7 +506,7 @@ def near_dup_pairs_simhash(
     Requires blocks >= max_hamming + 1 for exact recall (pigeonhole on
     15-bit blocks of the 60-bit fingerprint).
     """
-    sh = simhash_by_id(df, id_col, token_col).persist()
+    sh = _persist_tracked(simhash_by_id(df, id_col, token_col))
     block_bits = 60 // blocks
     block_keys = F.array(
         *[
@@ -532,12 +566,59 @@ def near_dup_pairs_embedding(
     vec_col: str,
     threshold: float = 0.95,
 ) -> DataFrame:
+    """All-pairs ground truth — O(n^2) theta self-join, small-N ONLY.
+
+    This is the oracle twin for recall tests; the production/scale path
+    is :func:`near_dup_pairs_embedding_ivf`, which generates candidates
+    through an equi-join on multi-probe IVF buckets."""
     from .vector import cosine_similarity  # local import to avoid cycle
 
     left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
         left.join(right, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def near_dup_pairs_embedding_ivf(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Scale path for embedding near-dup: candidates come from an
+    equi-join on multi-probe IVF bucket keys, then the exact cosine is
+    verified inside the bucket — no all-pairs self-join anywhere.
+
+    Each vector is assigned to its ``nprobe`` nearest centroids
+    (broadcast join against the tiny centroid set); two vectors become
+    a candidate pair iff they share a probed centroid, so boundary-
+    straddling near-dups are still caught. At 100 TB the join shuffles
+    on the centroid key only, and bucket sizes are bounded by the
+    centroid count chosen at build time (~sqrt(N) buckets keeps the
+    in-bucket verify linear-ish)."""
+    from .vector import cosine_similarity, ivf_assign
+
+    assigned = ivf_assign(
+        df.select(id_col, vec_col), centroids, id_col, vec_col, nprobe=nprobe
+    ).select(F.col(id_col), F.col("ckey"))
+    cand = (
+        assigned.select(F.col(id_col).alias("id_a"), "ckey")
+        .join(assigned.select(F.col(id_col).alias("id_b"), "ckey"), "ckey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine", F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6))
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")

@@ -195,10 +195,19 @@ def centroids_by_key(
 
 
 def ivf_assign(
-    corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Assign every row to its max-cosine centroid (broadcast join —
-    centroid sets are tiny by construction)."""
+    """Assign every row to its ``nprobe`` max-cosine centroids
+    (broadcast join — centroid sets are tiny by construction).
+
+    nprobe=1 is the classic IVF assignment (one row per input row);
+    nprobe>1 emits one row per probed centroid, which multi-probe
+    candidate generation uses to catch pairs that straddle a cluster
+    boundary."""
     from pyspark.sql import Window
 
     scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
@@ -207,7 +216,7 @@ def ivf_assign(
     w = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(), F.col("ckey").asc())
     return (
         scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
+        .filter(F.col("_r") <= nprobe)
         .drop("_r", "_csim", "centroid")
     )
 

@@ -52,29 +52,75 @@ class PipelineCounts:
 
 
 def merge_sources(sources: list[DataFrame]) -> DataFrame:
-    """D1 — union, first occurrence of coalesce(paper_id, title) wins;
-    source order then in-source order breaks ties (merge_jsonl.py:11-23)."""
+    """D1 — union, first occurrence of the merge key wins; source order
+    then in-source order breaks ties (merge_jsonl.py:11-23).
+
+    The key replicates the reference's FALSY fallback (`paper_id or
+    title`, merge_jsonl.py:19): an empty-string paper_id falls back to
+    the title, not just a null one — plain coalesce would collapse all
+    pid='' records onto one key."""
+    key = F.when(
+        F.col("paper_id").isNotNull() & (F.length("paper_id") > 0),
+        F.col("paper_id"),
+    ).otherwise(F.col("title"))
     keyed = [
-        df.withColumn("_k", F.coalesce(F.col("paper_id"), F.col("title")))
-        .withColumn("_ord", F.monotonically_increasing_id())
+        df.withColumn("_k", key).withColumn("_ord", F.monotonically_increasing_id())
         for df in sources
     ]
     return dedup.union_first_wins(keyed, "_k", ["_ord"]).drop("_k", "_ord")
 
 
-def dedup_stage(papers: DataFrame) -> DataFrame:
-    """D2 → D3 → D4 in the reference's order (strict_deduplication.py:79-92)."""
+# Above this row count the quadratic D4-exact join is the pipeline's
+# scale-killer and the MinHash-banding path takes over by default.
+SIMILARITY_LSH_DEFAULT_THRESHOLD = 100_000
+
+
+def dedup_stage(papers: DataFrame, similarity: str = "exact") -> DataFrame:
+    """D2 → D3 → D4 in the reference's order (strict_deduplication.py:79-92).
+
+    ``similarity`` picks the D4 engine:
+
+    - ``"exact"`` — size-band-pruned pairwise Jaccard
+      (:func:`~..operators.dedup.dedup_similarity_exact`). Quadratic;
+      the oracle ground truth and the right choice below
+      ~``SIMILARITY_LSH_DEFAULT_THRESHOLD`` rows.
+    - ``"lsh"`` — MinHash banding
+      (:func:`~..operators.dedup.dedup_minhash_lsh`): candidates come
+      from band-key equi-joins (shuffle, never a cross product) — the
+      default at scale. The reference's keep-newest preference
+      (publish_year desc, arrival order asc; None counts as 0,
+      strict_deduplication.py:68-69) is preserved by encoding it into
+      the composite sort key the pair pruning orders on.
+    """
     with_ord = papers.withColumn("_ord", F.monotonically_increasing_id())
     step1 = dedup.dedup_exact_null_preserving(with_ord, "paper_id", [F.col("_ord")])
     step2 = dedup.dedup_content_hash(step1, "title", [F.col("_ord")])
-    step3 = dedup.dedup_similarity_exact(
-        step2.withColumn("_toks", cleaning.tokens(F.col("title"))),
-        "_ord",
-        "_toks",
-        threshold=0.9,
-        prefer_desc_col="publish_year",
-    ).drop("_toks")
-    return step3.drop("_ord")
+    toks = step2.withColumn("_toks", cleaning.tokens(F.col("title")))
+    if similarity == "lsh":
+        # Struct sort key: smaller == more preferred (newer year first,
+        # then arrival order), so "drop the greater id of a pair"
+        # reproduces the exact path's keep-newest rule.
+        keyed = toks.withColumn(
+            "_dkey",
+            F.struct(
+                (F.lit(2100) - F.coalesce(F.col("publish_year"), F.lit(0))).alias("p"),
+                F.col("_ord").alias("o"),
+            ),
+        )
+        step3 = dedup.dedup_minhash_lsh(
+            keyed, "_dkey", "_toks", threshold=0.9, num_hashes=16, bands=8
+        ).drop("_dkey")
+    elif similarity == "exact":
+        step3 = dedup.dedup_similarity_exact(
+            toks,
+            "_ord",
+            "_toks",
+            threshold=0.9,
+            prefer_desc_col="publish_year",
+        )
+    else:
+        raise ValueError(f"similarity must be 'exact' or 'lsh', got {similarity!r}")
+    return step3.drop("_toks", "_ord")
 
 
 def clean_stage(papers: DataFrame) -> DataFrame:

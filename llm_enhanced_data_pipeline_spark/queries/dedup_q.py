@@ -348,29 +348,59 @@ def near_dup_pairs_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_pairs_ngram(corpus, "doc_id", "text", n=3, threshold=0.5)
 
 
+def _cos_sql(a: str, b: str) -> str:
+    from ..operators.vector import cosine_similarity_sql
+
+    return cosine_similarity_sql(a, b)
+
+
 @register(
     "near_dup_pairs_embedding",
-    doc="Embedding-cosine near-dup pairs (cosine >= 0.45); double-"
-    "precision math in deterministic order on both engines.",
+    doc="Embedding-cosine near-dup pairs (cosine >= 0.45) on the SCALE "
+    "path: multi-probe IVF (nprobe=2, per-label mean centroids) "
+    "generates candidates through an equi-join on the centroid key, "
+    "then the exact cosine is verified in-bucket — no all-pairs theta "
+    "self-join. The oracle replicates the bucketing bit-for-bit; the "
+    "all-pairs ground truth lives on as dedup.near_dup_pairs_embedding "
+    "and a recall test in tests/test_dedup_semantics.py.",
     oracle="""
-WITH e AS (SELECT vec_id, embedding AS v FROM embeddings)
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+dims AS (
+  SELECT label AS ckey, _i, avg(embedding[_i]::DOUBLE) AS m
+  FROM embeddings, range(1, 65) r(_i)
+  GROUP BY label, _i
+),
+cent AS (SELECT ckey, list(m ORDER BY _i) AS centroid FROM dims GROUP BY ckey),
+assign AS (
+  SELECT vec_id, ckey FROM (
+    SELECT e.vec_id, c.ckey,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY COS_VC DESC, c.ckey ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b ON a.ckey = b.ckey AND a.vec_id < b.vec_id
+)
 SELECT id_a, id_b, cosine FROM (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round(
-           (CASE WHEN (sqrt(list_sum(list_transform(a.v, _x -> _x::DOUBLE * _x::DOUBLE))::DOUBLE)
-                       * sqrt(list_sum(list_transform(b.v, _x -> _x::DOUBLE * _x::DOUBLE))::DOUBLE)) > 0
-             THEN list_sum(list_transform(range(1, len(a.v) + 1),
-                      _i -> a.v[_i]::DOUBLE * b.v[_i]::DOUBLE))::DOUBLE
-                  / (sqrt(list_sum(list_transform(a.v, _x -> _x::DOUBLE * _x::DOUBLE))::DOUBLE)
-                     * sqrt(list_sum(list_transform(b.v, _x -> _x::DOUBLE * _x::DOUBLE))::DOUBLE))
-             ELSE 0.0 END), 6) AS cosine
-  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  SELECT c.id_a, c.id_b, round(COS_AB, 6) AS cosine
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.id_a
+  JOIN e eb ON eb.vec_id = c.id_b
 ) WHERE cosine >= 0.45
-""",
+""".replace("COS_VC", _cos_sql("e.v", "c.centroid")).replace(
+        "COS_AB", _cos_sql("ea.v", "eb.v")
+    ),
 )
 def near_dup_pairs_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import vector
+
     emb = load_table(spark, "embeddings", sf_dir)
-    return dedup.near_dup_pairs_embedding(emb, "vec_id", "embedding", threshold=0.45)
+    cents = vector.centroids_by_key(emb, "label", "embedding")
+    return dedup.near_dup_pairs_embedding_ivf(
+        emb, cents, "vec_id", "embedding", threshold=0.45, nprobe=2
+    )
 
 
 _MINHASH_VERIFIED_PAIRS_SQL = """

@@ -12,8 +12,6 @@ downstream consumption.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -24,9 +22,19 @@ class ParquetCheckpoint:
         self.key = key
 
     def exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            name.endswith(".parquet") for name in os.listdir(self.path)
-        )
+        """Probe through the Hadoop FileSystem API so HDFS/S3/file URIs
+        all work — a local os.path probe silently reports False on
+        object stores, and a missed resume re-spends paid LLM calls."""
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = p.getFileSystem(hconf)
+        if not fs.exists(p):
+            return False
+        for status in fs.listStatus(p):
+            if status.getPath().getName().endswith(".parquet"):
+                return True
+        return False
 
     def load(self) -> DataFrame | None:
         if not self.exists():

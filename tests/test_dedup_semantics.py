@@ -144,3 +144,52 @@ def test_connected_components_chain_semantics(spark):
     # 2 and 3 here, but on a~b, b~c with a!~c greedy keeps c; components
     # define the cluster semantics exactly)
     assert survivors == [1, 4, 5]
+
+
+def test_ivf_embedding_near_dup_matches_exact_and_avoids_cartesian(spark):
+    """The IVF-bucketed scale path must (a) find the same pairs as the
+    all-pairs ground truth on a clustered corpus, and (b) generate
+    candidates through an equi-join — the embeddings table must never
+    self-join as a cartesian/theta product."""
+    from pyspark.sql import Row
+
+    from llm_enhanced_data_pipeline_spark.operators import vector
+
+    # Two tight clusters around orthogonal axes + one stray vector.
+    def vec(base, eps):
+        return [round(b + eps * 0.01, 3) for b in base]
+
+    a_axis = [1.0, 0.0, 0.0, 0.0]
+    b_axis = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        Row(vec_id=i, label=f"a", embedding=vec(a_axis, i)) for i in range(3)
+    ] + [
+        Row(vec_id=10 + i, label=f"b", embedding=vec(b_axis, i)) for i in range(3)
+    ] + [Row(vec_id=99, label="c", embedding=[0.5, 0.5, 0.5, 0.5])]
+    df = spark.createDataFrame(rows)
+
+    cents = vector.centroids_by_key(df, "label", "embedding")
+    got = dedup.near_dup_pairs_embedding_ivf(
+        df, cents, "vec_id", "embedding", threshold=0.95, nprobe=2
+    )
+    exact = dedup.near_dup_pairs_embedding(df, "vec_id", "embedding", threshold=0.95)
+    assert sorted((r.id_a, r.id_b) for r in got.collect()) == sorted(
+        (r.id_a, r.id_b) for r in exact.collect()
+    )
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_release_caches_reclaims_tracked_intermediates(spark):
+    from pyspark.sql import Row
+
+    dedup.release_caches()  # start clean
+    df = spark.createDataFrame(
+        [Row(i=k, toks=[f"t{j}" for j in range(k, k + 20)]) for k in range(6)]
+    )
+    dedup.near_dup_pairs_minhash(df, "i", "toks", threshold=0.5).collect()
+    dedup.near_dup_pairs_simhash(df, "i", "toks").collect()
+    released = dedup.release_caches()
+    assert released >= 2
+    assert dedup.release_caches() == 0

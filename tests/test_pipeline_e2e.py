@@ -148,3 +148,23 @@ def test_pipeline_with_fake_llm_enrichment(spark):
     rows = out.collect()
     assert len(rows) == with_key.count()
     assert all(r.llm_json is not None for r in rows)
+
+
+def test_dedup_stage_lsh_matches_exact_and_plans_equi_join(spark):
+    """The at-scale D4 path (MinHash banding) must reproduce the exact
+    path's survivors on the fixture — including the keep-newest rule —
+    and must plan the candidate join as an equi-join on band keys, not
+    a quadratic theta self-join."""
+    a, b = _fixture_sources(spark)
+    merged = P.merge_sources([a, b])
+
+    exact_ids = sorted(
+        r.paper_id or "" for r in P.dedup_stage(merged, similarity="exact").collect()
+    )
+    lsh = P.dedup_stage(merged, similarity="lsh")
+    lsh_ids = sorted(r.paper_id or "" for r in lsh.collect())
+    assert lsh_ids == exact_ids  # keep-newest: 10 survives, 9 dropped
+
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
