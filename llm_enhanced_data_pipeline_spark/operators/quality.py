@@ -77,12 +77,14 @@ def quality_gate(
 # (quality_scoring.py:106-115 weights, :393-406 tiers). Component
 # definitions are pluggable; `tier` reproduces the 6-bucket ladder.
 
+# Reference ladder (quality_scoring.py:393-406): >=0.8 Excellent,
+# >=0.7 High, >=0.6 Good, >=0.5 Medium, >=0.4 Fair, else Low.
 RULER_TIERS: tuple[tuple[float, str], ...] = (
-    (0.85, "Excellent"),
-    (0.75, "High"),
-    (0.65, "Good"),
-    (0.55, "Medium"),
-    (0.45, "Fair"),
+    (0.8, "Excellent"),
+    (0.7, "High"),
+    (0.6, "Good"),
+    (0.5, "Medium"),
+    (0.4, "Fair"),
 )
 
 

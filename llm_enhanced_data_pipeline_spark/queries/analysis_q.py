@@ -334,91 +334,153 @@ def scrape_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# P18 full-fidelity ruler scoring: the reference's weighted components
-# (quality_scoring.py:106-115: completeness .15, recency .20,
-# substance .30, rigor .25, impact .10, relevance .15), its exact
-# exponential-decay recency buckets (:171-186), an indicator-term
-# substance score (:190-235 shape), a penalty, and the 6-bucket tier
-# ladder (:393-406). Dates are synthesized deterministically per doc
-# against a FIXED "today" so the decay arithmetic is reproducible.
+# P18 full-fidelity ruler scoring — ALL SIX of the reference's weighted
+# components (quality_scoring.py:106-115: completeness .15, recency .20,
+# academic substance .30, methodological rigor .25, impact potential
+# .10, domain relevance .15), its penalty (:329-357), confidence
+# (:363-391) and the 6-bucket tier ladder (:393-406). Component math
+# lives in operators/ruler.py with paired Spark/DuckDB builders.
+#
+# The documents table lacks paper fields, so a paper shape is
+# synthesized deterministically per doc_id IDENTICALLY on both engines:
+# abstract = lower(text) + indicator-term markers keyed on doc_id mods
+# (so every if/elif tier in every component is exercised), title =
+# first five words, authors/categories/comments/url presence by mod.
 _RULER_TODAY = "DATE '2026-08-13'"
 _DAYS_AGO_SQL = "(doc_id % 500)"
-# all literals cast to DOUBLE: DuckDB would otherwise do exact DECIMAL
-# arithmetic while Spark does binary doubles, and the exact values land
-# on .5 rounding boundaries
-_RECENCY_SQL = f"""
-(CASE WHEN {_DAYS_AGO_SQL} <= 7 THEN 1.0::DOUBLE
-      WHEN {_DAYS_AGO_SQL} <= 30 THEN 0.9::DOUBLE - ({_DAYS_AGO_SQL} - 7) * 0.01::DOUBLE
-      WHEN {_DAYS_AGO_SQL} <= 90 THEN 0.7::DOUBLE - ({_DAYS_AGO_SQL} - 30) * 0.005::DOUBLE
-      WHEN {_DAYS_AGO_SQL} <= 365 THEN 0.4::DOUBLE - ({_DAYS_AGO_SQL} - 90) * 0.001::DOUBLE
-      ELSE greatest(0.1::DOUBLE, 0.3::DOUBLE - ({_DAYS_AGO_SQL} - 365) * 0.0001::DOUBLE) END)"""
 
-_SUBSTANCE_TERMS = "['fast', 'merge', 'vector', 'stream', 'window']"
-_RIGOR_TERMS = "['sort', 'hash', 'filter', 'group', 'join']"
+# (modulus, remainder, appended marker terms)
+_RULER_MARKERS = [
+    (3, 0, " novel propose sota"),
+    (3, 1, " novel"),
+    (4, 0, " experiment benchmark result"),
+    (4, 1, " evaluation"),
+    (5, 0, " theorem"),
+    (2, 0, " method framework"),
+    (2, 1, " approach"),
+    (6, 0, " metric"),
+    (11, 0, " significant"),
+    (13, 0, " github"),
+    (8, 0, " practical deploy"),
+    (9, 0, " scalable"),
+    (10, 0, " paradigm"),
+    (12, 0, " toolkit"),
+]
+_RULER_TECH_TERMS = ["fast", "merge", "vector", "stream", "window", "hash", "join", "sort"]
+_RULER_TOPIC_TERMS = ["vector", "stream", "window"]
+
+
+def _ruler_oracle() -> str:
+    from ..operators import ruler as R
+
+    markers = " || ".join(
+        f"(CASE WHEN doc_id % {m} = {r} THEN '{s}' ELSE '' END)"
+        for m, r, s in _RULER_MARKERS
+    )
+    abstract = "(lower(text) || " + markers + ")"
+    title = "lower(array_to_string(list_slice(string_split(text, ' '), 1, 5), ' '))"
+    tech_count = (
+        "len(list_intersect("
+        + tokens_sql("text")
+        + ", ["
+        + ", ".join(f"'{t}'" for t in _RULER_TECH_TERMS)
+        + "]))"
+    )
+    comp = R.completeness_sql(
+        "title", "abstract",
+        "(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE 1 + doc_id % 3 END)",
+        "(doc_id % 3 = 0)", "(doc_id % 4 = 0)", "true", "(doc_id % 2 = 0)",
+    )
+    weighted = (
+        f"((((((comp * 0.15::DOUBLE) + ({R.recency_sql('days_ago')} * 0.20::DOUBLE))"
+        f" + ({R.substance_sql('abstract', 'tech_count')} * 0.30::DOUBLE))"
+        f" + ({R.rigor_sql('abstract')} * 0.25::DOUBLE))"
+        f" + ({R.impact_sql('abstract')} * 0.10::DOUBLE))"
+        f" + ({R.domain_relevance_sql('title', 'abstract', '(doc_id % 6 = 0)', _RULER_TOPIC_TERMS)} * 0.15::DOUBLE))"
+    )
+    pen = R.penalty_sql("title", "abstract", "(doc_id % 50 = 0)")
+    conf = R.confidence_sql("comp", "abstract", "tech_count")
+    return f"""
+WITH paper AS (
+  SELECT doc_id,
+         {_DAYS_AGO_SQL} AS days_ago,
+         {abstract} AS abstract,
+         {title} AS title,
+         {tech_count} AS tech_count
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, days_ago, abstract, title, tech_count, comp,
+         greatest({weighted} - {pen}, 0.0::DOUBLE) AS total
+  FROM (SELECT *, {comp} AS comp FROM paper)
+)
+SELECT doc_id, days_ago,
+       {rounding.stable_round_sql('comp', 4)} AS completeness,
+       {rounding.stable_round_sql('total', 3)} AS total_score,
+       {rounding.stable_round_sql(conf, 3)} AS confidence,
+       {rounding.stable_round_sql(R.penalty_sql('title', 'abstract', '(doc_id % 50 = 0)'), 4)} AS penalty_applied,
+       {quality.tier_sql('total')} AS tier
+FROM scored
+"""
 
 
 @register(
     "ruler_score_full",
-    doc="P18 full ruler scorer: weighted completeness/recency/substance/"
-    "rigor components with the reference's exponential-decay buckets, "
-    "datediff-derived ages, penalty, and tier ladder "
-    "(quality_scoring.py:98-406).",
-    oracle=f"""
-WITH base AS (
-  SELECT doc_id,
-         date_diff('day', {_RULER_TODAY} - ({_DAYS_AGO_SQL})::INTEGER, {_RULER_TODAY})::INTEGER AS days_ago,
-         least(length(text)::DOUBLE / 400.0::DOUBLE, 1.0::DOUBLE) AS completeness,
-         {_RECENCY_SQL} AS recency,
-         least(len(list_intersect({_TOKS}, {_SUBSTANCE_TERMS}))::DOUBLE / 3.0::DOUBLE, 1.0::DOUBLE) AS substance,
-         least(len(list_intersect({_TOKS}, {_RIGOR_TERMS}))::DOUBLE / 3.0::DOUBLE, 1.0::DOUBLE) AS rigor,
-         CASE WHEN length(text) < 100 THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END AS penalty
-  FROM documents
-),
-scored AS (
-  SELECT doc_id, days_ago,
-         greatest(completeness * 0.25::DOUBLE + recency * 0.25::DOUBLE + substance * 0.25::DOUBLE
-                  + rigor * 0.25::DOUBLE - penalty, 0.0::DOUBLE) AS total
-  FROM base
-)
-SELECT doc_id, days_ago,
-       {rounding.stable_round_sql('total', 4)} AS total_score,
-       {quality.tier_sql(rounding.stable_round_sql('total', 4))} AS tier
-FROM scored
-""",
+    doc="P18 FULL ruler scorer: all six reference-weighted components "
+    "(completeness/recency/substance/rigor/impact/relevance at "
+    ".15/.20/.30/.25/.10/.15), capped penalty, 3-factor confidence, "
+    "and the 6-bucket tier ladder (quality_scoring.py:98-406). Every "
+    "if/elif tier of every component is exercised through synthesized "
+    "indicator markers.",
+    oracle=_ruler_oracle(),
 )
 def ruler_score_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ruler as R
+
     docs = load_table(spark, "documents", sf_dir)
     days_ago_expr = (F.col("doc_id") % 500).cast("int")
     publish_date = F.date_sub(F.lit("2026-08-13").cast("date"), days_ago_expr)
     days_ago = F.datediff(F.lit("2026-08-13").cast("date"), publish_date)
-    recency = (
-        F.when(days_ago <= 7, F.lit(1.0))
-        .when(days_ago <= 30, 0.9 - (days_ago - 7) * 0.01)
-        .when(days_ago <= 90, 0.7 - (days_ago - 30) * 0.005)
-        .when(days_ago <= 365, 0.4 - (days_ago - 90) * 0.001)
-        .otherwise(F.greatest(F.lit(0.1), 0.3 - (days_ago - 365) * 0.0001))
+    markers = [
+        F.when(F.col("doc_id") % m == r, F.lit(s)).otherwise(F.lit(""))
+        for m, r, s in _RULER_MARKERS
+    ]
+    abstract = F.concat(F.lower(F.col("text")), *markers)
+    title = F.lower(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5)))
+    tech_count = F.size(
+        F.array_intersect(
+            cleaning.tokens(F.col("text")),
+            F.array(*[F.lit(t) for t in _RULER_TECH_TERMS]),
+        )
     )
-    toks = cleaning.tokens(F.col("text"))
-    substance_terms = F.array(*[F.lit(t) for t in ["fast", "merge", "vector", "stream", "window"]])
-    rigor_terms = F.array(*[F.lit(t) for t in ["sort", "hash", "filter", "group", "join"]])
-    completeness = F.least(F.length("text").cast("double") / 400.0, F.lit(1.0))
-    substance = F.least(
-        F.size(F.array_intersect(toks, substance_terms)).cast("double") / 3.0, F.lit(1.0)
+    n_authors = F.when(F.col("doc_id") % 17 == 0, F.lit(0)).otherwise(
+        1 + F.col("doc_id") % 3
     )
-    rigor = F.least(
-        F.size(F.array_intersect(toks, rigor_terms)).cast("double") / 3.0, F.lit(1.0)
+    comp = R.completeness(
+        title, abstract, n_authors,
+        F.col("doc_id") % 3 == 0, F.col("doc_id") % 4 == 0,
+        F.lit(True), F.col("doc_id") % 2 == 0,
     )
-    penalty = F.when(F.length("text") < 100, F.lit(0.1)).otherwise(F.lit(0.0))
-    total = F.greatest(
-        completeness * 0.25 + recency * 0.25 + substance * 0.25 + rigor * 0.25 - penalty,
-        F.lit(0.0),
+    # weighted sum in the reference's dict-insertion order
+    weighted = (
+        (comp * 0.15)
+        + (R.recency(days_ago) * 0.20)
+        + (R.substance(abstract, tech_count) * 0.30)
+        + (R.rigor(abstract) * 0.25)
+        + (R.impact(abstract) * 0.10)
+        + (R.domain_relevance(title, abstract, F.col("doc_id") % 6 == 0, _RULER_TOPIC_TERMS) * 0.15)
     )
-    total4 = rounding.stable_round(total, 4)
+    pen = R.penalty(title, abstract, F.col("doc_id") % 50 == 0)
+    total = F.greatest(weighted - pen, F.lit(0.0))
+    conf = R.confidence(comp, abstract, tech_count)
     return docs.select(
         "doc_id",
-        days_ago.alias("days_ago"),
-        total4.alias("total_score"),
-        quality.tier(total4).alias("tier"),
+        days_ago.cast("long").alias("days_ago"),
+        rounding.stable_round(comp, 4).alias("completeness"),
+        rounding.stable_round(total, 3).alias("total_score"),
+        rounding.stable_round(conf, 3).alias("confidence"),
+        rounding.stable_round(pen, 4).alias("penalty_applied"),
+        quality.tier(total).alias("tier"),
     )
 
 

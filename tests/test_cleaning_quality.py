@@ -115,3 +115,74 @@ def test_tier_ladder_boundaries(spark):
 def test_truncate_with_ellipsis(spark):
     assert _one(spark, quality.truncate_with_ellipsis(F.col("t"), 5), t="abcdefgh") == "abcde..."
     assert _one(spark, quality.truncate_with_ellipsis(F.col("t"), 5), t="abc") == "abc"
+
+
+def test_ruler_components_match_reference_arithmetic(spark):
+    """Pin the six ruler components + penalty + confidence to
+    hand-computed values from the reference's laddered scoring rules
+    (quality_scoring.py:135-391) — guards against both engines being
+    wrong the same way."""
+    from pyspark.sql import Row
+
+    from llm_enhanced_data_pipeline_spark.operators import ruler as R
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                title="a title over ten chars",
+                # >100 chars, hits: novel+propose (2 innovations),
+                # experiment+result (2 evals), theorem, method+framework
+                # (2 methods), metric, dataset, practical, scalable,
+                # paradigm, toolkit
+                abstract=(
+                    "we present a novel approach and propose a method framework "
+                    "with experiment result evidence on a dataset using a metric; "
+                    "theorem proofs show practical scalable paradigm toolkit value."
+                ),
+                n_authors=2,
+                tech_count=4,
+                days_ago=20,
+            )
+        ]
+    )
+    out = df.select(
+        R.completeness(
+            F.col("title"), F.col("abstract"), F.col("n_authors"),
+            F.lit(True), F.lit(False), F.lit(True), F.lit(True),
+        ).alias("comp"),
+        R.recency(F.col("days_ago")).alias("rec"),
+        R.substance(F.col("abstract"), F.col("tech_count")).alias("sub"),
+        R.rigor(F.col("abstract")).alias("rig"),
+        R.impact(F.col("abstract")).alias("imp"),
+        R.domain_relevance(
+            F.col("title"), F.col("abstract"), F.lit(True), ["method", "vector"]
+        ).alias("rel"),
+        R.penalty(F.col("title"), F.col("abstract"), F.lit(False)).alias("pen"),
+        R.confidence(F.lit(0.9), F.col("abstract"), F.col("tech_count")).alias("conf"),
+    ).collect()[0]
+
+    # completeness: 0.3 (abstract>100) + 0.25 (title>10) + 0.25 (authors)
+    # + 0.05 (categories) + 0.05 (publish_date) + 0.05 (url) = 0.95
+    assert abs(out.comp - 0.95) < 1e-9
+    # recency, 20 days: 0.9 - 13*0.01 = 0.77
+    assert abs(out.rec - 0.77) < 1e-9
+    # substance: tech 4 -> 0.25; innovations {novel, propose} = 2 -> 0.2;
+    # evals {experiment, result, evidence? no} -> count('experiment',
+    # 'result') = 2 -> 0.15; theory (theorem) -> 0.1  => 0.70
+    assert abs(out.sub - 0.70) < 1e-9
+    # rigor: methods {method, approach, framework} >= 2 -> 0.3; metric ->
+    # 0.2; dataset -> 0.2; stats none -> 0; repro none -> 0 => 0.70
+    assert abs(out.rig - 0.70) < 1e-9
+    # impact: practical -> 0.3; scalable -> 0.2; paradigm -> 0.25;
+    # toolkit -> 0.25 => 1.0
+    assert abs(out.imp - 1.0) < 1e-9
+    # relevance: match_ratio 1/2 ('method' in abstract, no 'vector')
+    # * 0.5 + cs 0.3 + title matches 0 => 0.55
+    assert abs(out.rel - 0.55) < 1e-9
+    # penalty: nothing short, no suspicious pattern, not dup => 0.0
+    assert abs(out.pen - 0.0) < 1e-9
+    # confidence: mean(0.9, 0.5 (len 160<=200... abstract is 187 chars
+    # -> 0.5 bucket is len>50), 1.0 (tech 4>=3))
+    ab = df.collect()[0].abstract
+    exp_len_factor = 1.0 if len(ab) > 500 else 0.8 if len(ab) > 200 else 0.5
+    assert abs(out.conf - (0.9 + exp_len_factor + 1.0) / 3.0) < 1e-9
