@@ -87,10 +87,16 @@ def severity_from_issues(issues: Column) -> Column:
 
 
 def risk_distribution(df: DataFrame, risk_col: Column) -> DataFrame:
-    """A8: risk value counts + percentage."""
-    total = df.count()
-    return (
-        df.groupBy(risk_col.alias("risk"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("pct", F.round(100.0 * F.col("n") / F.lit(float(total)), 2))
+    """A8: risk value counts + percentage.
+
+    The total comes from an unpartitioned window over the aggregated
+    (tiny: one row per risk level) frame — one job, one scan; a
+    driver-side df.count() here would run the whole upstream lineage a
+    second time."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(risk_col.alias("risk")).agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    return counts.withColumn(
+        "pct", F.round(100.0 * F.col("n") / total.cast("double"), 2)
     )

@@ -257,6 +257,37 @@ def shingle_hash_rows(
     )
 
 
+def minhash_grouped(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    num_hashes: int = 16,
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """The per-id MinHash state: (id, _hset = distinct hash set,
+    _s0.._sN = signature minima), persisted. Building this frame is the
+    expensive part of the whole near-dup family (md5 per token ×
+    num_hashes mixes), and the SAME frame serves pair generation,
+    survivor selection, and component clustering — callers running
+    several of those should build it once and pass it through the
+    ``grouped`` parameter instead of letting each call rebuild it."""
+    if shingle_n is None:
+        rows = df.select(
+            F.col(id_col), F.explode(F.col(token_col)).alias("_tok")
+        ).select(F.col(id_col), hashing.stable_hash32(F.col("_tok")).alias("_sh"))
+    else:
+        rows = shingle_hash_rows(df, id_col, token_col, shingle_n)
+    sig_cols = []
+    for i in range(num_hashes):
+        a, b = hashing._mix_consts(i)
+        sig_cols.append(
+            F.min((F.col("_sh") * a + b) % hashing.MINHASH_PRIME).alias(f"_s{i}")
+        )
+    return _persist_tracked(
+        rows.groupBy(id_col).agg(F.collect_set("_sh").alias("_hset"), *sig_cols)
+    )
+
+
 def near_dup_pairs_minhash(
     df: DataFrame,
     id_col: str,
@@ -265,10 +296,12 @@ def near_dup_pairs_minhash(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_n: int | None = None,
+    grouped: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) candidate pairs with jaccard >= threshold
     over hash sets: per-token hashes when ``shingle_n`` is None, n-gram
-    shingle hashes otherwise.
+    shingle hashes otherwise. ``grouped`` accepts a prebuilt
+    :func:`minhash_grouped` frame (must match num_hashes/shingle_n).
 
     Banding: 16 hashes in 8 bands of 2 → collision prob at s=0.8 is
     1-(1-s^2)^8 ≈ 0.99.
@@ -285,21 +318,8 @@ def near_dup_pairs_minhash(
       per-id set frame) just for the final verification.
     """
     rows_per_band = num_hashes // bands
-    if shingle_n is None:
-        rows = df.select(
-            F.col(id_col), F.explode(F.col(token_col)).alias("_tok")
-        ).select(F.col(id_col), hashing.stable_hash32(F.col("_tok")).alias("_sh"))
-    else:
-        rows = shingle_hash_rows(df, id_col, token_col, shingle_n)
-    sig_cols = []
-    for i in range(num_hashes):
-        a, b = hashing._mix_consts(i)
-        sig_cols.append(
-            F.min((F.col("_sh") * a + b) % hashing.MINHASH_PRIME).alias(f"_s{i}")
-        )
-    grouped = _persist_tracked(
-        rows.groupBy(id_col).agg(F.collect_set("_sh").alias("_hset"), *sig_cols)
-    )
+    if grouped is None:
+        grouped = minhash_grouped(df, id_col, token_col, num_hashes, shingle_n)
     band_keys = []
     for b_idx in range(bands):
         parts = [
@@ -336,10 +356,11 @@ def dedup_minhash_lsh(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_n: int | None = None,
+    grouped: DataFrame | None = None,
 ) -> DataFrame:
     """Keep-first fuzzy dedup at scale: drop b of every (a<b) near pair."""
     pairs = near_dup_pairs_minhash(
-        df, id_col, token_col, threshold, num_hashes, bands, shingle_n
+        df, id_col, token_col, threshold, num_hashes, bands, shingle_n, grouped
     )
     dup_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dup_ids, id_col, "left_anti")

@@ -75,23 +75,11 @@ def merge_sources(sources: list[DataFrame]) -> DataFrame:
 SIMILARITY_LSH_DEFAULT_THRESHOLD = 100_000
 
 
-def dedup_stage(papers: DataFrame, similarity: str = "exact") -> DataFrame:
-    """D2 → D3 → D4 in the reference's order (strict_deduplication.py:79-92).
-
-    ``similarity`` picks the D4 engine:
-
-    - ``"exact"`` — size-band-pruned pairwise Jaccard
-      (:func:`~..operators.dedup.dedup_similarity_exact`). Quadratic;
-      the oracle ground truth and the right choice below
-      ~``SIMILARITY_LSH_DEFAULT_THRESHOLD`` rows.
-    - ``"lsh"`` — MinHash banding
-      (:func:`~..operators.dedup.dedup_minhash_lsh`): candidates come
-      from band-key equi-joins (shuffle, never a cross product) — the
-      default at scale. The reference's keep-newest preference
-      (publish_year desc, arrival order asc; None counts as 0,
-      strict_deduplication.py:68-69) is preserved by encoding it into
-      the composite sort key the pair pruning orders on.
-    """
+def _dedup_stages(
+    papers: DataFrame, similarity: str = "exact"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """D2 / D3 / D4 as separate frames (helper columns still attached)
+    so callers can either take the final result or count each stage."""
     with_ord = papers.withColumn("_ord", F.monotonically_increasing_id())
     step1 = dedup.dedup_exact_null_preserving(with_ord, "paper_id", [F.col("_ord")])
     step2 = dedup.dedup_content_hash(step1, "title", [F.col("_ord")])
@@ -120,7 +108,57 @@ def dedup_stage(papers: DataFrame, similarity: str = "exact") -> DataFrame:
         )
     else:
         raise ValueError(f"similarity must be 'exact' or 'lsh', got {similarity!r}")
+    return step1, step2, step3
+
+
+def dedup_stage(papers: DataFrame, similarity: str = "exact") -> DataFrame:
+    """D2 → D3 → D4 in the reference's order (strict_deduplication.py:79-92).
+
+    ``similarity`` picks the D4 engine:
+
+    - ``"exact"`` — size-band-pruned pairwise Jaccard
+      (:func:`~..operators.dedup.dedup_similarity_exact`). Quadratic;
+      the oracle ground truth and the right choice below
+      ~``SIMILARITY_LSH_DEFAULT_THRESHOLD`` rows.
+    - ``"lsh"`` — MinHash banding
+      (:func:`~..operators.dedup.dedup_minhash_lsh`): candidates come
+      from band-key equi-joins (shuffle, never a cross product) — the
+      default at scale. The reference's keep-newest preference
+      (publish_year desc, arrival order asc; None counts as 0,
+      strict_deduplication.py:68-69) is preserved by encoding it into
+      the composite sort key the pair pruning orders on.
+    """
+    _, _, step3 = _dedup_stages(papers, similarity)
     return step3.drop("_toks", "_ord")
+
+
+def run_with_counts(
+    sources: list[DataFrame],
+    scores: DataFrame,
+    keywords: DataFrame,
+    fields: DataFrame,
+    contributions: DataFrame,
+    min_citations: int = 0,
+    similarity: str = "exact",
+) -> tuple[DataFrame, PipelineCounts]:
+    """The full chain plus the reference's printed artifact: per-stage
+    retention counts (strict_deduplication.py:31,44,75) and drop-reason
+    counters (bulid_final_dataset.py:372-388). Each count is one cheap
+    action over the already-built lineage."""
+    counts = PipelineCounts()
+    merged = merge_sources(sources)
+    counts.merged = merged.count()
+    step1, step2, step3 = _dedup_stages(merged, similarity)
+    counts.after_id_dedup = step1.count()
+    counts.after_title_hash = step2.count()
+    deduped = step3.drop("_toks", "_ord")
+    counts.after_similarity = deduped.count()
+    aligned = align_stage(clean_stage(deduped), min_citations)
+    counts.after_citation_filter = aligned.count()
+    passed, reasons = final_build(aligned, scores, keywords, fields, contributions)
+    counts.final = passed.count()
+    counts.drop_reasons = {r.reason: r.n for r in reasons.collect()}
+    return passed, counts
 
 
 def clean_stage(papers: DataFrame) -> DataFrame:
@@ -210,7 +248,21 @@ def final_build(
 
 
 def stage_stats(papers: DataFrame) -> DataFrame:
-    """A1 — the stage-comparison row (data_quality_comparison.py:40-115)."""
+    """A1 — the stage-comparison row (data_quality_comparison.py:40-115),
+    including the schema-completeness % (all six required fields truthy:
+    paper_id, title, abstract, authors, fields_of_study, url —
+    data_quality_comparison.py:82-87)."""
+    schema_complete = (
+        F.coalesce(F.length("paper_id"), F.lit(0)) > 0
+    ) & (
+        F.coalesce(F.length("title"), F.lit(0)) > 0
+    ) & (
+        F.coalesce(F.length("abstract"), F.lit(0)) > 0
+    ) & (
+        F.coalesce(F.size("authors"), F.lit(0)) > 0
+    ) & (
+        F.coalesce(F.size("fields_of_study"), F.lit(0)) > 0
+    ) & (F.coalesce(F.length("url"), F.lit(0)) > 0)
     return papers.agg(
         F.count(F.lit(1)).alias("n_papers"),
         F.round(100.0 * F.avg(F.when(F.length("abstract") > 0, 1.0).otherwise(0.0)), 2).alias(
@@ -219,6 +271,9 @@ def stage_stats(papers: DataFrame) -> DataFrame:
         F.round(100.0 * F.avg(F.when(F.size("authors") > 0, 1.0).otherwise(0.0)), 2).alias(
             "pct_has_authors"
         ),
+        F.round(
+            100.0 * F.avg(F.when(schema_complete, 1.0).otherwise(0.0)), 2
+        ).alias("pct_schema_complete"),
         F.round(F.avg(F.length("abstract")), 2).alias("avg_abstract_len"),
         F.round(F.avg(F.length("title")), 2).alias("avg_title_len"),
     )

@@ -225,6 +225,28 @@ def _minhash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.withColumn("toks", dedup.tokens(F.col("text")))
 
 
+# The per-id MinHash signature frame is the expensive piece (md5 per
+# token x 16 mixes) and is IDENTICAL across near_dup_pairs_minhash /
+# dedup_minhash_survivors / dedup_components — memoize the persisted
+# frame per (session, sf_dir) so a session running several of them
+# (bench, the driver's gate, pytest) builds it once.
+_MINHASH_GROUPED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_minhash_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _MINHASH_GROUPED_CACHE.get(key)
+    # dedup.release_caches() may have unpersisted the memoized frame;
+    # rebuild in that case instead of silently recomputing every use.
+    if cached is not None and cached.storageLevel.useMemory:
+        return cached
+    frame = dedup.minhash_grouped(
+        _minhash_corpus(spark, sf_dir), "doc_id", "toks", num_hashes=16, shingle_n=3
+    )
+    _MINHASH_GROUPED_CACHE[key] = frame
+    return frame
+
+
 @register(
     "near_dup_pairs_minhash",
     bench=True,
@@ -247,7 +269,8 @@ SELECT id_a, id_b, jaccard FROM (
 def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _minhash_corpus(spark, sf_dir)
     return dedup.near_dup_pairs_minhash(
-        corpus, "doc_id", "toks", threshold=0.8, num_hashes=16, bands=8, shingle_n=3
+        corpus, "doc_id", "toks", threshold=0.8, num_hashes=16, bands=8, shingle_n=3,
+        grouped=_shared_minhash_grouped(spark, sf_dir),
     )
 
 
@@ -273,7 +296,8 @@ SELECT doc_id FROM u WHERE doc_id NOT IN (SELECT doc_id FROM dup)
 def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _minhash_corpus(spark, sf_dir)
     return dedup.dedup_minhash_lsh(
-        corpus, "doc_id", "toks", threshold=0.8, num_hashes=16, bands=8, shingle_n=3
+        corpus, "doc_id", "toks", threshold=0.8, num_hashes=16, bands=8, shingle_n=3,
+        grouped=_shared_minhash_grouped(spark, sf_dir),
     ).select("doc_id")
 
 
@@ -442,6 +466,7 @@ SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _minhash_corpus(spark, sf_dir)
     pairs = dedup.near_dup_pairs_minhash(
-        corpus, "doc_id", "toks", threshold=0.8, num_hashes=16, bands=8, shingle_n=3
+        corpus, "doc_id", "toks", threshold=0.8, num_hashes=16, bands=8, shingle_n=3,
+        grouped=_shared_minhash_grouped(spark, sf_dir),
     )
     return dedup.connected_components(corpus.select("doc_id"), pairs, "doc_id")

@@ -23,6 +23,9 @@ _TOKS = tokens_sql("text")
 SELECT count(*) AS n_rows,
        round(avg(length(text)), 4) AS avg_len,
        round(100.0 * avg(CASE WHEN length(trim(text)) > 0 THEN 1.0 ELSE 0.0 END), 2) AS pct_nonempty,
+       round(100.0 * avg(CASE WHEN length(trim(text)) > 0 AND length(source) > 0
+                              AND lang IS NOT NULL AND length(lang) > 0
+                              AND n_chars > 0 THEN 1.0 ELSE 0.0 END), 2) AS pct_schema_complete,
        round(avg(len({_TOKS})), 4) AS avg_words,
        count(DISTINCT lang) AS n_langs,
        count(DISTINCT source) AS n_sources
@@ -31,6 +34,16 @@ FROM documents
 )
 def stage_stats_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
+    # pct_schema_complete: the reference's all-required-fields-truthy
+    # metric (data_quality_comparison.py:82-87) mapped onto the
+    # documents schema (text/source/lang/n_chars are its required set).
+    schema_complete = (
+        (F.length(F.trim(F.col("text"))) > 0)
+        & (F.length("source") > 0)
+        & F.col("lang").isNotNull()
+        & (F.length("lang") > 0)
+        & (F.col("n_chars") > 0)
+    )
     return docs.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.avg(F.length("text")), 4).alias("avg_len"),
@@ -38,6 +51,9 @@ def stage_stats_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             100.0 * F.avg(F.when(F.length(F.trim(F.col("text"))) > 0, 1.0).otherwise(0.0)),
             2,
         ).alias("pct_nonempty"),
+        F.round(
+            100.0 * F.avg(F.when(schema_complete, 1.0).otherwise(0.0)), 2
+        ).alias("pct_schema_complete"),
         F.round(F.avg(F.size(cleaning.tokens(F.col("text")))), 4).alias("avg_words"),
         F.countDistinct("lang").alias("n_langs"),
         F.countDistinct("source").alias("n_sources"),

@@ -168,3 +168,56 @@ def test_dedup_stage_lsh_matches_exact_and_plans_equi_join(spark):
     plan = lsh._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pipeline_golden_artifact_counts(spark):
+    """Golden reproduction of the reference's published artifact shapes:
+    per-stage retention counts (strict_deduplication.py:31,44,75), the
+    drop-reason counters (bulid_final_dataset.py:372-388), and the
+    retention ratio — every number hand-derived from the fixture.
+
+    Fixture arithmetic:
+    - 11 input rows; D1 drops src_b's duplicate of paper 1   -> 10
+    - D2 exact-id dedup: ids unique, both null ids preserved -> 10
+    - D3 title-hash: paper 4 duplicates paper 1's title      -> 9
+    - D4 similarity: paper 9 ~ paper 10 (Jaccard 0.9), 10 is
+      newer (2026) so 9 drops                                -> 8
+    - citation filter at min 0 keeps everything              -> 8
+    - final gate: paper 2's abstract is 5 chars (<120) ->
+      abstract_too_short; the null-id paper joins no scores ->
+      overall 0.0 -> low_overall; everything else passes     -> 6
+    """
+    a, b = _fixture_sources(spark)
+    aligned_probe = P.align_stage(P.clean_stage(P.dedup_stage(P.merge_sources([a, b]))))
+    with_key = aligned_probe.filter(F.col("paper_id") != "")
+    scores = with_key.select(
+        "paper_id",
+        F.when(F.substring("paper_id", 10, 1).try_cast("int") % 2 == 1, 8.0)
+        .otherwise(3.0)
+        .alias("novelty"),
+        F.lit(9.0).alias("technical_depth"),
+        F.lit("8.5/10").alias("clarity"),
+        F.lit(15.0).alias("impact_potential"),
+        F.lit(0.9).alias("confidence"),
+    )
+    keywords = with_key.select(
+        "paper_id", F.array(F.lit("kw1")).alias("keywords")
+    )
+    fields = with_key.select("paper_id", F.array(F.lit("ML")).alias("fields_enriched"))
+    contributions = with_key.select(
+        "paper_id", F.lit("p").alias("problem"), F.lit("m").alias("method")
+    )
+
+    passed, counts = P.run_with_counts(
+        [a, b], scores, keywords, fields, contributions
+    )
+    assert counts.merged == 10
+    assert counts.after_id_dedup == 10
+    assert counts.after_title_hash == 9
+    assert counts.after_similarity == 8
+    assert counts.after_citation_filter == 8
+    assert counts.final == passed.count()
+    assert counts.drop_reasons == {"abstract_too_short": 1, "low_overall": 1}
+    assert counts.final == 6
+    # reference retention ratio: final / merged
+    assert counts.final / counts.merged == 0.6

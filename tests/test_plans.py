@@ -56,3 +56,13 @@ def test_events_rollup_partial_aggregation(spark, sf_dir):
     # partial (map-side) agg before the exchange, final after
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_compliance_report_single_scan(spark, sf_dir):
+    # pct comes from a window over the tiny aggregated frame, not a
+    # second driver-side count() job re-running the scan
+    plan = _plan(spark, sf_dir, "compliance_report")
+    # formatted mode prints each scan twice (tree + detail); one scan
+    # node shows as exactly one "Scan parquet  (" tree entry
+    assert plan.count("Scan parquet  (") == 1
+    assert "Window" in plan
