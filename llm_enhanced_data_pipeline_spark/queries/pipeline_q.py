@@ -217,3 +217,101 @@ def llm_enrichment_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.clarity").alias("clarity"),
         F.round(F.col("s.confidence") * 100).cast("int").alias("conf_x100"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The composite training-data pipeline: the canonical LLM-corpus path
+# (language ID -> heuristic quality gate -> exact content dedup ->
+# SimHash near-dup dedup -> per-language corpus stats) as ONE lazy
+# lineage. Execution shape at scale: projection/filter (codegen) ->
+# window over the md5 content-hash partition -> SimHash block-key
+# equi-join (pigeonhole-lossless for hamming<=3, never a cross
+# product) -> hash aggregate. No quadratic joins anywhere.
+
+def _training_pipeline_oracle() -> str:
+    from ..functions.hashing import simhash60_sql_from_hashes, stable_hash60_sql
+    from ..operators.text_analysis import lang_id_sql
+    from .dedup_q import _DOCS_WITH_NEAR_DUPS_SQL
+
+    diversity = f"(len(list_distinct({_TOKS}))::DOUBLE / greatest(len({_TOKS}), 1))"
+    return f"""
+WITH u AS ({_DOCS_WITH_NEAR_DUPS_SQL}),
+lang AS (
+  SELECT doc_id, text, {lang_id_sql(_TOKS)} AS pred_lang FROM u
+),
+gated AS (
+  SELECT * FROM lang
+  WHERE pred_lang <> 'und'
+    AND length(text) >= 150
+    AND len({_TOKS}) >= 25
+    AND {diversity} >= 0.35
+),
+cd AS (
+  SELECT doc_id, text, pred_lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                                 ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+th AS (
+  SELECT doc_id, list_transform({_TOKS}, _t -> {stable_hash60_sql('_t')}) AS hs
+  FROM cd
+),
+s AS (SELECT doc_id, {simhash60_sql_from_hashes('hs')} AS sh FROM th),
+dup AS (
+  SELECT DISTINCT b.doc_id FROM s a
+  JOIN s b ON a.doc_id < b.doc_id
+          AND bit_count(xor(a.sh::UBIGINT, b.sh::UBIGINT)) <= 3
+),
+survivors AS (
+  SELECT * FROM cd WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+)
+SELECT pred_lang,
+       count(*) AS n_docs,
+       sum(len({_TOKS}))::BIGINT AS total_words,
+       round(avg(len({_TOKS})), 4) AS avg_words
+FROM survivors GROUP BY pred_lang
+"""
+
+
+@register(
+    "training_data_pipeline",
+    bench=True,
+    doc="The composite LLM training-corpus pipeline in one lineage: "
+    "language-ID filter -> quality gate (length/word-count/diversity) "
+    "-> exact content-hash dedup (window, keep min id) -> SimHash "
+    "near-dup dedup (hamming<=3, block-bucketed equi-join) -> "
+    "per-language corpus stats. The scale shape of the whole "
+    "beyond-reference suite composed end-to-end.",
+    oracle=_training_pipeline_oracle(),
+)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import quality
+    from .dedup_q import _docs_with_near_dups
+
+    corpus = _docs_with_near_dups(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = cleaning.tokens(F.col("text"))
+    diversity = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+    lang = corpus.withColumn("pred_lang", text_analysis.lang_id(toks))
+    gated, _ = quality.quality_gate(
+        lang.filter(F.col("pred_lang") != "und"),
+        [
+            ("text_too_short", F.length("text") < 150),
+            ("too_few_words", F.size(toks) < 25),
+            ("low_diversity", diversity < 0.35),
+        ],
+    )
+    exact = dedup.dedup_content_hash(gated, "text", [F.col("doc_id")])
+    with_toks = exact.withColumn("_toks", toks)
+    pairs = dedup.near_dup_pairs_simhash(with_toks, "doc_id", "_toks", max_hamming=3)
+    dup_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = with_toks.join(dup_ids, "doc_id", "left_anti")
+    return survivors.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("_toks")).alias("total_words"),
+        F.round(F.avg(F.size("_toks")), 4).alias("avg_words"),
+    )

@@ -107,8 +107,10 @@ def test_quality_gate_first_reason_priority(spark):
 
 
 def test_tier_ladder_boundaries(spark):
-    for score, want in [(0.86, "Excellent"), (0.85, "Excellent"), (0.84, "High"),
-                        (0.70, "Good"), (0.60, "Medium"), (0.50, "Fair"), (0.10, "Low")]:
+    # reference ladder (quality_scoring.py:393-406): 0.8/0.7/0.6/0.5/0.4
+    for score, want in [(0.81, "Excellent"), (0.80, "Excellent"), (0.79, "High"),
+                        (0.70, "High"), (0.65, "Good"), (0.55, "Medium"),
+                        (0.45, "Fair"), (0.10, "Low")]:
         assert _one(spark, quality.tier(F.lit(score))) == want, score
 
 
