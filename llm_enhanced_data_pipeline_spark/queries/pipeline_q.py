@@ -292,7 +292,11 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _docs_with_near_dups(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism
     )
-    toks = cleaning.tokens(F.col("text"))
+    # Tokenize ONCE into a column; every downstream stage (lang ID,
+    # gate predicates, SimHash) reads the materialized array instead of
+    # re-running the normalize+split chain.
+    corpus = corpus.withColumn("_toks", cleaning.tokens(F.col("text")))
+    toks = F.col("_toks")
     diversity = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
         F.size(toks), F.lit(1)
     )
@@ -306,7 +310,10 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     exact = dedup.dedup_content_hash(gated, "text", [F.col("doc_id")])
-    with_toks = exact.withColumn("_toks", toks)
+    # The deduped frame is consumed three times (SimHash vote rows, the
+    # signature re-join, the survivor anti-join) — persist it so the
+    # scan->gate->window lineage runs once, not three times.
+    with_toks = dedup._persist_tracked(exact)
     pairs = dedup.near_dup_pairs_simhash(with_toks, "doc_id", "_toks", max_hamming=3)
     dup_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     survivors = with_toks.join(dup_ids, "doc_id", "left_anti")
