@@ -497,17 +497,18 @@ def simhash_by_id(df: DataFrame, id_col: str, token_col: str) -> DataFrame:
     tok_rows = df.select(F.col(id_col), F.explode(F.col(token_col)).alias("_tok")).select(
         F.col(id_col), hashing.stable_hash60(F.col("_tok")).alias("_h")
     )
+    # SQL-string expressions: one py4j call per vote instead of ~8
+    # Column-object calls — the 60-wide tree made plan CONSTRUCTION the
+    # dominant cost of the whole operator (~1.5s per invocation).
     votes = [
-        F.sum((F.shiftright(F.col("_h"), j) % 2) * 2 - 1).alias(f"_v{j}")
-        for j in range(60)
+        F.expr(f"sum((shiftright(_h, {j}) % 2) * 2 - 1) AS _v{j}") for j in range(60)
     ]
     sig = tok_rows.groupBy(id_col).agg(*votes)
-    out = F.lit(0).cast("bigint")
-    for j in range(60):
-        out = out + F.when(F.col(f"_v{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-    sig = sig.select(F.col(id_col), out.alias("simhash"))
+    out_sql = " + ".join(
+        f"(CASE WHEN _v{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(60)
+    )
+    sig = sig.select(F.col(id_col), F.expr(out_sql).alias("simhash"))
     return (
         df.select(id_col)
         .join(sig, id_col, "left")
