@@ -455,6 +455,45 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "frame_sample",
+    doc="Multimodal frame sampling, declarative twin: payload as "
+    "concatenated 64-byte frames, first 4 frames per doc via "
+    "explode(sequence) — flatMap + filter + substring, no shuffle, no "
+    "Python. The mapInPandas twin (operators/multimodal.sample_frames) "
+    "carries the real-decoder plumbing with uniform striding.",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, hex(encode(text)) AS ph FROM documents
+)
+SELECT doc_id, i AS frame_idx,
+       (length(substring(ph, i*128 + 1, 128)) / 2)::BIGINT AS frame_len_bytes,
+       md5(lower(substring(ph, i*128 + 1, 128))) AS frame_md5
+FROM p CROSS JOIN (VALUES (0),(1),(2),(3)) t(i)
+WHERE i*128 < length(ph)
+""",
+)
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    ph = F.hex(F.encode(F.col("text"), "UTF-8"))
+    frame_hex = F.substring(F.col("ph"), F.col("frame_idx") * 128 + 1, 128)
+    return (
+        docs.select("doc_id", ph.alias("ph"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("frame_idx"),
+            "ph",
+        )
+        .filter(F.col("frame_idx") * 128 < F.length("ph"))
+        .select(
+            "doc_id",
+            "frame_idx",
+            (F.length(frame_hex) / 2).cast("bigint").alias("frame_len_bytes"),
+            F.md5(F.lower(frame_hex)).alias("frame_md5"),
+        )
+    )
+
+
+@register(
     "date_validation",
     doc="P16 date-format check (§2.8 date surface): to_date parse "
     "validation over well-formed / out-of-range / wrong-format / empty "

@@ -82,6 +82,67 @@ def test_sessionize_stream_counts_sessions(spark, tmp_path):
     assert sorted(r.n_events for r in got) == [1, 2]
 
 
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """A row older than the advanced watermark must not reopen its
+    already-finalized window (the 100 TB state-bound guarantee)."""
+    import os
+
+    p = tmp_path / "late_in"
+    p.mkdir()
+
+    def write(name, rows, mtime):
+        fp = p / name
+        with open(fp, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(fp, (mtime, mtime))
+
+    def ev(eid, ts, value):
+        return {"event_id": eid, "ts": ts, "user_id": 0,
+                "event_type": "click", "value": value, "props": "{}"}
+
+    ckpt = str(tmp_path / "late_ckpt")
+
+    outdir = str(tmp_path / "late_out")
+
+    def drain():
+        stream = se.read_event_stream(spark, str(p), max_files_per_trigger=1)
+        rollup = se.hourly_rollup_stream(stream, watermark="2 hours")
+        q = (
+            rollup.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    # run 1: two rows in window [00:00,01:00) + one at 03:10 that
+    # advances the checkpointed watermark to 01:10
+    write("a.json", [ev(1, "2024-01-01T00:05:00.000Z", 1.0),
+                     ev(2, "2024-01-01T00:15:00.000Z", 2.0),
+                     ev(3, "2024-01-01T03:10:00.000Z", 4.0)], 1_000)
+    drain()
+    # run 2 (restart from checkpoint — watermark recovered): a LATE row
+    # for the closed 00:00 window (dropped) + one at 06:10 that
+    # advances the watermark past the 03:00 window's end
+    write("b.json", [ev(4, "2024-01-01T00:20:00.000Z", 8.0),
+                     ev(5, "2024-01-01T06:10:00.000Z", 16.0)], 2_000)
+    drain()
+    got: dict[str, tuple] = {}
+    for r in spark.read.parquet(outdir).collect():
+        key = str(r.window_start)
+        assert key not in got, f"window {key} emitted twice"
+        got[key] = (r.n, r.total_value)
+    # 00:00 window finalized with ONLY the two on-time rows; the late
+    # 00:20/8.0 row was dropped, not merged and not re-emitted
+    assert got["2024-01-01 00:00:00"] == (2, 3.0)
+    assert got["2024-01-01 03:00:00"] == (1, 4.0)
+    # the 06:00 window never closed (watermark never passed 07:00), so
+    # append mode correctly emitted nothing for it
+    assert "2024-01-01 06:00:00" not in got
+
+
 def test_stateful_running_counters(spark, tmp_path):
     from llm_enhanced_data_pipeline_spark.streaming.stateful import running_user_counters
 
