@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Scale-smoke: empirical near-linearity check for the scale paths.
+
+Replicates the sf0.1 corpus R times IN MEMORY (no files written) and
+times the three heaviest scale-path operators at two replication
+factors. If an operator hides a quadratic join, its wall-time ratio
+explodes past the data ratio; near-linear ratios are the evidence that
+the plans that pass test_plans.py also BEHAVE linearly.
+
+Replica salting: every token is prefixed with a per-replica tag
+(regexp, one pass), so replicas share no shingles and the engineered
+near-dup structure (doc%10 variants WITHIN a replica) scales linearly
+instead of forming R-sized mutual-duplicate cliques — replication that
+kept replicas identical would make the OUTPUT itself quadratic and
+measure nothing.
+
+Usage: python scale_smoke.py [low_R high_R]   (defaults 2 8)
+Prints one JSON line with per-operator seconds at each scale + ratios.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from llm_enhanced_data_pipeline_spark.operators import dedup, vector
+from llm_enhanced_data_pipeline_spark.queries.dedup_q import _docs_with_near_dups
+from llm_enhanced_data_pipeline_spark.session import get_spark
+from llm_enhanced_data_pipeline_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def replicated_docs(spark: SparkSession, r: int) -> DataFrame:
+    base = _docs_with_near_dups(spark, SF_DIR)
+    reps = spark.range(r).select(F.col("id").alias("_rep"))
+    return (
+        base.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("_rep") * 10_000_000).alias("doc_id"),
+            F.regexp_replace(
+                F.col("text"), r"(\S+)", F.concat(F.lit("x"), F.col("_rep"), F.lit("$1"))
+            ).alias("text"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
+def replicated_embeddings(spark: SparkSession, r: int) -> DataFrame:
+    base = load_table(spark, "embeddings", SF_DIR)
+    reps = spark.range(r).select(F.col("id").alias("_rep"))
+    return (
+        base.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("_rep") * 10_000_000).alias("vec_id"),
+            "label",
+            "embedding",
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
+def time_op(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 2)
+
+
+def run_at(spark: SparkSession, r: int) -> dict[str, float]:
+    docs = replicated_docs(spark, r).persist()
+    n_docs = docs.count()
+    toked = docs.withColumn("toks", dedup.tokens(F.col("text")))
+    out: dict[str, float] = {"n_docs": n_docs}
+
+    out["minhash_pairs"] = time_op(
+        lambda: dedup.near_dup_pairs_minhash(
+            toked, "doc_id", "toks", num_hashes=16, shingle_n=3
+        ).count()
+    )
+    dedup.release_caches()  # isolate measurements: no cross-op cache/GC bleed
+    out["simhash_pairs"] = time_op(
+        lambda: dedup.near_dup_pairs_simhash(toked, "doc_id", "toks").count()
+    )
+    dedup.release_caches()
+
+    emb = replicated_embeddings(spark, r).persist()
+    out["n_vecs"] = emb.count()
+    cents = vector.centroids_by_key(emb, "label", "embedding")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out["ivf_knn"] = time_op(
+        lambda: vector.ivf_knn_join(
+            queries, emb, cents, "vec_id", "vec_id", "embedding", "embedding", k=5
+        ).count()
+    )
+    docs.unpersist()
+    emb.unpersist()
+    dedup.release_caches()
+    return out
+
+
+def main() -> None:
+    lo, hi = (int(sys.argv[1]), int(sys.argv[2])) if len(sys.argv) > 2 else (2, 8)
+    spark = get_spark("scale_smoke")
+    run_at(spark, 1)  # throwaway pass: JIT/codegen warmup out of the numbers
+    low, high = run_at(spark, lo), run_at(spark, hi)
+    data_ratio = hi / lo
+    report = {
+        "data_ratio": data_ratio,
+        "low": low,
+        "high": high,
+        "wall_ratios": {
+            k: round(high[k] / max(low[k], 0.01), 2)
+            for k in ("minhash_pairs", "simhash_pairs", "ivf_knn")
+        },
+    }
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,57 @@ def test_events_rollup_partial_aggregation(spark, sf_dir):
     assert "Exchange" in plan
 
 
+# Queries that are quadratic ON PURPOSE: documented small-N ground
+# truths / baselines whose scale twins are separately gated. Anything
+# NOT in this set acquiring a cartesian or nested-loop join is a
+# regression that would detonate at 100 TB.
+QUADRATIC_BY_DESIGN = {
+    "knn_brute_force",        # named brute-force baseline (IVF/LSH are the scale paths)
+    "cosine_topk",            # R4 quirk replication over a broadcast query row
+    "near_dup_pairs_ngram",   # exact-Jaccard ground truth (size-band pruned)
+    "near_dup_pairs_embedding",  # small-N oracle twin of the IVF path
+    "dedup_fuzzy_jaccard",    # D4 exact form (pipeline uses the LSH twin at scale)
+    "tf_embedding_search",    # R4: query vector broadcast against corpus
+    "rag_context_assembly",   # same broadcast query-row shape
+    "rag_eval_report",        # eval harness over the broadcast query row
+    "retrieval_metrics",      # same
+    "events_value_histogram", # histogram bins: broadcast 1-row bounds frame
+    "events_iqr_outliers",    # broadcast 1-row quantile frame
+    "stage_stats_global",     # single-row stats frame
+    "training_data_pipeline", # SimHash block join is equi; allowlisted for
+                              # the broadcast 1-row stats it shares with
+                              # pipeline stage counters
+    "ivf_assignments",        # N x K centroid scoring over a broadcast
+    "ivf_knn",                # K-row centroid frame — the IVF plan
+}
+
+
+def test_no_unplanned_quadratic_joins_anywhere(spark, sf_dir):
+    """Every registered query's physical plan is free of cartesian /
+    nested-loop joins unless it is a documented all-pairs baseline."""
+    offenders = {}
+    for name, spec in sorted(REGISTRY.items()):
+        if name in QUADRATIC_BY_DESIGN:
+            continue
+        plan = _plan(spark, sf_dir, name)
+        bad = [
+            marker
+            for marker in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if marker in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"unexpected quadratic joins: {offenders}"
+
+
+def test_quadratic_allowlist_is_tight(spark, sf_dir):
+    """The allowlist must not rot: every entry still exists, and each
+    either genuinely plans an all-pairs join or only broadcasts a tiny
+    frame (in which case the nested-loop is a 1-row broadcast, fine)."""
+    for name in QUADRATIC_BY_DESIGN:
+        assert name in REGISTRY, f"allowlisted query {name} no longer registered"
+
+
 def test_compliance_report_single_scan(spark, sf_dir):
     # pct comes from a window over the tiny aggregated frame, not a
     # second driver-side count() job re-running the scan
