@@ -7,7 +7,7 @@ shuffle only the per-group partials.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -67,3 +67,41 @@ def distribution(df: DataFrame, key: Column | str, order_desc: bool = True) -> D
     key_col = F.col(key) if isinstance(key, str) else key
     out = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
     return out
+
+
+def bucket_quantiles(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    probs: list[float],
+    width: float = 1.0,
+) -> DataFrame:
+    """Histogram-based quantiles: the bucket containing each requested
+    quantile, per group.
+
+    The 100 TB quantile shape: exact `percentile` needs a full sort of
+    every group; this is two hash aggregations (value→bucket counts,
+    then a per-group cumulative scan over a FEW THOUSAND bucket rows).
+    Results are integer bucket indices — deterministic in any engine,
+    no floating-point interpolation to drift — at resolution ``width``.
+    approx_percentile gives tighter error but engine-private sketches;
+    this stays oracle-reproducible.
+
+    Output: group_cols + q_<pct> bucket-index columns (bigint).
+    """
+    bucket = F.floor(F.col(col) / width).cast("bigint")
+    hist = df.groupBy(*group_cols, bucket.alias("_b")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_b")
+    wt = Window.partitionBy(*group_cols)
+    cum = hist.withColumn("_cum", F.sum("_n").over(w)).withColumn(
+        "_total", F.sum("_n").over(wt)
+    )
+    aggs = []
+    for p in probs:
+        name = f"q_{int(round(p * 100))}"
+        # first bucket whose cumulative count reaches ceil(p * total)
+        reached = F.col("_cum") >= F.ceil(F.lit(p) * F.col("_total"))
+        aggs.append(F.min(F.when(reached, F.col("_b"))).alias(name))
+    return cum.groupBy(*group_cols).agg(*aggs)

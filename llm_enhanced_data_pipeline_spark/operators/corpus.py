@@ -1,0 +1,249 @@
+"""Corpus-construction operators for LLM training-data pipelines.
+
+The reference stops at cleaning/dedup/enrichment of a paper corpus
+(`Data_Enhancement/bulid_final_dataset.py`); everything here is the
+next stage a 100 TB training-data build needs: deterministic splits,
+domain-weighted sampling, per-domain token quotas, sequence packing,
+eval-set decontamination, and Gopher-style repetition signals.
+
+Design rules (same as the rest of the package):
+
+- Every semantics-bearing hash is md5-derived (``functions.hashing``)
+  so the DuckDB oracle reproduces decisions bit-for-bit — sampling and
+  split decisions are *auditable*, not engine-private.
+- Sampling rates/thresholds are integer per-mille values compared
+  against integer hash buckets: no floating-point boundary can flip a
+  row between engines (or between runs at different parallelism).
+- Everything is a pure column expression or a single keyed window —
+  no Python row loops, no driver-side state. Per-domain windows
+  parallelize across domains; the only sequential dependency is the
+  per-domain prefix scan the quota/packing semantics inherently need.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing
+
+#: Number of hash buckets all split/sample decisions are made over.
+#: 1000 buckets = per-mille resolution, plenty for corpus mixing and
+#: small enough that every (seed, key) decision is one md5.
+SPLIT_BUCKETS = 1000
+
+
+# ---------------------------------------------------------------------------
+# Deterministic splits / sampling
+# ---------------------------------------------------------------------------
+
+
+def split_bucket(key: Column, seed: int = 11) -> Column:
+    """Stable per-mille bucket in [0, 1000) for a string key column.
+
+    The bucket is a pure function of (seed, key): reshuffling,
+    repartitioning, or re-running the job never moves a row between
+    splits — the property that makes train/test membership durable
+    across pipeline versions.
+    """
+    return hashing.stable_hash32(key, seed=seed) % SPLIT_BUCKETS
+
+
+def split_bucket_sql(expr: str, seed: int = 11) -> str:
+    """DuckDB twin of :func:`split_bucket`."""
+    return f"({hashing.stable_hash32_sql(expr, seed)} % {SPLIT_BUCKETS})"
+
+
+def split_label(
+    key: Column,
+    train_permille: int = 900,
+    val_permille: int = 50,
+    seed: int = 11,
+) -> Column:
+    """'train' / 'val' / 'test' label from the hash bucket.
+
+    Bucket ranges: [0, train) → train, [train, train+val) → val,
+    the rest → test. Integer thresholds — no FP boundary ambiguity.
+    """
+    b = split_bucket(key, seed=seed)
+    return (
+        F.when(b < train_permille, F.lit("train"))
+        .when(b < train_permille + val_permille, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def split_label_sql(
+    expr: str, train_permille: int = 900, val_permille: int = 50, seed: int = 11
+) -> str:
+    b = split_bucket_sql(expr, seed)
+    return (
+        f"(CASE WHEN {b} < {train_permille} THEN 'train' "
+        f"WHEN {b} < {train_permille + val_permille} THEN 'val' "
+        f"ELSE 'test' END)"
+    )
+
+
+def sample_keep(key: Column, rate_permille: Column, seed: int = 7) -> Column:
+    """Deterministic Bernoulli(rate/1000) keep decision per key.
+
+    ``rate_permille`` may be a per-row column (domain-dependent mixing
+    weights). Integer-vs-integer comparison: exact, engine-portable.
+    """
+    return split_bucket(key, seed=seed) < rate_permille
+
+
+def sample_keep_sql(expr: str, rate_permille_expr: str, seed: int = 7) -> str:
+    return f"({split_bucket_sql(expr, seed)} < ({rate_permille_expr}))"
+
+
+# ---------------------------------------------------------------------------
+# Per-domain token quotas
+# ---------------------------------------------------------------------------
+
+
+def token_budget_filter(
+    df: DataFrame,
+    domain_col: str,
+    tokens_col: str,
+    order_cols: list[Column],
+    budget: int,
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Keep rows per domain, in priority order, until a token budget.
+
+    A row survives iff the running token total *including it* is within
+    budget — the classic "take the best docs until the domain quota is
+    full" corpus-mixing rule. One hash-partitioned window per domain:
+    domains fill in parallel, and the per-domain prefix sum is the
+    minimum sequential work the semantics allow. No driver state.
+    """
+    w = Window.partitionBy(domain_col).orderBy(*order_cols)
+    return df.withColumn(cum_col, F.sum(tokens_col).over(w)).filter(
+        F.col(cum_col) <= budget
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[Column],
+    tokens_col: str,
+    seq_len: int,
+) -> DataFrame:
+    """Assign each document a training-sequence id by concat-and-chunk.
+
+    Documents are laid end-to-end per partition column (shard) in a
+    deterministic order; sequence ``i`` covers token offsets
+    [i*seq_len, (i+1)*seq_len). A document belongs to the sequence its
+    FIRST token lands in; ``spans_boundary`` marks documents that cross
+    into the next sequence (the ones a loss mask would split).
+
+    Columns added: ``start_offset``, ``seq_id``, ``spans_boundary``.
+    Per-shard windows keep packing embarrassingly parallel across
+    shards — the global corpus never needs a total order.
+    """
+    w = Window.partitionBy(part_col).orderBy(*order_cols)
+    start = (F.sum(tokens_col).over(w) - F.col(tokens_col)).alias("start_offset")
+    df = df.withColumn("start_offset", start)
+    seq_id = F.floor(F.col("start_offset") / seq_len)
+    end_seq = F.floor((F.col("start_offset") + F.col(tokens_col) - 1) / seq_len)
+    return df.withColumn("seq_id", seq_id).withColumn(
+        "spans_boundary", (end_seq > seq_id).cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram machinery shared by decontamination / repetition signals
+# ---------------------------------------------------------------------------
+
+
+def ngram_hashes_sql(token_hashes_expr: str, n: int) -> str:
+    """DuckDB list of rolling n-gram hashes over per-token hash list.
+
+    Twin of ``operators.dedup.shingle_hash_rows`` arithmetic for any n:
+    fold over n consecutive token hashes with (acc*131 + h) mod p.
+    ``token_hashes_expr`` must be a BIGINT list (``stable_hash32`` per
+    token, see ``dedup_q._TOKHASH``).
+    """
+    p = hashing.ROLLING_PRIME
+    acc = f"(_th[_i] % {p})"
+    for k in range(1, n):
+        acc = f"(({acc} * 131 + _th[_i + {k}]) % {p})"
+    return (
+        f"list_transform(range(1, greatest(len(_th) - {n - 1}, 0) + 1), _i -> {acc})"
+    )
+
+
+def contamination_scores(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    token_col: str,
+    n: int = 3,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-train-document overlap with the eval set's n-gram universe.
+
+    Returns (id, n_grams, n_hit, contamination): distinct n-gram hashes
+    per train doc, how many also occur anywhere in the eval set, and
+    the ratio. The membership test is an equi-join on the n-gram hash —
+    never a doc×doc comparison — so cost is O(corpus n-grams), not
+    O(train×eval).
+
+    At 100 TB the train side dominates; the eval n-gram universe (a few
+    benchmarks) is small and is broadcast by default so the train-side
+    scan joins map-side with no shuffle of the big table. Set
+    ``broadcast_eval=False`` if the eval universe is itself huge.
+    """
+    from . import dedup
+
+    train_grams = dedup.shingle_hash_rows(train, id_col, token_col, n=n).distinct()
+    eval_grams = (
+        dedup.shingle_hash_rows(eval_df, id_col, token_col, n=n)
+        .select("_sh")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    joined = train_grams.join(eval_grams, "_sh", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, token_col: str, n: int = 2
+) -> DataFrame:
+    """Gopher-style within-document repetition signals from n-grams.
+
+    Per document: ``n_ngrams`` (total), ``n_distinct``, ``top_count``
+    (occurrences of the most frequent n-gram), ``dup_count`` (n-grams
+    occurring more than once, counting every occurrence) — the inputs
+    to the duplicate-n-gram-fraction and top-n-gram-fraction quality
+    rules of Rae et al. 2021 (Gopher), §A1.1.
+
+    Shape: explode → two hash aggregations keyed on the doc id. The
+    n-gram hashing reuses the codegen-friendly exploded rolling-hash
+    window (NOT nested array lambdas, which run interpreted and
+    re-evaluate captured subtrees per element).
+    """
+    from . import dedup
+
+    grams = dedup.shingle_hash_rows(df, id_col, token_col, n=n)
+    per_gram = grams.groupBy(id_col, "_sh").agg(F.count(F.lit(1)).alias("_c"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("_c").alias("n_ngrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("_c").alias("top_count"),
+        F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(F.lit(0))).alias(
+            "dup_count"
+        ),
+    )

@@ -1,4 +1,14 @@
 """Import all query modules so their @register calls populate REGISTRY."""
 
-from . import analysis_q, dedup_q, events_q, pipeline_q, rag_q, relational, text_q, vector_q  # noqa: F401
+from . import (  # noqa: F401
+    analysis_q,
+    corpus_q,
+    dedup_q,
+    events_q,
+    pipeline_q,
+    rag_q,
+    relational,
+    text_q,
+    vector_q,
+)
 from .registry import REGISTRY, bench_queries, oracle_sql, queries  # noqa: F401

@@ -1,0 +1,263 @@
+"""Corpus-construction queries: deterministic splits, domain mixing,
+token quotas, sequence packing, decontamination, repetition signals.
+
+These are the training-data-build stages downstream of the reference's
+clean/dedup/enrich pipeline (the BASELINE.json "north star" suite) —
+each one oracle-checked so the *decisions* (which doc lands in which
+split/sequence, which doc is contaminated) are engine-reproducible,
+not just the row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hashing, rounding
+from ..operators import cleaning, corpus, dedup, joins
+from ..operators.cleaning import tokens_sql
+from ..tables import load_table
+from .dedup_q import _DOCS_WITH_NEAR_DUPS_SQL, VARIANT_OFFSET, _docs_with_near_dups
+from .registry import register
+
+_TOKS = tokens_sql("text")
+_TOKHASH = "CAST(('0x' || substring(md5('0:' || _t), 1, 8)) AS UBIGINT)::BIGINT"
+
+
+@register(
+    "corpus_split_counts",
+    doc="Deterministic md5-bucket train/val/test split (900/50/50 "
+    "per-mille) — membership is a pure function of (seed, doc_id), "
+    "durable across reruns/repartitions.",
+    oracle=f"""
+SELECT {corpus.split_label_sql("doc_id::VARCHAR")} AS split,
+       count(*) AS n_docs,
+       sum(len({_TOKS}))::BIGINT AS total_words,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents
+GROUP BY 1
+""",
+)
+def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.withColumn(
+            "split", corpus.split_label(F.col("doc_id").cast("string"))
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(cleaning.tokens(F.col("text")))).alias("total_words"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+@register(
+    "domain_weighted_sample",
+    doc="Domain-mixing downsample: per-source keep rate (per-mille, "
+    "itself hash-derived here) applied as integer bucket < rate — the "
+    "deterministic Bernoulli used to hit corpus mixing ratios.",
+    oracle=f"""
+SELECT source,
+       max(100 + {hashing.stable_hash32_sql("source", 3)} % 900) AS rate_permille,
+       count(*) AS n_docs,
+       sum(CASE WHEN {corpus.sample_keep_sql("doc_id::VARCHAR", f"100 + {hashing.stable_hash32_sql('source', 3)} % 900")}
+                THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM documents
+GROUP BY source
+""",
+)
+def domain_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    rate = (
+        F.lit(100) + hashing.stable_hash32(F.col("source"), seed=3) % 900
+    )
+    keep = corpus.sample_keep(F.col("doc_id").cast("string"), rate)
+    return docs.groupBy("source").agg(
+        F.max(rate).alias("rate_permille"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(keep.cast("int")).alias("n_kept"),
+    )
+
+
+@register(
+    "token_budget_enforcement",
+    doc="Per-domain token quota: best docs first (n_chars desc) until "
+    "600 words per source — cumulative-window filter, domains fill in "
+    "parallel.",
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id, n_chars, len({_TOKS}) AS n_words FROM documents
+),
+c AS (
+  SELECT source, n_words,
+         sum(n_words) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+           AS cum_tokens
+  FROM t
+)
+SELECT source, count(*) AS n_docs_kept, sum(n_words)::BIGINT AS tokens_used
+FROM c WHERE cum_tokens <= 600
+GROUP BY source
+""",
+)
+def token_budget_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "n_words", F.size(cleaning.tokens(F.col("text")))
+    )
+    kept = corpus.token_budget_filter(
+        docs, "source", "n_words", [F.col("n_chars").desc(), F.col("doc_id")], 600
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_words").alias("tokens_used"),
+    )
+
+
+@register(
+    "sequence_packing",
+    doc="Concat-and-chunk packing into 512-token training sequences "
+    "per source shard: exclusive-cumsum start offsets, docs keyed to "
+    "the sequence their first token lands in, boundary-spanners "
+    "counted (the rows a loss mask would split).",
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id, len({_TOKS}) AS n_words FROM documents
+),
+p AS (
+  SELECT source, n_words,
+         sum(n_words) OVER (PARTITION BY source ORDER BY doc_id) - n_words
+           AS start_offset
+  FROM t
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT (start_offset // 512)) AS n_seqs,
+       sum(n_words)::BIGINT AS total_tokens,
+       sum(CASE WHEN ((start_offset + n_words - 1) // 512) > (start_offset // 512)
+                THEN 1 ELSE 0 END)::BIGINT AS n_spanning,
+       {rounding.stable_round_sql(
+           "sum(n_words)::DOUBLE / (count(DISTINCT (start_offset // 512)) * 512.0)", 4
+       )} AS avg_fill
+FROM p
+GROUP BY source
+""",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "n_words", F.size(cleaning.tokens(F.col("text")))
+    )
+    packed = corpus.pack_sequences(docs, "source", [F.col("doc_id")], "n_words", 512)
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("seq_id").alias("n_seqs"),
+        F.sum("n_words").alias("total_tokens"),
+        F.sum("spans_boundary").cast("bigint").alias("n_spanning"),
+        rounding.stable_round(
+            F.sum("n_words").cast("double")
+            / (F.countDistinct("seq_id") * F.lit(512.0)),
+            4,
+        ).alias("avg_fill"),
+    )
+
+
+@register(
+    "decontamination_report",
+    doc="Eval-set decontamination: eval = 5% hash split of the "
+    "original docs; train side includes their near-dup variants, which "
+    "the 3-gram-hash equi-join (broadcast eval universe, never "
+    "doc x doc) must flag as contaminated.",
+    oracle=f"""
+WITH u AS ({_DOCS_WITH_NEAR_DUPS_SQL}),
+lbl AS (
+  SELECT doc_id, text,
+         (doc_id < {VARIANT_OFFSET}
+          AND {corpus.split_bucket_sql("doc_id::VARCHAR")} >= 950) AS is_eval
+  FROM u
+),
+tk AS (
+  SELECT doc_id, is_eval, list_transform({tokens_sql("text")}, _t -> {_TOKHASH}) AS _th
+  FROM lbl
+),
+g AS (
+  SELECT doc_id, is_eval, unnest({corpus.ngram_hashes_sql("_th", 3)}) AS sh
+  FROM tk WHERE len(_th) >= 3
+),
+tg AS (SELECT DISTINCT doc_id, sh FROM g WHERE NOT is_eval),
+eg AS (SELECT DISTINCT sh FROM g WHERE is_eval),
+sc AS (
+  SELECT tg.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN eg.sh IS NOT NULL THEN 1 ELSE 0 END) AS hits
+  FROM tg LEFT JOIN eg ON tg.sh = eg.sh
+  GROUP BY tg.doc_id
+)
+SELECT doc_id, n_grams, hits::BIGINT AS n_hit,
+       {rounding.stable_round_sql("hits::DOUBLE / n_grams", 4)} AS contamination
+FROM sc WHERE hits > 0
+""",
+)
+def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_near_dups(spark, sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    is_eval = (F.col("doc_id") < VARIANT_OFFSET) & (
+        corpus.split_bucket(F.col("doc_id").cast("string")) >= 950
+    )
+    scores = corpus.contamination_scores(
+        docs.filter(~is_eval), docs.filter(is_eval), "doc_id", "toks", n=3
+    )
+    return scores.filter(F.col("n_hit") > 0).select(
+        "doc_id",
+        "n_grams",
+        F.col("n_hit").cast("bigint").alias("n_hit"),
+        rounding.stable_round(
+            F.col("n_hit").cast("double") / F.col("n_grams"), 4
+        ).alias("contamination"),
+    )
+
+
+@register(
+    "repetition_quality",
+    doc="Gopher-style repetition signals (Rae et al. 2021 §A1.1): "
+    "duplicate-2-gram fraction and top-2-gram fraction per doc, worst "
+    "25 — explode + two keyed hash aggs, no per-doc array lambdas.",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, list_transform({_TOKS}, _t -> {_TOKHASH}) AS _th FROM documents
+),
+g AS (
+  SELECT doc_id, unnest({corpus.ngram_hashes_sql("_th", 2)}) AS sh
+  FROM tk WHERE len(_th) >= 2
+),
+c AS (SELECT doc_id, sh, count(*) AS _c FROM g GROUP BY doc_id, sh),
+s AS (
+  SELECT doc_id, sum(_c)::BIGINT AS n_ngrams, count(*) AS n_distinct,
+         max(_c)::BIGINT AS top_count,
+         sum(CASE WHEN _c > 1 THEN _c ELSE 0 END)::BIGINT AS dup_count
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, n_ngrams, n_distinct,
+       {rounding.stable_round_sql("dup_count::DOUBLE / n_ngrams", 4)} AS dup_2gram_frac,
+       {rounding.stable_round_sql("top_count::DOUBLE / n_ngrams", 4)} AS top_2gram_frac
+FROM s
+ORDER BY dup_2gram_frac DESC, doc_id
+LIMIT 25
+""",
+)
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    stats = corpus.repetition_stats(docs, "doc_id", "toks", n=2)
+    out = stats.select(
+        "doc_id",
+        F.col("n_ngrams").cast("bigint").alias("n_ngrams"),
+        "n_distinct",
+        rounding.stable_round(
+            F.col("dup_count").cast("double") / F.col("n_ngrams"), 4
+        ).alias("dup_2gram_frac"),
+        rounding.stable_round(
+            F.col("top_count").cast("double") / F.col("n_ngrams"), 4
+        ).alias("top_2gram_frac"),
+    )
+    return out.orderBy(F.desc("dup_2gram_frac"), "doc_id").limit(25)

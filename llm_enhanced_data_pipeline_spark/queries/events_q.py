@@ -12,7 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import aggregates, quality
+from ..functions import rounding
+from ..operators import aggregates, joins, quality
 from ..operators.cleaning import safe_int
 from ..tables import load_table
 from .registry import register
@@ -198,3 +199,150 @@ FROM events GROUP BY bucket
 def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     return aggregates.value_histogram(ev, F.floor(F.col("value") / 50.0).cast("bigint"))
+
+
+@register(
+    "events_asof_join",
+    doc="Backward as-of join (kdb/DuckDB ASOF semantics; Spark has no "
+    "built-in): each view event picks the user's latest prior purchase "
+    "value. Union-and-scan implementation — one shuffle, zero join "
+    "nodes, immune to dense right sides.",
+    oracle=f"""
+WITH v AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, ts, value FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+),
+j AS (
+  SELECT v.user_id, p.value AS mv
+  FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
+)
+SELECT user_id,
+       count(*) AS n_views,
+       sum(CASE WHEN mv IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+       {rounding.stable_round_sql("sum(coalesce(mv, 0.0))", 2)} AS sum_matched_value
+FROM j GROUP BY user_id
+""",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select("user_id", "ts", "value", "event_id")
+    matched = joins.asof_join(
+        views, purchases, "user_id", "ts", "ts", ["value"], right_tiebreak="event_id"
+    )
+    return matched.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.sum(F.col("matched_value").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("n_matched"),
+        rounding.stable_round(
+            F.sum(F.coalesce(F.col("matched_value"), F.lit(0.0))), 2
+        ).alias("sum_matched_value"),
+    )
+
+
+@register(
+    "events_range_join",
+    doc="Interval range join as an equi-join: clicks landing in any "
+    "[purchase_ts, +30min) window of the same user, via bucketized "
+    "interval explosion — never the BroadcastNestedLoopJoin a raw "
+    "BETWEEN predicate plans as.",
+    oracle=f"""
+WITH p AS (
+  SELECT user_id, epoch_ns(ts) AS ps, event_id AS p_id
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, epoch_ns(ts) AS cs, event_id AS c_id
+  FROM events WHERE event_type = 'click'
+)
+SELECT c.user_id,
+       count(*) AS n_pairs,
+       count(DISTINCT p_id) AS n_purchases_hit,
+       count(DISTINCT c_id) AS n_clicks_hit
+FROM c JOIN p
+  ON c.user_id = p.user_id AND c.cs >= p.ps AND c.cs < p.ps + {30 * 60 * NS_PER_S}
+GROUP BY c.user_id
+""",
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    window_ns = 30 * 60 * NS_PER_S
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("_start"),
+        (F.col("ts") + window_ns).alias("_end"),
+        F.col("event_id").alias("p_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("c_id")
+    )
+    pairs = joins.range_join_bucketed(
+        clicks, purchases, "user_id", "ts", "_start", "_end", window_ns
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("p_id").alias("n_purchases_hit"),
+        F.countDistinct("c_id").alias("n_clicks_hit"),
+    )
+
+
+@register(
+    "events_percentiles_by_type",
+    doc="Exact per-group percentiles (Spark `percentile` == DuckDB "
+    "quantile_cont bit-for-bit on identical sorted input) — the "
+    "small-N ground truth for the bucketed scale path.",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.90), 6) AS p90
+FROM events GROUP BY event_type
+""",
+)
+def events_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(F.expr(f"percentile(value, {p})"), 6).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.50, 0.75, 0.90)
+        ]
+    )
+
+
+@register(
+    "events_bucket_quantiles",
+    doc="Histogram-bucket quantiles per event type — the 100 TB "
+    "quantile shape: two hash aggs + a tiny per-group cumulative "
+    "window instead of a full per-group sort; integer bucket output "
+    "is drift-free across engines.",
+    oracle="""
+WITH h AS (
+  SELECT event_type, floor(value / 25.0)::BIGINT AS _b, count(*) AS _n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, _b, _n,
+         sum(_n) OVER (PARTITION BY event_type ORDER BY _b) AS _cum,
+         sum(_n) OVER (PARTITION BY event_type) AS _total
+  FROM h
+)
+SELECT event_type,
+       min(CASE WHEN _cum >= ceil(0.25 * _total) THEN _b END) AS q_25,
+       min(CASE WHEN _cum >= ceil(0.5 * _total) THEN _b END) AS q_50,
+       min(CASE WHEN _cum >= ceil(0.9 * _total) THEN _b END) AS q_90
+FROM c GROUP BY event_type
+""",
+)
+def events_bucket_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    return aggregates.bucket_quantiles(
+        ev, "value", ["event_type"], [0.25, 0.5, 0.9], width=25.0
+    )

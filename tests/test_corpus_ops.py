@@ -1,0 +1,173 @@
+"""Semantics tests for operators/corpus.py and the new join operators
+(as-of, bucketed range) — hand-computed fixtures + equivalence to the
+naive forms the scale paths replace."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from llm_enhanced_data_pipeline_spark.operators import corpus, joins
+
+
+# ---------------------------------------------------------------------------
+# splits / sampling
+# ---------------------------------------------------------------------------
+
+
+def test_split_label_partitions_and_is_deterministic(spark):
+    df = spark.range(2000).select(F.col("id").cast("string").alias("k"))
+    labeled = df.select("k", corpus.split_label(F.col("k")).alias("s"))
+    counts = {r["s"]: r["n"] for r in labeled.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    # 900/50/50 per-mille within generous tolerance
+    assert 0.85 < counts["train"] / 2000 < 0.95
+    # rerun gives the identical assignment (pure function of the key)
+    again = df.select("k", corpus.split_label(F.col("k")).alias("s"))
+    assert labeled.exceptAll(again).count() == 0
+
+
+def test_sample_keep_rate_is_exact_bucket_compare(spark):
+    df = spark.range(1000).select(F.col("id").cast("string").alias("k"))
+    kept = df.filter(corpus.sample_keep(F.col("k"), F.lit(250))).count()
+    # md5 buckets are uniform; 25% +- a few points on n=1000
+    assert 180 < kept < 320
+    # rate 0 keeps nothing, rate 1000 keeps everything (boundary exactness)
+    assert df.filter(corpus.sample_keep(F.col("k"), F.lit(0))).count() == 0
+    assert df.filter(corpus.sample_keep(F.col("k"), F.lit(1000))).count() == 1000
+
+
+# ---------------------------------------------------------------------------
+# token budget / packing
+# ---------------------------------------------------------------------------
+
+
+def _doc_rows(spark):
+    rows = [
+        # domain a: sizes by priority order (bigger n_chars first)
+        Row(d="a", id=1, words=300, n_chars=30),
+        Row(d="a", id=2, words=300, n_chars=20),
+        Row(d="a", id=3, words=300, n_chars=10),
+        # domain b fits entirely
+        Row(d="b", id=4, words=100, n_chars=5),
+        Row(d="b", id=5, words=100, n_chars=4),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_token_budget_filter_per_domain_prefix(spark):
+    kept = corpus.token_budget_filter(
+        _doc_rows(spark), "d", "words", [F.col("n_chars").desc(), F.col("id")], 650
+    )
+    got = {(r["d"], r["id"]) for r in kept.collect()}
+    # domain a: 300+300=600 <= 650, third doc would hit 900 -> dropped
+    assert got == {("a", 1), ("a", 2), ("b", 4), ("b", 5)}
+
+
+def test_pack_sequences_hand_computed(spark):
+    rows = [
+        Row(d="a", id=1, words=300),
+        Row(d="a", id=2, words=300),  # starts at 300, crosses 512
+        Row(d="a", id=3, words=100),  # starts at 600 -> seq 1
+        Row(d="b", id=4, words=10),
+    ]
+    packed = corpus.pack_sequences(
+        spark.createDataFrame(rows), "d", [F.col("id")], "words", 512
+    ).collect()
+    by_id = {r["id"]: r for r in packed}
+    assert by_id[1]["start_offset"] == 0 and by_id[1]["seq_id"] == 0
+    assert by_id[1]["spans_boundary"] == 0  # ends at 299
+    assert by_id[2]["start_offset"] == 300 and by_id[2]["seq_id"] == 0
+    assert by_id[2]["spans_boundary"] == 1  # 300..599 crosses 511|512
+    assert by_id[3]["start_offset"] == 600 and by_id[3]["seq_id"] == 1
+    assert by_id[4]["seq_id"] == 0  # shards pack independently
+
+
+# ---------------------------------------------------------------------------
+# contamination / repetition
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_exact_copy_scores_one(spark):
+    toks = "w1 w2 w3 w4 w5 w6".split()
+    train = spark.createDataFrame(
+        [Row(id=1, toks=toks), Row(id=2, toks=["x1", "x2", "x3", "x4"])]
+    )
+    ev = spark.createDataFrame([Row(id=9, toks=toks)])
+    got = {
+        r["id"]: (r["n_grams"], r["n_hit"])
+        for r in corpus.contamination_scores(train, ev, "id", "toks", n=3).collect()
+    }
+    assert got[1] == (4, 4)  # all 4 distinct 3-grams hit
+    assert got[2] == (2, 0)  # disjoint vocabulary
+
+
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, toks=["a", "b", "a", "b", "a"]),  # 2-grams ab,ba,ab,ba
+            Row(id=2, toks=["u", "v", "w"]),  # uv, vw — all unique
+        ]
+    )
+    got = {r["id"]: r for r in corpus.repetition_stats(df, "id", "toks", n=2).collect()}
+    assert got[1]["n_ngrams"] == 4
+    assert got[1]["n_distinct"] == 2
+    assert got[1]["top_count"] == 2
+    assert got[1]["dup_count"] == 4  # every 2-gram occurs twice
+    assert got[2]["n_ngrams"] == 2 and got[2]["dup_count"] == 0
+
+
+# ---------------------------------------------------------------------------
+# as-of join / range join
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k=1, ts=5),
+            Row(k=1, ts=15),
+            Row(k=1, ts=25),
+            Row(k=2, ts=7),  # key with no right rows at all
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, ts=10, v=100.0, rid=1),
+            Row(k=1, ts=15, v=200.0, rid=2),  # tie with a left ts: inclusive
+            Row(k=1, ts=15, v=300.0, rid=3),  # dup (k, ts): max rid wins
+        ]
+    )
+    out = joins.asof_join(left, right, "k", "ts", "ts", ["v"], right_tiebreak="rid")
+    got = {(r["k"], r["ts"]): r["matched_v"] for r in out.collect()}
+    assert got[(1, 5)] is None  # nothing at or before ts=5
+    assert got[(1, 15)] == 300.0  # inclusive tie, deterministic dup winner
+    assert got[(1, 25)] == 300.0  # latest prior
+    assert got[(2, 7)] is None
+    # no join node in the physical plan — it's a window scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_range_join_bucketed_equals_naive_theta_join(spark):
+    import random
+
+    rng = random.Random(7)
+    pts = spark.createDataFrame(
+        [Row(k=rng.randrange(3), p=rng.randrange(1000), pid=i) for i in range(300)]
+    )
+    ivs = spark.createDataFrame(
+        [
+            Row(k=rng.randrange(3), s=(s := rng.randrange(950)), e=s + rng.randrange(1, 120), iid=i)
+            for i in range(40)
+        ]
+    )
+    fast = joins.range_join_bucketed(pts, ivs, "k", "p", "s", "e", 64)
+    naive = pts.join(ivs, "k").filter((F.col("p") >= F.col("s")) & (F.col("p") < F.col("e")))
+    fast_set = {(r["pid"], r["iid"]) for r in fast.collect()}
+    naive_set = {(r["pid"], r["iid"]) for r in naive.collect()}
+    assert fast_set == naive_set
+    assert len(fast_set) > 0
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
