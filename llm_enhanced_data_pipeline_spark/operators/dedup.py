@@ -530,24 +530,41 @@ def near_dup_pairs_simhash(
     """
     sh = _persist_tracked(simhash_by_id(df, id_col, token_col))
     block_bits = 60 // blocks
-    block_keys = F.array(
+    # Integer (block_index, block_value) join keys — no string
+    # concat/hash per candidate row — and the cheap hamming filter runs
+    # BEFORE the pair dedup so the dropDuplicates shuffle only carries
+    # true near-dups, not every same-block candidate.
+    block_structs = F.array(
         *[
-            F.concat(
-                F.lit(f"{b}:"),
-                ((F.shiftright(F.col("simhash"), b * block_bits)) % F.lit(2**block_bits)).cast("string"),
+            F.struct(
+                F.lit(b).alias("_bi"),
+                (
+                    F.shiftright(F.col("simhash"), b * block_bits) % F.lit(2**block_bits)
+                ).alias("_bv"),
             )
             for b in range(blocks)
         ]
     )
-    keyed = sh.withColumn("_bk", F.explode(block_keys))
-    left = keyed.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_ha"), "_bk")
-    right = keyed.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_hb"), "_bk")
+    keyed = sh.select(
+        F.col(id_col), F.col("simhash"), F.explode(block_structs).alias("_k")
+    ).select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.col("_k._bi").alias("_bi"),
+        F.col("_k._bv").alias("_bv"),
+    )
+    left = keyed.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_ha"), "_bi", "_bv"
+    )
+    right = keyed.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_hb"), "_bi", "_bv"
+    )
     return (
-        left.join(right, "_bk")
+        left.join(right, ["_bi", "_bv"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", hashing.hamming60(F.col("_ha"), F.col("_hb")))
         .filter(F.col("hamming") <= F.lit(max_hamming))
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 

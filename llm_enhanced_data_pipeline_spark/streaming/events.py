@@ -78,15 +78,78 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes", watermark: str
 
 
 def run_to_memory_sink(
-    stream_df: DataFrame, query_name: str, timeout_s: int = 60
+    stream_df: DataFrame, query_name: str, timeout_s: int = 60, mode: str | None = None
 ) -> None:
-    """Drain all available input into an in-memory table (tests/dev)."""
+    """Drain all available input into an in-memory table (tests/dev).
+
+    ``mode`` defaults to "complete" (right for the aggregate streams);
+    pass "append" for row streams — dedup and stream-stream joins only
+    support append output.
+    """
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete" if stream_df.isStreaming else "append")
+        .outputMode(mode or ("complete" if stream_df.isStreaming else "append"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(timeout_s)
     q.stop()
+
+
+def dedup_stream(
+    events: DataFrame, key_cols: tuple[str, ...] = ("event_id",), watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup with watermark-BOUNDED state.
+
+    The streaming twin of operators/dedup.dedup_exact: duplicates
+    arriving within the watermark horizon are dropped;
+    dropDuplicatesWithinWatermark evicts seen-keys state once the
+    watermark passes, so state is O(keys per horizon), not O(all keys
+    ever) — the property that keeps an always-on 100 TB/day ingest
+    dedup from growing without bound (a plain dropDuplicates on a
+    stream never evicts).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+def view_purchase_interval_join_stream(
+    events: DataFrame, max_gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval self-join: each view matched to the same
+    user's purchases at most ``max_gap_minutes`` BEFORE it.
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time range, so Spark can size the join state and evict
+    expired rows — the streaming twin of the batch bucketized range
+    join (operators/joins.range_join_bucketed).
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    cond = (
+        (views.user_id == purchases.p_user_id)
+        & (F.col("v_ts") >= F.col("p_ts"))
+        & (F.col("v_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {max_gap_minutes} MINUTES"))
+    )
+    return views.join(purchases, cond, "inner").select(
+        "user_id", "view_id", "v_ts", "purchase_id", "purchase_value"
+    )

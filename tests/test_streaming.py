@@ -169,3 +169,47 @@ def test_stateful_running_counters(spark, tmp_path):
         expected_n = 10
         expected_t = float(sum(i for i in range(30) if i % 3 == u))
         assert by_user[u] == (expected_n, expected_t), by_user
+
+
+def test_dedup_stream_drops_duplicates_across_microbatches(spark, tmp_path):
+    """The same event_id arriving again (same or later micro-batch,
+    within the watermark) must come out exactly once."""
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00.000Z", "user_id": 0,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 1, "ts": "2024-01-01T00:00:00.000Z", "user_id": 0,
+         "event_type": "click", "value": 1.0, "props": "{}"},  # dup, same batch
+        {"event_id": 1, "ts": "2024-01-01T00:01:00.000Z", "user_id": 0,
+         "event_type": "click", "value": 1.0, "props": "{}"},  # dup, next batch
+        {"event_id": 2, "ts": "2024-01-01T00:02:00.000Z", "user_id": 0,
+         "event_type": "click", "value": 2.0, "props": "{}"},
+    ]
+    path = _write_events_jsonl(tmp_path, rows)
+    stream = se.read_event_stream(spark, path, max_files_per_trigger=1)
+    deduped = se.dedup_stream(stream, key_cols=("event_id",))
+    se.run_to_memory_sink(deduped, "dedup_stream_test", timeout_s=120, mode="append")
+    got = spark.sql("select event_id from dedup_stream_test").collect()
+    assert sorted(r.event_id for r in got) == [1, 2]
+
+
+def test_stream_stream_interval_join_matches_batch_range_join(spark, tmp_path):
+    rows = []
+    # user 0: purchase at 00:00, views at 00:10 (in window) and 01:00 (out)
+    rows.append({"event_id": 10, "ts": "2024-01-01T00:00:00.000Z", "user_id": 0,
+                 "event_type": "purchase", "value": 9.5, "props": "{}"})
+    rows.append({"event_id": 11, "ts": "2024-01-01T00:10:00.000Z", "user_id": 0,
+                 "event_type": "view", "value": 0.0, "props": "{}"})
+    rows.append({"event_id": 12, "ts": "2024-01-01T01:00:00.000Z", "user_id": 0,
+                 "event_type": "view", "value": 0.0, "props": "{}"})
+    # user 1: view with no purchase
+    rows.append({"event_id": 20, "ts": "2024-01-01T00:05:00.000Z", "user_id": 1,
+                 "event_type": "view", "value": 0.0, "props": "{}"})
+    path = _write_events_jsonl(tmp_path, rows)
+    stream = se.read_event_stream(spark, path, max_files_per_trigger=1)
+    joined = se.view_purchase_interval_join_stream(stream, max_gap_minutes=30)
+    se.run_to_memory_sink(joined, "ssj_test", timeout_s=120, mode="append")
+    got = [
+        (r.user_id, r.view_id, r.purchase_id, r.purchase_value)
+        for r in spark.sql("select * from ssj_test").collect()
+    ]
+    assert got == [(0, 11, 10, 9.5)]
