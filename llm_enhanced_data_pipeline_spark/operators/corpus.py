@@ -247,3 +247,46 @@ def repetition_stats(
             "dup_count"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (RAG / context-window preparation)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    chunk_size: int,
+    stride: int,
+) -> DataFrame:
+    """Explode documents into overlapping token windows.
+
+    Chunk ``i`` covers tokens [i*stride, i*stride + chunk_size); the
+    last chunk starts at the smallest multiple of ``stride`` that still
+    reaches the document's end (so every token lands in >=1 chunk).
+    Zero-token documents produce zero chunks.
+
+    Adds ``chunk_idx`` (bigint) and ``chunk_tokens`` (array). Pure
+    sequence-explode + slice — row-parallel, no window, no shuffle;
+    the downstream embed/index stages see independent chunk rows.
+    """
+    size = F.size(F.col(token_col))
+    n_extra = F.greatest(
+        F.ceil((size - F.lit(chunk_size)).cast("double") / stride).cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
+    out = (
+        df.filter(size > 0)
+        .withColumn("chunk_idx", F.explode(F.sequence(F.lit(0).cast("bigint"), n_extra)))
+        .withColumn(
+            "chunk_tokens",
+            F.slice(
+                F.col(token_col),
+                (F.col("chunk_idx") * stride + 1).cast("int"),
+                chunk_size,
+            ),
+        )
+    )
+    return out

@@ -163,6 +163,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "decontamination_report",
+    bench=True,
     doc="Eval-set decontamination: eval = 5% hash split of the "
     "original docs; train side includes their near-dup variants, which "
     "the 3-gram-hash equi-join (broadcast eval universe, never "
@@ -261,3 +262,93 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top_2gram_frac"),
     )
     return out.orderBy(F.desc("dup_2gram_frac"), "doc_id").limit(25)
+
+
+@register(
+    "doc_chunking",
+    doc="RAG/context-window chunking: overlapping 32-token windows at "
+    "stride 24 via sequence-explode + slice — row-parallel, no "
+    "shuffle; chunk identity pinned by the engine-stable rolling "
+    "hash of the chunk's tokens.",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+n AS (
+  SELECT doc_id, toks, len(toks) AS sz FROM tk WHERE len(toks) > 0
+),
+ch AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(ceil((sz - 32)::DOUBLE / 24)::BIGINT, 0) + 1))
+           AS chunk_idx
+  FROM n
+)
+SELECT doc_id, chunk_idx,
+       len(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32))::BIGINT
+         AS n_chunk_tokens,
+       {hashing.rolling_token_hash_sql("list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32)")}
+         AS chunk_hash
+FROM ch
+""",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    chunked = corpus.chunk_documents(docs, "doc_id", "toks", chunk_size=32, stride=24)
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk_tokens").cast("bigint").alias("n_chunk_tokens"),
+        hashing.rolling_token_hash(F.col("chunk_tokens")).alias("chunk_hash"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    doc="TF-IDF top-5 terms per source (linear-idf variant: "
+    "tf * N / df — integer-derived doubles, bit-identical across "
+    "engines, no engine-private ln). tf and df aggregate on the same "
+    "term key, so the join reuses one shuffle partitioning.",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest({_TOKS}) AS term FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM tok GROUP BY term),
+tf AS (SELECT source, term, count(*) AS tf_st FROM tok GROUP BY source, term),
+sc AS (
+  SELECT tf.source, tf.term,
+         {rounding.stable_round_sql("tf_st::DOUBLE * n_docs / df_t", 4)} AS score
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+)
+SELECT source, term, score, rank FROM (
+  SELECT source, term, score,
+         row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS rank
+  FROM sc
+) WHERE rank <= 5
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", "source", F.explode(cleaning.tokens(F.col("text"))).alias("term")
+    )
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df_t"))
+    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf_st"))
+    ndf = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    sc = tf.join(dfreq, "term").crossJoin(F.broadcast(ndf))
+    scored = sc.withColumn(
+        "score",
+        rounding.stable_round(
+            F.col("tf_st").cast("double") * F.col("n_docs") / F.col("df_t"), 4
+        ),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("source", "term", "score", "rank")
+    )

@@ -203,6 +203,7 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_asof_join",
+    bench=True,
     doc="Backward as-of join (kdb/DuckDB ASOF semantics; Spark has no "
     "built-in): each view event picks the user's latest prior purchase "
     "value. Union-and-scan implementation — one shuffle, zero join "
