@@ -283,9 +283,17 @@ def minhash_grouped(
         sig_cols.append(
             F.min((F.col("_sh") * a + b) % hashing.MINHASH_PRIME).alias(f"_s{i}")
         )
-    return _persist_tracked(
+    frame = _persist_tracked(
         rows.groupBy(id_col).agg(F.collect_set("_sh").alias("_hset"), *sig_cols)
     )
+    # Materialize NOW: the pair join consumes this frame through three
+    # re-aliased self-join branches, and planning those against a
+    # not-yet-built cache makes each branch (including broadcast
+    # builds) recompute the whole shingle+md5 pipeline instead of
+    # reading the cache — measured 15x slower at 44k docs. One cheap
+    # count turns every downstream consumer into an InMemoryTableScan.
+    frame.count()
+    return frame
 
 
 def near_dup_pairs_minhash(

@@ -201,11 +201,29 @@ def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_with_near_dups(spark, sf_dir).withColumn(
         "toks", cleaning.tokens(F.col("text"))
     )
+    # The eval flag is a pure function of doc_id, so the corpus is
+    # tokenized/shingled ONCE and the flag is re-derived on the gram
+    # rows — not two scans through separate train/eval branches. The
+    # gram frame is persisted (and materialized — see minhash_grouped)
+    # because both the train and eval branches consume it.
+    grams = dedup._persist_tracked(
+        dedup.shingle_hash_rows(docs, "doc_id", "toks", n=3)
+    )
+    grams.count()
     is_eval = (F.col("doc_id") < VARIANT_OFFSET) & (
         corpus.split_bucket(F.col("doc_id").cast("string")) >= 950
     )
-    scores = corpus.contamination_scores(
-        docs.filter(~is_eval), docs.filter(is_eval), "doc_id", "toks", n=3
+    train_g = grams.filter(~is_eval).distinct()
+    eval_g = (
+        grams.filter(is_eval).select("_sh").distinct().withColumn("_hit", F.lit(1))
+    )
+    scores = (
+        train_g.join(F.broadcast(eval_g), "_sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
     )
     return scores.filter(F.col("n_hit") > 0).select(
         "doc_id",

@@ -347,3 +347,129 @@ def events_bucket_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.bucket_quantiles(
         ev, "value", ["event_type"], [0.25, 0.5, 0.9], width=25.0
     )
+
+
+@register(
+    "events_funnel",
+    doc="Ordered funnel (view -> click -> purchase per user): stacked "
+    "per-user window minima — each stage's first-hit must be at or "
+    "after the previous stage's. Three window passes over ONE user "
+    "shuffle (Catalyst chains same-partitioning windows).",
+    oracle="""
+WITH w1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS v
+  FROM events
+),
+w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts >= v THEN ts END)
+              OVER (PARTITION BY user_id) AS c
+  FROM w1
+),
+w3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= c THEN ts END)
+              OVER (PARTITION BY user_id) AS p
+  FROM w2
+)
+SELECT count(DISTINCT CASE WHEN v IS NOT NULL THEN user_id END) AS n_reached_view,
+       count(DISTINCT CASE WHEN c IS NOT NULL THEN user_id END) AS n_reached_click,
+       count(DISTINCT CASE WHEN p IS NOT NULL THEN user_id END) AS n_reached_purchase
+FROM w3
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    wu = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "v", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu)
+        )
+        .withColumn(
+            "c",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("v")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
+        .withColumn(
+            "p",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("c")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
+    )
+    return staged.agg(
+        F.countDistinct(F.when(F.col("v").isNotNull(), F.col("user_id"))).alias(
+            "n_reached_view"
+        ),
+        F.countDistinct(F.when(F.col("c").isNotNull(), F.col("user_id"))).alias(
+            "n_reached_click"
+        ),
+        F.countDistinct(F.when(F.col("p").isNotNull(), F.col("user_id"))).alias(
+            "n_reached_purchase"
+        ),
+    )
+
+
+@register(
+    "events_type_pivot",
+    doc="Hourly wide table via pivot with EXPLICIT type values (an "
+    "implicit pivot would add a distinct-scan job and make the output "
+    "schema data-dependent — never at 100 TB).",
+    oracle=f"""
+SELECT (epoch_ns(ts) // {NS_PER_HOUR}) AS hour_bucket,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error
+FROM events GROUP BY 1
+""",
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        ev.withColumn("hour_bucket", F.expr(f"ts div {NS_PER_HOUR}"))
+        .groupBy("hour_bucket")
+        .pivot("event_type", types)
+        .count()
+    )
+    # pivot leaves missing cells null — normalize to 0 like the CASE sums
+    return out.select(
+        "hour_bucket",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types],
+    )
+
+
+@register(
+    "events_type_hour_cube",
+    doc="CUBE(event_type, hour-of-day) counts with grouping_id — all "
+    "four rollup combinations in one pass of partial aggregates.",
+    oracle=f"""
+SELECT event_type,
+       (epoch_ns(ts) // {NS_PER_HOUR}) % 24 AS hour_of_day,
+       grouping(event_type, (epoch_ns(ts) // {NS_PER_HOUR}) % 24)::BIGINT AS gid,
+       count(*) AS n
+FROM events
+GROUP BY CUBE(event_type, (epoch_ns(ts) // {NS_PER_HOUR}) % 24)
+""",
+)
+def events_type_hour_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "hour_of_day", F.expr(f"ts div {NS_PER_HOUR}") % 24
+    )
+    return (
+        ev.cube("event_type", "hour_of_day")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("event_type", "hour_of_day", "gid", "n")
+    )

@@ -27,7 +27,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from llm_enhanced_data_pipeline_spark.operators import dedup, vector
+from llm_enhanced_data_pipeline_spark.operators import corpus, dedup, joins, vector
 from llm_enhanced_data_pipeline_spark.queries.dedup_q import _docs_with_near_dups
 from llm_enhanced_data_pipeline_spark.session import get_spark
 from llm_enhanced_data_pipeline_spark.tables import load_table
@@ -64,6 +64,22 @@ def replicated_embeddings(spark: SparkSession, r: int) -> DataFrame:
     )
 
 
+def replicated_events(spark: SparkSession, r: int) -> DataFrame:
+    base = load_table(spark, "events", SF_DIR)
+    reps = spark.range(r).select(F.col("id").alias("_rep"))
+    return (
+        base.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("event_id") + F.col("_rep") * 10_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("_rep") * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 def time_op(fn) -> float:
     t0 = time.perf_counter()
     fn()
@@ -87,6 +103,42 @@ def run_at(spark: SparkSession, r: int) -> dict[str, float]:
     )
     dedup.release_caches()
 
+    # corpus-construction scale paths: decontamination's gram equi-join,
+    # chunk explosion, Gopher repetition aggs — all should track data size
+    is_eval = corpus.split_bucket(F.col("doc_id").cast("string")) >= 950
+    out["decontamination"] = time_op(
+        lambda: corpus.contamination_scores(
+            toked.filter(~is_eval), toked.filter(is_eval), "doc_id", "toks", n=3
+        ).count()
+    )
+    out["chunking"] = time_op(
+        lambda: corpus.chunk_documents(toked, "doc_id", "toks", 32, 24).count()
+    )
+    out["repetition"] = time_op(
+        lambda: corpus.repetition_stats(toked, "doc_id", "toks", n=2).count()
+    )
+
+    ev = replicated_events(spark, r).persist()
+    out["n_events"] = ev.count()
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out["asof_join"] = time_op(
+        lambda: joins.asof_join(
+            views, purchases, "user_id", "ts", "ts", ["value"], right_tiebreak="event_id"
+        ).count()
+    )
+    win = 30 * 60 * 1_000_000_000
+    intervals = purchases.select(
+        "user_id", F.col("ts").alias("_s"), (F.col("ts") + win).alias("_e")
+    )
+    out["range_join"] = time_op(
+        lambda: joins.range_join_bucketed(
+            views, intervals, "user_id", "ts", "_s", "_e", win
+        ).count()
+    )
+
     emb = replicated_embeddings(spark, r).persist()
     out["n_vecs"] = emb.count()
     cents = vector.centroids_by_key(emb, "label", "embedding")
@@ -97,6 +149,7 @@ def run_at(spark: SparkSession, r: int) -> dict[str, float]:
         ).count()
     )
     docs.unpersist()
+    ev.unpersist()
     emb.unpersist()
     dedup.release_caches()
     return out
@@ -114,7 +167,16 @@ def main() -> None:
         "high": high,
         "wall_ratios": {
             k: round(high[k] / max(low[k], 0.01), 2)
-            for k in ("minhash_pairs", "simhash_pairs", "ivf_knn")
+            for k in (
+                "minhash_pairs",
+                "simhash_pairs",
+                "decontamination",
+                "chunking",
+                "repetition",
+                "asof_join",
+                "range_join",
+                "ivf_knn",
+            )
         },
     }
     print(json.dumps(report))
