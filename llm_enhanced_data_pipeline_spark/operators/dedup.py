@@ -399,6 +399,7 @@ def connected_components(
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
     )
+    edges.count()  # build once; every propagation round re-reads it
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label")).persist()
     for _ in range(max_iterations):
         neighbor_min = (
@@ -537,6 +538,9 @@ def near_dup_pairs_simhash(
     15-bit blocks of the 60-bit fingerprint).
     """
     sh = _persist_tracked(simhash_by_id(df, id_col, token_col))
+    # materialize before the two-sided self-join reads it (same
+    # unbuilt-cache re-alias hazard as minhash_grouped)
+    sh.count()
     block_bits = 60 // blocks
     # Integer (block_index, block_value) join keys — no string
     # concat/hash per candidate row — and the cheap hamming filter runs

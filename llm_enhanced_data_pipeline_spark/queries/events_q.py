@@ -473,3 +473,33 @@ def events_type_hour_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "hour_of_day", "gid", "n")
     )
+
+
+NS_PER_DAY = 24 * NS_PER_HOUR
+
+
+@register(
+    "events_retention_cohorts",
+    doc="Retention triangle: users grouped by first-seen day, distinct "
+    "actives per (cohort_day, day_offset) — one per-user window min + "
+    "one distinct aggregate.",
+    oracle=f"""
+WITH d AS (
+  SELECT user_id, (epoch_ns(ts) // {NS_PER_DAY}) AS day,
+         min(epoch_ns(ts) // {NS_PER_DAY}) OVER (PARTITION BY user_id) AS cohort_day
+  FROM events
+)
+SELECT cohort_day, (day - cohort_day) AS day_offset,
+       count(DISTINCT user_id) AS n_users
+FROM d GROUP BY cohort_day, day_offset
+""",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "day", F.expr(f"ts div {NS_PER_DAY}")
+    )
+    wu = Window.partitionBy("user_id")
+    d = ev.withColumn("cohort_day", F.min("day").over(wu))
+    return d.groupBy(
+        "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+    ).agg(F.countDistinct("user_id").alias("n_users"))

@@ -314,6 +314,7 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature re-join, the survivor anti-join) — persist it so the
     # scan->gate->window lineage runs once, not three times.
     with_toks = dedup._persist_tracked(exact)
+    with_toks.count()  # 3 consumers; see minhash_grouped on why eager
     pairs = dedup.near_dup_pairs_simhash(with_toks, "doc_id", "_toks", max_hamming=3)
     dup_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     survivors = with_toks.join(dup_ids, "doc_id", "left_anti")

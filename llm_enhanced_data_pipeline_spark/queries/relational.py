@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import rounding
 from ..operators import joins
 from ..tables import load_table
 from .registry import register
@@ -346,3 +347,146 @@ def rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.rollup("lang", "source").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.avg("n_chars"), 4).alias("avg_chars")
     )
+
+
+@register(
+    "scd2_user_value_history",
+    doc="SCD2 history build: each user's purchase-value changes become "
+    "validity intervals via lead() — valid_to = next change's ts, open "
+    "intervals NULL. One keyed window, no self-join.",
+    oracle="""
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS tus, value, event_id
+  FROM events WHERE event_type = 'purchase'
+),
+h AS (
+  SELECT user_id, value, tus AS valid_from,
+         lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS valid_to
+  FROM p
+)
+SELECT user_id, value, valid_from, valid_to FROM h
+""",
+)
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    # events.ts is epoch NANOS in Spark but DuckDB timestamps carry
+    # microseconds — validity bounds cross the oracle boundary as epoch
+    # micros (ts div 1000)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.expr("ts div 1000").alias("valid_from"), "value", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return p.select(
+        "user_id",
+        "value",
+        "valid_from",
+        F.lead("valid_from").over(w).alias("valid_to"),
+    )
+
+
+@register(
+    "incremental_upsert",
+    doc="Keyed incremental merge (SCD1 upsert): updates win over base "
+    "via full-outer join + coalesce — the batch MERGE INTO shape for "
+    "snapshot maintenance.",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 3 <> 0
+),
+updates AS (
+  SELECT o_orderkey, (floor(o_totalprice * 1.1::DOUBLE * 100.0 + 0.5) / 100.0) AS o_totalprice,
+         'U' AS o_orderstatus
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+       coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+       coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+       (CASE WHEN u.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL THEN 'updated'
+             WHEN u.o_orderkey IS NOT NULL THEN 'inserted'
+             ELSE 'unchanged' END) AS merge_action
+FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+""",
+)
+def incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    base = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        rounding.stable_round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    b = base.alias("b")
+    u = updates.alias("u")
+    joined = b.join(u, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("u.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("u.o_totalprice"), F.col("b.o_totalprice")).alias(
+            "o_totalprice"
+        ),
+        F.coalesce(F.col("u.o_orderstatus"), F.col("b.o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.when(
+            F.col("u.o_orderkey").isNotNull() & F.col("b.o_orderkey").isNotNull(),
+            F.lit("updated"),
+        )
+        .when(F.col("u.o_orderkey").isNotNull(), F.lit("inserted"))
+        .otherwise(F.lit("unchanged"))
+        .alias("merge_action"),
+    )
+
+
+@register(
+    "dq_constraint_report",
+    doc="Deequ-style declarative data-quality constraints evaluated in "
+    "ONE aggregate pass: completeness, uniqueness, range, and "
+    "set-membership each become a metric column, then unpivoted to a "
+    "(constraint, metric, passed) report.",
+    oracle="""
+WITH m AS (
+  SELECT round(avg(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS completeness_custkey,
+         round(count(DISTINCT o_orderkey)::DOUBLE / count(*), 6) AS uniqueness_orderkey,
+         round(avg(CASE WHEN o_totalprice > 0 THEN 1.0 ELSE 0.0 END), 6) AS range_totalprice,
+         round(avg(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0 ELSE 0.0 END), 6) AS membership_status
+  FROM orders
+)
+SELECT 'completeness_custkey' AS constraint, completeness_custkey AS metric,
+       (completeness_custkey >= 1.0) AS passed FROM m
+UNION ALL
+SELECT 'uniqueness_orderkey', uniqueness_orderkey, uniqueness_orderkey >= 1.0 FROM m
+UNION ALL
+SELECT 'range_totalprice', range_totalprice, range_totalprice >= 1.0 FROM m
+UNION ALL
+SELECT 'membership_status', membership_status, membership_status >= 1.0 FROM m
+""",
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    m = orders.agg(
+        F.round(
+            F.avg(F.when(F.col("o_custkey").isNotNull(), 1.0).otherwise(0.0)), 6
+        ).alias("completeness_custkey"),
+        F.round(
+            F.countDistinct("o_orderkey").cast("double") / F.count(F.lit(1)), 6
+        ).alias("uniqueness_orderkey"),
+        F.round(F.avg(F.when(F.col("o_totalprice") > 0, 1.0).otherwise(0.0)), 6).alias(
+            "range_totalprice"
+        ),
+        F.round(
+            F.avg(
+                F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1.0).otherwise(0.0)
+            ),
+            6,
+        ).alias("membership_status"),
+    )
+    metrics = ["completeness_custkey", "uniqueness_orderkey", "range_totalprice",
+               "membership_status"]
+    # stack() unpivots the single 1-row aggregate — one scan, one job
+    # (a union of per-metric selects would re-run the aggregate per
+    # branch on this un-persisted frame)
+    pairs = ", ".join(f"'{name}', {name}" for name in metrics)
+    return m.select(
+        F.expr(f"stack({len(metrics)}, {pairs}) AS (constraint, metric)")
+    ).withColumn("passed", F.col("metric") >= 1.0)

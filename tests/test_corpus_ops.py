@@ -171,3 +171,28 @@ def test_range_join_bucketed_equals_naive_theta_join(spark):
     assert len(fast_set) > 0
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_asof_join_equals_naive_on_random_data(spark):
+    import random
+
+    rng = random.Random(17)
+    left = [(rng.randrange(5), rng.randrange(1000)) for _ in range(200)]
+    right = [
+        (rng.randrange(5), rng.randrange(1000), float(i), i) for i in range(120)
+    ]
+    ldf = spark.createDataFrame([Row(k=k, ts=t) for k, t in left])
+    rdf = spark.createDataFrame(
+        [Row(k=k, ts=t, v=v, rid=r) for k, t, v, r in right]
+    )
+    out = joins.asof_join(ldf, rdf, "k", "ts", "ts", ["v"], right_tiebreak="rid")
+    got = sorted((r["k"], r["ts"], r["matched_v"]) for r in out.collect())
+
+    def naive(k, ts):
+        cands = [(t, rid, v) for rk, t, v, rid in right if rk == k and t <= ts]
+        if not cands:
+            return None
+        return max(cands)[2]  # latest ts, then highest rid, wins
+
+    expected = sorted((k, ts, naive(k, ts)) for k, ts in left)
+    assert got == expected

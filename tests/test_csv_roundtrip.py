@@ -20,3 +20,23 @@ def test_csv_stats_roundtrip(spark, sf_dir, tmp_path):
     a = {r.lang: (r.n, r.avg_chars) for r in stats.collect()}
     b = {r.lang: (r.n, r.avg_chars) for r in back.collect()}
     assert a == b
+
+
+def test_orc_roundtrip_preserves_schema_and_values(spark, sf_dir, tmp_path):
+    """ORC sink/source parity (second columnar format beside parquet):
+    schema and values survive a write/read cycle, including the array
+    column the driver gate can't hash (ORC keeps it typed)."""
+    docs = load_table(spark, "documents", sf_dir).limit(200).select(
+        "doc_id", "text", "source", F.split("text", " ").alias("toks")
+    )
+    out = str(tmp_path / "docs_orc")
+    docs.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    # nullability widens on read-back (ORC stores no containsNull=false);
+    # names and types must survive exactly
+    assert [(f.name, f.dataType.simpleString()) for f in back.schema] == [
+        (f.name, f.dataType.simpleString()) for f in docs.schema
+    ]
+    a = sorted((r.doc_id, r.text, tuple(r.toks)) for r in docs.collect())
+    b = sorted((r.doc_id, r.text, tuple(r.toks)) for r in back.collect())
+    assert a == b

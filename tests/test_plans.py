@@ -80,6 +80,7 @@ QUADRATIC_BY_DESIGN = {
                               # pipeline stage counters
     "ivf_assignments",        # N x K centroid scoring over a broadcast
     "ivf_knn",                # K-row centroid frame — the IVF plan
+    "tfidf_top_terms",        # broadcast 1-row corpus-size frame (idf)
 }
 
 
