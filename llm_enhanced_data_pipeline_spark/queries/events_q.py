@@ -503,3 +503,88 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy(
         "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
     ).agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@register(
+    "events_user_trend",
+    doc="Per-user OLS slope of value over time, computed from the five "
+    "closed-form sums in one hash aggregate (no per-group sort, no "
+    "UDF; engine regr_slope internals differ, the raw-sum formula "
+    "doesn't). Time in hours since each user's first event.",
+    oracle=f"""
+WITH b AS (
+  SELECT user_id,
+         (epoch_ns(ts) - min(epoch_ns(ts)) OVER (PARTITION BY user_id))::DOUBLE
+           / {NS_PER_HOUR} AS x,
+         value AS y
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM b GROUP BY user_id
+)
+SELECT user_id, n,
+       {rounding.stable_round_sql(
+           "(n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)", 4)} AS slope
+FROM s WHERE n >= 2
+""",
+)
+def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    wu = Window.partitionBy("user_id")
+    x = (F.col("ts") - F.min("ts").over(wu)).cast("double") / NS_PER_HOUR
+    b = ev.select("user_id", x.alias("x"), F.col("value").alias("y"))
+    s = b.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.when(
+        denom != 0.0, denom
+    )
+    return s.filter(F.col("n") >= 2).select(
+        "user_id", "n", rounding.stable_round(slope, 4).alias("slope")
+    )
+
+
+@register(
+    "events_rolling_hour_avg",
+    doc="Time-range rolling mean per user (RANGE BETWEEN 1 hour "
+    "PRECEDING): summand is integer cents so the windowed sum is "
+    "EXACT — no FP association-order drift between engines' window "
+    "implementations.",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+  FROM events WHERE value IS NOT NULL
+)
+SELECT user_id, event_id,
+       {rounding.stable_round_sql(
+           "(sum(vc) OVER (PARTITION BY user_id ORDER BY tns"
+           f" RANGE BETWEEN {NS_PER_HOUR} PRECEDING AND CURRENT ROW))::DOUBLE"
+           " / (100.0 * count(*) OVER (PARTITION BY user_id ORDER BY tns"
+           f" RANGE BETWEEN {NS_PER_HOUR} PRECEDING AND CURRENT ROW))", 4)}
+         AS rolling_avg
+FROM c
+""",
+)
+def events_rolling_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    c = ev.select("user_id", "event_id", F.col("ts").alias("tns"), cents.alias("vc"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tns")
+        .rangeBetween(-NS_PER_HOUR, Window.currentRow)
+    )
+    rolling = F.sum("vc").over(w).cast("double") / (
+        F.lit(100.0) * F.count(F.lit(1)).over(w)
+    )
+    return c.select(
+        "user_id", "event_id", rounding.stable_round(rolling, 4).alias("rolling_avg")
+    )
