@@ -193,3 +193,51 @@ def test_release_caches_reclaims_tracked_intermediates(spark):
     released = dedup.release_caches()
     assert released >= 2
     assert dedup.release_caches() == 0
+
+
+def _union_find_components(node_ids, edges):
+    """Driver-side ground truth: min reachable id per node."""
+    parent = {n: n for n in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in node_ids}
+
+
+def test_connected_components_star_matches_union_find(spark):
+    """Large-star/small-star must produce the identical component map as
+    a driver-side union-find on adversarial shapes: a long chain (the
+    O(diameter) case star contraction exists for), cliques, and random
+    sparse graphs.  The chain's diameter (60) far exceeds the star
+    iteration cap (12) — convergence must come from contraction, not
+    from propagation rounds."""
+    import random
+
+    from pyspark.sql import Row
+
+    rng = random.Random(23)
+    chain = [(i, i + 1) for i in range(60)]  # diameter 60
+    clique = [(100 + a, 100 + b) for a in range(8) for b in range(a + 1, 8)]
+    rand = [
+        (200 + rng.randrange(40), 200 + rng.randrange(40)) for _ in range(50)
+    ]
+    edges = [(a, b) for a, b in chain + clique + rand if a != b]
+    node_ids = sorted({n for e in edges for n in e} | {999})  # 999 isolated
+    nodes = spark.createDataFrame([Row(doc_id=n) for n in node_ids])
+    pairs = spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in edges])
+
+    expected = set(_union_find_components(node_ids, edges).items())
+    star = {
+        (r["doc_id"], r["component"])
+        for r in dedup.connected_components_star(nodes, pairs, "doc_id").collect()
+    }
+    assert star == expected
+    assert (999, 999) in star  # isolated node keeps its own label
