@@ -28,31 +28,43 @@ def main() -> None:
     )
     # Warm the JVM/codegen once with the cheapest query so per-query
     # numbers measure the plan, not session startup.
-    warm = bench_specs[0].fn(spark, SF_DIR)
-    warm.limit(1).collect()
+    try:
+        warm = bench_specs[0].fn(spark, SF_DIR)
+        warm.limit(1).collect()
+    except Exception as exc:  # warm-up failure must not kill the bench
+        print(f"# warm-up failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for spec in bench_specs:
         t0 = time.perf_counter()
-        df = spec.fn(spark, SF_DIR)
-        n = df.count()  # forces full execution; result stays distributed
+        try:
+            df = spec.fn(spark, SF_DIR)
+            n = df.count()  # forces full execution; result stays distributed
+        except Exception as exc:
+            # One broken query must not zero the whole round's bench:
+            # record the error, keep timing the rest.
+            errors[spec.name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {spec.name}: ERROR {errors[spec.name]}", file=sys.stderr)
+            continue
         timings[spec.name] = round(time.perf_counter() - t0, 4)
         print(f"# {spec.name}: {timings[spec.name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
+    if timings == {} and errors:
+        sys.exit(1)  # non-zero only when EVERY query failed
 
 
 if __name__ == "__main__":

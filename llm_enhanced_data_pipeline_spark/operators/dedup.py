@@ -400,7 +400,14 @@ def connected_components(
         .distinct()
     )
     edges.count()  # build once; every propagation round re-reads it
-    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label")).persist()
+    # localCheckpoint (not persist): iterative loops MUST truncate the
+    # logical plan each round — persist caches the data but the analyzer
+    # still re-walks the whole accumulated tree, which grows ~2x per
+    # round and turns driver-side analysis into the bottleneck long
+    # before the data does.
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
@@ -415,7 +422,7 @@ def connected_components(
                     "label"
                 ),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -423,13 +430,9 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    # labels is materialized (the convergence count ran); register it
-    # so release_caches() can reclaim the final cached generation too.
-    _LIVE_CACHES.append(labels)
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
 
 
@@ -500,12 +503,15 @@ def connected_components_star(
         ).collect()[0]
         return int(row["n"]), int(row["h"])
 
-    e = _persist_tracked(e)
+    # localCheckpoint every round: star contraction references the
+    # previous edge set ~4x per round, so without lineage truncation the
+    # logical plan grows 4^rounds and Catalyst analysis (driver-side)
+    # becomes the scale killer — the data itself shrinks every round.
+    e = e.localCheckpoint(eager=True)
     prev = checksum(e)
     for _ in range(max_iterations):
-        nxt = _persist_tracked(star_round(star_round(e, large=True), large=False))
+        nxt = star_round(star_round(e, large=True), large=False).localCheckpoint(eager=True)
         cur = checksum(nxt)
-        e.unpersist()
         e = nxt
         if cur == prev:
             break

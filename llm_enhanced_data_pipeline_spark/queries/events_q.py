@@ -1,10 +1,11 @@
 """Event-stream queries (batch forms; streaming twins live in
 llm_enhanced_data_pipeline_spark/streaming/).
 
-events.ts is parquet TIMESTAMP(NANOS): Spark reads epoch-nano longs
-(nanosAsLong conf, set inside load_table), DuckDB reads native
-timestamps — so time math crosses the oracle boundary as epoch
-integers only.
+load_table normalizes events.ts to an epoch-nano long regardless of the
+parquet's physical timestamp encoding (nanos-long legacy vintage or
+timestamp[us]); DuckDB reads the native timestamps — so time math
+crosses the oracle boundary as epoch integers only (epoch_ns on the
+DuckDB side).
 """
 
 from __future__ import annotations

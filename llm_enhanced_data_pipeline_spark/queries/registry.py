@@ -15,8 +15,9 @@ Determinism rules applied throughout:
 - doubles are rounded (money 2dp, ratios/sims 4-6dp) on BOTH sides;
 - every top-k has a total tie-break order;
 - timestamps never cross the boundary raw — epoch integers instead
-  (events.ts is parquet TIMESTAMP(NANOS): long nanos in Spark via the
-  nanosAsLong conf, native timestamp in DuckDB).
+  (load_table normalizes events.ts to long nanos in Spark whatever the
+  parquet's physical encoding; DuckDB reads native timestamps and
+  converts with epoch_ns).
 """
 
 from __future__ import annotations

@@ -57,9 +57,9 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_brute_force",
-    bench=True,
     doc="Exact kNN join: 3 nearest neighbors for each of the first 10 "
-    "vectors (broadcast corpus + per-query window top-k).",
+    "vectors (broadcast corpus + per-query window top-k). Correctness "
+    "baseline only — the benched headline is ivf_knn, the scale path.",
     oracle=f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
 scored AS (
@@ -121,6 +121,7 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ivf_knn",
+    bench=True,
     doc="IVF-routed approximate kNN (nprobe=1): query + corpus bucketed "
     "by nearest centroid, exact kNN inside the bucket — the equi-join "
     "scale path for similarity search.",

@@ -57,6 +57,9 @@ def enable_nanos_as_long(spark: SparkSession) -> None:
     Stock Spark rejects nano-precision parquet timestamps
     (PARQUET_TYPE_ILLEGAL); this legacy conf is runtime-settable and is
     applied inside every query that touches the ``events`` table so the
-    queries also work under a caller-provided session.
+    queries also work under a caller-provided session. Harmless for the
+    current timestamp[us] testdata vintage (the conf only affects
+    nano-precision columns); load_table handles dtype normalization for
+    both vintages.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

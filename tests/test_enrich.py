@@ -112,6 +112,37 @@ def test_embed_with_adapter_batches_and_normalizes(spark):
     assert rows == rows2
 
 
+def test_embed_with_honors_batch_size_contract(spark):
+    # Injection test for the real-model adapter path (reference batching:
+    # rag.ipynb EmbeddingModel, batch 32): a fake batch model stands in
+    # for sentence-transformers. The fake runs on executors, so it
+    # ENCODES what it observed into the output vectors: each embedding is
+    # [len(batch), position_in_batch, text_length] — collected back
+    # through Arrow for the assertions.
+    from llm_enhanced_data_pipeline_spark.enrich.embedding import embed_with
+
+    def fake_batch_model(texts: list[str]) -> list[list[float]]:
+        n = float(len(texts))
+        return [[n, float(i), float(len(t))] for i, t in enumerate(texts)]
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="x" * (i + 1)) for i in range(10)]
+    ).repartition(1)  # one Arrow batch → deterministic chunking
+    out = embed_with(df, "doc_id", "text", fake_batch_model, batch_size=4)
+
+    assert dict(out.dtypes) == {"doc_id": "bigint", "embedding": "array<float>"}
+    rows = {r.doc_id: list(r.embedding) for r in out.collect()}
+    assert len(rows) == 10
+    # 10 rows at batch_size=4 → the model must see chunks of 4, 4, 2 —
+    # never the whole partition at once, never row-at-a-time.
+    sizes = sorted(v[0] for v in rows.values())
+    assert sizes == [2.0, 2.0] + [4.0] * 8
+    # every position index is within its chunk
+    assert all(v[1] < v[0] for v in rows.values())
+    # Arrow round-trip preserves the float payload (text i has length i+1)
+    assert all(rows[i][2] == float(i + 1) for i in range(10))
+
+
 def test_sentence_transformer_embedder_is_cleanly_gated():
     import pytest as _pytest
 

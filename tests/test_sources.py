@@ -1,16 +1,21 @@
-"""JSONL permissive reads (S4), checkpoint resume (S9/J3), and the
-inverted-index round trip (S10)."""
+"""JSONL permissive reads (S4), checkpoint resume (S9/J3), the
+inverted-index round trip (S10), and the load_table schema contract
+(guards against testdata timestamp-encoding drift)."""
 
 from __future__ import annotations
 
 import os
 
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from llm_enhanced_data_pipeline_spark.sources import inverted_index, jsonl
 from llm_enhanced_data_pipeline_spark.sources.checkpoint import ParquetCheckpoint
+from llm_enhanced_data_pipeline_spark.tables import TABLE_NAMES, load_table
 
 
 def test_jsonl_permissive_corrupt_lines(spark, tmp_path):
@@ -55,6 +60,93 @@ def test_checkpoint_resume_skips_processed(spark, tmp_path):
     assert ckpt.remaining(todo).count() == 0
     merged = ckpt.merged(spark.createDataFrame([], first_batch.schema))
     assert merged.count() == 10
+
+
+# --- load_table schema contract -------------------------------------------
+#
+# The driver has regenerated the testdata with a different physical
+# timestamp encoding once already (TIMESTAMP(NANOS) → timestamp[us]);
+# these tests pin the canonical contract so the next drift fails loudly
+# in CI instead of at driver time.
+
+_EVENT_NANOS = [1704067207179575000, 1704067432824425000, 1704067589165275000]
+
+
+def _write_events(tmp_path, ts_array) -> str:
+    table = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2], pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array([10, 11, 12], pa.int64()),
+            "event_type": pa.array(["a", "b", "c"]),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+@pytest.mark.parametrize(
+    "vintage, ts_array",
+    [
+        ("nanos", pa.array(_EVENT_NANOS, pa.timestamp("ns"))),
+        ("micros_ntz", pa.array([n // 1000 for n in _EVENT_NANOS], pa.timestamp("us"))),
+        (
+            "micros_utc",
+            pa.array([n // 1000 for n in _EVENT_NANOS], pa.timestamp("us", tz="UTC")),
+        ),
+    ],
+    ids=["nanos", "micros_ntz", "micros_utc"],
+)
+def test_events_loader_normalizes_every_timestamp_vintage(spark, tmp_path, vintage, ts_array):
+    sf_dir = _write_events(tmp_path, ts_array)
+    ev = load_table(spark, "events", sf_dir)
+    dtypes = dict(ev.dtypes)
+    assert dtypes["ts"] == "bigint"
+    assert dtypes["ts_epoch_s"] == "bigint"
+    assert dtypes["ts_ts"] == "timestamp"
+    got = [r.ts for r in ev.orderBy("event_id").select("ts").collect()]
+    want = (
+        _EVENT_NANOS
+        if vintage == "nanos"
+        else [n // 1000 * 1000 for n in _EVENT_NANOS]  # micro precision
+    )
+    assert got == want
+    secs = [r.ts_epoch_s for r in ev.orderBy("event_id").select("ts_epoch_s").collect()]
+    assert secs == [n // 1_000_000_000 for n in _EVENT_NANOS]
+
+
+def test_raw_events_read_violates_contract(spark, tmp_path):
+    # Sanity check that the probe has teeth: a raw spark.read.parquet of
+    # the current-vintage file does NOT satisfy the canonical contract.
+    sf_dir = _write_events(
+        tmp_path, pa.array([n // 1000 for n in _EVENT_NANOS], pa.timestamp("us"))
+    )
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    assert dict(raw.dtypes)["ts"] != "bigint"
+
+
+def test_load_table_canonical_dtypes_all_tables(spark, sf_dir):
+    canon = {
+        "events": {
+            "event_id": "bigint",
+            "ts": "bigint",
+            "ts_epoch_s": "bigint",
+            "ts_ts": "timestamp",
+            "user_id": "bigint",
+            "value": "double",
+        },
+        "embeddings": {"vec_id": "bigint", "embedding": "array<float>"},
+        "documents": {"doc_id": "bigint", "text": "string"},
+        "lineitem": {"l_orderkey": "bigint", "l_quantity": "double"},
+    }
+    for name in TABLE_NAMES:
+        df = load_table(spark, name, sf_dir)
+        dtypes = dict(df.dtypes)
+        assert dtypes, name
+        for col, dt in canon.get(name, {}).items():
+            assert dtypes.get(col) == dt, f"{name}.{col}: {dtypes.get(col)} != {dt}"
 
 
 def test_inverted_index_roundtrip_preserves_duplicates(spark):

@@ -159,7 +159,20 @@ def test_stateful_running_counters(spark, tmp_path):
         out.writeStream.format("memory").queryName("stateful_test")
         .outputMode("update").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    # A stateful query with pending processing-time timeouts does not
+    # self-terminate under availableNow (and processAllAvailable blocks
+    # on the timeout-driven empty batches) — poll the sink for the
+    # drained counters, then stop explicitly.
+    import time
+
+    deadline = time.monotonic() + 90
+    while time.monotonic() < deadline:
+        done = spark.sql(
+            "select count(distinct user_id) c from stateful_test where n_events = 10"
+        ).collect()[0].c
+        if done == 3:
+            break
+        time.sleep(0.5)
     q.stop()
     got = spark.sql(
         "select user_id, max(n_events) n, max(total_value) t from stateful_test group by user_id"
