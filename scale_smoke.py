@@ -103,6 +103,21 @@ def run_at(spark: SparkSession, r: int) -> dict[str, float]:
     )
     dedup.release_caches()
 
+    # connected components over the engineered near-dup pair graph: the
+    # iterative star-contraction loop localCheckpoints each round, so
+    # wall time must track edge count, not blow up with plan depth
+    pairs = (
+        dedup.near_dup_pairs_minhash(toked, "doc_id", "toks", num_hashes=16, shingle_n=3)
+        .select(F.col("id_a"), F.col("id_b"))
+        .localCheckpoint(eager=True)
+    )
+    out["components"] = time_op(
+        lambda: dedup.connected_components_star(
+            docs.select("doc_id"), pairs, "doc_id"
+        ).count()
+    )
+    dedup.release_caches()
+
     # corpus-construction scale paths: decontamination's gram equi-join,
     # chunk explosion, Gopher repetition aggs — all should track data size
     is_eval = corpus.split_bucket(F.col("doc_id").cast("string")) >= 950
@@ -170,6 +185,7 @@ def main() -> None:
             for k in (
                 "minhash_pairs",
                 "simhash_pairs",
+                "components",
                 "decontamination",
                 "chunking",
                 "repetition",
