@@ -100,3 +100,46 @@ def risk_distribution(df: DataFrame, risk_col: Column) -> DataFrame:
     return counts.withColumn(
         "pct", F.round(100.0 * F.col("n") / total.cast("double"), 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (the write-side twin of P15's detection)
+
+#: Redaction order matters: credential URLs contain email-shaped and
+#: phone-shaped substrings, SSN/credit-card digit runs overlap the
+#: phone pattern — redacting the more specific family first keeps the
+#: output deterministic and identical across engines, which both apply
+#: the chain in this exact order.
+PII_REDACTION_ORDER: tuple[str, ...] = (
+    "credentials_in_url",
+    "email",
+    "ssn_like",
+    "credit_card_like",
+    "ip_address",
+    "phone",
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every match of the six PII families with a
+    ``[FAMILY]`` token (digit-free, so later patterns in the chain can
+    never re-match inside an earlier replacement).
+
+    Pure sequential ``regexp_replace`` projection: one scan, no
+    shuffle — at 100 TB this fuses into the same whole-stage-codegen
+    pass as the rest of the cleaning chain.
+    """
+    out = text
+    for name in PII_REDACTION_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[name], f"[{name.upper()}]")
+    return out
+
+
+def redact_pii_sql(expr: str) -> str:
+    """DuckDB twin of :func:`redact_pii` (same patterns, same order,
+    global flag)."""
+    out = expr
+    for name in PII_REDACTION_ORDER:
+        pat = PII_PATTERNS[name].replace("'", "''")
+        out = f"regexp_replace({out}, '{pat}', '[{name.upper()}]', 'g')"
+    return out

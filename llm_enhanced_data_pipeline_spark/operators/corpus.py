@@ -290,3 +290,98 @@ def chunk_documents(
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Span-level exact dedup (pretraining-corpus hygiene)
+# ---------------------------------------------------------------------------
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    chunk_size: int = 8,
+) -> DataFrame:
+    """Remove globally-duplicated token spans, keeping first occurrence.
+
+    The span-level twin of document dedup: every document is cut into
+    consecutive ``chunk_size``-token spans; a span whose exact text
+    occurred earlier in the corpus (ordered by (id, span index)) is
+    dropped; each document is reassembled from its surviving spans.
+    This is the "remove duplicated lines/paragraphs across documents"
+    stage of C4-style corpus construction, expressed on token windows
+    because the synthetic corpus has no line structure.
+
+    Returns (id, n_chunks, n_kept, dedup_text) — one row per input
+    document with >=1 token; documents whose every span was seen before
+    survive with dedup_text = ''.
+
+    Scale shape: explode -> window over the span fingerprint (hash
+    shuffle on the fingerprint, the only wide op) -> groupBy(id)
+    reassemble. The window partitions by the 64-bit rolling hash of the
+    span, so partition keys are near-unique and skew-free; no
+    cross-document comparison ever happens.
+    """
+    from ..functions import hashing
+
+    chunks = chunk_documents(df, id_col, token_col, chunk_size, chunk_size).select(
+        id_col,
+        "chunk_idx",
+        F.col("chunk_tokens"),
+        hashing.rolling_token_hash(F.col("chunk_tokens")).alias("_fp"),
+    )
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc(), F.col("chunk_idx").asc())
+    ranked = chunks.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_rn") == 1,
+                                    F.struct(F.col("chunk_idx"), F.col("chunk_tokens")),
+                                )
+                            )
+                        ),
+                        lambda s: s["chunk_tokens"],
+                    )
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+    )
+
+
+def chunk_dedup_sql(toks_expr: str, id_expr: str = "doc_id", chunk_size: int = 8) -> str:
+    """DuckDB twin of :func:`chunk_dedup` over the documents view."""
+    from ..functions import hashing
+
+    slice_expr = (
+        f"list_slice(toks, _i * {chunk_size} + 1, _i * {chunk_size} + {chunk_size})"
+    )
+    return f"""
+WITH t AS (SELECT {id_expr} AS id, {toks_expr} AS toks FROM documents),
+ch AS (
+  SELECT id, _i AS chunk_idx, {slice_expr} AS chunk_tokens,
+         {hashing.rolling_token_hash_sql(slice_expr)} AS _fp
+  FROM t, LATERAL unnest(
+    range(0, greatest(ceil((len(toks) - {chunk_size})::DOUBLE / {chunk_size})::BIGINT, 0) + 1)
+  ) r(_i)
+  WHERE len(toks) > 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY _fp ORDER BY id, chunk_idx) AS _rn FROM ch
+)
+SELECT id AS doc_id,
+       count(*)::BIGINT AS n_chunks,
+       coalesce(sum(CASE WHEN _rn = 1 THEN 1 ELSE 0 END), 0)::BIGINT AS n_kept,
+       coalesce(string_agg(CASE WHEN _rn = 1 THEN array_to_string(chunk_tokens, ' ') END,
+                           ' ' ORDER BY chunk_idx), '') AS dedup_text
+FROM ranked GROUP BY id
+"""

@@ -8,7 +8,7 @@ single projection (no shuffle) over the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import hashing
@@ -157,3 +157,68 @@ def fingerprint_md5(text: Column) -> Column:
 def fingerprint_rolling(text: Column) -> Column:
     """Order-sensitive polynomial rolling hash over tokens (mod prime)."""
     return hashing.rolling_token_hash(tokens(text))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-model likelihood scoring (CCNet-style quality signal)
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+) -> DataFrame:
+    """Per-document average token log-probability under the corpus's own
+    unigram model — the shuffle-light stand-in for CCNet's "perplexity
+    under a reference LM" quality filter (real pipelines swap in a KenLM
+    via a Pandas UDF; the unigram model keeps the operator deterministic
+    and oracle-checkable).
+
+    Returns (id, n_tokens, avg_logprob). Low avg_logprob = rare-token-
+    heavy documents (gibberish, boilerplate-free noise); high = common-
+    token documents. Downstream filters cut both tails.
+
+    Scale shape: one explode + two hash aggregations on the token key
+    (the vocab agg and the doc agg reuse the same token shuffle), one
+    broadcast of the 1-row corpus total, and one equi-join of tokens
+    against the vocab (vocab << corpus, so AQE broadcasts it). No
+    driver-side state, no all-pairs anything.
+    """
+    from ..functions.rounding import stable_round
+
+    tok = df.select(F.col(id_col), F.explode(F.col(token_col)).alias("_tok"))
+    vocab = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    total = vocab.agg(F.sum("_cnt").cast("double").alias("_total"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "_tok", F.log(F.col("_cnt") / F.col("_total")).alias("_lp")
+    )
+    return (
+        tok.join(lp, "_tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            stable_round(F.avg("_lp"), 4).alias("avg_logprob"),
+        )
+    )
+
+
+def unigram_logprob_sql(toks_expr: str, id_expr: str = "doc_id") -> str:
+    """DuckDB twin of :func:`unigram_logprob_scores` over documents.
+
+    ln() on both engines is IEEE-double libm over IDENTICAL integer
+    ratios (counts are exact), and the 4dp stable_round keeps the
+    sub-ulp ln/summation-order differences from crossing a rounding
+    boundary.
+    """
+    from ..functions.rounding import stable_round_sql
+
+    return f"""
+WITH tok AS (SELECT {id_expr} AS id, unnest({toks_expr}) AS _tok FROM documents),
+vocab AS (SELECT _tok, count(*) AS _cnt FROM tok GROUP BY _tok),
+tot AS (SELECT sum(_cnt)::DOUBLE AS _total FROM vocab),
+lp AS (SELECT _tok, ln(_cnt / _total) AS _lp FROM vocab CROSS JOIN tot)
+SELECT id AS doc_id,
+       count(*)::BIGINT AS n_tokens,
+       {stable_round_sql("avg(_lp)", 4)} AS avg_logprob
+FROM tok JOIN lp USING (_tok) GROUP BY id
+"""

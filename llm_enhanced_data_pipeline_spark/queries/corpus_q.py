@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import hashing, rounding
-from ..operators import cleaning, corpus, dedup, joins
+from ..operators import cleaning, corpus, dedup, joins, text_analysis
 from ..operators.cleaning import tokens_sql
 from ..tables import load_table
 from .dedup_q import _DOCS_WITH_NEAR_DUPS_SQL, VARIANT_OFFSET, _docs_with_near_dups
@@ -370,3 +370,33 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("source", "term", "score", "rank")
     )
+
+
+@register(
+    "chunk_dedup_spans",
+    doc="Span-level exact dedup (C4-style duplicate-line removal on "
+    "8-token windows): globally-first occurrence of each span wins, "
+    "documents reassembled from surviving spans. Window over the span "
+    "rolling-hash — near-unique keys, no doc x doc comparison.",
+    oracle=corpus.chunk_dedup_sql(_TOKS, "doc_id", chunk_size=8),
+)
+def chunk_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    return corpus.chunk_dedup(docs, "doc_id", "toks", chunk_size=8)
+
+
+@register(
+    "unigram_logprob",
+    doc="CCNet-style corpus-likelihood quality signal: per-doc average "
+    "token log-probability under the corpus's own unigram model. One "
+    "token shuffle shared by the vocab and doc aggregations; the 1-row "
+    "total broadcasts.",
+    oracle=text_analysis.unigram_logprob_sql(_TOKS, "doc_id"),
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    return text_analysis.unigram_logprob_scores(docs, "doc_id", "toks")

@@ -196,3 +196,71 @@ def test_asof_join_equals_naive_on_random_data(spark):
 
     expected = sorted((k, ts, naive(k, ts)) for k, ts in left)
     assert got == expected
+
+
+def test_chunk_dedup_drops_repeated_spans_keeps_first(spark):
+    from llm_enhanced_data_pipeline_spark.operators import corpus
+
+    # doc 1: spans A B; doc 2: spans B C (B repeats -> dropped from 2);
+    # doc 3 = doc 1 exactly (all spans seen -> empty text survives)
+    span_a = "a1 a2 a3 a4"
+    span_b = "b1 b2 b3 b4"
+    span_c = "c1 c2 c3 c4"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, toks=(span_a + " " + span_b).split()),
+            Row(doc_id=2, toks=(span_b + " " + span_c).split()),
+            Row(doc_id=3, toks=(span_a + " " + span_b).split()),
+        ]
+    )
+    out = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.dedup_text)
+        for r in corpus.chunk_dedup(df, "doc_id", "toks", chunk_size=4).collect()
+    }
+    assert out[1] == (2, 2, span_a + " " + span_b)
+    assert out[2] == (2, 1, span_c)
+    assert out[3] == (2, 0, "")
+
+
+def test_chunk_dedup_partial_tail_span_is_its_own_unit(spark):
+    from llm_enhanced_data_pipeline_spark.operators import corpus
+
+    # 6 tokens at chunk_size=4 -> spans [t1..t4], [t5 t6]; the 2-token
+    # tail is NOT equal to a 4-token span starting with the same tokens
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, toks=["t1", "t2", "t3", "t4", "t5", "t6"]),
+            Row(doc_id=2, toks=["t5", "t6"]),  # dup of doc 1's tail span
+        ]
+    )
+    out = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.dedup_text)
+        for r in corpus.chunk_dedup(df, "doc_id", "toks", chunk_size=4).collect()
+    }
+    assert out[1] == (2, 2, "t1 t2 t3 t4 t5 t6")
+    assert out[2] == (1, 0, "")
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from llm_enhanced_data_pipeline_spark.operators import text_analysis
+
+    # corpus: 4x "x", 2x "y", 2x "z" -> p(x)=.5, p(y)=p(z)=.25
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, toks=["x", "x", "y"]),
+            Row(doc_id=2, toks=["x", "x", "y", "z", "z"]),
+        ]
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.avg_logprob)
+        for r in text_analysis.unigram_logprob_scores(df, "doc_id", "toks").collect()
+    }
+
+    def sr(x):  # stable_round(x, 4)
+        return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+    lx, ly, lz = math.log(0.5), math.log(0.25), math.log(0.25)
+    assert out[1] == (3, sr((2 * lx + ly) / 3))
+    assert out[2] == (5, sr((2 * lx + ly + 2 * lz) / 5))

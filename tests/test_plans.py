@@ -81,6 +81,8 @@ QUADRATIC_BY_DESIGN = {
     "ivf_assignments",        # N x K centroid scoring over a broadcast
     "ivf_knn",                # K-row centroid frame — the IVF plan
     "tfidf_top_terms",        # broadcast 1-row corpus-size frame (idf)
+    "unigram_logprob",        # broadcast 1-row corpus-total frame (same
+                              # shape as the tfidf idf broadcast)
 }
 
 
