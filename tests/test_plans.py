@@ -120,3 +120,21 @@ def test_compliance_report_single_scan(spark, sf_dir):
     # node shows as exactly one "Scan parquet  (" tree entry
     assert plan.count("Scan parquet  (") == 1
     assert "Window" in plan
+
+
+def test_events_loader_normalization_preserves_pushdown(spark, sf_dir):
+    """load_table's ts-normalization projection must stay transparent to
+    Catalyst: a filter on event_type still reaches the parquet scan as a
+    PushedFilter, and a projection that ignores the ts columns prunes
+    them out of ReadSchema entirely."""
+    from pyspark.sql import functions as F
+
+    from llm_enhanced_data_pipeline_spark.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    df = ev.filter(F.col("event_type") == "click").select("event_id", "value")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "EqualTo(event_type,click)" in plan
+    assert "ReadSchema: struct<event_id:bigint,event_type:string,value:double>" in plan
