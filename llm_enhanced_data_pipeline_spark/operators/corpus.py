@@ -385,3 +385,70 @@ SELECT id AS doc_id,
                            ' ' ORDER BY chunk_idx), '') AS dedup_text
 FROM ranked GROUP BY id
 """
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based domain mixing (GPT-3 / multilingual-T5 sampling)
+# ---------------------------------------------------------------------------
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    domain_col: str,
+    target_rows: int,
+) -> DataFrame:
+    """Per-domain keep rates for temperature-based corpus mixing.
+
+    Sampling probability q_d proportional to n_d^(1/2) (temperature
+    T=2): small domains are up-weighted relative to their natural share,
+    the standard rebalancing rule for multilingual / multi-source
+    pretraining mixes. Per-domain keep rate to land ``target_rows``
+    total expected rows:
+
+        w_d            = floor(sqrt(n_d) * 1000)      (milli-weight)
+        rate_permille  = min(1000, (1000 * target * w_d) div (Z * n_d))
+
+    with Z = sum(w_d). The exponent is computed via sqrt — IEEE
+    correctly-rounded, so bit-identical on every engine — and
+    everything after the floor is INTEGER arithmetic: no float
+    summation order or pow() libm variance can move a rate by one
+    per-mille between engines or cluster sizes.
+
+    Scale shape: one count-by-domain aggregation (tiny output), one
+    1-row broadcast for Z. Returns (domain, n_rows, rate_permille);
+    feed the rate into :func:`sample_keep` for the row-level decision.
+    """
+    sizes = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    sized = sizes.withColumn(
+        "_w", F.floor(F.sqrt(F.col("n_rows")) * F.lit(1000.0)).cast("bigint")
+    )
+    z = sized.agg(F.sum("_w").alias("_z"))
+    return (
+        sized.crossJoin(F.broadcast(z))
+        .withColumn(
+            "rate_permille",
+            F.least(
+                F.lit(1000).cast("bigint"),
+                F.expr(f"(1000 * {int(target_rows)} * _w) div (_z * n_rows)"),
+            ),
+        )
+        .select(domain_col, "n_rows", "rate_permille")
+    )
+
+
+def temperature_mix_rates_sql(
+    domain_expr: str, target_rows: int, relation: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`temperature_mix_rates` (CTE body; exposes
+    ``rates(domain, n_rows, rate_permille)``)."""
+    return f"""
+sizes AS (SELECT {domain_expr} AS domain, count(*) AS n_rows FROM {relation} GROUP BY 1),
+w AS (SELECT domain, n_rows, floor(sqrt(n_rows) * 1000)::BIGINT AS _w FROM sizes),
+z AS (SELECT sum(_w) AS _z FROM w),
+rates AS (
+  SELECT domain, n_rows,
+         least(1000::BIGINT,
+               ((1000::BIGINT * {int(target_rows)} * _w) // (_z * n_rows))::BIGINT
+         )::BIGINT AS rate_permille
+  FROM w CROSS JOIN z
+)"""

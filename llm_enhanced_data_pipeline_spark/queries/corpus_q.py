@@ -400,3 +400,40 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks", cleaning.tokens(F.col("text"))
     )
     return text_analysis.unigram_logprob_scores(docs, "doc_id", "toks")
+
+
+@register(
+    "temperature_mixing",
+    doc="Temperature-based domain mixing (T=2, q_d ~ n_d^0.5): "
+    "per-language keep rates rebalancing the skewed lang distribution "
+    "toward small domains, with the row-level Bernoulli applied via "
+    "the integer hash bucket. sqrt is IEEE-correctly-rounded and the "
+    "rest is integer arithmetic — rates are bit-identical across "
+    "engines.",
+    oracle=f"""
+WITH {corpus.temperature_mix_rates_sql("lang", 200)},
+sel AS (
+  SELECT d.lang, r.n_rows, r.rate_permille,
+         CASE WHEN {corpus.sample_keep_sql("d.doc_id::VARCHAR", "r.rate_permille")}
+              THEN 1 ELSE 0 END AS kept
+  FROM documents d JOIN rates r ON d.lang = r.domain
+)
+SELECT lang, max(n_rows) AS n_rows, max(rate_permille) AS rate_permille,
+       sum(kept)::BIGINT AS n_kept
+FROM sel GROUP BY lang
+""",
+)
+def temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    rates = corpus.temperature_mix_rates(docs, "lang", target_rows=200)
+    keep = corpus.sample_keep(F.col("doc_id").cast("string"), F.col("rate_permille"))
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .withColumn("_kept", keep.cast("int"))
+        .groupBy("lang")
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.max("rate_permille").alias("rate_permille"),
+            F.sum("_kept").cast("bigint").alias("n_kept"),
+        )
+    )

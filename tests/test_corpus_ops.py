@@ -264,3 +264,42 @@ def test_unigram_logprob_hand_computed(spark):
     lx, ly, lz = math.log(0.5), math.log(0.25), math.log(0.25)
     assert out[1] == (3, sr((2 * lx + ly) / 3))
     assert out[2] == (5, sr((2 * lx + ly + 2 * lz) / 5))
+
+
+def test_temperature_mix_rates_hand_computed(spark):
+    import math
+
+    from llm_enhanced_data_pipeline_spark.operators import corpus
+
+    # domains: a=100 rows, b=400 rows; T=2 -> w_a=10000, w_b=20000,
+    # Z=30000; target=250:
+    #   rate_a = min(1000, 1000*250*10000 // (30000*100)) = 833
+    #   rate_b = min(1000, 1000*250*20000 // (30000*400)) = 416
+    # (small domain keeps 83%, big domain 42% — the rebalancing)
+    rows = [Row(i=i, d="a") for i in range(100)] + [
+        Row(i=100 + i, d="b") for i in range(400)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.d: (r.n_rows, r.rate_permille)
+        for r in corpus.temperature_mix_rates(df, "d", target_rows=250).collect()
+    }
+    assert got == {
+        "a": (100, 1000 * 250 * math.floor(math.sqrt(100) * 1000) // (30000 * 100)),
+        "b": (400, 1000 * 250 * math.floor(math.sqrt(400) * 1000) // (30000 * 400)),
+    }
+    assert got["a"][1] == 833 and got["b"][1] == 416
+
+
+def test_temperature_mix_rates_caps_at_1000(spark):
+    from llm_enhanced_data_pipeline_spark.operators import corpus
+
+    # a target larger than the corpus must clamp every rate to 1000
+    df = spark.createDataFrame(
+        [Row(i=i, d="a") for i in range(10)] + [Row(i=10 + i, d="b") for i in range(40)]
+    )
+    got = {
+        r.d: r.rate_permille
+        for r in corpus.temperature_mix_rates(df, "d", target_rows=10_000).collect()
+    }
+    assert got == {"a": 1000, "b": 1000}

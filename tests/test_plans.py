@@ -83,6 +83,7 @@ QUADRATIC_BY_DESIGN = {
     "tfidf_top_terms",        # broadcast 1-row corpus-size frame (idf)
     "unigram_logprob",        # broadcast 1-row corpus-total frame (same
                               # shape as the tfidf idf broadcast)
+    "temperature_mixing",     # broadcast 1-row Z (weight-sum) frame
 }
 
 
