@@ -303,3 +303,52 @@ def test_temperature_mix_rates_caps_at_1000(spark):
         for r in corpus.temperature_mix_rates(df, "d", target_rows=10_000).collect()
     }
     assert got == {"a": 1000, "b": 1000}
+
+
+def test_chunk_dedup_matches_naive_reference_on_random_corpus(spark):
+    import random
+
+    from llm_enhanced_data_pipeline_spark.operators import corpus
+
+    rng = random.Random(41)
+    vocab = [f"w{j}" for j in range(4)]  # tiny vocab -> many span
+    # collisions, including duplicate spans WITHIN one document
+    docs = {
+        did: [rng.choice(vocab) for _ in range(rng.randrange(0, 23))]
+        for did in range(60)
+    }
+    k = 2
+
+    # naive single-threaded reference: first occurrence in (doc_id,
+    # chunk_idx) order wins — an intra-document repeat of an earlier
+    # span is a duplicate too (C4 drops repeated lines within a page)
+    seen: set[tuple[str, ...]] = set()
+    expected = {}
+    for did in sorted(docs):
+        toks = docs[did]
+        if not toks:
+            continue
+        spans = [tuple(toks[i : i + k]) for i in range(0, len(toks), k)]
+        kept = []
+        for s in spans:
+            if s not in seen:
+                kept.append(s)
+            seen.add(s)
+        expected[did] = (
+            len(spans),
+            len(kept),
+            " ".join(" ".join(s) for s in kept),
+        )
+    # the generated corpus must actually contain an intra-doc duplicate
+    assert any(
+        len({tuple(t[i : i + k]) for i in range(0, len(t), k)})
+        < len(range(0, len(t), k))
+        for t in docs.values()
+    )
+
+    df = spark.createDataFrame([Row(doc_id=d, toks=t) for d, t in docs.items()])
+    got = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.dedup_text)
+        for r in corpus.chunk_dedup(df, "doc_id", "toks", chunk_size=k).collect()
+    }
+    assert got == expected
