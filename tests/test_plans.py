@@ -139,3 +139,34 @@ def test_events_loader_normalization_preserves_pushdown(spark, sf_dir):
     )
     assert "EqualTo(event_type,click)" in plan
     assert "ReadSchema: struct<event_id:bigint,event_type:string,value:double>" in plan
+
+
+# Arrow-batched Python nodes are sanctioned ONLY where the survey says
+# Python is the point (the P19/P21 LLM-adapter surface). Anything else
+# acquiring any Python eval node — and ANY query acquiring row-at-a-time
+# BatchEvalPython — is a hot-path regression.
+PYTHON_EVAL_BY_DESIGN = {
+    "llm_enrichment_fake",  # P19/P21 mapInPandas LLM adapter (Arrow)
+}
+
+
+def test_no_python_eval_in_hot_paths(spark, sf_dir):
+    offenders = {}
+    for name, spec in sorted(REGISTRY.items()):
+        plan = _plan(spark, sf_dir, name)
+        marks = [
+            m
+            for m in (
+                "BatchEvalPython",
+                "ArrowEvalPython",
+                "MapInPandas",
+                "FlatMapGroupsInPandas",
+            )
+            if m in plan
+        ]
+        if name in PYTHON_EVAL_BY_DESIGN:
+            assert "BatchEvalPython" not in marks, f"{name} fell off Arrow: {marks}"
+            continue
+        if marks:
+            offenders[name] = marks
+    assert not offenders, f"unexpected Python eval nodes: {offenders}"
