@@ -12,7 +12,7 @@ canonical contract every downstream query assumes:
 
 - ``ts``         epoch-nanoseconds as ``bigint``
 - ``ts_epoch_s`` epoch-seconds as ``bigint``
-- ``ts_ts``      second-precision ``timestamp``
+- ``ts_ts``      micro-precision ``timestamp``
 """
 
 from __future__ import annotations
@@ -63,7 +63,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         elif ts_dtype != "bigint":
             df = df.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
         df = df.withColumn("ts_epoch_s", (F.col("ts") / F.lit(1_000_000_000)).cast("long")).withColumn(
-            "ts_ts", F.timestamp_seconds(F.col("ts") / F.lit(1_000_000_000.0))
+            # integer micros, not float seconds: float division loses
+            # sub-microsecond precision in the derived timestamp
+            "ts_ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return df
 
