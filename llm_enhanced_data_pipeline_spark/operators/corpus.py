@@ -358,15 +358,20 @@ def chunk_dedup(
     )
 
 
-def chunk_dedup_sql(toks_expr: str, id_expr: str = "doc_id", chunk_size: int = 8) -> str:
-    """DuckDB twin of :func:`chunk_dedup` over the documents view."""
+def chunk_dedup_sql(
+    toks_expr: str,
+    id_expr: str = "doc_id",
+    chunk_size: int = 8,
+    relation: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`chunk_dedup` over ``relation``."""
     from ..functions import hashing
 
     slice_expr = (
         f"list_slice(toks, _i * {chunk_size} + 1, _i * {chunk_size} + {chunk_size})"
     )
     return f"""
-WITH t AS (SELECT {id_expr} AS id, {toks_expr} AS toks FROM documents),
+WITH t AS (SELECT {id_expr} AS id, {toks_expr} AS toks FROM {relation}),
 ch AS (
   SELECT id, _i AS chunk_idx, {slice_expr} AS chunk_tokens,
          {hashing.rolling_token_hash_sql(slice_expr)} AS _fp

@@ -202,8 +202,10 @@ def unigram_logprob_scores(
     )
 
 
-def unigram_logprob_sql(toks_expr: str, id_expr: str = "doc_id") -> str:
-    """DuckDB twin of :func:`unigram_logprob_scores` over documents.
+def unigram_logprob_sql(
+    toks_expr: str, id_expr: str = "doc_id", relation: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`unigram_logprob_scores` over ``relation``.
 
     ln() on both engines is IEEE-double libm over IDENTICAL integer
     ratios (counts are exact), and the 4dp stable_round keeps the
@@ -213,7 +215,7 @@ def unigram_logprob_sql(toks_expr: str, id_expr: str = "doc_id") -> str:
     from ..functions.rounding import stable_round_sql
 
     return f"""
-WITH tok AS (SELECT {id_expr} AS id, unnest({toks_expr}) AS _tok FROM documents),
+WITH tok AS (SELECT {id_expr} AS id, unnest({toks_expr}) AS _tok FROM {relation}),
 vocab AS (SELECT _tok, count(*) AS _cnt FROM tok GROUP BY _tok),
 tot AS (SELECT sum(_cnt)::DOUBLE AS _total FROM vocab),
 lp AS (SELECT _tok, ln(_cnt / _total) AS _lp FROM vocab CROSS JOIN tot)

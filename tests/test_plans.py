@@ -84,6 +84,8 @@ QUADRATIC_BY_DESIGN = {
     "unigram_logprob",        # broadcast 1-row corpus-total frame (same
                               # shape as the tfidf idf broadcast)
     "temperature_mixing",     # broadcast 1-row Z (weight-sum) frame
+    "corpus_build_v2",        # same 1-row Z broadcast inside its mixing
+                              # stage; every other join is equi
 }
 
 
