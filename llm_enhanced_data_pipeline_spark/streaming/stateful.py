@@ -7,6 +7,14 @@ each user's state (event count, value sum) accumulates across
 micro-batches and is emitted when the user goes idle (processing-time
 timeout) or the stream drains. The same shape hosts any per-key
 accumulator (e.g. the reference's checkpointed enrichment progress).
+
+Termination caveat: a query over this operator holds pending
+processing-time timeouts, so under ``trigger(availableNow=True)`` it
+does NOT self-terminate after draining the input (and
+``processAllAvailable`` blocks on the timeout-driven empty batches).
+Finite drains should poll the sink for the expected state and then
+``stop()`` the query explicitly — see
+``tests/test_streaming.py::test_stateful_running_counters``.
 """
 
 from __future__ import annotations
