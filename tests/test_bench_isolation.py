@@ -1,0 +1,56 @@
+"""bench.py failure isolation: one broken query must not zero the
+round's bench record (round 3 lost its entire bench to a single
+loader exception)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+import bench
+from llm_enhanced_data_pipeline_spark.queries.registry import QuerySpec
+
+
+def test_one_broken_query_does_not_zero_the_bench(spark, monkeypatch, capsys):
+    def good(s, sf_dir):
+        return s.range(10)
+
+    def broken(s, sf_dir):
+        raise RuntimeError("synthetic loader failure")
+
+    fake_registry = {
+        "zz_good": QuerySpec(name="zz_good", fn=good, oracle=None, bench=True),
+        "aa_broken": QuerySpec(name="aa_broken", fn=broken, oracle=None, bench=True),
+    }
+    monkeypatch.setattr(bench, "REGISTRY", fake_registry)
+    monkeypatch.setattr(bench, "get_spark", lambda *a, **k: spark)
+    # the session fixture must survive bench's own stop() call
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    bench.main()  # must NOT raise and must NOT sys.exit (one query green)
+
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["queries"].keys() == {"zz_good"}
+    assert payload["errors"].keys() == {"aa_broken"}
+    assert "synthetic loader failure" in payload["errors"]["aa_broken"]
+    assert payload["value"] == payload["queries"]["zz_good"]
+
+
+def test_all_queries_broken_exits_nonzero(spark, monkeypatch, capsys):
+    def broken(s, sf_dir):
+        raise RuntimeError("boom")
+
+    fake_registry = {
+        "only_broken": QuerySpec(name="only_broken", fn=broken, oracle=None, bench=True)
+    }
+    monkeypatch.setattr(bench, "REGISTRY", fake_registry)
+    monkeypatch.setattr(bench, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    with pytest.raises(SystemExit) as exc:
+        bench.main()
+    assert exc.value.code == 1
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["queries"] == {}
+    assert "only_broken" in payload["errors"]
