@@ -60,17 +60,23 @@ def main() -> None:
         timings[spec.name] = round(time.perf_counter() - t0, 4)
         print(f"# {spec.name}: {timings[spec.name]:.3f}s ({n} rows)", file=sys.stderr)
 
-    total = round(sum(timings.values()), 4)
+    # A failed query means the headline total covers FEWER queries than
+    # previous rounds — a partial sum would read as a fake speedup. Null
+    # the headline value whenever anything failed; per-query timings and
+    # n_failed keep the surviving data comparable.
+    total = round(sum(timings.values()), 4) if not errors else None
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "n_failed": len(errors),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
         payload["errors"] = errors
+        payload["partial_total"] = round(sum(timings.values()), 4)
     print(json.dumps(payload))
     spark.stop()
     if timings == {} and errors:

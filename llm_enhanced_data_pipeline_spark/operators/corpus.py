@@ -317,11 +317,14 @@ def chunk_dedup(
     document with >=1 token; documents whose every span was seen before
     survive with dedup_text = ''.
 
-    Scale shape: explode -> window over the span fingerprint (hash
-    shuffle on the fingerprint, the only wide op) -> groupBy(id)
-    reassemble. The window partitions by the 64-bit rolling hash of the
-    span, so partition keys are near-unique and skew-free; no
-    cross-document comparison ever happens.
+    Scale shape: explode -> window over (span fingerprint, span tokens)
+    (hash shuffle on the key, the only wide op) -> groupBy(id)
+    reassemble. The rolling hash (mod a ~2^30 prime) is only the
+    shuffle-friendly LEADING key — the span token array itself is part
+    of the dedup key, so two distinct spans whose fingerprints collide
+    land in the same partition but stay distinct rows: the dedup is
+    exact, not fingerprint-approximate. Partition keys are near-unique
+    and skew-free; no cross-document comparison ever happens.
     """
     from ..functions import hashing
 
@@ -331,7 +334,9 @@ def chunk_dedup(
         F.col("chunk_tokens"),
         hashing.rolling_token_hash(F.col("chunk_tokens")).alias("_fp"),
     )
-    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc(), F.col("chunk_idx").asc())
+    w = Window.partitionBy("_fp", "chunk_tokens").orderBy(
+        F.col(id_col).asc(), F.col("chunk_idx").asc()
+    )
     ranked = chunks.withColumn("_rn", F.row_number().over(w))
     return (
         ranked.groupBy(id_col)
@@ -381,7 +386,8 @@ ch AS (
   WHERE len(toks) > 0
 ),
 ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY _fp ORDER BY id, chunk_idx) AS _rn FROM ch
+  SELECT *, row_number() OVER (PARTITION BY _fp, chunk_tokens ORDER BY id, chunk_idx) AS _rn
+  FROM ch
 )
 SELECT id AS doc_id,
        count(*)::BIGINT AS n_chunks,
@@ -417,7 +423,11 @@ def temperature_mix_rates(
     correctly-rounded, so bit-identical on every engine — and
     everything after the floor is INTEGER arithmetic: no float
     summation order or pow() libm variance can move a rate by one
-    per-mille between engines or cluster sizes.
+    per-mille between engines or cluster sizes. The products run in
+    128-bit-capable integer types (Spark decimal(38,0), DuckDB
+    HUGEINT), so neither ``1000 * target * w_d`` nor ``Z * n_d`` can
+    hit int64 overflow at trillion-row corpora; exact up to
+    ``Z * n_d < 10^38``, i.e. any corpus expressible in bigint rows.
 
     Scale shape: one count-by-domain aggregation (tiny output), one
     1-row broadcast for Z. Returns (domain, n_rows, rate_permille);
@@ -434,7 +444,13 @@ def temperature_mix_rates(
             "rate_permille",
             F.least(
                 F.lit(1000).cast("bigint"),
-                F.expr(f"(1000 * {int(target_rows)} * _w) div (_z * n_rows)"),
+                F.expr(
+                    # decimal(38,0) products: exact integer math with
+                    # 128-bit headroom — bigint would overflow _z*n_rows
+                    # around 1e12-row corpora (ANSI: runtime error).
+                    f"(cast({1000 * int(target_rows)} as decimal(38,0)) * _w)"
+                    " div (cast(_z as decimal(38,0)) * n_rows)"
+                ),
             ),
         )
         .select(domain_col, "n_rows", "rate_permille")
@@ -453,7 +469,7 @@ z AS (SELECT sum(_w) AS _z FROM w),
 rates AS (
   SELECT domain, n_rows,
          least(1000::BIGINT,
-               ((1000::BIGINT * {int(target_rows)} * _w) // (_z * n_rows))::BIGINT
+               (({1000 * int(target_rows)}::HUGEINT * _w) // (_z::HUGEINT * n_rows))::BIGINT
          )::BIGINT AS rate_permille
   FROM w CROSS JOIN z
 )"""

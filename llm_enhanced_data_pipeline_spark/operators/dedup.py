@@ -45,15 +45,65 @@ def _persist_tracked(df: DataFrame) -> DataFrame:
     return cached
 
 
+# localCheckpoint block registry: (SparkContext, persistent-RDD ids).
+# DataFrame.unpersist is a no-op for locally-checkpointed frames (the
+# blocks belong to the INTERNAL checkpointed RDD, and df.rdd wraps a
+# fresh conversion RDD, so df.rdd.unpersist() frees nothing — verified
+# empirically); the only handle that releases them is the JVM's
+# persistent-RDD map. Each checkpoint records the ids it created; the
+# iterative operators free superseded rounds immediately and park their
+# FINAL frame's ids here for :func:`release_caches`.
+_LIVE_CKPT_IDS: list[tuple[object, frozenset]] = []
+
+
+def _truncate_lineage(df: DataFrame) -> tuple[DataFrame, frozenset]:
+    """Checkpoint ``df`` to cut its logical plan, returning the new
+    frame plus the persistent-RDD block ids the checkpoint created.
+
+    Uses the RELIABLE checkpoint when the session has a checkpoint dir
+    configured (production posture: survives executor loss, which
+    localCheckpoint does not — an executor death mid-loop kills a
+    localCheckpoint-based job), else falls back to localCheckpoint
+    (test/local posture: no DFS needed). Reliable checkpoints create no
+    persistent blocks, so their id set is empty and cleanup is the
+    checkpoint dir's concern.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True), frozenset()
+    before = set(sc._jsc.getPersistentRDDs().keys())
+    out = df.localCheckpoint(eager=True)
+    created = frozenset(set(sc._jsc.getPersistentRDDs().keys()) - before)
+    return out, created
+
+
+def _release_ckpt_blocks(sc, ids: frozenset) -> None:
+    """Free the executor blocks behind a superseded localCheckpoint.
+    The frame they backed must never be referenced again afterwards."""
+    if not ids:
+        return
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in ids:
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
 def release_caches() -> int:
     """Unpersist every cached intermediate created by this module's
-    operators since the last release. Returns the number released.
-    Call AFTER materializing results; a released result frame simply
-    recomputes if re-used."""
+    operators since the last release — persisted frames AND the final
+    localCheckpoint blocks of the iterative operators. Returns the
+    number released. Call AFTER materializing results; a released
+    PERSISTED frame recomputes if re-used, but a released CHECKPOINTED
+    frame cannot (its lineage was truncated) — don't re-use those."""
     n = len(_LIVE_CACHES)
     for df in _LIVE_CACHES:
         df.unpersist()
     _LIVE_CACHES.clear()
+    n += len(_LIVE_CKPT_IDS)
+    for sc, ids in _LIVE_CKPT_IDS:
+        _release_ckpt_blocks(sc, ids)
+    _LIVE_CKPT_IDS.clear()
     return n
 
 
@@ -400,21 +450,25 @@ def connected_components(
         .distinct()
     )
     edges.count()  # build once; every propagation round re-reads it
-    # localCheckpoint (not persist): iterative loops MUST truncate the
-    # logical plan each round — persist caches the data but the analyzer
-    # still re-walks the whole accumulated tree, which grows ~2x per
-    # round and turns driver-side analysis into the bottleneck long
-    # before the data does.
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
+    # Checkpoint (not persist) each round: iterative loops MUST truncate
+    # the logical plan — persist caches the data but the analyzer still
+    # re-walks the whole accumulated tree, which grows ~2x per round and
+    # turns driver-side analysis into the bottleneck long before the
+    # data does. _truncate_lineage picks reliable checkpoint when a
+    # checkpoint dir is set (fault-tolerant, production) and
+    # localCheckpoint otherwise (local/test); superseded rounds' blocks
+    # are freed immediately so executors hold at most two label frames.
+    sc = nodes.sparkSession.sparkContext
+    labels, live_ids = _truncate_lineage(
+        nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    )
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        new_labels, new_ids = _truncate_lineage(
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
@@ -422,7 +476,6 @@ def connected_components(
                     "label"
                 ),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -430,9 +483,11 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels = new_labels
+        _release_ckpt_blocks(sc, live_ids)  # superseded round — free now
+        labels, live_ids = new_labels, new_ids
         if changed == 0:
             break
+    _LIVE_CKPT_IDS.append((sc, live_ids))  # final frame: release_caches()
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
 
 
@@ -503,19 +558,26 @@ def connected_components_star(
         ).collect()[0]
         return int(row["n"]), int(row["h"])
 
-    # localCheckpoint every round: star contraction references the
-    # previous edge set ~4x per round, so without lineage truncation the
-    # logical plan grows 4^rounds and Catalyst analysis (driver-side)
-    # becomes the scale killer — the data itself shrinks every round.
-    e = e.localCheckpoint(eager=True)
+    # Checkpoint every round: star contraction references the previous
+    # edge set ~4x per round, so without lineage truncation the logical
+    # plan grows 4^rounds and Catalyst analysis (driver-side) becomes
+    # the scale killer — the data itself shrinks every round. Superseded
+    # rounds' blocks are freed immediately (see _truncate_lineage for
+    # the reliable-vs-local checkpoint tradeoff).
+    sc = nodes.sparkSession.sparkContext
+    e, live_ids = _truncate_lineage(e)
     prev = checksum(e)
     for _ in range(max_iterations):
-        nxt = star_round(star_round(e, large=True), large=False).localCheckpoint(eager=True)
+        nxt, new_ids = _truncate_lineage(
+            star_round(star_round(e, large=True), large=False)
+        )
         cur = checksum(nxt)
-        e = nxt
+        _release_ckpt_blocks(sc, live_ids)  # superseded round — free now
+        e, live_ids = nxt, new_ids
         if cur == prev:
             break
         prev = cur
+    _LIVE_CKPT_IDS.append((sc, live_ids))  # final frame: release_caches()
     # after convergence every edge points node -> component min
     roots = e.groupBy(F.col("v").alias(id_col)).agg(F.min("u").alias("component"))
     return (

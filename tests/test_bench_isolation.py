@@ -34,7 +34,30 @@ def test_one_broken_query_does_not_zero_the_bench(spark, monkeypatch, capsys):
     assert payload["queries"].keys() == {"zz_good"}
     assert payload["errors"].keys() == {"aa_broken"}
     assert "synthetic loader failure" in payload["errors"]["aa_broken"]
-    assert payload["value"] == payload["queries"]["zz_good"]
+    # a partial total must NOT masquerade as the headline value — the
+    # headline is nulled and the surviving sum moves to partial_total
+    assert payload["value"] is None
+    assert payload["n_failed"] == 1
+    assert payload["partial_total"] == payload["queries"]["zz_good"]
+
+
+def test_clean_run_reports_zero_failed(spark, monkeypatch, capsys):
+    def good(s, sf_dir):
+        return s.range(10)
+
+    fake_registry = {
+        "only_good": QuerySpec(name="only_good", fn=good, oracle=None, bench=True)
+    }
+    monkeypatch.setattr(bench, "REGISTRY", fake_registry)
+    monkeypatch.setattr(bench, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    bench.main()
+
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["n_failed"] == 0
+    assert "errors" not in payload
+    assert payload["value"] == payload["queries"]["only_good"]
 
 
 def test_all_queries_broken_exits_nonzero(spark, monkeypatch, capsys):

@@ -241,6 +241,40 @@ def test_chunk_dedup_partial_tail_span_is_its_own_unit(spark):
     assert out[2] == (1, 0, "")
 
 
+def test_chunk_dedup_survives_fingerprint_collision(spark):
+    """Two DISTINCT spans whose rolling hashes collide must both
+    survive — the hash is only the shuffle key, not the dedup key.
+
+    The pair below is a genuine collision of rolling_token_hash (both
+    spans hash to 192097142 mod 1_000_000_007, found by brute force
+    over the md5-backed token hashes); before the (fingerprint, tokens)
+    compound key, the later span was silently dropped.
+    """
+    from llm_enhanced_data_pipeline_spark.functions import hashing
+    from llm_enhanced_data_pipeline_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, toks=["w9947", "x9947"]),
+            Row(doc_id=2, toks=["w60118", "x60118"]),
+        ]
+    )
+    # precondition: the collision is real (else the test is vacuous)
+    fps = (
+        df.select(hashing.rolling_token_hash(F.col("toks")).alias("fp"))
+        .distinct()
+        .collect()
+    )
+    assert len(fps) == 1, "expected engineered hash collision"
+
+    out = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.dedup_text)
+        for r in corpus.chunk_dedup(df, "doc_id", "toks", chunk_size=2).collect()
+    }
+    assert out[1] == (1, 1, "w9947 x9947")
+    assert out[2] == (1, 1, "w60118 x60118")
+
+
 def test_unigram_logprob_hand_computed(spark):
     import math
 

@@ -146,6 +146,34 @@ def test_connected_components_chain_semantics(spark):
     assert survivors == [1, 4, 5]
 
 
+def test_connected_components_frees_superseded_checkpoint_blocks(spark):
+    """The iterative CC loops localCheckpoint every round; superseded
+    rounds' executor blocks must be freed as the loop advances (not
+    accumulate until driver GC), and release_caches() must reclaim the
+    final frame's blocks too. A long chain forces multiple propagation
+    rounds, so a leak would show up as one extra persistent-RDD id per
+    round."""
+    from pyspark.sql import Row
+
+    sc = spark.sparkContext
+    jmap = lambda: set(sc._jsc.getPersistentRDDs().keys())  # noqa: E731
+
+    nodes = spark.createDataFrame([Row(i=n) for n in range(1, 13)])
+    # single chain 1-2-...-12: diameter 11 -> many label-propagation rounds
+    pairs = spark.createDataFrame([Row(id_a=n, id_b=n + 1) for n in range(1, 12)])
+
+    for fn in (dedup.connected_components, dedup.connected_components_star):
+        before = jmap()
+        comps = {r.i: r.component for r in fn(nodes, pairs, "i").collect()}
+        assert comps == {n: 1 for n in range(1, 13)}
+        # live after the run: the persisted edge frame + the final
+        # checkpointed frame only — one id each, never one per round
+        leaked = jmap() - before
+        assert len(leaked) <= 2, f"{fn.__name__} leaked blocks: {leaked}"
+        dedup.release_caches()
+        assert jmap() - before == set(), f"{fn.__name__} survived release_caches"
+
+
 def test_ivf_embedding_near_dup_matches_exact_and_avoids_cartesian(spark):
     """The IVF-bucketed scale path must (a) find the same pairs as the
     all-pairs ground truth on a clustered corpus, and (b) generate
