@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions import hashing
 from .cleaning import tokens
@@ -200,6 +201,90 @@ def unigram_logprob_scores(
             stable_round(F.avg("_lp"), 4).alias("avg_logprob"),
         )
     )
+
+
+def lm_score_with(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    make_scorer,
+    batch_size: int = 64,
+) -> DataFrame:
+    """(id, lm_score) under ANY batched language model — the production
+    upgrade path of :func:`unigram_logprob_scores`' corpus-unigram
+    stand-in (CCNet's actual filter is perplexity under a KenLM).
+
+    ``make_scorer`` is a zero-arg factory returning
+    ``score_batch(texts: list[str]) -> list[float]``; it runs INSIDE
+    each partition (models must not be pickled from the driver — same
+    contract as enrich.enrich_with_llm / enrich.embed_with). Arrow
+    batches carry text out and doubles back; Spark-side shape is one
+    narrow mapInPandas, so the operator scales with the corpus
+    partitioning and the model cost, nothing else.
+    """
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("lm_score", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        score_batch = make_scorer()
+        for pdf in batches:
+            texts = pdf[text_col].fillna("").tolist()
+            scores: list[float] = []
+            for i in range(0, len(texts), batch_size):
+                scores.extend(float(s) for s in score_batch(texts[i : i + batch_size]))
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "lm_score": scores})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def deterministic_fake_lm(scale: int = 500):
+    """Test-grade LM scorer factory: per-token pseudo-logprob derived
+    from the same md5-based 32-bit token hash the engine uses
+    (functions/hashing.stable_hash32, seed 0), averaged with the
+    stable_round(4) convention. Deliberately engine-exact so the
+    adapter's gate query can carry a FULL DuckDB oracle — the plumbing
+    is exercised end-to-end under the hash-compare, not a rows-only
+    check. Score range (-3, -1]; empty text scores 0.0."""
+    import hashlib
+    import math
+
+    def score_batch(texts: list[str]) -> list[float]:
+        out = []
+        for t in texts:
+            toks = [x for x in t.split(" ") if x]
+            if not toks:
+                out.append(0.0)
+                continue
+            s = 0.0
+            for tok in toks:
+                h = int(hashlib.md5(f"0:{tok}".encode()).hexdigest()[:8], 16)
+                s += -1.0 - (h % 1000) / scale
+            out.append(math.floor((s / len(toks)) * 10000.0 + 0.5) / 10000.0)
+        return out
+
+    return lambda: score_batch
+
+
+def deterministic_fake_lm_sql(text_expr: str, scale: int = 500) -> str:
+    """DuckDB twin of :func:`deterministic_fake_lm`'s scorer. The
+    reduction mirrors the Python loop ORDER (list_reduce is sequential)
+    so IEEE summation is bit-identical."""
+    toks = f"list_filter(string_split({text_expr}, ' '), _x -> _x <> '')"
+    tok_lp = (
+        f"-1.0 - (CAST(('0x' || substring(md5('0:' || _t), 1, 8)) AS UBIGINT)::BIGINT"
+        f" % 1000) / {float(scale)}"
+    )
+    lps = f"list_transform({toks}, _t -> {tok_lp})"
+    total = f"list_reduce(list_prepend(0.0::DOUBLE, {lps}), (_a, _b) -> _a + _b)"
+    return f"""
+CASE WHEN len({toks}) = 0 THEN 0.0
+     ELSE floor(({total} / len({toks})) * 10000.0 + 0.5) / 10000.0 END"""
 
 
 def unigram_logprob_sql(

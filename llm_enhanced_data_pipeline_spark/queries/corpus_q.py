@@ -403,6 +403,25 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lm_quality_scores",
+    doc="Pluggable LM quality scoring (the production upgrade path of "
+    "unigram_logprob: swap in KenLM perplexity / transformer NLL via "
+    "any batched scorer). Arrow mapInPandas adapter with a per-"
+    "partition-constructed model; gated here with the deterministic "
+    "md5 fake so the adapter plumbing runs under the FULL hash oracle.",
+    oracle=f"""
+SELECT doc_id, {text_analysis.deterministic_fake_lm_sql('text')} AS lm_score
+FROM documents
+""",
+)
+def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return text_analysis.lm_score_with(
+        docs, "doc_id", "text", text_analysis.deterministic_fake_lm()
+    )
+
+
+@register(
     "temperature_mixing",
     doc="Temperature-based domain mixing (T=2, q_d ~ n_d^0.5): "
     "per-language keep rates rebalancing the skewed lang distribution "
@@ -494,7 +513,31 @@ FROM sel GROUP BY lang
 """,
 )
 def corpus_build_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_build_v2_with_scorer(spark, sf_dir, None)
+
+
+def corpus_build_v2_with_scorer(
+    spark: SparkSession,
+    sf_dir: str,
+    quality_scores,
+    lp_floor: float = _BUILD_V2_LP_FLOOR,
+) -> DataFrame:
+    """corpus_build_v2 with a pluggable quality signal.
+
+    ``quality_scores`` maps the span-dedup survivor frame (doc_id,
+    dedup_text, dtoks) to (doc_id, n_tokens, avg_logprob); ``None``
+    selects the deterministic unigram model (the oracle-checked
+    default). Real deployments pass an adapter built on
+    :func:`..operators.text_analysis.lm_score_with` (KenLM perplexity,
+    transformer NLL, ...) — the injection contract is pinned by
+    tests/test_corpus_ops.py.
+    """
     from ..operators import compliance
+
+    if quality_scores is None:
+        quality_scores = lambda frame: text_analysis.unigram_logprob_scores(  # noqa: E731
+            frame, "doc_id", "dtoks"
+        )
 
     docs = load_table(spark, "documents", sf_dir)
     t = F.concat(
@@ -516,12 +559,12 @@ def corpus_build_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = dd.filter(F.col("n_kept") >= 1).withColumn(
         "dtoks", cleaning.tokens(F.col("dedup_text"))
     )
-    lp = text_analysis.unigram_logprob_scores(surv, "doc_id", "dtoks")
+    lp = quality_scores(surv)
     sc = (
         surv.select("doc_id")
         .join(lp, "doc_id")
         .join(aug.select("doc_id", "lang"), "doc_id")
-        .filter(F.col("avg_logprob") >= _BUILD_V2_LP_FLOOR)
+        .filter(F.col("avg_logprob") >= lp_floor)
     )
     rates = corpus.temperature_mix_rates(sc, "lang", target_rows=150)
     keep = corpus.sample_keep(F.col("doc_id").cast("string"), F.col("rate_permille"))

@@ -386,3 +386,85 @@ def test_chunk_dedup_matches_naive_reference_on_random_corpus(spark):
         for r in corpus.chunk_dedup(df, "doc_id", "toks", chunk_size=k).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# pluggable LM quality scorer (the unigram_logprob upgrade path)
+# ---------------------------------------------------------------------------
+
+
+def test_lm_score_with_runs_injected_scorer_per_partition(spark):
+    """Adapter contract: any batched scorer plugs in; the factory runs
+    inside partitions; scores come back row-aligned as doubles."""
+    from llm_enhanced_data_pipeline_spark.operators import text_analysis
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=("tok " * (i + 1)).strip()) for i in range(7)]
+    ).repartition(3)
+
+    def make_scorer():
+        # token count as a fake NLL: deterministic, verifiable per row
+        return lambda texts: [-float(len(t.split())) for t in texts]
+
+    out = {
+        r.doc_id: r.lm_score
+        for r in text_analysis.lm_score_with(
+            df, "doc_id", "text", make_scorer, batch_size=2
+        ).collect()
+    }
+    assert out == {i: -float(i + 1) for i in range(7)}
+
+
+def test_deterministic_fake_lm_matches_duckdb_twin(spark):
+    """The fake scorer must be engine-exact (it backs a full-oracle
+    gate query): compare the Python scorer against the DuckDB SQL twin
+    on texts with empties, repeats, and multi-space runs."""
+    import duckdb
+
+    from llm_enhanced_data_pipeline_spark.operators import text_analysis
+
+    texts = ["alpha beta gamma", "", "x", "dup dup dup", "a  b   c", "Zz yY"]
+    score = text_analysis.deterministic_fake_lm()()
+    got = score(texts)
+    con = duckdb.connect()
+    expr = text_analysis.deterministic_fake_lm_sql("t")
+    want = [
+        con.execute(f"SELECT {expr} FROM (SELECT ? AS t)", [t]).fetchone()[0]
+        for t in texts
+    ]
+    assert got == want
+
+
+def test_corpus_build_v2_accepts_injected_quality_scorer(spark, sf_dir):
+    """corpus_build_v2's quality stage is pluggable: an adapter-backed
+    scorer (lm_score_with + fake LM) slots in where the unigram model
+    sits, the floor applies to ITS scores, and the report keeps its
+    schema."""
+    from llm_enhanced_data_pipeline_spark.operators import text_analysis
+    from llm_enhanced_data_pipeline_spark.queries.corpus_q import (
+        corpus_build_v2_with_scorer,
+    )
+
+    calls = []
+
+    def scorer(surv):
+        calls.append(1)
+        lm = text_analysis.lm_score_with(
+            surv, "doc_id", "dedup_text", text_analysis.deterministic_fake_lm()
+        )
+        return surv.select(
+            "doc_id", F.size("dtoks").cast("bigint").alias("n_tokens")
+        ).join(lm.withColumnRenamed("lm_score", "avg_logprob"), "doc_id")
+
+    # fake-LM scores live in (-3, -1]; a -2.0 floor must actually cut
+    out = corpus_build_v2_with_scorer(spark, sf_dir, scorer, lp_floor=-2.0)
+    rows = out.collect()
+    assert calls, "injected scorer was never invoked"
+    assert set(out.columns) == {
+        "lang", "n_docs", "n_kept_mix", "total_tokens", "rate_permille"
+    }
+    assert rows  # languages survive the floor
+    default = corpus_build_v2_with_scorer(spark, sf_dir, None)
+    n_inj = sum(r.n_docs for r in rows)
+    n_def = sum(r.n_docs for r in default.collect())
+    assert n_inj != n_def, "floor on injected scores changed nothing"
