@@ -149,6 +149,7 @@ def test_events_loader_normalization_preserves_pushdown(spark, sf_dir):
 # BatchEvalPython — is a hot-path regression.
 PYTHON_EVAL_BY_DESIGN = {
     "llm_enrichment_fake",  # P19/P21 mapInPandas LLM adapter (Arrow)
+    "lm_quality_scores",  # pluggable LM-scorer mapInPandas adapter (Arrow)
 }
 
 
