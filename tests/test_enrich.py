@@ -3,9 +3,11 @@ mapInPandas, rate limiting, checkpoint-protected resume."""
 
 from __future__ import annotations
 
+import importlib.util
 import json
 
 import pandas as pd
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -150,8 +152,41 @@ def test_sentence_transformer_embedder_is_cleanly_gated():
         sentence_transformer_embedder,
     )
 
+    if importlib.util.find_spec("sentence_transformers") is not None:
+        _pytest.skip("sentence-transformers IS installed; real-model test covers this")
     with _pytest.raises(NotImplementedError):
         sentence_transformer_embedder()
+
+
+def test_sentence_transformer_embedder_real_model(spark):
+    """Opt-in real-model run (reference: RAG/rag.ipynb cell 1
+    EmbeddingModel, all-MiniLM-L6-v2, 384-d, source lines 343-444).
+    Skips when the model library is absent — this container bans package
+    installs, so the skip reason is the recorded decision; on an
+    executor image that ships sentence-transformers the same adapter
+    (embed_with → mapInPandas) runs the genuine model unchanged."""
+    if importlib.util.find_spec("sentence_transformers") is None:
+        pytest.skip(
+            "sentence-transformers not installed (no pip install allowed "
+            "in this container); adapter contract covered by the "
+            "injection tests above"
+        )
+    from llm_enhanced_data_pipeline_spark.enrich.embedding import (
+        embed_with,
+        sentence_transformer_embedder,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="Deep learning for vision."),
+            Row(doc_id=1, text="Transformers process sequences."),
+            Row(doc_id=2, text="Graph neural networks on molecules."),
+        ]
+    )
+    out = embed_with(df, "doc_id", "text", sentence_transformer_embedder(), batch_size=2)
+    rows = {r.doc_id: r.embedding for r in out.collect()}
+    assert len(rows) == 3
+    assert all(len(v) == 384 for v in rows.values())
 
 
 def test_adaptive_rate_limiter_scales_both_ways():

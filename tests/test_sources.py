@@ -127,26 +127,79 @@ def test_raw_events_read_violates_contract(spark, tmp_path):
     assert dict(raw.dtypes)["ts"] != "bigint"
 
 
-def test_load_table_canonical_dtypes_all_tables(spark, sf_dir):
-    canon = {
-        "events": {
-            "event_id": "bigint",
-            "ts": "bigint",
-            "ts_epoch_s": "bigint",
-            "ts_ts": "timestamp",
-            "user_id": "bigint",
-            "value": "double",
-        },
-        "embeddings": {"vec_id": "bigint", "embedding": "array<float>"},
-        "documents": {"doc_id": "bigint", "text": "string"},
-        "lineitem": {"l_orderkey": "bigint", "l_quantity": "double"},
+# The canonical dtype contract every registered query assumes. events is
+# normalized by load_table; documents/embeddings are raw reads, so these
+# pins are the tripwire for a driver-side testdata regeneration changing
+# physical types (the round-3 events drift, generalized): CI fails here,
+# not in CORRECTNESS.
+CANONICAL_DTYPES = {
+    "events": {
+        "event_id": "bigint",
+        "ts": "bigint",
+        "ts_epoch_s": "bigint",
+        "ts_ts": "timestamp",
+        "user_id": "bigint",
+        "value": "double",
+    },
+    # full-column pins: every column, not just the load-bearing two
+    "documents": {
+        "doc_id": "bigint",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "bigint",
+    },
+    "embeddings": {"vec_id": "bigint", "embedding": "array<float>", "label": "int"},
+    "lineitem": {"l_orderkey": "bigint", "l_quantity": "double"},
+}
+
+
+def _violations(df, name):
+    dtypes = dict(df.dtypes)
+    return {
+        f"{name}.{col}": (dtypes.get(col), dt)
+        for col, dt in CANONICAL_DTYPES.get(name, {}).items()
+        if dtypes.get(col) != dt
     }
+
+
+def test_load_table_canonical_dtypes_all_tables(spark, sf_dir):
     for name in TABLE_NAMES:
         df = load_table(spark, name, sf_dir)
-        dtypes = dict(df.dtypes)
-        assert dtypes, name
-        for col, dt in canon.get(name, {}).items():
-            assert dtypes.get(col) == dt, f"{name}.{col}: {dtypes.get(col)} != {dt}"
+        assert dict(df.dtypes), name
+        assert not _violations(df, name)
+
+
+def test_dtype_drift_guard_has_teeth(spark, tmp_path):
+    """Simulated testdata regeneration drift: documents.n_chars shipped
+    as int32 and embeddings as float64 vectors must violate the pinned
+    contract (the guard fails loudly instead of CORRECTNESS failing
+    downstream)."""
+    drift_docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a", "b"]),
+            "lang": pa.array(["en", "de"]),
+            "source": pa.array(["s0", "s1"]),
+            "n_chars": pa.array([1, 1], pa.int32()),  # drifted: was int64
+        }
+    )
+    drift_emb = pa.table(
+        {
+            "vec_id": pa.array([1], pa.int64()),
+            # drifted: float64 vectors (was float32)
+            "embedding": pa.array([[0.1, 0.2]], pa.list_(pa.float64())),
+            "label": pa.array([0], pa.int32()),
+        }
+    )
+    pq.write_table(drift_docs, str(tmp_path / "documents.parquet"))
+    pq.write_table(drift_emb, str(tmp_path / "embeddings.parquet"))
+    docs = load_table(spark, "documents", str(tmp_path))
+    emb = load_table(spark, "embeddings", str(tmp_path))
+    assert _violations(docs, "documents") == {"documents.n_chars": ("int", "bigint")}
+    assert _violations(emb, "embeddings") == {
+        "embeddings.embedding": ("array<double>", "array<float>")
+    }
 
 
 def test_inverted_index_roundtrip_preserves_duplicates(spark):
