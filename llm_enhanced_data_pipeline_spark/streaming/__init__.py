@@ -1,1 +1,1 @@
-from . import events, stateful  # noqa: F401
+from . import enrichment, events, stateful  # noqa: F401

@@ -205,6 +205,70 @@ def test_dedup_stream_drops_duplicates_across_microbatches(spark, tmp_path):
     assert sorted(r.event_id for r in got) == [1, 2]
 
 
+def test_incremental_enrichment_foreachbatch_exactly_once(spark, tmp_path):
+    """The incremental LLM-enrichment stream (SURVEY.md §1.3/§3.2):
+    across a stop/restart with a new input file, every doc_id is
+    enriched exactly once — the engine's offset checkpoint skips
+    already-read files, and the result-checkpoint anti-join skips
+    re-delivered ids (here: file c re-ships ids 0 and 1)."""
+    import pandas as pd
+
+    from llm_enhanced_data_pipeline_spark.enrich import DeterministicFakeLLM
+    from llm_enhanced_data_pipeline_spark.sources.checkpoint import ParquetCheckpoint
+    from llm_enhanced_data_pipeline_spark.streaming import enrichment as en
+
+    indir = tmp_path / "docs_in"
+    indir.mkdir()
+
+    def write(name, ids):
+        with open(indir / name, "w") as f:
+            for i in ids:
+                f.write(json.dumps({"doc_id": i, "text": f"document body {i}"}) + "\n")
+
+    def prompts(pdf: pd.DataFrame) -> pd.Series:
+        return "Score this document: " + pdf["text"]
+
+    ckpt = ParquetCheckpoint(spark, str(tmp_path / "enrich_ckpt"), "doc_id")
+    stream_ckpt = str(tmp_path / "stream_ckpt")
+
+    def run():
+        en.incremental_enrichment_stream(
+            spark,
+            str(indir),
+            ckpt,
+            prompts,
+            lambda: DeterministicFakeLLM(task="scoring"),
+            rate_per_sec=10_000.0,
+            stream_checkpoint_dir=stream_ckpt,
+        )
+
+    # run 1: two files, ids 0-5
+    write("a.json", [0, 1, 2])
+    write("b.json", [3, 4, 5])
+    run()
+    done = ckpt.load()
+    assert sorted(r.doc_id for r in done.select("doc_id").collect()) == list(range(6))
+
+    # restart: new file ships NEW ids 6-7 plus re-deliveries of 0 and 1
+    write("c.json", [6, 7, 0, 1])
+    run()
+    rows = ckpt.load().collect()
+    got = sorted(r.doc_id for r in rows)
+    # exactly once per id — the re-delivered 0/1 appended nothing
+    assert got == list(range(8))
+    assert all(r.llm_json is not None for r in rows)
+
+    # direct engine-replay simulation: the foreachBatch body re-invoked
+    # with an already-processed batch (a crash between append and offset
+    # commit) must append nothing
+    batch = spark.read.schema(en.DOC_SCHEMA).json(str(indir / "c.json"))
+    fn = en.make_enrich_batch_fn(
+        ckpt, prompts, lambda: DeterministicFakeLLM(task="scoring"), rate_per_sec=10_000.0
+    )
+    fn(batch, 99)
+    assert ckpt.load().count() == 8
+
+
 def test_stream_stream_interval_join_matches_batch_range_join(spark, tmp_path):
     rows = []
     # user 0: purchase at 00:00, views at 00:10 (in window) and 01:00 (out)
