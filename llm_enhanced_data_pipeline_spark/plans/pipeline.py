@@ -232,6 +232,13 @@ def final_build(
             ),
         )
         .withColumn("keywords", cleaning.bounded_distinct_list(F.col("keywords"), 8))
+        # The reference REPLACES fields_of_study with the enrichment
+        # side's extraction — a paper not in the fields table gets [],
+        # not its original list (bulid_final_dataset.py:195-204). This
+        # is what lifts has_fields to 100% at the Enhanced stage when
+        # every pid was enriched (BASELINE.md: 82.59 → 100).
+        .withColumn("fields_of_study", cleaning.bounded_distinct_list(F.col("fields_enriched"), 8))
+        .drop("fields_enriched")
         .withColumn("problem", quality.truncate_with_ellipsis(F.col("problem"), 300))
     )
     # bulid_final_dataset.py:297-301 gate, reasons in if/elif priority

@@ -33,13 +33,20 @@ STAGE_FRAME_COLUMNS = [
     "avg_overall_score",
 ]
 
-_REQUIRED = ["source", "paper_id", "title", "abstract", "authors", "publish_year"]
+# The reference's six required fields, truthiness semantics (an empty
+# string/list is incomplete) — data_quality_comparison.py:82-87.
+_REQUIRED = ["paper_id", "title", "abstract", "authors", "fields_of_study", "url"]
+_REQUIRED_ARRAYS = {"authors", "fields_of_study"}
 
 
 def stage_quality_row(papers: DataFrame) -> DataFrame:
     """One A1 stats row (data_quality_comparison.py:40-115). Missing
     columns are treated as absent-everywhere, like the reference's
-    .get() probes."""
+    .get() probes. Parity details: avg_abstract_length /
+    avg_title_length average over NONEMPTY values only (the reference
+    appends to the length lists inside the `if safe_len(...) > 0`
+    branch, :64-79); schema completeness counts the six required fields
+    truthy (:82-87)."""
     cols = set(papers.columns)
 
     def has_text(name: str):
@@ -52,9 +59,17 @@ def stage_quality_row(papers: DataFrame) -> DataFrame:
             return F.lit(0.0)
         return F.when(F.size(F.coalesce(F.col(name), F.array())) > 0, 1.0).otherwise(0.0)
 
+    def nonempty_len(name: str):
+        # avg() skips nulls, so empty/missing values drop out of the
+        # mean exactly like the reference's conditional append
+        if name not in cols:
+            return F.lit(None).cast("int")
+        ln = F.length(F.coalesce(F.col(name), F.lit("")))
+        return F.when(ln > 0, ln)
+
     complete = F.lit(1.0)
     for f_name in _REQUIRED:
-        probe = has_array(f_name) if f_name in ("authors",) else has_text(f_name)
+        probe = has_array(f_name) if f_name in _REQUIRED_ARRAYS else has_text(f_name)
         complete = complete * probe
     score = (
         F.col("overall_score")
@@ -67,10 +82,10 @@ def stage_quality_row(papers: DataFrame) -> DataFrame:
         F.round(100.0 * F.avg(has_array("authors")), 2).alias("has_authors_%"),
         F.round(100.0 * F.avg(has_array("fields_of_study")), 2).alias("has_fields_%"),
         F.round(100.0 * F.avg(has_array("keywords")), 2).alias("has_keywords_%"),
-        F.round(F.avg(F.length(F.coalesce(F.col("abstract"), F.lit("")))), 2).alias(
+        F.coalesce(F.round(F.avg(nonempty_len("abstract")), 2), F.lit(0.0)).alias(
             "avg_abstract_length"
         ),
-        F.round(F.avg(F.length(F.coalesce(F.col("title"), F.lit("")))), 2).alias(
+        F.coalesce(F.round(F.avg(nonempty_len("title")), 2), F.lit(0.0)).alias(
             "avg_title_length"
         ),
         F.round(100.0 * F.avg(complete), 2).alias("schema_completeness_%"),
