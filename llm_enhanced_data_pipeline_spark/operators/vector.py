@@ -258,3 +258,128 @@ def ivf_knn_join(
             F.col("sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means (Lloyd's) centroid training — the production IVF training
+# path. `centroids_by_key` needs a pre-existing grouping key; k-means
+# learns the partitioning from the vectors themselves, which is how a
+# real IVF index is built when no label column exists.
+#
+# Engine-exact by construction: every vector component is quantized to
+# a non-negative 64-bit integer grid (floor(x * 1e6) + 2e6), so
+# distances, sums, and mean updates are integer arithmetic — immune to
+# the floating-point summation-order nondeterminism that would
+# otherwise make a distributed k-means unreproducible across engines
+# (or across two runs of the same engine with different partitioning).
+# The 2e6 offset keeps the grid non-negative (supports |x| < 2), which
+# makes Spark's `div` (truncate toward zero) and DuckDB's `//` (floor)
+# agree on the mean update. Distance bound: diff < 4e6, squared < 1.6e13,
+# x dim 64 < 1.1e15 — no int64 overflow for dims up to ~500k.
+
+Q_SCALE = 1_000_000
+Q_OFFSET = 2_000_000
+
+
+def quantize_vec(vec: Column) -> Column:
+    """float array -> exact non-negative bigint grid array."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * Q_SCALE).cast("bigint") + Q_OFFSET
+    )
+
+
+def quantize_vec_sql(expr: str) -> str:
+    return (
+        f"list_transform({expr}, _x -> CAST(floor(_x::DOUBLE * {Q_SCALE}) "
+        f"AS BIGINT) + {Q_OFFSET})"
+    )
+
+
+def sqdist_q(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance between quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def sqdist_q_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"_i -> (({a})[_i] - ({b})[_i]) * (({a})[_i] - ({b})[_i])))::BIGINT"
+    )
+
+
+def kmeans_assign(quantized: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (tiny) centroid frame,
+    rank by (distance, cid) for a total tie order. Returns
+    (id_col, _q, cid) — one row per input vector."""
+    from pyspark.sql import Window
+
+    scored = quantized.crossJoin(F.broadcast(centroids)).withColumn(
+        "_d", sqdist_q(F.col("_q"), F.col("_cent"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_d").asc(), F.col("cid").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "_q", "cid")
+    )
+
+
+def kmeans_update(assigned: DataFrame) -> DataFrame:
+    """Integer mean update: explode dims, per-(cid, pos) truncated-mean,
+    re-assemble ordered by position. All values non-negative, so
+    truncation == floor and both engines agree exactly."""
+    dims = (
+        assigned.select("cid", F.posexplode("_q").alias("_pos", "_v"))
+        .groupBy("cid", "_pos")
+        .agg(F.expr("sum(_v) div count(1)").alias("_m"))
+    )
+    return dims.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_m"))), lambda s: s["_m"]
+        ).alias("_cent")
+    )
+
+
+def kmeans_train_quantized(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means over the quantized grid. Seeds = the vectors of
+    the k smallest ids (deterministic, oracle-reproducible). Returns
+    (assignments, centroids): the final assignment frame
+    (id_col, _q, cid) against the last-updated centroid frame
+    (cid, _cent); empty clusters drop out (same in both engines).
+
+    Scale shape: each iteration is one broadcast nested-loop against k
+    rows (k is small by definition), one window (same hash partitioning
+    reused), and one explode+groupBy pair keyed on (cid, pos) — k*dim
+    groups, trivially balanced. No driver collect; lineage grows
+    linearly in `iters` (use localCheckpoint beyond ~20 iterations).
+    """
+    q = corpus.select(F.col(id_col), quantize_vec(F.col(vec_col)).alias("_q"))
+    cents = q.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("cid"), F.col("_q").alias("_cent")
+    )
+    for _ in range(iters):
+        assigned = kmeans_assign(q, cents, id_col)
+        cents = kmeans_update(assigned)
+    return kmeans_assign(q, cents, id_col), cents
+
+
+def dequantize_centroids(cents: DataFrame) -> DataFrame:
+    """(cid, _cent bigint grid) -> (ckey, centroid double) frame in the
+    shape `ivf_assign`/`ivf_knn_join` consume — the bridge from k-means
+    training to IVF serving."""
+    return cents.select(
+        F.col("cid").alias("ckey"),
+        F.transform(
+            F.col("_cent"), lambda v: (v - Q_OFFSET).cast("double") / Q_SCALE
+        ).alias("centroid"),
+    )

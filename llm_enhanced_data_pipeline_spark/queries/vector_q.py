@@ -220,3 +220,83 @@ def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "\n", F.transform(F.array_sort(F.collect_list(F.struct("rank", "line"))), lambda s: s["line"])
         ).alias("context")
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means IVF training (beyond-reference ANN suite): Lloyd's iterations
+# over the integer-quantized grid (operators.vector.kmeans_*). The
+# DuckDB twin unrolls the iterations as a generated CTE chain — every
+# assignment and mean update is exact int64 arithmetic, so the two
+# engines agree bit-for-bit despite distributed float-sum ordering.
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    parts = [
+        f"e AS (SELECT vec_id, {vector.quantize_vec_sql('embedding')} AS q FROM embeddings)",
+        f"c0 AS (SELECT vec_id::INT AS cid, q AS cent FROM e WHERE vec_id < {k})",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, q, cid FROM (
+    SELECT e.vec_id, e.q, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {vector.sqdist_q_sql('e.q', 'c.cent')} ASC,
+                                       c.cid ASC) AS rn
+    FROM e CROSS JOIN c{i} c) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""c{i + 1} AS (
+  SELECT cid, list(m ORDER BY _i) AS cent FROM (
+    SELECT cid, _i, (sum(q[_i]) // count(*))::BIGINT AS m
+    FROM a{i}, range(1, {dim + 1}) r(_i) GROUP BY cid, _i) GROUP BY cid)"""
+        )
+    return f"""
+WITH {','.join(parts)},
+af AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {vector.sqdist_q_sql('e.q', 'c.cent')} ASC,
+                                       c.cid ASC) AS rn
+    FROM e CROSS JOIN c{iters} c) WHERE rn = 1)
+SELECT a.cid AS cluster,
+       count(*)::BIGINT AS n_members,
+       min(s.centroid_sum) AS centroid_sum,
+       min(s.centroid_fp) AS centroid_fp
+FROM af a
+JOIN (SELECT cid, list_sum(cent)::BIGINT AS centroid_sum,
+             md5(array_to_string(cent, ',')) AS centroid_fp
+      FROM c{iters}) s ON s.cid = a.cid
+GROUP BY a.cid
+"""
+
+
+@register(
+    "kmeans_train",
+    doc="IVF centroid training: 3 Lloyd's iterations, k=8, integer-"
+    "quantized grid (floor(x*1e6)+2e6) so assignment and mean updates "
+    "are engine-exact int64 arithmetic. Seeds = vectors of the 8 "
+    "smallest ids. Output: per-cluster size + exact centroid "
+    "fingerprint. `dequantize_centroids` bridges the result straight "
+    "into ivf_assign/ivf_knn_join for serving.",
+    oracle=_kmeans_sql(),
+)
+def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    assigned, cents = vector.kmeans_train_quantized(
+        emb, "vec_id", "embedding", k=8, iters=3
+    )
+    sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    cstats = cents.select(
+        "cid",
+        F.aggregate(
+            "_cent", F.lit(0).cast("bigint"), lambda acc, v: acc + v
+        ).alias("centroid_sum"),
+        F.md5(
+            F.concat_ws(",", F.transform("_cent", lambda v: v.cast("string")))
+        ).alias("centroid_fp"),
+    )
+    return sizes.join(cstats, "cid").select(
+        F.col("cid").alias("cluster"), "n_members", "centroid_sum", "centroid_fp"
+    )

@@ -80,6 +80,8 @@ QUADRATIC_BY_DESIGN = {
                               # pipeline stage counters
     "ivf_assignments",        # N x K centroid scoring over a broadcast
     "ivf_knn",                # K-row centroid frame — the IVF plan
+    "kmeans_train",           # Lloyd's assignment: N x K scoring over a
+                              # broadcast K-row centroid frame per iter
     "tfidf_top_terms",        # broadcast 1-row corpus-size frame (idf)
     "unigram_logprob",        # broadcast 1-row corpus-total frame (same
                               # shape as the tfidf idf broadcast)
