@@ -309,3 +309,196 @@ SELECT id AS doc_id,
        {stable_round_sql("avg(_lp)", 4)} AS avg_logprob
 FROM tok JOIN lp USING (_tok) GROUP BY id
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# ... Gopher", table A1 — public parameters). Each rule is a pure
+# column expression over the raw text (single projection, no shuffle);
+# `True` means the document FAILS that rule. Word = raw whitespace
+# token (case preserved — symbol and alpha rules need the raw form);
+# line = '\n'-split segment.
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1          # '#' and '...' per word
+GOPHER_MAX_BULLET_LINE_FRAC = 0.9      # lines starting with a bullet
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3    # lines ending with '...'
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8       # words containing a letter
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPWORDS = 2               # distinct required stopwords
+
+
+def _ws_tokens(text: Column) -> Column:
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != F.lit(""))
+
+
+def _ws_tokens_sql(expr: str) -> str:
+    return (
+        f"list_filter(regexp_split_to_array(trim({expr}), '\\s+'), _w -> _w <> '')"
+    )
+
+
+def _occurrences(text: Column, needle: str) -> Column:
+    """Count of non-overlapping needle occurrences (leftmost-greedy
+    replace semantics — identical in Spark and DuckDB)."""
+    return (
+        F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))
+    ) / len(needle)
+
+
+def gopher_flags(text: Column) -> dict[str, Column]:
+    """Per-rule FAIL flags, keyed in report-column order."""
+    toks = _ws_tokens(text)
+    n_words = F.size(toks)
+    n_safe = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wl = (
+        F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t).cast("double"))
+        / n_safe
+    )
+    symbol_ratio = (_occurrences(text, "#") + _occurrences(text, "...")) / n_safe
+    lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != F.lit(""))
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("..."))) / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n_safe
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(toks, F.lower),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    return {
+        "fail_word_count": (n_words < GOPHER_MIN_WORDS)
+        | (n_words > GOPHER_MAX_WORDS),
+        "fail_mean_word_len": (mean_wl < GOPHER_MIN_MEAN_WORD_LEN)
+        | (mean_wl > GOPHER_MAX_MEAN_WORD_LEN),
+        "fail_symbol_ratio": symbol_ratio > GOPHER_MAX_SYMBOL_RATIO,
+        "fail_bullet_lines": bullet_frac > GOPHER_MAX_BULLET_LINE_FRAC,
+        "fail_ellipsis_lines": ellipsis_frac > GOPHER_MAX_ELLIPSIS_LINE_FRAC,
+        "fail_alpha_words": alpha_frac < GOPHER_MIN_ALPHA_WORD_FRAC,
+        "fail_stopwords": stop_hits < GOPHER_MIN_STOPWORDS,
+    }
+
+
+def gopher_pass(text: Column) -> Column:
+    """True iff the document passes every Gopher rule."""
+    combined = F.lit(False)
+    for flag in gopher_flags(text).values():
+        combined = combined | flag
+    return ~combined
+
+
+def gopher_flags_sql(expr: str) -> dict[str, str]:
+    """DuckDB twins of :func:`gopher_flags`, same keys/order."""
+    toks = _ws_tokens_sql(expr)
+    n_words = f"len({toks})"
+    n_safe = f"greatest({n_words}, 1)::DOUBLE"
+    mean_wl = f"(list_sum(list_transform({toks}, _w -> length(_w)))::DOUBLE / {n_safe})"
+    occ_hash = f"(length({expr}) - length(replace({expr}, '#', '')))"
+    occ_ell = f"((length({expr}) - length(replace({expr}, '...', ''))) / 3)"
+    symbol_ratio = f"(({occ_hash} + {occ_ell})::DOUBLE / {n_safe})"
+    lines = f"list_filter(string_split({expr}, chr(10)), _l -> trim(_l) <> '')"
+    n_lines = f"greatest(len({lines}), 1)::DOUBLE"
+    bullet = (
+        f"(len(list_filter({lines}, _l -> regexp_matches(trim(_l), '^[-*•]')))"
+        f"::DOUBLE / {n_lines})"
+    )
+    ellipsis = (
+        f"(len(list_filter({lines}, _l -> rtrim(_l) LIKE '%...'))::DOUBLE / {n_lines})"
+    )
+    alpha = (
+        f"(len(list_filter({toks}, _w -> regexp_matches(_w, '[A-Za-z]')))"
+        f"::DOUBLE / {n_safe})"
+    )
+    stop_arr = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+    stops = f"len(list_intersect(list_transform({toks}, _w -> lower(_w)), {stop_arr}))"
+    return {
+        "fail_word_count": f"({n_words} < {GOPHER_MIN_WORDS} OR {n_words} > {GOPHER_MAX_WORDS})",
+        "fail_mean_word_len": f"({mean_wl} < {GOPHER_MIN_MEAN_WORD_LEN} OR {mean_wl} > {GOPHER_MAX_MEAN_WORD_LEN})",
+        "fail_symbol_ratio": f"({symbol_ratio} > {GOPHER_MAX_SYMBOL_RATIO})",
+        "fail_bullet_lines": f"({bullet} > {GOPHER_MAX_BULLET_LINE_FRAC})",
+        "fail_ellipsis_lines": f"({ellipsis} > {GOPHER_MAX_ELLIPSIS_LINE_FRAC})",
+        "fail_alpha_words": f"({alpha} < {GOPHER_MIN_ALPHA_WORD_FRAC})",
+        "fail_stopwords": f"({stops} < {GOPHER_MIN_STOPWORDS})",
+    }
+
+
+def gopher_pass_sql(expr: str) -> str:
+    return "NOT (" + " OR ".join(gopher_flags_sql(expr).values()) + ")"
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning (Raffel et al. 2020 §2.2 — public heuristics).
+# Line rules: keep a line only if it ends in terminal punctuation, has
+# >= 5 words, and does not mention javascript. Document rules: >= 3
+# retained lines, no '{', no 'lorem ipsum'. Everything is array-lambda
+# column algebra over the split text — a single projection with NO
+# explode and NO shuffle, so it runs map-side at any corpus size.
+
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+_C4_TERMINAL_RE = r'[.!?"]$'
+
+
+def c4_kept_lines(text: Column) -> Column:
+    """Array of retained lines, original order preserved."""
+    lines = F.split(text, "\n")
+    def _keep(l: Column) -> Column:
+        t = F.trim(l)
+        return (
+            t.rlike(_C4_TERMINAL_RE)
+            & (F.size(_ws_tokens(t)) >= C4_MIN_LINE_WORDS)
+            & ~F.lower(t).contains("javascript")
+        )
+    return F.filter(lines, _keep)
+
+
+def c4_doc_pass(text: Column, kept: Column) -> Column:
+    return (
+        (F.size(kept) >= C4_MIN_KEPT_LINES)
+        & ~text.contains("{")
+        & ~F.lower(text).contains("lorem ipsum")
+    )
+
+
+def c4_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Filtered corpus: line-cleaned text for documents that survive the
+    doc-level rules; adds n_lines/n_kept stats columns."""
+    text = F.col(text_col)
+    kept = c4_kept_lines(text)
+    return (
+        df.withColumn("_kept", kept)
+        .filter(c4_doc_pass(text, F.col("_kept")))
+        .withColumn("n_lines", F.size(F.split(text, "\n")))
+        .withColumn("n_kept", F.size(F.col("_kept")))
+        .withColumn(text_col, F.array_join(F.col("_kept"), "\n"))
+        .drop("_kept")
+    )
+
+
+def c4_kept_lines_sql(expr: str) -> str:
+    toks = _ws_tokens_sql("trim(_l)")
+    return (
+        f"list_filter(string_split({expr}, chr(10)), _l -> "
+        f"regexp_matches(trim(_l), '{_C4_TERMINAL_RE}') "
+        f"AND len({toks}) >= {C4_MIN_LINE_WORDS} "
+        f"AND NOT contains(lower(trim(_l)), 'javascript'))"
+    )
+
+
+def c4_doc_pass_sql(expr: str, kept_expr: str) -> str:
+    return (
+        f"(len({kept_expr}) >= {C4_MIN_KEPT_LINES} "
+        f"AND NOT contains({expr}, '{{') "
+        f"AND NOT contains(lower({expr}), 'lorem ipsum'))"
+    )

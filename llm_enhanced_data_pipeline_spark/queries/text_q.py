@@ -636,3 +636,139 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         red.alias("redacted"),
         (F.col("t") != red).alias("was_redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule-set filtering report (beyond-reference corpus suite;
+# public parameters from Rae et al. 2021 table A1).
+
+_GOPHER_FLAGS_SQL = text_analysis.gopher_flags_sql("text")
+
+
+@register(
+    "gopher_quality_report",
+    doc="Full Gopher heuristic-filter sweep: per-source document counts, "
+    "per-rule fail counts (word-count bounds, mean word length, symbol "
+    "ratio, bullet/ellipsis line fractions, alpha-word fraction, "
+    "stopword presence), and surviving-document retention. One "
+    "projection + one keyed agg — a pure map-side-combine shape at any "
+    "scale.",
+    oracle=f"""
+SELECT source,
+       count(*) AS n_docs,
+       {', '.join(f'sum(CASE WHEN {sql} THEN 1 ELSE 0 END)::BIGINT AS {name}' for name, sql in _GOPHER_FLAGS_SQL.items())},
+       sum(CASE WHEN {text_analysis.gopher_pass_sql('text')} THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+       round(sum(CASE WHEN {text_analysis.gopher_pass_sql('text')} THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS retention
+FROM documents
+GROUP BY source
+""",
+)
+def gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    flags = text_analysis.gopher_flags(F.col("text"))
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    aggs += [
+        F.sum(F.when(flag, 1).otherwise(0)).alias(name)
+        for name, flag in flags.items()
+    ]
+    pass_col = text_analysis.gopher_pass(F.col("text"))
+    aggs.append(F.sum(F.when(pass_col, 1).otherwise(0)).alias("n_pass"))
+    aggs.append(
+        F.round(
+            F.sum(F.when(pass_col, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("retention")
+    )
+    return docs.groupBy("source").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning gate. The synthetic documents table has no
+# natural line structure (no newlines, no punctuation), so the gate
+# synthesizes a deterministic one IN THE QUERY — identical construction
+# on both engines — and runs the real operator over it: tokens are
+# regrouped into 8-word lines; a line gets a terminal '.' iff
+# md5(doc_id:line_idx) % 5 < 4 (so ~20% of lines fail the terminal-
+# punctuation rule); docs with md5(doc_id) % 17 == 0 get a '{'
+# appended (the C4 page-level brace drop). Realistic-text behavior is
+# covered by fixtures in tests/test_gopher_c4.py.
+
+_C4_WORDS_PER_LINE = 8
+
+
+def _c4_structured_text(doc_id: Column, toks: Column) -> F.Column:
+    n_lines = F.ceil(F.size(toks) / F.lit(_C4_WORDS_PER_LINE)).cast("int")
+    def _line(i: Column) -> Column:
+        body = F.array_join(
+            F.slice(toks, i * _C4_WORDS_PER_LINE + 1, _C4_WORDS_PER_LINE), " "
+        )
+        h = hashing.stable_hash32(
+            F.concat(doc_id.cast("string"), F.lit(":"), i.cast("string"))
+        )
+        return F.when(h % 5 < 4, F.concat(body, F.lit("."))).otherwise(body)
+    lines = F.transform(F.sequence(F.lit(0), n_lines - 1), _line)
+    brace = F.when(
+        hashing.stable_hash32(doc_id.cast("string")) % 17 == 0, F.lit(" {")
+    ).otherwise(F.lit(""))
+    return F.concat(F.array_join(lines, "\n"), brace)
+
+
+def _c4_structured_text_sql() -> str:
+    n_lines = f"CAST(ceil(len({_TOKS})::DOUBLE / {_C4_WORDS_PER_LINE}) AS INT)"
+    h_line = hashing.stable_hash32_sql(
+        f"doc_id::VARCHAR || ':' || _i::VARCHAR"
+    )
+    body = (
+        f"array_to_string(list_slice({_TOKS}, _i * {_C4_WORDS_PER_LINE} + 1, "
+        f"_i * {_C4_WORDS_PER_LINE} + {_C4_WORDS_PER_LINE}), ' ')"
+    )
+    line = f"(CASE WHEN {h_line} % 5 < 4 THEN {body} || '.' ELSE {body} END)"
+    lines = f"list_transform(range(0, {n_lines}), _i -> {line})"
+    brace = (
+        f"(CASE WHEN {hashing.stable_hash32_sql('doc_id::VARCHAR')} % 17 = 0 "
+        f"THEN ' {{' ELSE '' END)"
+    )
+    return f"(array_to_string({lines}, chr(10)) || {brace})"
+
+
+@register(
+    "c4_line_filter",
+    doc="C4 line-level cleaning (terminal punctuation, >= 5 words, no "
+    "javascript; doc-level: >= 3 kept lines, no brace, no lorem ipsum) "
+    "over deterministically synthesized line structure. Pure array-"
+    "lambda projection — no explode, no shuffle.",
+    oracle=f"""
+WITH structured AS (
+  SELECT doc_id, source, {_c4_structured_text_sql()} AS text FROM documents
+),
+cleaned AS (
+  SELECT doc_id, source, text,
+         {text_analysis.c4_kept_lines_sql('text')} AS kept,
+         len(string_split(text, chr(10)))::INT AS n_lines
+  FROM structured
+)
+SELECT doc_id, source, n_lines,
+       len(kept)::INT AS n_kept,
+       md5(array_to_string(kept, chr(10))) AS clean_fp
+FROM cleaned
+WHERE {text_analysis.c4_doc_pass_sql('text', 'kept')}
+""",
+)
+def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    structured = docs.select(
+        "doc_id",
+        "source",
+        _c4_structured_text(
+            F.col("doc_id"), cleaning.tokens(F.col("text"))
+        ).alias("text"),
+    )
+    cleaned = text_analysis.c4_clean(structured, "text")
+    return cleaned.select(
+        "doc_id",
+        "source",
+        "n_lines",
+        "n_kept",
+        hashing.md5_hex(F.col("text")).alias("clean_fp"),
+    )
