@@ -831,3 +831,42 @@ def near_dup_pairs_embedding_ivf(
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (snapshot-to-batch) dedup — the production ingest shape:
+# a 100 TB corpus maintains its content-hash index as a TABLE; each
+# incoming crawl batch is deduplicated against that index with an
+# anti equi-join (broadcast when the batch's hash set is small, plain
+# shuffle otherwise) plus a first-wins pass WITHIN the batch. Nothing
+# ever rescans the historical corpus text — only its hash index.
+
+def dedup_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    order_cols: list[Column | str],
+    index_fp_col: str = "fp",
+) -> DataFrame:
+    """Batch rows surviving ingest: content fingerprint not present in
+    the snapshot index, and first occurrence within the batch (ordered
+    by ``order_cols``). Adds the fingerprint as ``_fp``."""
+    fp = content_hash(F.coalesce(F.col(text_col), F.lit("")))
+    keyed = batch.withColumn("_fp", fp)
+    fresh = keyed.join(
+        index.select(F.col(index_fp_col).alias("_fp")), "_fp", "left_anti"
+    )
+    w = Window.partitionBy("_fp").orderBy(*order_cols)
+    return (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def content_index(df: DataFrame, text_col: str) -> DataFrame:
+    """The snapshot's content-hash index: distinct fingerprints only —
+    the artifact a production pipeline persists between ingests."""
+    return df.select(
+        content_hash(F.coalesce(F.col(text_col), F.lit(""))).alias("fp")
+    ).distinct()

@@ -511,3 +511,69 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _minhash_corpus(spark, sf_dir)
     pairs = _shared_minhash_pairs(spark, sf_dir)
     return dedup.connected_components(corpus.select("doc_id"), pairs, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup: snapshot = docs with doc_id % 10 < 8
+# (the already-ingested corpus, represented only by its content-hash
+# index); batch = the remaining docs ∪ engineered re-crawls (exact
+# copies of snapshot docs, doc_id % 50 == 0, offset +1e6) ∪ engineered
+# intra-batch dups (copies of batch docs with doc_id % 97 == 0, offset
+# +2e6). The gate lists the rows that actually ingest.
+
+_INGEST_BATCH_SQL = f"""
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+  UNION ALL
+  SELECT doc_id + {VARIANT_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % 10 < 8 AND doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + {2 * VARIANT_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % 10 >= 8 AND doc_id % 97 = 0
+"""
+
+
+def _ingest_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 10 >= 8)
+    recrawl = (
+        docs.filter((F.col("doc_id") % 10 < 8) & (F.col("doc_id") % 50 == 0))
+        .select((F.col("doc_id") + VARIANT_OFFSET).alias("doc_id"), "text")
+    )
+    intra = new.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 2 * VARIANT_OFFSET).alias("doc_id"), "text"
+    )
+    return new.unionByName(recrawl).unionByName(intra)
+
+
+@register(
+    "dedup_incremental",
+    doc="Incremental ingest against a snapshot content-hash index: "
+    "anti equi-join on md5 fingerprint (the historical corpus is never "
+    "rescanned — only its persisted index), then first-wins within the "
+    "batch. Lists surviving rows.",
+    oracle=f"""
+WITH snap_index AS (
+  SELECT DISTINCT md5(lower(trim(text))) AS fp
+  FROM documents WHERE doc_id % 10 < 8
+),
+batch AS ({_INGEST_BATCH_SQL}),
+fresh AS (
+  SELECT b.doc_id, md5(lower(trim(b.text))) AS fp
+  FROM batch b
+  WHERE NOT EXISTS (SELECT 1 FROM snap_index s
+                    WHERE s.fp = md5(lower(trim(b.text))))
+)
+SELECT doc_id, fp FROM (
+  SELECT doc_id, fp,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM fresh
+) WHERE rn = 1
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    snapshot = docs.filter(F.col("doc_id") % 10 < 8)
+    index = dedup.content_index(snapshot, "text")
+    batch = _ingest_batch(spark, sf_dir)
+    survivors = dedup.dedup_against_index(batch, index, "text", ["doc_id"])
+    return survivors.select("doc_id", F.col("_fp").alias("fp"))

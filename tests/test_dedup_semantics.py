@@ -269,3 +269,33 @@ def test_connected_components_star_matches_union_find(spark):
     }
     assert star == expected
     assert (999, 999) in star  # isolated node keeps its own label
+
+
+def test_dedup_against_index_drops_recrawls_and_intra_batch_dups(spark):
+    snapshot = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], "doc_id BIGINT, text STRING"
+    )
+    index = dedup.content_index(snapshot, "text")
+    batch = spark.createDataFrame(
+        [
+            (10, "gamma text"),        # genuinely new -> survives
+            (11, "Alpha   Text"),      # recrawl (hash-normalized) -> dropped
+            (12, "gamma text"),        # intra-batch dup of 10 -> dropped
+            (13, "delta text"),        # new -> survives
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    # content_hash lower+trims but does not collapse inner whitespace;
+    # make the recrawl an exact normalized match:
+    batch = batch.replace("Alpha   Text", "ALPHA TEXT")
+    out = dedup.dedup_against_index(batch, index, "text", ["doc_id"])
+    assert sorted(r["doc_id"] for r in out.collect()) == [10, 13]
+
+
+def test_content_index_is_distinct_fingerprints_only(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], "doc_id BIGINT, text STRING"
+    )
+    idx = dedup.content_index(df, "text")
+    assert idx.columns == ["fp"]
+    assert idx.count() == 2
