@@ -349,8 +349,15 @@ def _occurrences(text: Column, needle: str) -> Column:
     ) / len(needle)
 
 
-def gopher_flags(text: Column) -> dict[str, Column]:
-    """Per-rule FAIL flags, keyed in report-column order."""
+def gopher_flags(
+    text: Column,
+    min_words: int = GOPHER_MIN_WORDS,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> dict[str, Column]:
+    """Per-rule FAIL flags, keyed in report-column order. ``min_words``
+    and ``stopwords`` are tunable (the stopword rule is language- and
+    domain-specific by nature); every other bound is the published
+    Gopher parameter."""
     toks = _ws_tokens(text)
     n_words = F.size(toks)
     n_safe = F.greatest(n_words, F.lit(1)).cast("double")
@@ -374,11 +381,11 @@ def gopher_flags(text: Column) -> dict[str, Column]:
     stop_hits = F.size(
         F.array_intersect(
             F.transform(toks, F.lower),
-            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            F.array(*[F.lit(w) for w in stopwords]),
         )
     )
     return {
-        "fail_word_count": (n_words < GOPHER_MIN_WORDS)
+        "fail_word_count": (n_words < min_words)
         | (n_words > GOPHER_MAX_WORDS),
         "fail_mean_word_len": (mean_wl < GOPHER_MIN_MEAN_WORD_LEN)
         | (mean_wl > GOPHER_MAX_MEAN_WORD_LEN),
@@ -390,15 +397,23 @@ def gopher_flags(text: Column) -> dict[str, Column]:
     }
 
 
-def gopher_pass(text: Column) -> Column:
+def gopher_pass(
+    text: Column,
+    min_words: int = GOPHER_MIN_WORDS,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> Column:
     """True iff the document passes every Gopher rule."""
     combined = F.lit(False)
-    for flag in gopher_flags(text).values():
+    for flag in gopher_flags(text, min_words, stopwords).values():
         combined = combined | flag
     return ~combined
 
 
-def gopher_flags_sql(expr: str) -> dict[str, str]:
+def gopher_flags_sql(
+    expr: str,
+    min_words: int = GOPHER_MIN_WORDS,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> dict[str, str]:
     """DuckDB twins of :func:`gopher_flags`, same keys/order."""
     toks = _ws_tokens_sql(expr)
     n_words = f"len({toks})"
@@ -420,10 +435,10 @@ def gopher_flags_sql(expr: str) -> dict[str, str]:
         f"(len(list_filter({toks}, _w -> regexp_matches(_w, '[A-Za-z]')))"
         f"::DOUBLE / {n_safe})"
     )
-    stop_arr = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+    stop_arr = "[" + ", ".join(f"'{w}'" for w in stopwords) + "]"
     stops = f"len(list_intersect(list_transform({toks}, _w -> lower(_w)), {stop_arr}))"
     return {
-        "fail_word_count": f"({n_words} < {GOPHER_MIN_WORDS} OR {n_words} > {GOPHER_MAX_WORDS})",
+        "fail_word_count": f"({n_words} < {min_words} OR {n_words} > {GOPHER_MAX_WORDS})",
         "fail_mean_word_len": f"({mean_wl} < {GOPHER_MIN_MEAN_WORD_LEN} OR {mean_wl} > {GOPHER_MAX_MEAN_WORD_LEN})",
         "fail_symbol_ratio": f"({symbol_ratio} > {GOPHER_MAX_SYMBOL_RATIO})",
         "fail_bullet_lines": f"({bullet} > {GOPHER_MAX_BULLET_LINE_FRAC})",
@@ -433,8 +448,16 @@ def gopher_flags_sql(expr: str) -> dict[str, str]:
     }
 
 
-def gopher_pass_sql(expr: str) -> str:
-    return "NOT (" + " OR ".join(gopher_flags_sql(expr).values()) + ")"
+def gopher_pass_sql(
+    expr: str,
+    min_words: int = GOPHER_MIN_WORDS,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> str:
+    return (
+        "NOT ("
+        + " OR ".join(gopher_flags_sql(expr, min_words, stopwords).values())
+        + ")"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -579,3 +579,149 @@ def corpus_build_v2_with_scorer(
             F.max("rate_permille").alias("rate_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_build_v3: the heuristic-filter pretraining build — C4 line
+# cleaning -> Gopher rule gate -> exact dedup -> per-source token
+# budget — in ONE pass. Stage decisions are flag COLUMNS, not separate
+# scans: the dedup window ranks survivors first inside each
+# fingerprint group (so "first surviving occurrence" needs no
+# pre-filtered frame), and the budget prefix-sum accumulates only
+# unique-survivor tokens. One projection + two windows + one agg; at
+# 100 TB that is two keyed shuffles (fp, source) and nothing else.
+# Exact duplicates are engineered by re-keying structured copies
+# (doc_id % 10 == 0, +1e6) AFTER line synthesis, so copy and original
+# share identical structured text.
+
+from .text_q import _c4_structured_text, _c4_structured_text_sql  # noqa: E402
+
+_V3_STOPWORDS = ("the", "a", "table", "value", "row", "key")
+_V3_MIN_WORDS = 30
+_V3_BUDGET = 300  # tokens per source
+
+_V3_GOPHER_SQL = text_analysis.gopher_pass_sql(
+    "cleaned", _V3_MIN_WORDS, _V3_STOPWORDS
+)
+
+
+@register(
+    "corpus_build_v3",
+    doc="Heuristic pretraining build in one lineage: C4 line cleaning "
+    "over synthesized structure, Gopher gate (corpus-tuned stopwords), "
+    "first-surviving-occurrence exact dedup, per-source token budget. "
+    "Per-source funnel report; every stage is a flag column in a "
+    "single pass (two keyed windows, one agg).",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, source, {_c4_structured_text_sql()} AS structured
+  FROM documents
+),
+aug AS (
+  SELECT doc_id, source, structured FROM base
+  UNION ALL
+  SELECT doc_id + {1_000_000} AS doc_id, source, structured
+  FROM base WHERE doc_id % 10 = 0
+),
+staged AS (
+  SELECT doc_id, source,
+         array_to_string({text_analysis.c4_kept_lines_sql('structured')}, chr(10)) AS cleaned,
+         {text_analysis.c4_doc_pass_sql('structured', text_analysis.c4_kept_lines_sql('structured'))} AS c4_ok
+  FROM aug
+),
+flagged AS (
+  SELECT doc_id, source, cleaned,
+         c4_ok,
+         (c4_ok AND {_V3_GOPHER_SQL}) AS surv,
+         len({tokens_sql('cleaned')}) AS n_tok
+  FROM staged
+),
+ranked AS (
+  SELECT *,
+         (surv AND row_number() OVER (
+            PARTITION BY md5(lower(trim(cleaned)))
+            ORDER BY surv DESC, doc_id ASC) = 1) AS unique_ok
+  FROM flagged
+),
+budgeted AS (
+  SELECT *,
+         (unique_ok AND sum(CASE WHEN unique_ok THEN n_tok ELSE 0 END)
+            OVER (PARTITION BY source ORDER BY doc_id ASC
+                  ROWS UNBOUNDED PRECEDING) <= {_V3_BUDGET}) AS in_budget
+  FROM ranked
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(CASE WHEN c4_ok THEN 1 ELSE 0 END)::BIGINT AS n_c4,
+       sum(CASE WHEN surv THEN 1 ELSE 0 END)::BIGINT AS n_gopher,
+       sum(CASE WHEN unique_ok THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+       sum(CASE WHEN in_budget THEN 1 ELSE 0 END)::BIGINT AS n_final,
+       sum(CASE WHEN in_budget THEN n_tok ELSE 0 END)::BIGINT AS final_tokens
+FROM budgeted GROUP BY source
+""",
+)
+def corpus_build_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "doc_id",
+        "source",
+        _c4_structured_text(F.col("doc_id"), cleaning.tokens(F.col("text"))).alias(
+            "structured"
+        ),
+    )
+    aug = base.unionByName(
+        base.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "source", "structured"
+        )
+    )
+    kept = text_analysis.c4_kept_lines(F.col("structured"))
+    staged = aug.select(
+        "doc_id",
+        "source",
+        F.array_join(kept, "\n").alias("cleaned"),
+        text_analysis.c4_doc_pass(F.col("structured"), kept).alias("c4_ok"),
+    )
+    flagged = staged.select(
+        "doc_id",
+        "source",
+        "cleaned",
+        "c4_ok",
+        (
+            F.col("c4_ok")
+            & text_analysis.gopher_pass(
+                F.col("cleaned"), _V3_MIN_WORDS, _V3_STOPWORDS
+            )
+        ).alias("surv"),
+        F.size(cleaning.tokens(F.col("cleaned"))).alias("n_tok"),
+    )
+    w_fp = Window.partitionBy(
+        hashing.md5_hex(F.lower(F.trim(F.col("cleaned"))))
+    ).orderBy(F.col("surv").desc(), F.col("doc_id").asc())
+    ranked = flagged.withColumn(
+        "unique_ok", F.col("surv") & (F.row_number().over(w_fp) == 1)
+    )
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budgeted = ranked.withColumn(
+        "in_budget",
+        F.col("unique_ok")
+        & (
+            F.sum(F.when(F.col("unique_ok"), F.col("n_tok")).otherwise(0)).over(w_src)
+            <= _V3_BUDGET
+        ),
+    )
+    return budgeted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("c4_ok").cast("int")).cast("bigint").alias("n_c4"),
+        F.sum(F.col("surv").cast("int")).cast("bigint").alias("n_gopher"),
+        F.sum(F.col("unique_ok").cast("int")).cast("bigint").alias("n_unique"),
+        F.sum(F.col("in_budget").cast("int")).cast("bigint").alias("n_final"),
+        F.sum(F.when(F.col("in_budget"), F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("final_tokens"),
+    )
