@@ -1,1 +1,1 @@
-from . import enrichment, events, stateful  # noqa: F401
+from . import enrichment, events, ingest, stateful  # noqa: F401

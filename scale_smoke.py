@@ -80,6 +80,41 @@ def replicated_events(spark: SparkSession, r: int) -> DataFrame:
     )
 
 
+def _heuristic_funnel(toked: DataFrame) -> DataFrame:
+    """C4 + Gopher + dedup-rank + budget, the corpus_build_v3 shape,
+    over synthetic line structure built from the replicated corpus."""
+    from pyspark.sql import Window
+
+    from llm_enhanced_data_pipeline_spark.functions import hashing
+    from llm_enhanced_data_pipeline_spark.operators import text_analysis
+    from llm_enhanced_data_pipeline_spark.queries.text_q import _c4_structured_text
+
+    base = toked.select(
+        "doc_id",
+        (F.col("doc_id") % 20).alias("source"),
+        _c4_structured_text(F.col("doc_id"), F.col("toks")).alias("structured"),
+    )
+    kept = text_analysis.c4_kept_lines(F.col("structured"))
+    flagged = base.select(
+        "doc_id",
+        "source",
+        F.array_join(kept, "\n").alias("cleaned"),
+        text_analysis.c4_doc_pass(F.col("structured"), kept).alias("c4_ok"),
+    ).withColumn(
+        "surv",
+        F.col("c4_ok")
+        & text_analysis.gopher_pass(
+            F.col("cleaned"), 30, ("the", "a", "table", "value", "row", "key")
+        ),
+    )
+    w_fp = Window.partitionBy(
+        hashing.md5_hex(F.lower(F.trim(F.col("cleaned"))))
+    ).orderBy(F.col("surv").desc(), F.col("doc_id").asc())
+    return flagged.withColumn(
+        "unique_ok", F.col("surv") & (F.row_number().over(w_fp) == 1)
+    )
+
+
 def time_op(fn) -> float:
     t0 = time.perf_counter()
     fn()
@@ -154,6 +189,21 @@ def run_at(spark: SparkSession, r: int) -> dict[str, float]:
         ).count()
     )
 
+    # heuristic-filter funnel: pure column algebra + two keyed windows —
+    # must track data size exactly
+    out["heuristic_funnel"] = time_op(
+        lambda: _heuristic_funnel(toked).count()
+    )
+
+    # incremental ingest: anti equi-join against the snapshot hash index
+    snap = docs.filter(F.col("doc_id") % 10 < 8)
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    out["incremental_dedup"] = time_op(
+        lambda: dedup.dedup_against_index(
+            batch, dedup.content_index(snap, "text"), "text", ["doc_id"]
+        ).count()
+    )
+
     emb = replicated_embeddings(spark, r).persist()
     out["n_vecs"] = emb.count()
     cents = vector.centroids_by_key(emb, "label", "embedding")
@@ -162,6 +212,13 @@ def run_at(spark: SparkSession, r: int) -> dict[str, float]:
         lambda: vector.ivf_knn_join(
             queries, emb, cents, "vec_id", "vec_id", "embedding", "embedding", k=5
         ).count()
+    )
+    # k-means training: per-iteration cost = broadcast K-row scoring +
+    # (cid, pos) agg — linear in rows, independent of K's data share
+    out["kmeans_train"] = time_op(
+        lambda: vector.kmeans_train_quantized(emb, "vec_id", "embedding", k=8, iters=3)[
+            0
+        ].count()
     )
     docs.unpersist()
     ev.unpersist()
@@ -191,7 +248,10 @@ def main() -> None:
                 "repetition",
                 "asof_join",
                 "range_join",
+                "heuristic_funnel",
+                "incremental_dedup",
                 "ivf_knn",
+                "kmeans_train",
             )
         },
     }

@@ -290,3 +290,48 @@ def test_stream_stream_interval_join_matches_batch_range_join(spark, tmp_path):
         for r in spark.sql("select * from ssj_test").collect()
     ]
     assert got == [(0, 11, 10, 9.5)]
+
+
+def test_incremental_ingest_stream_cross_batch_content_dedup(spark, tmp_path):
+    """Continuous corpus ingest (streaming/ingest.py): the accepted
+    store is simultaneously corpus, content-hash index, and idempotence
+    checkpoint. Across a restart, re-shipped ids, re-crawled CONTENT
+    under new ids, and intra-batch copies all collapse to one accepted
+    row per distinct content."""
+    from llm_enhanced_data_pipeline_spark.streaming import ingest as ig
+
+    indir = tmp_path / "docs_in"
+    indir.mkdir()
+
+    def write(name, rows):
+        with open(indir / name, "w") as f:
+            for i, text in rows:
+                f.write(json.dumps({"doc_id": i, "text": text}) + "\n")
+
+    store = ig.corpus_store(spark, str(tmp_path / "corpus_store"))
+    stream_ckpt = str(tmp_path / "stream_ckpt")
+
+    def run():
+        ig.incremental_ingest_stream(
+            spark, str(indir), store, stream_checkpoint_dir=stream_ckpt
+        )
+
+    # run 1: batch a has an intra-batch copy (ids 2/3 share content)
+    write("a.json", [(0, "alpha"), (1, "beta"), (2, "gamma"), (3, "gamma")])
+    run()
+    rows = {r.doc_id: r.text for r in store.load().collect()}
+    assert rows == {0: "alpha", 1: "beta", 2: "gamma"}  # first-wins on 2
+
+    # restart: batch b re-crawls 'alpha' under a NEW id (cross-batch
+    # content dup -> dropped by the index anti-join) + genuinely new doc
+    write("b.json", [(10, "alpha"), (11, "delta")])
+    run()
+    rows = {r.doc_id: r.text for r in store.load().collect()}
+    assert rows == {0: "alpha", 1: "beta", 2: "gamma", 11: "delta"}
+
+    # engine-replay simulation: re-invoking the foreachBatch body with an
+    # already-accepted batch appends nothing (crash between append and
+    # offset commit)
+    batch = spark.read.schema(ig.DOC_SCHEMA).json(str(indir / "b.json"))
+    ig.make_ingest_batch_fn(store)(batch, 99)
+    assert store.load().count() == 4
