@@ -230,7 +230,10 @@ def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines agree bit-for-bit despite distributed float-sum ordering.
 
 
-def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+def _kmeans_ctes(k: int = 8, iters: int = 3, dim: int = 64) -> list[str]:
+    """The shared Lloyd's-iteration CTE chain: e (quantized vectors),
+    c0..c{iters} (centroid frames). Reused by the training gate and the
+    trained-serving gate."""
     parts = [
         f"e AS (SELECT vec_id, {vector.quantize_vec_sql('embedding')} AS q FROM embeddings)",
         f"c0 AS (SELECT vec_id::INT AS cid, q AS cent FROM e WHERE vec_id < {k})",
@@ -251,6 +254,11 @@ def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     SELECT cid, _i, (sum(q[_i]) // count(*))::BIGINT AS m
     FROM a{i}, range(1, {dim + 1}) r(_i) GROUP BY cid, _i) GROUP BY cid)"""
         )
+    return parts
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    parts = _kmeans_ctes(k, iters, dim)
     return f"""
 WITH {','.join(parts)},
 af AS (
@@ -299,4 +307,60 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sizes.join(cstats, "cid").select(
         F.col("cid").alias("cluster"), "n_members", "centroid_sum", "centroid_fp"
+    )
+
+
+@register(
+    "ivf_knn_trained",
+    doc="End-to-end learned ANN: k-means-trained centroids (the exact "
+    "integer-grid Lloyd's chain) dequantized into the IVF serving path "
+    "— queries and corpus bucketed by nearest trained centroid, exact "
+    "kNN inside the bucket. The full train->serve lineage is one "
+    "oracle-checked query.",
+    oracle=f"""
+WITH {','.join(_kmeans_ctes(k=8, iters=3, dim=64))},
+dq AS (
+  SELECT cid AS ckey,
+         list_transform(cent, _x -> (_x - {vector.Q_OFFSET})::DOUBLE / {vector.Q_SCALE}) AS centroid
+  FROM c3
+),
+assign AS (
+  SELECT vec_id, embedding, ckey FROM (
+    SELECT v.vec_id, v.embedding, c.ckey,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cos_sql('v.embedding', 'c.centroid')} DESC,
+                                       c.ckey ASC) AS rn
+    FROM embeddings v CROSS JOIN dq c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, embedding AS qv, ckey FROM assign WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, a.vec_id AS neighbor_id,
+         round({_cos_sql('q.qv', 'a.embedding')}, 6) AS sim
+  FROM q JOIN assign a ON a.ckey = q.ckey AND a.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, neighbor_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT qid AS vec_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 3
+""",
+)
+def ivf_knn_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    _, cents = vector.kmeans_train_quantized(emb, "vec_id", "embedding", k=8, iters=3)
+    serving = vector.dequantize_centroids(cents)
+    out = vector.ivf_knn_join(
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        serving,
+        "vec_id",
+        "vec_id",
+        "embedding",
+        "embedding",
+        k=3,
+    )
+    return out.select(
+        "vec_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim"
     )

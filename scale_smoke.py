@@ -151,6 +151,7 @@ def run_at(spark: SparkSession, r: int) -> dict[str, float]:
             docs.select("doc_id"), pairs, "doc_id"
         ).count()
     )
+    pairs.rdd.unpersist()  # free the eager localCheckpoint blocks
     dedup.release_caches()
 
     # corpus-construction scale paths: decontamination's gram equi-join,

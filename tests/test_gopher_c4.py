@@ -116,3 +116,106 @@ def test_c4_clean_is_shuffle_free(spark):
     df = spark.createDataFrame([(1, "x.")], "doc_id BIGINT, text STRING")
     plan = ta.c4_clean(df, "text")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Randomized differential tests: one Spark pass over a seeded random
+# corpus vs a naive single-threaded Python reference of the published
+# rules.
+
+
+def _naive_gopher_flags(text: str, min_words: int, stopwords: tuple[str, ...]):
+    words = text.split()
+    n = len(words)
+    n_safe = max(n, 1)
+    mean_wl = sum(len(w) for w in words) / n_safe
+    symbols = text.count("#") + text.count("...")
+    lines = [l for l in text.split("\n") if l.strip()]
+    n_lines = max(len(lines), 1)
+    bullet = sum(1 for l in lines if l.strip()[:1] in "-*•") / n_lines
+    ellipsis = sum(1 for l in lines if l.rstrip().endswith("...")) / n_lines
+    alpha = sum(1 for w in words if any(c.isascii() and c.isalpha() for c in w)) / n_safe
+    stops = len({w.lower() for w in words} & set(stopwords))
+    return {
+        "fail_word_count": n < min_words or n > ta.GOPHER_MAX_WORDS,
+        "fail_mean_word_len": not (
+            ta.GOPHER_MIN_MEAN_WORD_LEN <= mean_wl <= ta.GOPHER_MAX_MEAN_WORD_LEN
+        ),
+        "fail_symbol_ratio": symbols / n_safe > ta.GOPHER_MAX_SYMBOL_RATIO,
+        "fail_bullet_lines": bullet > ta.GOPHER_MAX_BULLET_LINE_FRAC,
+        "fail_ellipsis_lines": ellipsis > ta.GOPHER_MAX_ELLIPSIS_LINE_FRAC,
+        "fail_alpha_words": alpha < ta.GOPHER_MIN_ALPHA_WORD_FRAC,
+        "fail_stopwords": stops < ta.GOPHER_MIN_STOPWORDS,
+    }
+
+
+def _random_doc(rng):
+    vocab = ["the", "fox", "of", "run", "#", "12", "be", "incomprehensible", "to", "x"]
+    lines = []
+    for _ in range(rng.randint(1, 6)):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 20))]
+        line = " ".join(words)
+        tail = rng.random()
+        if tail < 0.3:
+            line += "."
+        elif tail < 0.4:
+            line += "..."
+        if rng.random() < 0.2:
+            line = "- " + line
+        lines.append(line)
+    return "\n".join(lines)
+
+
+def test_gopher_flags_match_naive_reference_on_random_docs(spark):
+    import random
+
+    rng = random.Random(99)
+    docs = [(i, _random_doc(rng)) for i in range(150)]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    flags = ta.gopher_flags(F.col("text"), 10, ta.GOPHER_STOPWORDS)
+    got = {
+        r["doc_id"]: {k: r[k] for k in ta.gopher_flags(F.col("text"))}
+        for r in df.select(
+            "doc_id", *[v.alias(k) for k, v in flags.items()]
+        ).collect()
+    }
+    for i, text in docs:
+        want = _naive_gopher_flags(text, 10, ta.GOPHER_STOPWORDS)
+        assert got[i] == want, f"doc {i}: {text!r}\n got {got[i]}\nwant {want}"
+
+
+def _naive_c4(text: str):
+    kept = []
+    for line in text.split("\n"):
+        t = line.strip()
+        if (
+            t
+            and t[-1] in '.!?"'
+            and len(t.split()) >= ta.C4_MIN_LINE_WORDS
+            and "javascript" not in t.lower()
+        ):
+            kept.append(line)
+    doc_ok = (
+        len(kept) >= ta.C4_MIN_KEPT_LINES
+        and "{" not in text
+        and "lorem ipsum" not in text.lower()
+    )
+    return kept, doc_ok
+
+
+def test_c4_matches_naive_reference_on_random_docs(spark):
+    import random
+
+    rng = random.Random(7)
+    docs = [(i, _random_doc(rng)) for i in range(150)]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    out = {
+        r["doc_id"]: (r["text"], r["n_kept"])
+        for r in ta.c4_clean(df, "text").collect()
+    }
+    for i, text in docs:
+        kept, doc_ok = _naive_c4(text)
+        if not doc_ok:
+            assert i not in out, f"doc {i} should have been dropped: {text!r}"
+        else:
+            assert out[i] == ("\n".join(kept), len(kept)), f"doc {i}: {text!r}"

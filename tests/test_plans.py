@@ -82,6 +82,7 @@ QUADRATIC_BY_DESIGN = {
     "ivf_knn",                # K-row centroid frame — the IVF plan
     "kmeans_train",           # Lloyd's assignment: N x K scoring over a
                               # broadcast K-row centroid frame per iter
+    "ivf_knn_trained",        # same Lloyd's chain feeding IVF serving
     "tfidf_top_terms",        # broadcast 1-row corpus-size frame (idf)
     "unigram_logprob",        # broadcast 1-row corpus-total frame (same
                               # shape as the tfidf idf broadcast)
