@@ -525,3 +525,120 @@ def c4_doc_pass_sql(expr: str, kept_expr: str) -> str:
         f"AND NOT contains({expr}, '{{') "
         f"AND NOT contains(lower({expr}), 'lorem ipsum'))"
     )
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes quality classifier (the GPT-3/CCNet "quality classifier"
+# pattern, public method: Brown et al. 2020 appendix A — a linear
+# classifier over token features separates high-quality from
+# low-quality text; filtering keeps docs the classifier scores
+# positive). Training IS aggregation here: per-token class counts +
+# Laplace-smoothed log-likelihood ratios, so the classifier trains in
+# two hash aggs over the token shuffle and scores with one equi-join —
+# no gradient loop, no driver state, 100 TB-shaped end to end.
+
+def nb_token_llr(
+    train: DataFrame, token_col: str, label_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Train: (token llr frame, 1-row model-stats frame).
+
+    llr(t) = ln(pos_t + 1) - ln(pos_total + V) - (ln(neg_t + 1) -
+    ln(neg_total + V)); the stats frame carries the class prior and the
+    out-of-vocabulary llr (a token never seen in training backs off to
+    count 0 in both classes). All counts are exact integers, so the ln
+    inputs — and therefore the model — are bit-identical across engines
+    and partitionings.
+    """
+    tok = train.select(
+        F.explode(F.col(token_col)).alias("_tok"),
+        F.col(label_col).cast("int").alias("_y"),
+    )
+    counts = tok.groupBy("_tok").agg(
+        F.sum("_y").alias("_pos"),
+        F.sum(1 - F.col("_y")).alias("_neg"),
+    )
+    docs_agg = train.select(F.col(label_col).cast("int").alias("_y")).agg(
+        F.sum("_y").alias("n_pos_docs"),
+        F.sum(1 - F.col("_y")).alias("n_neg_docs"),
+    )
+    stats = (
+        counts.agg(
+            F.sum("_pos").alias("_pos_total"),
+            F.sum("_neg").alias("_neg_total"),
+            F.count(F.lit(1)).alias("_v"),
+        )
+        .crossJoin(F.broadcast(docs_agg))
+        .select(
+            "_pos_total",
+            "_neg_total",
+            "_v",
+            (
+                F.log(F.col("n_pos_docs").cast("double"))
+                - F.log(F.col("n_neg_docs").cast("double"))
+            ).alias("prior"),
+            (
+                F.log(F.lit(1.0))
+                - F.log((F.col("_pos_total") + F.col("_v")).cast("double"))
+                - (
+                    F.log(F.lit(1.0))
+                    - F.log((F.col("_neg_total") + F.col("_v")).cast("double"))
+                )
+            ).alias("oov_llr"),
+        )
+    )
+    llr = counts.crossJoin(F.broadcast(stats)).select(
+        "_tok",
+        (
+            F.log((F.col("_pos") + 1).cast("double"))
+            - F.log((F.col("_pos_total") + F.col("_v")).cast("double"))
+            - (
+                F.log((F.col("_neg") + 1).cast("double"))
+                - F.log((F.col("_neg_total") + F.col("_v")).cast("double"))
+            )
+        ).alias("_llr"),
+    )
+    return llr, stats
+
+
+def nb_score(
+    df: DataFrame, id_col: str, token_col: str, llr: DataFrame, stats: DataFrame
+) -> DataFrame:
+    """(id, nb_score): prior + Σ llr(token), OOV tokens backed off.
+    One explode + equi-join on the token key + doc-key agg."""
+    from ..functions.rounding import stable_round
+
+    tok = df.select(F.col(id_col), F.explode(F.col(token_col)).alias("_tok"))
+    scored = tok.join(llr, "_tok", "left").crossJoin(F.broadcast(stats))
+    return scored.groupBy(id_col).agg(
+        stable_round(
+            F.first("prior") + F.sum(F.coalesce(F.col("_llr"), F.col("oov_llr"))),
+            4,
+        ).alias("nb_score")
+    )
+
+
+def nb_token_llr_sql(train_rel: str, toks_expr: str, label_expr: str) -> str:
+    """DuckDB CTE block defining tok/counts/stats/llr over ``train_rel``
+    (identical expression structure to the Spark builders, so the libm
+    ln calls see bit-identical integer ratios)."""
+    return f"""
+tok AS (SELECT unnest({toks_expr}) AS _tok, ({label_expr})::INT AS _y FROM {train_rel}),
+counts AS (SELECT _tok, sum(_y)::BIGINT AS _pos, sum(1 - _y)::BIGINT AS _neg
+           FROM tok GROUP BY _tok),
+dstats AS (SELECT sum(({label_expr})::INT)::BIGINT AS n_pos_docs,
+                  sum(1 - ({label_expr})::INT)::BIGINT AS n_neg_docs
+           FROM {train_rel}),
+stats AS (
+  SELECT _pos_total, _neg_total, _v,
+         (ln(n_pos_docs::DOUBLE) - ln(n_neg_docs::DOUBLE)) AS prior,
+         (ln(1.0) - ln((_pos_total + _v)::DOUBLE)
+          - (ln(1.0) - ln((_neg_total + _v)::DOUBLE))) AS oov_llr
+  FROM (SELECT sum(_pos)::BIGINT AS _pos_total, sum(_neg)::BIGINT AS _neg_total,
+               count(*)::BIGINT AS _v FROM counts) CROSS JOIN dstats
+),
+llr AS (
+  SELECT _tok,
+         (ln((_pos + 1)::DOUBLE) - ln((_pos_total + _v)::DOUBLE)
+          - (ln((_neg + 1)::DOUBLE) - ln((_neg_total + _v)::DOUBLE))) AS _llr
+  FROM counts CROSS JOIN stats
+)"""

@@ -725,3 +725,60 @@ def corpus_build_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("final_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020 §4.3,
+# public method): per language, rank documents by LM score and cut the
+# ranking into thirds — "head" (most fluent) feeds pretraining first,
+# "tail" is quarantined. ntile(3) over a totally-ordered window gives
+# identical bucket boundaries on both engines.
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    doc="CCNet-style head/middle/tail split: unigram-logprob score per "
+    "doc (deterministic stand-in for the KenLM perplexity; the "
+    "pluggable lm_score_with adapter swaps the real model in), "
+    "ntile(3) per language over (score desc, doc_id), per-(lang, "
+    "bucket) report.",
+    oracle=f"""
+WITH lp AS ({text_analysis.unigram_logprob_sql(tokens_sql('text'))}),
+scored AS (
+  SELECT d.lang, lp.doc_id, lp.avg_logprob,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY lp.avg_logprob DESC, lp.doc_id ASC) AS _nt
+  FROM lp JOIN documents d USING (doc_id)
+)
+SELECT lang,
+       CASE _nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       count(*) AS n_docs,
+       round(avg(avg_logprob), 4) AS mean_lp,
+       round(min(avg_logprob), 4) AS min_lp,
+       round(max(avg_logprob), 4) AS max_lp
+FROM scored GROUP BY lang, bucket
+""",
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    lp = text_analysis.unigram_logprob_scores(docs, "doc_id", "toks")
+    scored = lp.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id").asc()
+    )
+    bucketed = scored.withColumn("_nt", F.ntile(3).over(w)).withColumn(
+        "bucket",
+        F.when(F.col("_nt") == 1, "head")
+        .when(F.col("_nt") == 2, "middle")
+        .otherwise("tail"),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("avg_logprob"), 4).alias("mean_lp"),
+        F.round(F.min("avg_logprob"), 4).alias("min_lp"),
+        F.round(F.max("avg_logprob"), 4).alias("max_lp"),
+    )

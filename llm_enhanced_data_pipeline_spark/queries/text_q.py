@@ -772,3 +772,95 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept",
         hashing.md5_hex(F.col("text")).alias("clean_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GPT-3-style quality classifier (Brown et al. 2020 appendix A): a
+# linear token-feature classifier separates "high-quality" text and the
+# corpus is filtered by its score. Here the classifier is Naive Bayes
+# trained BY AGGREGATION (operators/text_analysis.nb_token_llr): the
+# per-lang unigram-fluency label (avg logprob >= per-lang median) is
+# the training target, the model fits on the train split only, and the
+# report scores every document — train rows show fit, heldout rows show
+# generalization.
+
+from ..operators import corpus as _corpus  # noqa: E402
+from ..operators.text_analysis import (  # noqa: E402
+    nb_score,
+    nb_token_llr,
+    nb_token_llr_sql,
+)
+
+_QC_SPLIT_SQL = _corpus.split_bucket_sql("doc_id::VARCHAR")
+
+
+@register(
+    "quality_classifier_report",
+    doc="Distributed Naive Bayes quality classifier: train = two hash "
+    "aggs over the token shuffle (exact integer counts -> bit-identical "
+    "Laplace llr model on both engines), score = one token equi-join + "
+    "doc agg. Confusion report by (split, actual, predicted).",
+    oracle=f"""
+WITH lp AS ({text_analysis.unigram_logprob_sql(tokens_sql('text'))}),
+base AS (
+  SELECT d.doc_id, d.lang, {tokens_sql('d.text')} AS toks, lp.avg_logprob
+  FROM documents d JOIN lp USING (doc_id)
+),
+med AS (SELECT lang, median(avg_logprob) AS _med FROM base GROUP BY lang),
+labeled AS (
+  SELECT b.doc_id, b.toks, (b.avg_logprob >= m._med) AS label,
+         ({_QC_SPLIT_SQL} < 900) AS is_train
+  FROM base b JOIN med m USING (lang)
+),
+train AS (SELECT toks, label FROM labeled WHERE is_train),
+{nb_token_llr_sql('train', 'toks', 'label').lstrip()},
+doc_tok AS (SELECT doc_id, unnest(toks) AS _tok FROM labeled),
+scored AS (
+  SELECT doc_id,
+         round(min(prior) + sum(coalesce(_llr, oov_llr)), 4) AS nb_score
+  FROM doc_tok LEFT JOIN llr USING (_tok) CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT CASE WHEN l.is_train THEN 'train' ELSE 'heldout' END AS split,
+       l.label::INT AS actual,
+       (s.nb_score > 0)::INT AS predicted,
+       count(*) AS n_docs,
+       round(avg(s.nb_score), 4) AS mean_score
+FROM labeled l JOIN scored s USING (doc_id)
+GROUP BY 1, 2, 3
+""",
+)
+def quality_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    lp = text_analysis.unigram_logprob_scores(docs, "doc_id", "toks")
+    base = docs.select("doc_id", "lang", "toks").join(lp, "doc_id")
+    med = base.groupBy("lang").agg(
+        F.percentile(F.col("avg_logprob"), F.lit(0.5)).alias("_med")
+    )
+    labeled = base.join(F.broadcast(med), "lang").select(
+        "doc_id",
+        "toks",
+        (F.col("avg_logprob") >= F.col("_med")).alias("label"),
+        (
+            _corpus.split_bucket(F.col("doc_id").cast("string")) < 900
+        ).alias("is_train"),
+    )
+    train = labeled.filter(F.col("is_train"))
+    llr, stats = nb_token_llr(train, "toks", "label")
+    scores = nb_score(labeled, "doc_id", "toks", llr, stats)
+    return (
+        labeled.join(scores, "doc_id")
+        .select(
+            F.when(F.col("is_train"), "train").otherwise("heldout").alias("split"),
+            F.col("label").cast("int").alias("actual"),
+            (F.col("nb_score") > 0).cast("int").alias("predicted"),
+            "nb_score",
+        )
+        .groupBy("split", "actual", "predicted")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("nb_score"), 4).alias("mean_score"),
+        )
+    )
