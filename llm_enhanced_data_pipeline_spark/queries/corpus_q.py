@@ -782,3 +782,48 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("avg_logprob"), 4).alias("min_lp"),
         F.round(F.max("avg_logprob"), 4).alias("max_lp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus manifest: the content-addressed snapshot descriptor a
+# production pipeline publishes with every corpus version. The content
+# checksum is a bit_xor over per-document 60-bit content-hash values —
+# order- and partitioning-independent, overflow-free at any row count
+# (a sum-based checksum overflows int64 near 1e12 rows; XOR never
+# does), and any single changed/added/dropped document flips it.
+
+_MANIFEST_CONFIG = "split_seed=11;train=900;val=950;shingle=3;minhash=16"
+
+
+@register(
+    "corpus_manifest",
+    doc="Content-addressed corpus snapshot manifest: doc/word counts, "
+    "distinct-content count, split sizes, config fingerprint, and an "
+    "XOR content checksum (order/partitioning-independent, no "
+    "overflow at any scale).",
+    oracle=f"""
+SELECT count(*) AS n_docs,
+       sum(len({tokens_sql('text')}))::BIGINT AS total_words,
+       count(DISTINCT md5(lower(trim(text)))) AS n_distinct_content,
+       sum(CASE WHEN {corpus.split_label_sql("doc_id::VARCHAR")} = 'train' THEN 1 ELSE 0 END)::BIGINT AS n_train,
+       sum(CASE WHEN {corpus.split_label_sql("doc_id::VARCHAR")} = 'val' THEN 1 ELSE 0 END)::BIGINT AS n_val,
+       sum(CASE WHEN {corpus.split_label_sql("doc_id::VARCHAR")} = 'test' THEN 1 ELSE 0 END)::BIGINT AS n_test,
+       bit_xor({hashing.stable_hash60_sql("md5(lower(trim(text)))")}) AS content_checksum,
+       md5('{_MANIFEST_CONFIG}') AS config_fp
+FROM documents
+""",
+)
+def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    fp = dedup.content_hash(F.col("text"))
+    split = corpus.split_label(F.col("doc_id").cast("string"))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(cleaning.tokens(F.col("text")))).alias("total_words"),
+        F.countDistinct(fp).alias("n_distinct_content"),
+        F.sum(F.when(split == "train", 1).otherwise(0)).cast("bigint").alias("n_train"),
+        F.sum(F.when(split == "val", 1).otherwise(0)).cast("bigint").alias("n_val"),
+        F.sum(F.when(split == "test", 1).otherwise(0)).cast("bigint").alias("n_test"),
+        F.bit_xor(hashing.stable_hash60(fp)).alias("content_checksum"),
+        F.md5(F.lit(_MANIFEST_CONFIG).cast("binary")).alias("config_fp"),
+    )

@@ -219,3 +219,48 @@ def test_c4_matches_naive_reference_on_random_docs(spark):
             assert i not in out, f"doc {i} should have been dropped: {text!r}"
         else:
             assert out[i] == ("\n".join(kept), len(kept)), f"doc {i}: {text!r}"
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes quality-classifier semantics (operators/text_analysis
+# nb_token_llr / nb_score)
+
+
+def test_nb_classifier_separates_engineered_classes(spark):
+    pos = [(i, ["good", "clean", "prose", "text"], True) for i in range(10)]
+    neg = [(100 + i, ["spam", "junk", "noise", "garbage"], False) for i in range(10)]
+    train = spark.createDataFrame(
+        pos + neg, "doc_id BIGINT, toks ARRAY<STRING>, label BOOLEAN"
+    )
+    llr, stats = ta.nb_token_llr(train, "toks", "label")
+    test = spark.createDataFrame(
+        [
+            (1000, ["good", "clean", "text"]),
+            (1001, ["spam", "junk", "garbage"]),
+            (1002, ["unseen", "words", "only"]),  # pure OOV -> prior-ish
+        ],
+        "doc_id BIGINT, toks ARRAY<STRING>",
+    )
+    got = {
+        r["doc_id"]: r["nb_score"]
+        for r in ta.nb_score(test, "doc_id", "toks", llr, stats).collect()
+    }
+    assert got[1000] > 0
+    assert got[1001] < 0
+    # balanced classes -> prior 0; OOV llr is 0 for equal class totals
+    assert abs(got[1002]) < 1e-6
+
+
+def test_nb_model_is_partitioning_invariant(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.choice(["a", "b", "c", "d", "e"]) for _ in range(8)], i % 3 == 0)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, toks ARRAY<STRING>, label BOOLEAN")
+    llr1, s1 = ta.nb_token_llr(df, "toks", "label")
+    llr2, s2 = ta.nb_token_llr(df.repartition(13), "toks", "label")
+    assert sorted(map(tuple, llr1.collect())) == sorted(map(tuple, llr2.collect()))
+    assert s1.collect() == s2.collect()
