@@ -86,6 +86,10 @@ QUADRATIC_BY_DESIGN = {
     "tfidf_top_terms",        # broadcast 1-row corpus-size frame (idf)
     "unigram_logprob",        # broadcast 1-row corpus-total frame (same
                               # shape as the tfidf idf broadcast)
+    "ccnet_perplexity_buckets",  # same 1-row corpus-total broadcast
+                              # inside its unigram-LM scoring stage
+    "quality_classifier_report",  # 1-row broadcasts only: the unigram
+                              # corpus total + the NB model-stats row
     "temperature_mixing",     # broadcast 1-row Z (weight-sum) frame
     "corpus_build_v2",        # same 1-row Z broadcast inside its mixing
                               # stage; every other join is equi
