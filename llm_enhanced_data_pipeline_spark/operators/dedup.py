@@ -870,3 +870,81 @@ def content_index(df: DataFrame, text_col: str) -> DataFrame:
     return df.select(
         content_hash(F.coalesce(F.col(text_col), F.lit(""))).alias("fp")
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter dedup index: the compact, broadcastable artifact derived
+# from a snapshot's content-hash index. At 100 TB the full fingerprint
+# index is itself a large table; the Bloom bitset (m bits ~ 10x the
+# row count for ~1% FPR) fits in executor memory, so incremental
+# ingest PRE-FILTERS each batch map-side ("definitely new" rows skip
+# the index anti-join entirely) and only possible-duplicate rows pay
+# the shuffle against the real index. Built entirely by aggregation:
+# k bit positions per fingerprint -> (word slot, bit) -> bit_or per
+# slot. 62 usable bits per int64 word keeps every shift non-negative
+# in both engines.
+
+BLOOM_BITS_PER_WORD = 62
+
+
+def bloom_positions(fp: Column, m_bits: int, k: int) -> Column:
+    """Array of k bit positions for a fingerprint (seeded md5 mixes)."""
+    return F.array(
+        *[hashing.stable_hash32(fp, seed=i) % m_bits for i in range(k)]
+    )
+
+
+def bloom_index(df: DataFrame, fp_col: str, m_bits: int, k: int) -> DataFrame:
+    """(slot, bits) rows — the set words of the Bloom bitset."""
+    pos = df.select(
+        F.explode(bloom_positions(F.col(fp_col), m_bits, k)).alias("_pos")
+    )
+    return (
+        pos.select(
+            (F.col("_pos") / BLOOM_BITS_PER_WORD).cast("bigint").alias("slot"),
+            (F.col("_pos") % BLOOM_BITS_PER_WORD).alias("_bit"),
+        )
+        .groupBy("slot")
+        .agg(
+            F.bit_or(F.expr("shiftleft(1L, cast(_bit AS INT))")).alias("bits")
+        )
+    )
+
+
+def bloom_index_sql(rel: str, fp_expr: str, m_bits: int, k: int) -> str:
+    """DuckDB twin of :func:`bloom_index` over ``rel``."""
+    poss = ", ".join(
+        f"({hashing.stable_hash32_sql(fp_expr, seed=i)} % {m_bits})" for i in range(k)
+    )
+    return f"""
+SELECT (_pos // {BLOOM_BITS_PER_WORD})::BIGINT AS slot,
+       bit_or((1::BIGINT << (_pos % {BLOOM_BITS_PER_WORD})::INT)) AS bits
+FROM (SELECT unnest([{poss}]) AS _pos FROM {rel})
+GROUP BY 1
+"""
+
+
+def bloom_might_contain(
+    batch: DataFrame, index: DataFrame, fp_col: str, m_bits: int, k: int
+) -> DataFrame:
+    """Adds ``maybe_dup``: True iff EVERY one of the fingerprint's k
+    bits is set (Bloom semantics: no false negatives, tunable false
+    positives). The index is broadcast — this is the map-side
+    pre-filter in front of the exact anti-join."""
+    pos = batch.withColumn(
+        "_pos", F.explode(bloom_positions(F.col(fp_col), m_bits, k))
+    ).select(
+        *batch.columns,
+        (F.col("_pos") / BLOOM_BITS_PER_WORD).cast("bigint").alias("slot"),
+        (F.col("_pos") % BLOOM_BITS_PER_WORD).alias("_bit"),
+    )
+    joined = pos.join(F.broadcast(index), "slot", "left").withColumn(
+        "_hit",
+        F.coalesce(
+            F.expr("shiftright(bits, cast(_bit AS INT))") % 2 != 0,
+            F.lit(False),
+        ),
+    )
+    return joined.groupBy(*batch.columns).agg(
+        (F.sum(F.when(F.col("_hit"), 1).otherwise(0)) == k).alias("maybe_dup")
+    )

@@ -577,3 +577,64 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = _ingest_batch(spark, sf_dir)
     survivors = dedup.dedup_against_index(batch, index, "text", ["doc_id"])
     return survivors.select("doc_id", F.col("_fp").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom pre-filter gate: the broadcastable bitset built from the
+# snapshot's fingerprint index, checked row-by-row against ground
+# truth. Bloom guarantees no false negatives (every true dup is
+# maybe_dup); false positives are the tunable price of the map-side
+# pre-filter.
+
+_BLOOM_M = 1 << 15
+_BLOOM_K = 4
+
+
+@register(
+    "dedup_bloom_prefilter",
+    doc="Bloom-filter dedup index (bit_or-aggregated int64 words, 62 "
+    "bits/word) built from the snapshot fingerprint index and applied "
+    "as a broadcast map-side pre-filter to the ingest batch; row-level "
+    "listing of (maybe_dup, is_dup) — no false negatives by "
+    "construction.",
+    oracle=f"""
+WITH snap AS (
+  SELECT DISTINCT md5(lower(trim(text))) AS fp
+  FROM documents WHERE doc_id % 10 < 8
+),
+idx AS ({dedup.bloom_index_sql('snap', 'fp', _BLOOM_M, _BLOOM_K)}),
+batch AS ({_INGEST_BATCH_SQL}),
+bfp AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM batch),
+pos AS (
+  SELECT doc_id, fp, unnest([{', '.join(f"({hashing.stable_hash32_sql('fp', seed=i)} % {_BLOOM_M})" for i in range(_BLOOM_K))}]) AS _pos
+  FROM bfp
+),
+chk AS (
+  SELECT p.doc_id, p.fp,
+         CASE WHEN i.bits IS NULL THEN FALSE
+              ELSE ((i.bits >> (p._pos % {dedup.BLOOM_BITS_PER_WORD})::INT) % 2) <> 0 END AS _hit
+  FROM pos p LEFT JOIN idx i ON i.slot = (p._pos // {dedup.BLOOM_BITS_PER_WORD})::BIGINT
+),
+maybe AS (
+  SELECT doc_id, fp,
+         (sum(CASE WHEN _hit THEN 1 ELSE 0 END) = {_BLOOM_K}) AS maybe_dup
+  FROM chk GROUP BY doc_id, fp
+)
+SELECT m.doc_id, m.maybe_dup, (s.fp IS NOT NULL) AS is_dup
+FROM maybe m LEFT JOIN snap s ON s.fp = m.fp
+""",
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    snapshot = docs.filter(F.col("doc_id") % 10 < 8)
+    snap_index = dedup.content_index(snapshot, "text")
+    bloom = dedup.bloom_index(snap_index, "fp", _BLOOM_M, _BLOOM_K)
+    batch = _ingest_batch(spark, sf_dir).withColumn(
+        "fp", dedup.content_hash(F.coalesce(F.col("text"), F.lit("")))
+    ).select("doc_id", "fp")
+    maybe = dedup.bloom_might_contain(batch, bloom, "fp", _BLOOM_M, _BLOOM_K)
+    return maybe.join(
+        snap_index.select(F.col("fp"), F.lit(True).alias("_in")), "fp", "left"
+    ).select(
+        "doc_id", "maybe_dup", F.coalesce(F.col("_in"), F.lit(False)).alias("is_dup")
+    )

@@ -299,3 +299,60 @@ def test_content_index_is_distinct_fingerprints_only(spark):
     idx = dedup.content_index(df, "text")
     assert idx.columns == ["fp"]
     assert idx.count() == 2
+
+
+def test_bloom_index_no_false_negatives_and_small_m_false_positives(spark):
+    snap = spark.createDataFrame(
+        [(f"doc body {i}",) for i in range(40)], "text STRING"
+    )
+    idx_rows = dedup.content_index(snap, "text")
+    # tiny filter (2 words = 124 bits) -> saturated -> false positives
+    # appear, but inserted fingerprints MUST all still hit
+    tiny = dedup.bloom_index(idx_rows, "fp", m_bits=124, k=4)
+    batch = spark.createDataFrame(
+        [(i, f"doc body {i}") for i in range(40)]  # all true dups
+        + [(100 + i, f"fresh {i}") for i in range(60)],  # all new
+        "doc_id BIGINT, text STRING",
+    ).withColumn("fp", dedup.content_hash(F.col("text")))
+    out = dedup.bloom_might_contain(
+        batch.select("doc_id", "fp"), tiny, "fp", m_bits=124, k=4
+    ).collect()
+    dups = [r for r in out if r["doc_id"] < 100]
+    assert all(r["maybe_dup"] for r in dups)  # no false negatives, ever
+    # a roomy filter keeps false positives near zero
+    roomy = dedup.bloom_index(idx_rows, "fp", m_bits=1 << 14, k=4)
+    out2 = dedup.bloom_might_contain(
+        batch.select("doc_id", "fp"), roomy, "fp", m_bits=1 << 14, k=4
+    ).collect()
+    assert all(r["maybe_dup"] for r in out2 if r["doc_id"] < 100)
+    assert sum(1 for r in out2 if r["doc_id"] >= 100 and r["maybe_dup"]) == 0
+
+
+def test_bloom_prefilter_composes_with_exact_anti_join(spark):
+    """The production composition: Bloom pre-filter routes 'definitely
+    new' rows straight through; only maybe_dup rows pay the exact
+    anti-join — and the final result equals the unfiltered exact path."""
+    snap = spark.createDataFrame(
+        [(i, f"snapshot doc {i}") for i in range(30)], "doc_id BIGINT, text STRING"
+    )
+    index = dedup.content_index(snap, "text")
+    bloom = dedup.bloom_index(index, "fp", m_bits=1 << 12, k=4)
+    batch = spark.createDataFrame(
+        [(200 + i, f"snapshot doc {i}") for i in range(10)]  # re-crawls
+        + [(300 + i, f"new doc {i}") for i in range(20)],
+        "doc_id BIGINT, text STRING",
+    )
+    exact = dedup.dedup_against_index(batch, index, "text", ["doc_id"])
+    keyed = batch.withColumn("fp", dedup.content_hash(F.col("text")))
+    flagged = dedup.bloom_might_contain(keyed, bloom, "fp", m_bits=1 << 12, k=4)
+    fast_path = flagged.filter(~F.col("maybe_dup")).drop("maybe_dup")
+    slow_path = dedup.dedup_against_index(
+        flagged.filter(F.col("maybe_dup")).drop("maybe_dup", "fp"),
+        index,
+        "text",
+        ["doc_id"],
+    ).drop("_fp")
+    composed = fast_path.select("doc_id").unionByName(slow_path.select("doc_id"))
+    assert sorted(r["doc_id"] for r in composed.collect()) == sorted(
+        r["doc_id"] for r in exact.select("doc_id").collect()
+    )
