@@ -948,3 +948,22 @@ def bloom_might_contain(
     return joined.groupBy(*batch.columns).agg(
         (F.sum(F.when(F.col("_hit"), 1).otherwise(0)) == k).alias("maybe_dup")
     )
+
+
+def dedup_components_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    order_cols: list[Column],
+) -> DataFrame:
+    """Cluster dedup with a pluggable survivor policy: one row per
+    similarity component, ranked by ``order_cols`` (keep-newest,
+    keep-longest, keep-highest-quality, ...). `dedup_components` is the
+    min-id special case; production corpus builds usually keep the
+    best-quality or most recent representative instead. One extra
+    hash-partitioned window over the component key — no change to the
+    clustering's shuffle shape."""
+    comps = connected_components(df.select(id_col), pairs, id_col)
+    w = Window.partitionBy("component").orderBy(*order_cols)
+    ranked = df.join(comps, id_col).withColumn("_rn", F.row_number().over(w))
+    return ranked.filter(F.col("_rn") == 1).drop("_rn")

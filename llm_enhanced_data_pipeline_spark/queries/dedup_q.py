@@ -638,3 +638,40 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "maybe_dup", F.coalesce(F.col("_in"), F.lit(False)).alias("is_dup")
     )
+
+
+@register(
+    "dedup_components_keep_newest",
+    doc="Cluster dedup with the keep-newest survivor policy (highest "
+    "doc_id per similarity component — the 'latest crawl wins' rule), "
+    "distinguishing the policy window from dedup_components' min-id "
+    "special case: engineered near-dup variants carry +1e6 ids, so "
+    "keep-newest selects the VARIANT where min-id selects the "
+    "original.",
+    oracle=(
+        _MINHASH_CTE
+        + ","
+        + _MINHASH_VERIFIED_PAIRS_SQL
+        + """,
+e AS (SELECT id_a AS a, id_b AS b FROM vp UNION ALL SELECT id_b, id_a FROM vp),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lbl FROM u
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.node
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node)
+SELECT doc_id, component FROM (
+  SELECT c.doc_id, c.component,
+         row_number() OVER (PARTITION BY c.component ORDER BY c.doc_id DESC) AS rn
+  FROM comp c
+) WHERE rn = 1
+"""
+    ).replace("WITH u AS", "WITH RECURSIVE u AS", 1),
+)
+def dedup_components_keep_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _minhash_corpus(spark, sf_dir)
+    pairs = _shared_minhash_pairs(spark, sf_dir)
+    survivors = dedup.dedup_components_keep_best(
+        corpus.select("doc_id"), pairs, "doc_id", [F.col("doc_id").desc()]
+    )
+    return survivors.select("doc_id", "component")

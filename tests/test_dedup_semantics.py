@@ -356,3 +356,18 @@ def test_bloom_prefilter_composes_with_exact_anti_join(spark):
     assert sorted(r["doc_id"] for r in composed.collect()) == sorted(
         r["doc_id"] for r in exact.select("doc_id").collect()
     )
+
+
+def test_dedup_components_keep_best_policy(spark):
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, score=s) for i, s in [(1, 0.2), (2, 0.9), (3, 0.5), (9, 0.1)]]
+    )
+    pairs = spark.createDataFrame([Row(id_a=1, id_b=2), Row(id_a=2, id_b=3)])
+    out = dedup.dedup_components_keep_best(
+        docs, pairs, "doc_id", [F.col("score").desc(), F.col("doc_id")]
+    )
+    rows = {r["doc_id"]: r["component"] for r in out.collect()}
+    # cluster {1,2,3}: highest score (doc 2) survives; isolated 9 stays
+    assert rows == {2: 1, 9: 9}
