@@ -59,3 +59,44 @@ def salted_join_left(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
     return big_salted.join(small_exploded, [key, SALT_COL], "left").drop(SALT_COL)
+
+
+def skew_report(
+    df: DataFrame,
+    keys: Sequence[str],
+    top_n: int = 5,
+    target_rows_per_task: int = 1_000_000,
+) -> DataFrame:
+    """Join/agg-key skew diagnosis: the operational report a pipeline
+    runs BEFORE shuffling 100 TB on a key. Per key group: row count,
+    share of the table, rank by weight, and the salt factor that would
+    bring the heaviest key back to ``target_rows_per_task`` rows per
+    task (1 = no salting needed). Two hash aggs + one tiny window over
+    the top-N frame — the diagnosis itself is skew-proof because the
+    per-key agg is map-side combined.
+    """
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(
+        F.sum("n_rows").alias("_total"), F.count(F.lit(1)).alias("_n_keys")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_rows").desc(), *[F.col(k).asc() for k in keys])
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            *keys,
+            "rank",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            F.round(F.col("n_rows") / (F.col("_total") / F.col("_n_keys")), 4).alias(
+                "vs_mean"
+            ),
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("n_rows") / target_rows_per_task).cast("int"),
+            ).alias("salt_factor"),
+        )
+    )

@@ -589,3 +589,47 @@ def events_rolling_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "user_id", "event_id", rounding.stable_round(rolling, 4).alias("rolling_avg")
     )
+
+
+# ---------------------------------------------------------------------------
+# Operational skew diagnosis (beyond-reference scale tooling)
+
+from ..operators import skew as _skew  # noqa: E402
+
+
+@register(
+    "events_skew_report",
+    doc="Join-key skew diagnosis over events.user_id: top-5 heaviest "
+    "keys with share-of-table, ratio vs the mean key, and the salt "
+    "factor that returns the hot key to a 1e6-rows/task budget "
+    "(here scaled to 100 rows/task so the synthetic table produces "
+    "non-trivial factors). Two map-side-combined aggs + one window "
+    "over the 5-row top frame.",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
+),
+tot AS (SELECT sum(n_rows)::DOUBLE AS _total, count(*)::BIGINT AS _n_keys FROM counts)
+SELECT user_id, rank, n_rows,
+       round(n_rows / _total, 6) AS share,
+       round(n_rows / (_total / _n_keys), 4) AS vs_mean,
+       greatest(1, ceil(n_rows / 100.0)::INT)::BIGINT AS salt_factor
+FROM (
+  SELECT c.user_id, c.n_rows, t._total, t._n_keys,
+         row_number() OVER (ORDER BY c.n_rows DESC, c.user_id ASC) AS rank
+  FROM counts c CROSS JOIN tot t
+) WHERE rank <= 5
+""",
+)
+def events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return _skew.skew_report(
+        ev, ["user_id"], top_n=5, target_rows_per_task=100
+    ).select(
+        "user_id",
+        F.col("rank").cast("long").alias("rank"),
+        "n_rows",
+        "share",
+        "vs_mean",
+        F.col("salt_factor").cast("long").alias("salt_factor"),
+    )

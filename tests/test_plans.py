@@ -90,6 +90,7 @@ QUADRATIC_BY_DESIGN = {
                               # inside its unigram-LM scoring stage
     "quality_classifier_report",  # 1-row broadcasts only: the unigram
                               # corpus total + the NB model-stats row
+    "events_skew_report",     # broadcast 1-row (total, n_keys) frame
     "temperature_mixing",     # broadcast 1-row Z (weight-sum) frame
     "corpus_build_v2",        # same 1-row Z broadcast inside its mixing
                               # stage; every other join is equi
