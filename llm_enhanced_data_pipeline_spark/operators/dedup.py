@@ -967,3 +967,84 @@ def dedup_components_keep_best(
     w = Window.partitionBy("component").orderBy(*order_cols)
     ranked = df.join(comps, id_col).withColumn("_rn", F.row_number().over(w))
     return ranked.filter(F.col("_rn") == 1).drop("_rn")
+
+
+def semdedup_survivors(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    tau: float = 0.35,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    embedding-cluster pruning. K-means the embeddings (the exact
+    integer-grid Lloyd's trainer, so the partition is engine- and
+    shuffle-order-reproducible), then WITHIN each cluster drop any
+    vector whose cosine similarity to an earlier-in-keep-order cluster
+    member reaches ``tau``. Keep-order follows the paper: ascending
+    similarity to the cluster centroid (keep the most atypical member
+    of each duplicate group), id ascending as the tie-break.
+
+    Returns the survivor frame (id, cluster, centroid_sim).
+
+    Scale shape: the trainer is the audited kmeans chain (broadcast
+    centroids, keyed windows); the prune is a self-equi-join on the
+    cluster key with the pairwise cosine verified in-bucket — cost is
+    sum(|cluster|^2), never n^2. At 100 TB, k is chosen ~n/target so
+    cluster sizes stay bounded (the paper uses 50k clusters for LAION);
+    k here is small only because the test corpus is.
+
+    Beyond-reference scale operator; reference anchor for the dedup
+    family: Data_Cleaning/strict_deduplication.py (exact/near title
+    dedup), generalized to embedding space.
+    """
+    from .vector import (
+        cosine_similarity,
+        dequantize_centroids,
+        kmeans_train_quantized,
+    )
+
+    assigned, cents = kmeans_train_quantized(df, id_col, vec_col, k=k, iters=iters)
+    serving = dequantize_centroids(cents).withColumnRenamed("ckey", "cid")
+    base = (
+        df.select(id_col, vec_col)
+        .join(assigned.select(id_col, "cid"), id_col)
+        .join(F.broadcast(serving), "cid")
+        .select(
+            F.col(id_col),
+            F.col("cid").alias("cluster"),
+            F.col(vec_col).alias("_v"),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("centroid")), 6
+            ).alias("centroid_sim"),
+        )
+    )
+    x = base.select(
+        "cluster",
+        F.col(id_col).alias("_xid"),
+        F.col("_v").alias("_xv"),
+        F.col("centroid_sim").alias("_xs"),
+    )
+    y = base.select(
+        "cluster",
+        F.col(id_col).alias("_yid"),
+        F.col("_v").alias("_yv"),
+        F.col("centroid_sim").alias("_ys"),
+    )
+    earlier = (F.col("_ys") < F.col("_xs")) | (
+        (F.col("_ys") == F.col("_xs")) & (F.col("_yid") < F.col("_xid"))
+    )
+    dropped = (
+        x.join(y, "cluster")
+        .filter(earlier)
+        .filter(
+            F.round(cosine_similarity(F.col("_xv"), F.col("_yv")), 6)
+            >= F.lit(tau)
+        )
+        .select(F.col("_xid").alias(id_col))
+        .distinct()
+    )
+    return base.join(dropped, id_col, "left_anti").select(
+        id_col, "cluster", "centroid_sim"
+    )

@@ -675,3 +675,66 @@ def dedup_components_keep_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.select("doc_id"), pairs, "doc_id", [F.col("doc_id").desc()]
     )
     return survivors.select("doc_id", "component")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup by embedding-cluster pruning (Abbas et al.
+# 2023, arXiv:2303.09540). The oracle replays the exact integer-grid
+# Lloyd's chain (shared CTE builder with the kmeans_train gate), then
+# prunes within clusters exactly like the Spark operator: a member is
+# dropped iff an earlier-in-keep-order member of its cluster is within
+# cosine tau. Keep-order = centroid_sim ASC, vec_id ASC (keep the most
+# atypical member of each duplicate group, per the paper).
+
+
+def _semdedup_sql(k: int = 8, iters: int = 2, tau: float = 0.35) -> str:
+    from ..operators import vector
+    from .vector_q import _cos_sql, _kmeans_ctes
+
+    ctes = ",".join(_kmeans_ctes(k=k, iters=iters, dim=64))
+    return f"""
+WITH {ctes},
+af AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {vector.sqdist_q_sql('e.q', 'c.cent')} ASC,
+                                       c.cid ASC) AS rn
+    FROM e CROSS JOIN c{iters} c) WHERE rn = 1),
+dq AS (
+  SELECT cid AS ckey,
+         list_transform(cent, _x -> (_x - {vector.Q_OFFSET})::DOUBLE / {vector.Q_SCALE}) AS centroid
+  FROM c{iters}),
+base AS (
+  SELECT em.vec_id, a.cid AS cluster, em.embedding AS v,
+         round({_cos_sql('em.embedding', 'd.centroid')}, 6) AS centroid_sim
+  FROM embeddings em
+  JOIN af a ON a.vec_id = em.vec_id
+  JOIN dq d ON d.ckey = a.cid),
+dropped AS (
+  SELECT DISTINCT x.vec_id
+  FROM base x JOIN base y ON y.cluster = x.cluster
+   AND (y.centroid_sim < x.centroid_sim
+        OR (y.centroid_sim = x.centroid_sim AND y.vec_id < x.vec_id))
+  WHERE round({_cos_sql('x.v', 'y.v')}, 6) >= {tau})
+SELECT b.vec_id, b.cluster, b.centroid_sim
+FROM base b ANTI JOIN dropped d ON d.vec_id = b.vec_id
+"""
+
+
+@register(
+    "semdedup_prune",
+    doc="SemDeDup semantic dedup (arXiv:2303.09540): k-means the "
+    "embeddings with the integer-exact Lloyd's trainer, then within "
+    "each cluster drop members whose cosine to an earlier-in-keep-order "
+    "member reaches tau=0.35; keep-order is centroid_sim ASC (the "
+    "paper keeps the most atypical member of each dup group). Survivor "
+    "frame (vec_id, cluster, centroid_sim). Cost is sum(|cluster|^2), "
+    "bounded by choosing k ~ n/target_cluster_size at scale.",
+    oracle=_semdedup_sql(),
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return dedup.semdedup_survivors(
+        emb, "vec_id", "embedding", k=8, iters=2, tau=0.35
+    )

@@ -371,3 +371,66 @@ def test_dedup_components_keep_best_policy(spark):
     rows = {r["doc_id"]: r["component"] for r in out.collect()}
     # cluster {1,2,3}: highest score (doc 2) survives; isolated 9 stays
     assert rows == {2: 1, 9: 9}
+
+
+def test_semdedup_keeps_most_atypical_member_of_dup_group(spark):
+    """SemDeDup keep-order: within a duplicate group the survivor is the
+    member with the LOWEST centroid similarity (the paper keeps the most
+    atypical example); singletons always survive."""
+    # k=1 (seed = vec of id 0) => everything lands in one cluster.
+    # v0/v1 point the same way (cos=1); v2 is orthogonal to both.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = dedup.semdedup_survivors(
+        df, "vec_id", "embedding", k=1, iters=1, tau=0.9
+    )
+    got = {r.vec_id: r for r in out.collect()}
+    # centroid = int-mean of all three; v0 and v1 are parallel, so they
+    # share one centroid_sim value -> tie-break keeps the smaller id.
+    assert 2 in got  # orthogonal singleton survives
+    assert sorted(got) == [0, 2]
+
+    # Same corpus, lower-sim duplicate pair: survivor must be the member
+    # FARTHER from the centroid, not the smaller id.
+    rows2 = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # closer to centroid
+        (1, [1.0, 0.4, 0.0, 0.0]),   # same direction-ish, farther out
+        (2, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df2 = spark.createDataFrame(rows2, "vec_id: long, embedding: array<float>")
+    out2 = dedup.semdedup_survivors(
+        df2, "vec_id", "embedding", k=1, iters=1, tau=0.9
+    )
+    ids2 = sorted(r.vec_id for r in out2.collect())
+    sims = {r.vec_id: r.centroid_sim for r in out2.select(
+        "vec_id", "centroid_sim").collect()}
+    assert 2 in ids2 and len(ids2) == 2
+    kept_pair_member = [i for i in ids2 if i != 2][0]
+    # the kept member of the dup pair is the lower-centroid-sim one
+    dropped_member = 1 - kept_pair_member
+    base_sims = {
+        r.vec_id: r.centroid_sim
+        for r in dedup.semdedup_survivors(
+            df2, "vec_id", "embedding", k=1, iters=1, tau=2.0  # no drops
+        ).collect()
+    }
+    assert base_sims[kept_pair_member] <= base_sims[dropped_member]
+
+
+def test_semdedup_partitions_survivors_plus_dropped(spark, sf_dir):
+    """Survivors + dropped partition the corpus, and raising tau only
+    grows the survivor set (monotonicity)."""
+    from llm_enhanced_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).limit(120)
+    lo = dedup.semdedup_survivors(emb, "vec_id", "embedding", k=4, iters=1, tau=0.3)
+    hi = dedup.semdedup_survivors(emb, "vec_id", "embedding", k=4, iters=1, tau=0.6)
+    n, n_lo, n_hi = emb.count(), lo.count(), hi.count()
+    assert n_lo <= n_hi <= n
+    lo_ids = {r.vec_id for r in lo.collect()}
+    hi_ids = {r.vec_id for r in hi.collect()}
+    assert lo_ids <= hi_ids

@@ -83,6 +83,8 @@ QUADRATIC_BY_DESIGN = {
     "kmeans_train",           # Lloyd's assignment: N x K scoring over a
                               # broadcast K-row centroid frame per iter
     "ivf_knn_trained",        # same Lloyd's chain feeding IVF serving
+    "semdedup_prune",         # same Lloyd's chain; the prune itself is
+                              # an equi-join on the cluster key
     "tfidf_top_terms",        # broadcast 1-row corpus-size frame (idf)
     "unigram_logprob",        # broadcast 1-row corpus-total frame (same
                               # shape as the tfidf idf broadcast)
