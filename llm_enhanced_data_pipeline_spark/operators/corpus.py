@@ -473,3 +473,83 @@ rates AS (
          )::BIGINT AS rate_permille
   FROM w CROSS JOIN z
 )"""
+
+
+def dsir_scores(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    target_filter: Column,
+    num_buckets: int = 1024,
+    select_quantile: float = 0.75,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    importance weights over hashed n-gram features, selecting raw
+    examples that look like a target distribution.
+
+    Features are unigram + bigram rolling hashes (the decontamination
+    machinery) folded into ``num_buckets`` buckets. The bucket model is
+    two smoothed count vectors — target (rows matching
+    ``target_filter``) and raw (everything) — and a document's score is
+    the sum over its features of log(p_target(b)/p_raw(b)), i.e. the
+    log importance weight of the hashed-n-gram bigram model. ``selected``
+    marks docs at or above the ``select_quantile`` score quantile (the
+    deterministic stand-in for the paper's Gumbel-noise resampling).
+
+    Returns (id, n_feats, dsir_score, selected).
+
+    Scale shape: one explode per n-gram order sharing the id-hash
+    window, two B-row count aggregations, a broadcast join of features
+    against the <=B-row model, one per-doc aggregation, and a 1-row
+    quantile broadcast. Never doc x doc; at 100 TB the model frame is
+    KBs and every shuffle is keyed on the id or the bucket.
+    """
+    from ..functions.rounding import stable_round
+    from .dedup import shingle_hash_rows
+
+    b = F.lit(num_buckets).cast("bigint")
+    feats = (
+        shingle_hash_rows(df, id_col, token_col, n=1)
+        .unionByName(shingle_hash_rows(df, id_col, token_col, n=2))
+        .select(F.col(id_col), (F.col("_sh") % b).alias("_b"))
+    )
+    tgt_ids = df.filter(target_filter).select(id_col)
+    raw_counts = feats.groupBy("_b").agg(F.count(F.lit(1)).alias("_rc"))
+    tgt_counts = (
+        feats.join(tgt_ids, id_col, "left_semi")
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_tc"))
+    )
+    model = raw_counts.join(tgt_counts, "_b", "left").select(
+        "_b", "_rc", F.coalesce(F.col("_tc"), F.lit(0)).alias("_tc")
+    )
+    totals = model.agg(
+        F.sum("_rc").cast("double").alias("_R"),
+        F.sum("_tc").cast("double").alias("_T"),
+    )
+    llr = model.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        (
+            F.log((F.col("_tc") + 1) / (F.col("_T") + num_buckets))
+            - F.log((F.col("_rc") + 1) / (F.col("_R") + num_buckets))
+        ).alias("_llr"),
+    )
+    scored = (
+        feats.join(F.broadcast(llr), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            stable_round(F.sum("_llr"), 4).alias("dsir_score"),
+        )
+    )
+    qrow = scored.agg(
+        stable_round(
+            F.percentile(F.col("dsir_score"), F.lit(select_quantile)), 4
+        ).alias("_q")
+    )
+    return scored.crossJoin(F.broadcast(qrow)).select(
+        F.col(id_col),
+        "n_feats",
+        "dsir_score",
+        (F.col("dsir_score") >= F.col("_q")).alias("selected"),
+    )

@@ -827,3 +827,57 @@ def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor(hashing.stable_hash60(fp)).alias("content_checksum"),
         F.md5(F.lit(_MANIFEST_CONFIG).cast("binary")).alias("config_fp"),
     )
+
+
+@register(
+    "dsir_importance",
+    doc="DSIR-style data selection (arXiv:2302.03169): per-doc log "
+    "importance weight under hashed unigram+bigram bucket models "
+    "(B=1024) of the target (lang='en') vs the raw corpus, add-1 "
+    "smoothed; `selected` marks the top quartile — the deterministic "
+    "stand-in for Gumbel-noise resampling. Model frame is <=B rows and "
+    "broadcasts; never doc x doc.",
+    oracle=f"""
+WITH th AS (
+  SELECT doc_id, lang, list_transform({_TOKS}, _t -> {_TOKHASH}) AS _th
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         unnest({corpus.ngram_hashes_sql('_th', 1)} ||
+                {corpus.ngram_hashes_sql('_th', 2)}) % 1024 AS _b
+  FROM th
+),
+rawc AS (SELECT _b, count(*) AS _rc FROM feats GROUP BY _b),
+tgtc AS (
+  SELECT _b, count(*) AS _tc FROM feats
+  WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+  GROUP BY _b
+),
+model AS (
+  SELECT r._b, r._rc, coalesce(t._tc, 0) AS _tc
+  FROM rawc r LEFT JOIN tgtc t USING (_b)
+),
+tot AS (SELECT sum(_rc)::DOUBLE AS _R, sum(_tc)::DOUBLE AS _T FROM model),
+llr AS (
+  SELECT _b,
+         ln((_tc + 1) / (_T + 1024)) - ln((_rc + 1) / (_R + 1024)) AS _llr
+  FROM model CROSS JOIN tot
+),
+scored AS (
+  SELECT doc_id, count(*)::BIGINT AS n_feats,
+         {rounding.stable_round_sql('sum(_llr)', 4)} AS dsir_score
+  FROM feats JOIN llr USING (_b) GROUP BY doc_id
+),
+q AS (SELECT {rounding.stable_round_sql('quantile_cont(dsir_score, 0.75)', 4)} AS _q FROM scored)
+SELECT doc_id, n_feats, dsir_score, (dsir_score >= _q) AS selected
+FROM scored CROSS JOIN q
+""",
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    return corpus.dsir_scores(
+        docs, "doc_id", "toks", F.col("lang") == "en", num_buckets=1024
+    )

@@ -468,3 +468,50 @@ def test_corpus_build_v2_accepts_injected_quality_scorer(spark, sf_dir):
     n_inj = sum(r.n_docs for r in rows)
     n_def = sum(r.n_docs for r in default.collect())
     assert n_inj != n_def, "floor on injected scores changed nothing"
+
+
+def test_dsir_separates_target_like_vocabulary(spark):
+    """Docs sharing the target domain's vocabulary must outscore docs
+    from a disjoint vocabulary, and the score of a target-vocab doc is
+    positive (importance weight > 1) while alien-vocab docs go negative."""
+    from pyspark.sql import functions as F
+
+    from llm_enhanced_data_pipeline_spark.operators import corpus
+
+    rows = [
+        (0, "alpha beta gamma delta", "tgt"),
+        (1, "alpha beta gamma epsilon", "tgt"),
+        (2, "alpha gamma beta delta", "raw"),   # target-like vocab
+        (3, "zeta eta theta iota", "raw"),      # alien vocab
+        (4, "zeta theta eta kappa", "raw"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, grp: string")
+    df = df.withColumn("toks", F.split("text", " "))
+    out = corpus.dsir_scores(
+        df, "doc_id", "toks", F.col("grp") == "tgt", num_buckets=64
+    ).collect()
+    scores = {r.doc_id: r.dsir_score for r in out}
+    # target-vocab doc strictly outscores both alien-vocab docs (the
+    # absolute level is smoothing-dominated at this corpus size, so
+    # only the ordering is meaningful)
+    assert scores[2] > scores[3] and scores[2] > scores[4]
+    assert scores[0] > scores[3]  # target members themselves score high
+
+
+def test_dsir_selected_is_top_quantile(spark, sf_dir):
+    """`selected` is exactly the >= 0.75-quantile score set."""
+    from pyspark.sql import functions as F
+
+    from llm_enhanced_data_pipeline_spark.queries import REGISTRY
+
+    out = REGISTRY["dsir_importance"].fn(spark, sf_dir).collect()
+    scores = sorted(r.dsir_score for r in out)
+    import math
+    # quantile_cont at 0.75 over n values: interpolate at (n-1)*0.75
+    pos = (len(scores) - 1) * 0.75
+    lo, g = int(math.floor(pos)), pos - int(math.floor(pos))
+    q = scores[lo] + (scores[lo + 1] - scores[lo]) * g if g else scores[lo]
+    q = math.floor(q * 1e4 + 0.5) / 1e4
+    sel = {r.doc_id for r in out if r.selected}
+    expect = {r.doc_id for r in out if r.dsir_score >= q}
+    assert sel == expect and sel

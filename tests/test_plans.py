@@ -94,6 +94,9 @@ QUADRATIC_BY_DESIGN = {
                               # corpus total + the NB model-stats row
     "events_skew_report",     # broadcast 1-row (total, n_keys) frame
     "temperature_mixing",     # broadcast 1-row Z (weight-sum) frame
+    "dsir_importance",        # broadcast 1-row totals + 1-row score-
+                              # quantile frames; model join is equi on
+                              # the bucket key
     "corpus_build_v2",        # same 1-row Z broadcast inside its mixing
                               # stage; every other join is equi
 }
