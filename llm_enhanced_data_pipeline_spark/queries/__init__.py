@@ -2,6 +2,7 @@
 
 from . import (  # noqa: F401
     analysis_q,
+    bpe_q,
     corpus_q,
     dedup_q,
     events_q,
