@@ -383,3 +383,87 @@ def dequantize_centroids(cents: DataFrame) -> DataFrame:
             F.col("_cent"), lambda v: (v - Q_OFFSET).cast("double") / Q_SCALE
         ).alias("centroid"),
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    query_row: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick k items maximizing
+    ``lam * rel(d) - (1 - lam) * max_{s in selected} sim(d, s)`` —
+    relevance traded against redundancy, the standard diversified
+    retrieval pass behind RAG context assembly (reference anchor:
+    RAG/rag.ipynb VectorStore.search, which returns the UNdiversified
+    top-k this operator upgrades).
+
+    ``query_row`` is a 1-row frame with a ``qv`` vector column.
+    Returns (id, rank, score), rank 1..k in selection order.
+
+    Fully lazy — no driver-side loop state: each round appends a 1-row
+    TakeOrderedAndProject (the argmax), broadcast to update every
+    remaining candidate's running max-similarity, so the plan depth
+    grows linearly in k and the corpus is scanned once per round under
+    whole-stage codegen. max over the empty selected set is defined as
+    -1.0 (the cosine infimum): round 1's scores are a uniform shift of
+    pure relevance, so the first pick is the true relevance argmax and
+    later rounds are exact MMR. All comparisons use 6dp-rounded scores
+    with id-ascending tie-break — a total, engine-reproducible order.
+    """
+    cand = (
+        corpus.crossJoin(F.broadcast(query_row))
+        .select(
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            F.round(cosine_similarity(F.col(vec_col), F.col("qv")), 6).alias(
+                "_rel"
+            ),
+        )
+        .withColumn("_mmax", F.lit(-1.0))
+    )
+    picks = []
+    for rank in range(1, k + 1):
+        scored = cand.withColumn(
+            "_score",
+            F.round(
+                F.lit(lam) * F.col("_rel")
+                - F.lit(1.0 - lam) * F.col("_mmax"),
+                6,
+            ),
+        )
+        sel = (
+            scored.orderBy(F.col("_score").desc(), F.col(id_col).asc())
+            .limit(1)
+            .select(
+                F.col(id_col).alias("_sid"),
+                F.col("_v").alias("_sv"),
+                F.col("_score").alias("score"),
+            )
+        )
+        picks.append(
+            sel.select(
+                F.col("_sid").alias(id_col),
+                F.lit(rank).cast("int").alias("rank"),
+                "score",
+            )
+        )
+        cand = (
+            cand.crossJoin(F.broadcast(sel.select("_sid", "_sv")))
+            .filter(F.col(id_col) != F.col("_sid"))
+            .withColumn(
+                "_mmax",
+                F.greatest(
+                    F.col("_mmax"),
+                    F.round(cosine_similarity(F.col("_v"), F.col("_sv")), 6),
+                ),
+            )
+            .drop("_sid", "_sv")
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

@@ -364,3 +364,57 @@ def ivf_knn_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim"
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval: the oracle unrolls the k greedy rounds as
+# a materialized CTE chain. Score literals are emitted with full repr
+# so both engines compute with bit-identical doubles.
+
+
+def _mmr_sql(k: int = 5, lam: float = 0.7) -> str:
+    a, b = repr(lam), repr(1.0 - lam)
+    parts = [
+        "q AS MATERIALIZED (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
+        f"""c0 AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding AS v,
+         round({_cos_sql('e.embedding', 'q.qv')}, 6) AS rel,
+         -1.0 AS mmax
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT vec_id, v, round({a} * rel - {b} * mmax, 6) AS score
+  FROM c{i - 1} ORDER BY score DESC, vec_id ASC LIMIT 1)"""
+        )
+        if i < k:
+            parts.append(
+                f"""c{i} AS MATERIALIZED (
+  SELECT c.vec_id, c.v, c.rel,
+         greatest(c.mmax, round({_cos_sql('c.v', 's.v')}, 6)) AS mmax
+  FROM c{i - 1} c CROSS JOIN s{i} s WHERE c.vec_id <> s.vec_id)"""
+            )
+    union = "\nUNION ALL ".join(
+        f"SELECT vec_id, {i}::INT AS rank, score FROM s{i}" for i in range(1, k + 1)
+    )
+    return f"WITH {','.join(parts)}\n{union}"
+
+
+@register(
+    "mmr_rerank",
+    doc="Maximal Marginal Relevance diversified top-5 (Carbonell & "
+    "Goldstein 1998), lambda=0.7: greedy relevance-vs-redundancy "
+    "selection over the corpus, fully lazy (each round is a 1-row "
+    "argmax broadcast back over the remaining candidates — no driver "
+    "loop state). Upgrades the reference's undiversified "
+    "VectorStore.search top-k (RAG/rag.ipynb).",
+    oracle=_mmr_sql(),
+)
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import vector
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    corpus = emb.filter(F.col("vec_id") != 0)
+    return vector.mmr_topk(corpus, q, "vec_id", "embedding", k=5, lam=0.7)

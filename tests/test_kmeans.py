@@ -75,3 +75,26 @@ def test_dequantize_bridges_into_ivf_serving(spark, two_blob_df):
     out = knn.filter(F.col("id") == 0).select("neighbor_id").collect()
     assert len(out) == 3
     assert all(r["neighbor_id"] % 2 == 0 for r in out)
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """MMR semantics: after picking the most relevant doc, a near-clone
+    of it (higher raw relevance than the diverse alternative) is passed
+    over in favor of the diverse doc; plain top-k would pick the clone."""
+    q = spark.createDataFrame([([1.0, 0.0, 0.0, 0.0],)], "qv: array<float>")
+    corpus = _vec_df(
+        spark,
+        [
+            (1, [0.95, 0.3, 0.0, 0.0]),   # rel ~0.954 — picked first
+            (2, [0.92, 0.4, 0.0, 0.0]),   # rel ~0.917, near-clone of 1
+            (3, [0.9, -0.43, 0.0, 0.0]),  # rel ~0.902, diverse from 1
+        ],
+    )
+    out = vector.mmr_topk(corpus, q, "id", "v", k=2, lam=0.5)
+    ranks = {r.rank: r.id for r in out.collect()}
+    assert ranks[1] == 1
+    assert ranks[2] == 3  # diversity beats the redundant near-clone
+
+    # sanity: pure relevance (lam=1.0) picks the clone instead
+    rel_only = vector.mmr_topk(corpus, q, "id", "v", k=2, lam=1.0)
+    assert {r.rank: r.id for r in rel_only.collect()}[2] == 2

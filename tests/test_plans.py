@@ -85,6 +85,8 @@ QUADRATIC_BY_DESIGN = {
     "ivf_knn_trained",        # same Lloyd's chain feeding IVF serving
     "semdedup_prune",         # same Lloyd's chain; the prune itself is
                               # an equi-join on the cluster key
+    "mmr_rerank",             # broadcast 1-row query + per-round 1-row
+                              # argmax frames (greedy MMR selection)
     "tfidf_top_terms",        # broadcast 1-row corpus-size frame (idf)
     "unigram_logprob",        # broadcast 1-row corpus-total frame (same
                               # shape as the tfidf idf broadcast)
