@@ -553,3 +553,31 @@ def dsir_scores(
         "dsir_score",
         (F.col("dsir_score") >= F.col("_q")).alias("selected"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, id_col: str, fp_col: str
+) -> DataFrame:
+    """Corpus-version diff: (id, status) with status in
+    added / removed / changed / unchanged, from one full-outer equi-join
+    of the two snapshots' (id, content-fingerprint) frames.
+
+    The operational primitive behind dataset versioning at 100 TB: both
+    sides reduce to id+fp projections before the join (fingerprints are
+    maintained by the ingest path, see ``content_index``), so the diff
+    never rereads document bodies and shuffles only the two id/fp
+    column pairs.
+    """
+    o = old.select(F.col(id_col), F.col(fp_col).alias("_ofp"))
+    n = new.select(F.col(id_col), F.col(fp_col).alias("_nfp"))
+    return (
+        o.join(n, id_col, "full_outer")
+        .select(
+            F.col(id_col),
+            F.when(F.col("_ofp").isNull(), F.lit("added"))
+            .when(F.col("_nfp").isNull(), F.lit("removed"))
+            .when(F.col("_ofp") != F.col("_nfp"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+    )

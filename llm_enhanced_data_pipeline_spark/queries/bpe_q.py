@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import rounding
 from ..operators import bpe, cleaning
 from ..operators.cleaning import tokens_sql
 from ..tables import load_table
@@ -130,4 +131,45 @@ def bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("subword").asc())
         .limit(30)
+    )
+
+
+@register(
+    "bpe_fertility_by_lang",
+    doc="Tokenizer-quality report: per-language word count, emitted "
+    "subword count and fertility (subwords per word, marker included) "
+    "under the trained BPE — the standard compression diagnostic for a "
+    "tokenizer/corpus pairing. One equi-join against the word->subword "
+    "lookup + one aggregation; reuses the session's trained artifact.",
+    oracle=f"""
+WITH {_bpe_ctes()},
+tokl AS (SELECT lang, unnest({_TOKS}) AS word FROM documents),
+j AS (
+  SELECT t.lang, len(string_split(trim(w._s), ' ')) AS ns
+  FROM tokl t JOIN w{ITERS} w USING (word)
+)
+SELECT lang, count(*)::BIGINT AS n_words, sum(ns)::BIGINT AS n_subwords,
+       {rounding.stable_round_sql('sum(ns)::DOUBLE / count(*)', 4)} AS fertility
+FROM j GROUP BY lang
+""",
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, final_words = _trained(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    vocab = final_words.select("word", F.col("_s").alias("_seg"))
+    j = (
+        docs.select("lang", F.explode("toks").alias("word"))
+        .join(vocab, "word")
+        .select(
+            "lang", F.size(F.split(F.trim(F.col("_seg")), " ")).alias("_ns")
+        )
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("_ns").cast("long").alias("n_subwords"),
+        rounding.stable_round(
+            F.sum("_ns").cast("double") / F.count(F.lit(1)), 4
+        ).alias("fertility"),
     )

@@ -881,3 +881,52 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.dsir_scores(
         docs, "doc_id", "toks", F.col("lang") == "en", num_buckets=1024
     )
+
+
+@register(
+    "snapshot_diff",
+    doc="Dataset-version diff: row-level added/removed/changed/"
+    "unchanged status between the corpus and an engineered v2 snapshot "
+    "(drop doc_id%17==3, edit text of doc_id%13==5, add re-keyed "
+    "copies of doc_id%19==7). One full-outer equi-join of id+md5 "
+    "fingerprint projections — bodies are never reread.",
+    oracle="""
+WITH o AS (SELECT doc_id, md5(text) AS fp FROM documents),
+n AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 5 THEN md5(text || ' v2') ELSE md5(text) END AS fp
+  FROM documents WHERE doc_id % 17 <> 3
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, md5(text || ' new') AS fp
+  FROM documents WHERE doc_id % 19 = 7
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.fp IS NULL THEN 'added'
+            WHEN n.fp IS NULL THEN 'removed'
+            WHEN o.fp <> n.fp THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+""",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    old = docs.select("doc_id", hashing.md5_hex(F.col("text")).alias("fp"))
+    new = (
+        docs.filter(F.col("doc_id") % 17 != 3)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 5,
+                hashing.md5_hex(F.concat(F.col("text"), F.lit(" v2"))),
+            )
+            .otherwise(hashing.md5_hex(F.col("text")))
+            .alias("fp"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 19 == 7).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                hashing.md5_hex(F.concat(F.col("text"), F.lit(" new"))).alias("fp"),
+            )
+        )
+    )
+    return corpus.snapshot_diff(old, new, "doc_id", "fp")
