@@ -1020,6 +1020,19 @@ def semdedup_survivors(
             ).alias("centroid_sim"),
         )
     )
+    return semdedup_prune_within(base, id_col, tau)
+
+
+def semdedup_prune_within(
+    base: DataFrame, id_col: str, tau: float
+) -> DataFrame:
+    """The in-cluster prune stage of SemDeDup, separated so callers can
+    bring their own clustering (and so the scale smoke can time the
+    prune under the production invariant — cluster count growing with
+    the corpus, cluster SIZE constant). ``base`` columns:
+    (id, cluster, _v vector, centroid_sim)."""
+    from .vector import cosine_similarity
+
     x = base.select(
         "cluster",
         F.col(id_col).alias("_xid"),

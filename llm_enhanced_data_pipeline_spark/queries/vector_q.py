@@ -230,29 +230,36 @@ def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines agree bit-for-bit despite distributed float-sum ordering.
 
 
-def _kmeans_ctes(k: int = 8, iters: int = 3, dim: int = 64) -> list[str]:
+def _kmeans_ctes(
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    vec: str = "embedding",
+    sfx: str = "",
+) -> list[str]:
     """The shared Lloyd's-iteration CTE chain: e (quantized vectors),
-    c0..c{iters} (centroid frames). Reused by the training gate and the
-    trained-serving gate."""
+    c0..c{iters} (centroid frames). Reused by the training gate, the
+    trained-serving gate, and (per-subspace, via ``vec``/``sfx``) the
+    product-quantization gates."""
     parts = [
-        f"e AS (SELECT vec_id, {vector.quantize_vec_sql('embedding')} AS q FROM embeddings)",
-        f"c0 AS (SELECT vec_id::INT AS cid, q AS cent FROM e WHERE vec_id < {k})",
+        f"e{sfx} AS (SELECT vec_id, {vector.quantize_vec_sql(vec)} AS q FROM embeddings)",
+        f"c0{sfx} AS (SELECT vec_id::INT AS cid, q AS cent FROM e{sfx} WHERE vec_id < {k})",
     ]
     for i in range(iters):
         parts.append(
-            f"""a{i} AS (
+            f"""a{i}{sfx} AS (
   SELECT vec_id, q, cid FROM (
     SELECT e.vec_id, e.q, c.cid,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {vector.sqdist_q_sql('e.q', 'c.cent')} ASC,
                                        c.cid ASC) AS rn
-    FROM e CROSS JOIN c{i} c) WHERE rn = 1)"""
+    FROM e{sfx} e CROSS JOIN c{i}{sfx} c) WHERE rn = 1)"""
         )
         parts.append(
-            f"""c{i + 1} AS (
+            f"""c{i + 1}{sfx} AS (
   SELECT cid, list(m ORDER BY _i) AS cent FROM (
     SELECT cid, _i, (sum(q[_i]) // count(*))::BIGINT AS m
-    FROM a{i}, range(1, {dim + 1}) r(_i) GROUP BY cid, _i) GROUP BY cid)"""
+    FROM a{i}{sfx}, range(1, {dim + 1}) r(_i) GROUP BY cid, _i) GROUP BY cid)"""
         )
     return parts
 
@@ -418,3 +425,75 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     corpus = emb.filter(F.col("vec_id") != 0)
     return vector.mmr_topk(corpus, q, "vec_id", "embedding", k=5, lam=0.7)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: per-subspace Lloyd's chains (the generalized
+# _kmeans_ctes with a sliced vector expression), exact-int asymmetric-
+# distance scoring. No rounding anywhere — distances are int64.
+
+
+def _pq_sql(m: int = 4, dim: int = 64, k: int = 16, iters: int = 2, k_out: int = 10) -> str:
+    subdim = dim // m
+    parts: list[str] = []
+    for mi in range(m):
+        lo, hi = mi * subdim + 1, (mi + 1) * subdim
+        parts += _kmeans_ctes(
+            k=k, iters=iters, dim=subdim, vec=f"embedding[{lo}:{hi}]", sfx=f"s{mi}"
+        )
+        parts.append(
+            f"""af_s{mi} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {vector.sqdist_q_sql('e.q', 'c.cent')} ASC,
+                                       c.cid ASC) AS rn
+    FROM es{mi} e CROSS JOIN c{iters}s{mi} c) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""d_s{mi} AS (
+  SELECT c.cid AS code, {vector.sqdist_q_sql('q.q', 'c.cent')} AS d
+  FROM c{iters}s{mi} c
+  CROSS JOIN (SELECT q FROM es{mi} WHERE vec_id = 0) q)"""
+        )
+    return f"""
+WITH {','.join(parts)}
+SELECT vec_id, (dd0.d + dd1.d + dd2.d + dd3.d)::BIGINT AS adc_dist
+FROM af_s0 a0
+JOIN af_s1 a1 USING (vec_id)
+JOIN af_s2 a2 USING (vec_id)
+JOIN af_s3 a3 USING (vec_id)
+JOIN d_s0 dd0 ON dd0.code = a0.cid
+JOIN d_s1 dd1 ON dd1.code = a1.cid
+JOIN d_s2 dd2 ON dd2.code = a2.cid
+JOIN d_s3 dd3 ON dd3.code = a3.cid
+WHERE vec_id <> 0
+ORDER BY adc_dist ASC, vec_id ASC LIMIT {k_out}
+"""
+
+
+@register(
+    "pq_adc_knn",
+    doc="Product-quantization ANN (Jegou et al. 2011): 4 subspace "
+    "codebooks (k=16) trained with the integer-grid Lloyd's chain, "
+    "corpus encoded to 4 codes/vector, and asymmetric-distance top-10 "
+    "for the query — the m*k exact-int distance table broadcasts, so "
+    "query-time work is one equi-join + one aggregation over the "
+    "compressed corpus; full-precision vectors are never touched at "
+    "query time. Everything is exact int64 arithmetic.",
+    oracle=_pq_sql(),
+)
+def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    cb = vector.pq_train(emb, "vec_id", "embedding", m=4, dim=64, k=16, iters=2)
+    codes = vector.pq_encode(emb, "vec_id", "embedding", cb, m=4, dim=64)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return vector.pq_adc_topk(
+        q,
+        cb,
+        codes.filter(F.col("vec_id") != 0),
+        "vec_id",
+        m=4,
+        dim=64,
+        k_out=10,
+    )

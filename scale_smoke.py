@@ -27,7 +27,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from llm_enhanced_data_pipeline_spark.operators import corpus, dedup, joins, vector
+from llm_enhanced_data_pipeline_spark.operators import bpe, corpus, dedup, joins, vector
 from llm_enhanced_data_pipeline_spark.queries.dedup_q import _docs_with_near_dups
 from llm_enhanced_data_pipeline_spark.session import get_spark
 from llm_enhanced_data_pipeline_spark.tables import load_table
@@ -205,6 +205,29 @@ def run_at(spark: SparkSession, r: int) -> dict[str, float]:
         ).count()
     )
 
+    # DSIR selection: feature explode + <=B-row model joins + per-doc agg
+    out["dsir"] = time_op(
+        lambda: corpus.dsir_scores(
+            toked, "doc_id", "toks", F.col("doc_id") % 5 == 0, num_buckets=1024
+        ).count()
+    )
+    # BPE training: 4 merge rounds over the word-type table (replica
+    # salting grows the vocab linearly, the production-relevant axis)
+    out["bpe_train"] = time_op(
+        lambda: bpe.bpe_train(bpe.word_freqs(toked, "toks"), iters=4)
+    )
+    dedup.release_caches()
+    # snapshot diff: full-outer equi-join of id+fp projections
+    from llm_enhanced_data_pipeline_spark.functions import hashing as _h
+
+    old_fp = docs.select("doc_id", _h.md5_hex(F.col("text")).alias("fp"))
+    new_fp = docs.filter(F.col("doc_id") % 17 != 3).select(
+        "doc_id", _h.md5_hex(F.concat(F.col("text"), F.lit("v"))).alias("fp")
+    )
+    out["snapshot_diff"] = time_op(
+        lambda: corpus.snapshot_diff(old_fp, new_fp, "doc_id", "fp").count()
+    )
+
     emb = replicated_embeddings(spark, r).persist()
     out["n_vecs"] = emb.count()
     cents = vector.centroids_by_key(emb, "label", "embedding")
@@ -220,6 +243,26 @@ def run_at(spark: SparkSession, r: int) -> dict[str, float]:
         lambda: vector.kmeans_train_quantized(emb, "vec_id", "embedding", k=8, iters=3)[
             0
         ].count()
+    )
+    # SemDeDup prune under the production invariant: cluster COUNT grows
+    # with the corpus ((label, replica) key), cluster size stays constant
+    sd_base = emb.select(
+        "vec_id",
+        (F.col("label").cast("bigint") * 1000 + F.col("vec_id") / 10_000_000)
+        .cast("bigint")
+        .alias("cluster"),
+        F.col("embedding").alias("_v"),
+        ((F.col("vec_id") % 997) / 997.0).alias("centroid_sim"),
+    )
+    out["semdedup_prune"] = time_op(
+        lambda: dedup.semdedup_prune_within(sd_base, "vec_id", 0.35).count()
+    )
+    # MMR: k greedy rounds, each one corpus scan + a 1-row broadcast
+    mq = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    out["mmr"] = time_op(
+        lambda: vector.mmr_topk(
+            emb.filter(F.col("vec_id") != 0), mq, "vec_id", "embedding", k=5
+        ).count()
     )
     docs.unpersist()
     ev.unpersist()
@@ -251,8 +294,13 @@ def main() -> None:
                 "range_join",
                 "heuristic_funnel",
                 "incremental_dedup",
+                "dsir",
+                "bpe_train",
+                "snapshot_diff",
                 "ivf_knn",
                 "kmeans_train",
+                "semdedup_prune",
+                "mmr",
             )
         },
     }

@@ -98,3 +98,67 @@ def test_mmr_prefers_diverse_over_redundant(spark):
     # sanity: pure relevance (lam=1.0) picks the clone instead
     rel_only = vector.mmr_topk(corpus, q, "id", "v", k=2, lam=1.0)
     assert {r.rank: r.id for r in rel_only.collect()}[2] == 2
+
+
+def test_pq_exact_on_separable_corners(spark):
+    """Vectors placed at 4 distinct per-subspace corners: codebooks
+    learn the corners exactly (zero quantization error), so ADC
+    distance equals the true quantized distance and the query's own
+    cluster comes back with distance 0."""
+    # 2 subspaces x 2 dims; 4 groups of 3 identical vectors each
+    corners = [
+        [1.0, 0.0, 0.0, 1.0],
+        [0.0, 1.0, 1.0, 0.0],
+        [1.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 1.0],
+    ]
+    # interleave ids so the k=4 seeds (smallest ids) hit all 4 corners
+    rows = [(i * 4 + g, corners[g]) for g in range(4) for i in range(3)]
+    df = _vec_df(spark, rows)
+    cb = vector.pq_train(df, "id", "v", m=2, dim=4, k=4, iters=2)
+    codes = vector.pq_encode(df, "id", "v", cb, m=2, dim=4)
+    got = {(r.id, r.m): r.code for r in codes.collect()}
+    # same-corner vectors share codes in every subspace
+    for g in range(4):
+        for mi in range(2):
+            assert got[(g, mi)] == got[(g + 4, mi)] == got[(g + 8, mi)]
+    q = spark.createDataFrame([(corners[2],)], "qv: array<float>")
+    top = vector.pq_adc_topk(q, cb, codes, "id", m=2, dim=4, k_out=3).collect()
+    assert sorted(r.id for r in top) == [2, 6, 10]
+    assert all(r.adc_dist == 0 for r in top)
+
+
+def test_pq_adc_approximates_exact_neighbors(spark, sf_dir):
+    """ADC top-10 lands inside the exact top-30 neighborhood. The
+    synthetic embeddings are near-isotropic — PQ's worst case (no
+    low-dimensional structure for the codebooks to exploit) — so the
+    floors are modest and pinned against the deterministic corpus; on
+    real embedding manifolds recall is far higher (Jegou et al. 2011)."""
+    from llm_enhanced_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cb = vector.pq_train(emb, "vec_id", "embedding", m=4, dim=64, k=16, iters=2)
+    codes = vector.pq_encode(emb, "vec_id", "embedding", cb, m=4, dim=64)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    adc = vector.pq_adc_topk(
+        q, cb, codes.filter(F.col("vec_id") != 0), "vec_id", m=4, dim=64, k_out=10
+    )
+    adc_ids = {r.vec_id for r in adc.collect()}
+    qq = emb.filter(F.col("vec_id") == 0).select(
+        vector.quantize_vec(F.col("embedding")).alias("_qa")
+    )
+    exact = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qq))
+        .select(
+            "vec_id",
+            vector.sqdist_q(
+                vector.quantize_vec(F.col("embedding")), F.col("_qa")
+            ).alias("d"),
+        )
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(30)
+    )
+    exact_rows = [r.vec_id for r in exact.collect()]
+    assert len(adc_ids & set(exact_rows[:10])) >= 2
+    assert len(adc_ids & set(exact_rows)) >= 6

@@ -87,6 +87,8 @@ QUADRATIC_BY_DESIGN = {
                               # an equi-join on the cluster key
     "mmr_rerank",             # broadcast 1-row query + per-round 1-row
                               # argmax frames (greedy MMR selection)
+    "pq_adc_knn",             # per-subspace Lloyd's chains (broadcast
+                              # k-row codebooks) + 1-row query frame
     "tfidf_top_terms",        # broadcast 1-row corpus-size frame (idf)
     "unigram_logprob",        # broadcast 1-row corpus-total frame (same
                               # shape as the tfidf idf broadcast)
