@@ -555,6 +555,298 @@ def dsir_scores(
     )
 
 
+# ---------------------------------------------------------------------------
+# Exact substring dedup over UNALIGNED spans (Lee et al. 2021)
+# ---------------------------------------------------------------------------
+
+#: Unit separator joining gram tokens into the exact dedup key — cannot
+#: occur inside a token (tokens are whitespace-split).
+_GRAM_SEP = "\u001f"  # == chr(31), the SQL twin's chr(31)
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Exact duplicated-substring detection at every token offset —
+    the unaligned twin of :func:`chunk_dedup` (which only sees spans on
+    chunk_size-aligned boundaries) and the DataFrame re-expression of
+    suffix-array substring dedup ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2021, arXiv:2107.06499).
+
+    Every k-token window of every document is a candidate substring;
+    an occurrence whose exact text occurred earlier in corpus order
+    (id, offset) is a duplicate hit, and overlapping hits merge into
+    maximal duplicated SPANS — exactly the "all but one occurrence of
+    any length->=threshold repeated substring" contract of the paper,
+    with the suffix array replaced by a k-gram group-by (common prefix
+    >= k between adjacent suffixes in suffix order == equal k-token
+    prefix == same group; island-merging recovers the maximal-run
+    semantics the suffix array's LCP scan provides).
+
+    Returns one row per document: (id, n_tokens, dup_spans,
+    dup_tokens, dup_frac) where dup_tokens counts tokens inside merged
+    duplicated spans (within-doc self-repeats count too, matching the
+    paper's ExactSubstr).
+
+    Scale shape: explode (k tokens carried per position — the k-gram
+    analogue of the suffix array's pointer indirection), one window
+    over the exact gram text (near-unique keys; the gram string IS the
+    dedup key, so hash collisions cannot merge distinct spans), one
+    per-doc ordered window for island merging, two keyed aggregations.
+    Never doc x doc; the only skew risk is a hyper-frequent gram
+    (boilerplate), which is precisely the row the operator exists to
+    find — its group is processed by one ordered scan, not a join.
+    """
+    from ..functions.rounding import stable_round
+
+    n = F.size(F.col(token_col))
+    grams = (
+        df.filter(n >= k)
+        .select(
+            F.col(id_col),
+            F.col(token_col),
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), (n - k).cast("bigint"))
+            ).alias("start"),
+        )
+        .select(
+            id_col,
+            "start",
+            F.concat_ws(
+                _GRAM_SEP,
+                F.slice(F.col(token_col), (F.col("start") + 1).cast("int"), k),
+            ).alias("_gram"),
+        )
+    )
+    w_gram = Window.partitionBy("_gram").orderBy(
+        F.col(id_col).asc(), F.col("start").asc()
+    )
+    hits = (
+        grams.withColumn("_rn", F.row_number().over(w_gram))
+        .filter(F.col("_rn") >= 2)
+        .select(F.col(id_col), "start", (F.col("start") + k).alias("_e"))
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("start")
+    prev_end = F.max("_e").over(w_doc.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        hits.withColumn(
+            "_brk",
+            F.when(prev_end.isNull() | (F.col("start") > prev_end), 1).otherwise(0),
+        )
+        .withColumn(
+            "_isl",
+            F.sum("_brk").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "_isl")
+        .agg(F.min("start").alias("_s"), F.max("_e").alias("_me"))
+    )
+    agg = islands.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dup_spans"),
+        F.sum(F.col("_me") - F.col("_s")).alias("dup_tokens"),
+    )
+    base = df.select(F.col(id_col), F.size(F.col(token_col)).cast("bigint").alias("n_tokens"))
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("dup_spans"), F.lit(0)).cast("bigint").alias("dup_spans"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint").alias("dup_tokens"),
+        stable_round(
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            4,
+        ).alias("dup_frac"),
+    )
+
+
+def duplicated_spans_sql(
+    toks_expr: str,
+    id_expr: str = "doc_id",
+    k: int = 8,
+    relation: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`duplicated_spans` over ``relation``."""
+    from ..functions.rounding import stable_round_sql
+
+    return f"""
+WITH t AS (SELECT {id_expr} AS id, {toks_expr} AS toks FROM {relation}),
+g AS (
+  SELECT id, _i AS start,
+         array_to_string(list_slice(toks, _i + 1, _i + {k}), chr(31)) AS _gram
+  FROM t, LATERAL unnest(range(0, len(toks) - {k} + 1)) r(_i)
+),
+rk AS (
+  SELECT id, start, start + {k} AS _e,
+         row_number() OVER (PARTITION BY _gram ORDER BY id, start) AS _rn
+  FROM g
+),
+h AS (SELECT id, start, _e FROM rk WHERE _rn >= 2),
+brk AS (
+  SELECT id, start, _e,
+         CASE WHEN max(_e) OVER w IS NULL OR start > max(_e) OVER w
+              THEN 1 ELSE 0 END AS _brk
+  FROM h
+  WINDOW w AS (PARTITION BY id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl AS (
+  SELECT id, start, _e,
+         sum(_brk) OVER (PARTITION BY id ORDER BY start
+                         ROWS UNBOUNDED PRECEDING) AS _isl
+  FROM brk
+),
+per AS (SELECT id, _isl, min(start) AS _s, max(_e) AS _me FROM isl GROUP BY 1, 2),
+agg AS (
+  SELECT id, count(*)::BIGINT AS dup_spans, sum(_me - _s)::BIGINT AS dup_tokens
+  FROM per GROUP BY id
+)
+SELECT t.id AS {id_expr}, len(t.toks)::BIGINT AS n_tokens,
+       coalesce(agg.dup_spans, 0)::BIGINT AS dup_spans,
+       coalesce(agg.dup_tokens, 0)::BIGINT AS dup_tokens,
+       {stable_round_sql("coalesce(agg.dup_tokens, 0) / greatest(len(t.toks), 1)", 4)} AS dup_frac
+FROM t LEFT JOIN agg ON t.id = agg.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (one multiplicative-weights step)
+# ---------------------------------------------------------------------------
+
+
+def doremi_domain_weights(
+    df: DataFrame,
+    domain_col: str,
+    token_col: str,
+    eta: float = 1.0,
+    smoothing_permille: int = 100,
+) -> DataFrame:
+    """One DoReMi multiplicative-weights update of the domain mixture
+    (Xie et al. 2023, arXiv:2305.10429), with the per-domain "excess
+    loss" instantiated as a deterministic reference-free proxy.
+
+    DoReMi reweights domains by exp(eta * excess_d) where excess_d is
+    how much worse the proxy model does on domain d than the reference
+    model. Here the reference model is the domain's OWN unigram LM and
+    the proxy is the pooled corpus unigram LM, so the excess is exactly
+    the per-token KL divergence KL(P_d || P_corpus) — "how badly does
+    the global mixture underfit this domain" — which is >= 0 by Gibbs'
+    inequality (the paper's clip-at-0 is a provable no-op). Starting
+    from uniform alpha, one update gives w_d proportional to
+    exp(eta * excess_d), then the paper's uniform smoothing:
+    weight_d = (1-s) * w_d / sum(w) + s / D.
+
+    Swapping real per-domain NLLs from a trained proxy/reference pair
+    in for the unigram KL is a column substitution (see
+    ``text_analysis.lm_score_with`` for the adapter pattern).
+
+    Returns (domain, n_docs, n_tokens, excess_kl, weight), both floats
+    engine-stably rounded (the KL sum is rounded BEFORE exp so both
+    engines exponentiate identical doubles).
+
+    Scale shape: one token explode feeding a (domain, token) count, two
+    reductions of that frame (per-domain and per-token totals), one
+    equi-join of the counts against the per-token totals (vocab-sized,
+    AQE-broadcast), a per-domain aggregation, and window math over the
+    D-row result. Never doc x doc; the D-row tail is trivially tiny.
+    """
+    from ..functions.rounding import stable_round
+
+    s = smoothing_permille / 1000.0
+    tok = df.select(
+        F.col(domain_col).alias("domain"), F.explode(F.col(token_col)).alias("_tok")
+    )
+    dt = tok.groupBy("domain", "_tok").agg(F.count(F.lit(1)).alias("_c_dt"))
+    d_tot = dt.groupBy("domain").agg(F.sum("_c_dt").alias("_n_d"))
+    t_tot = dt.groupBy("_tok").agg(F.sum("_c_dt").alias("_c_t"))
+    n_total = dt.agg(F.sum("_c_dt").alias("_n"))
+    terms = (
+        dt.join(t_tot, "_tok")
+        .join(F.broadcast(d_tot), "domain")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "domain",
+            "_n_d",
+            (
+                F.col("_c_dt")
+                * F.log(
+                    (F.col("_c_dt").cast("double") * F.col("_n"))
+                    / (F.col("_n_d").cast("double") * F.col("_c_t"))
+                )
+            ).alias("_term"),
+        )
+    )
+    kl = terms.groupBy("domain").agg(
+        F.max("_n_d").alias("n_tokens"),
+        stable_round(F.sum("_term") / F.max("_n_d"), 6).alias("excess_kl"),
+    )
+    n_docs = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w_all = Window.partitionBy()
+    return (
+        kl.join(F.broadcast(n_docs), "domain")
+        .withColumn("_w", F.exp(F.lit(float(eta)) * F.col("excess_kl")))
+        .select(
+            "domain",
+            "n_docs",
+            "n_tokens",
+            "excess_kl",
+            stable_round(
+                F.lit(1.0 - s) * F.col("_w") / F.sum("_w").over(w_all)
+                + F.lit(s) / F.count(F.lit(1)).over(w_all),
+                6,
+            ).alias("weight"),
+        )
+    )
+
+
+def doremi_domain_weights_sql(
+    toks_expr: str,
+    domain_expr: str,
+    eta: float = 1.0,
+    smoothing_permille: int = 100,
+    relation: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`doremi_domain_weights` over ``relation``."""
+    from ..functions.rounding import stable_round_sql
+
+    s = smoothing_permille / 1000.0
+    return f"""
+WITH tok AS (
+  SELECT {domain_expr} AS domain, unnest({toks_expr}) AS _tok FROM {relation}
+),
+dt AS (SELECT domain, _tok, count(*)::BIGINT AS _c_dt FROM tok GROUP BY 1, 2),
+dtot AS (SELECT domain, sum(_c_dt)::BIGINT AS _n_d FROM dt GROUP BY 1),
+ttot AS (SELECT _tok, sum(_c_dt)::BIGINT AS _c_t FROM dt GROUP BY 1),
+n AS (SELECT sum(_c_dt)::BIGINT AS _n FROM dt),
+terms AS (
+  SELECT dt.domain, dtot._n_d,
+         dt._c_dt * ln((dt._c_dt::DOUBLE * n._n) / (dtot._n_d::DOUBLE * ttot._c_t))
+           AS _term
+  FROM dt
+  JOIN ttot USING (_tok)
+  JOIN dtot USING (domain)
+  CROSS JOIN n
+),
+kl AS (
+  SELECT domain, max(_n_d)::BIGINT AS n_tokens,
+         {stable_round_sql("sum(_term) / max(_n_d)", 6)} AS excess_kl
+  FROM terms GROUP BY domain
+),
+nd AS (SELECT {domain_expr} AS domain, count(*)::BIGINT AS n_docs FROM {relation} GROUP BY 1),
+w AS (
+  SELECT kl.domain, nd.n_docs, kl.n_tokens, kl.excess_kl,
+         exp({float(eta)!r} * kl.excess_kl) AS _w
+  FROM kl JOIN nd USING (domain)
+)
+SELECT domain, n_docs, n_tokens, excess_kl,
+       {stable_round_sql(f"{1.0 - s!r} * _w / (sum(_w) OVER ()) + {s!r} / (count(*) OVER ())", 6)} AS weight
+FROM w
+"""
+
+
 def snapshot_diff(
     old: DataFrame, new: DataFrame, id_col: str, fp_col: str
 ) -> DataFrame:

@@ -260,6 +260,64 @@ def ivf_knn_join(
     )
 
 
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    query_grp: str,
+    corpus_grp: str,
+    k: int,
+) -> DataFrame:
+    """Hard-negative mining for retrieval / embedding training (DPR,
+    Karpukhin et al. 2020, arXiv:2004.04906; ANCE, arXiv:2007.00808):
+    for every query, the top-k most-similar corpus items from a
+    DIFFERENT positive group — the near-misses that in-batch random
+    negatives never surface and that contrastive training needs.
+
+    Same IVF-routed shape as :func:`ivf_knn_join` (bucket equi-join,
+    exact scoring within the bucket) with the positive group excluded
+    at the candidate stage, so mined negatives can never leak a
+    positive. Returns (query_id, neighbor_id, rank, sim).
+
+    Scale shape: two broadcast centroid assignments + one equi-join on
+    the bucket key + a per-query top-k window. Never query x corpus.
+    """
+    from pyspark.sql import Window
+
+    cq = ivf_assign(queries, centroids, query_id, query_vec).select(
+        F.col(query_id).alias("_qid"),
+        F.col(query_vec).alias("_qv"),
+        F.col(query_grp).alias("_qg"),
+        "ckey",
+    )
+    cc = ivf_assign(corpus, centroids, corpus_id, corpus_vec).select(
+        F.col(corpus_id).alias("_cid"),
+        F.col(corpus_vec).alias("_cv"),
+        F.col(corpus_grp).alias("_cg"),
+        "ckey",
+    )
+    scored = (
+        cq.join(cc, "ckey")
+        .filter(F.col("_qg") != F.col("_cg"))
+        .withColumn("sim", F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), 6))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("sim").desc(), F.col("_cid").asc())
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias("neighbor_id"),
+            F.col("_rank").alias("rank"),
+            F.col("sim"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # K-means (Lloyd's) centroid training — the production IVF training
 # path. `centroids_by_key` needs a pre-existing grouping key; k-means

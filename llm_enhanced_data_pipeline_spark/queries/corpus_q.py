@@ -388,6 +388,39 @@ def chunk_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "substring_dedup_spans",
+    doc="Exact substring dedup at UNALIGNED offsets (Lee et al. 2021, "
+    "arXiv:2107.06499): every 8-token window of every doc, duplicates "
+    "past the global first occurrence merged into maximal per-doc "
+    "spans — catches the cross-boundary repeats chunk_dedup_spans' "
+    "aligned windows miss. Group-by on the exact gram text (no hash "
+    "approximation), island-merge window per doc.",
+    oracle=corpus.duplicated_spans_sql(_TOKS, "doc_id", k=8),
+)
+def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    return corpus.duplicated_spans(docs, "doc_id", "toks", k=8)
+
+
+@register(
+    "doremi_domain_weights",
+    doc="DoReMi domain-mixture reweighting (arXiv:2305.10429), one "
+    "multiplicative-weights step: excess loss per domain instantiated "
+    "as the per-token KL(domain unigram || corpus unigram), weights "
+    "exp(eta*excess) with uniform smoothing. One token shuffle + "
+    "vocab-keyed join; the domain tail is D rows.",
+    oracle=corpus.doremi_domain_weights_sql(_TOKS, "lang"),
+)
+def doremi_domain_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    return corpus.doremi_domain_weights(docs, "lang", "toks")
+
+
+@register(
     "unigram_logprob",
     doc="CCNet-style corpus-likelihood quality signal: per-doc average "
     "token log-probability under the corpus's own unigram model. One "

@@ -163,6 +163,51 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hard_negative_mining",
+    doc="Hard-negative mining for retrieval training (DPR/ANCE): per "
+    "query, top-5 most-similar OTHER-label vectors via the IVF bucket "
+    "equi-join — same-group candidates excluded before ranking so a "
+    "positive can never be mined as a negative.",
+    oracle=f"""
+WITH {_IVF_CENT_SQL},
+assign AS (
+  SELECT vec_id, label, embedding, ckey FROM (
+    SELECT e.vec_id, e.label, e.embedding, c.ckey,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.embedding', 'c.centroid')} DESC,
+                                       c.ckey ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, label AS qlab, embedding AS qv, ckey
+      FROM assign WHERE vec_id % 25 = 0),
+scored AS (
+  SELECT q.qid, a.vec_id AS neighbor_id,
+         round({_cos_sql('q.qv', 'a.embedding')}, 6) AS sim
+  FROM q JOIN assign a ON q.ckey = a.ckey AND a.label <> q.qlab
+),
+ranked AS (
+  SELECT qid, neighbor_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT qid AS vec_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
+""",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = vector.centroids_by_key(emb, "label", "embedding")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    out = vector.hard_negatives(
+        queries, emb, cents, "vec_id", "vec_id", "embedding", "embedding",
+        "label", "label", k=5,
+    )
+    return out.select(
+        "vec_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim"
+    )
+
+
+@register(
     "rag_context_assembly",
     doc="R5: top-3 retrieved docs for the query vector, formatted into "
     "the numbered '[Doc i]' context block (rag.ipynb:720-733).",

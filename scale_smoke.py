@@ -168,6 +168,20 @@ def run_at(spark: SparkSession, r: int) -> dict[str, float]:
     out["repetition"] = time_op(
         lambda: corpus.repetition_stats(toked, "doc_id", "toks", n=2).count()
     )
+    # unaligned exact-substring dedup: gram explode + gram-text window +
+    # per-doc island merge — replica salting keeps grams replica-local,
+    # so the gram groups stay constant-size and cost must track tokens
+    out["substring_spans"] = time_op(
+        lambda: corpus.duplicated_spans(toked, "doc_id", "toks", k=8).count()
+    )
+    # DoReMi reweighting: token shuffle + vocab-keyed join + D-row tail
+    out["doremi"] = time_op(
+        lambda: corpus.doremi_domain_weights(
+            toked.withColumn("dom", (F.col("doc_id") % 7).cast("string")),
+            "dom",
+            "toks",
+        ).count()
+    )
 
     ev = replicated_events(spark, r).persist()
     out["n_events"] = ev.count()

@@ -389,6 +389,144 @@ def test_chunk_dedup_matches_naive_reference_on_random_corpus(spark):
 
 
 # ---------------------------------------------------------------------------
+# exact substring dedup at unaligned offsets (Lee et al. 2021)
+# ---------------------------------------------------------------------------
+
+
+def test_duplicated_spans_catches_unaligned_cross_doc_repeat(spark):
+    """An 8-token run repeated at a NON-chunk-aligned offset is invisible
+    to chunk_dedup's aligned windows but found by duplicated_spans."""
+    t = [f"t{i}" for i in range(12)]
+    doc1 = t  # first occurrence of everything — stays clean
+    doc2 = ["x", "y", "z"] + t[3:11] + ["w"]  # t3..t10 repeated at offset 3
+    df = spark.createDataFrame([Row(doc_id=1, toks=doc1), Row(doc_id=2, toks=doc2)])
+
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_spans, r.dup_tokens, r.dup_frac)
+        for r in corpus.duplicated_spans(df, "doc_id", "toks", k=8).collect()
+    }
+    assert got[1] == (12, 0, 0, 0.0)
+    assert got[2] == (12, 1, 8, round(8 / 12 + 1e-12, 4))
+
+    # the aligned-window operator misses it: every aligned chunk is unique
+    aligned = {
+        r.doc_id: (r.n_chunks, r.n_kept)
+        for r in corpus.chunk_dedup(df, "doc_id", "toks", chunk_size=8).collect()
+    }
+    assert aligned[2][0] == aligned[2][1]
+
+
+def test_duplicated_spans_merges_overlapping_self_repeats(spark):
+    """Within-doc repetition: 12x the same token -> starts 1..4 are all
+    duplicate hits of the start-0 gram, merging into one span covering
+    tokens 1..12 (11 tokens)."""
+    df = spark.createDataFrame([Row(doc_id=1, toks=["a"] * 12)])
+    row = corpus.duplicated_spans(df, "doc_id", "toks", k=8).collect()[0]
+    assert (row.n_tokens, row.dup_spans, row.dup_tokens) == (12, 1, 11)
+
+
+def test_duplicated_spans_short_and_empty_docs_survive(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, toks=["a", "b"]), Row(doc_id=2, toks=[])],
+        "doc_id long, toks array<string>",
+    )
+    got = {r.doc_id: (r.n_tokens, r.dup_spans, r.dup_tokens, r.dup_frac)
+           for r in corpus.duplicated_spans(df, "doc_id", "toks", k=8).collect()}
+    assert got == {1: (2, 0, 0, 0.0), 2: (0, 0, 0, 0.0)}
+
+
+def test_duplicated_spans_matches_naive_reference_on_random_corpus(spark):
+    import random
+
+    rng = random.Random(43)
+    vocab = [f"w{j}" for j in range(3)]  # tiny vocab -> dense collisions
+    docs = {
+        did: [rng.choice(vocab) for _ in range(rng.randrange(0, 18))]
+        for did in range(50)
+    }
+    k = 3
+
+    # naive reference: every k-gram occurrence past the global first
+    # (in (doc_id, start) order) is a hit; merge overlapping hits into
+    # maximal islands per doc
+    seen: set[tuple[str, ...]] = set()
+    hits: dict[int, list[int]] = {d: [] for d in docs}
+    for did in sorted(docs):
+        toks = docs[did]
+        for start in range(len(toks) - k + 1):
+            g = tuple(toks[start : start + k])
+            if g in seen:
+                hits[did].append(start)
+            seen.add(g)
+    expected = {}
+    for did, toks in docs.items():
+        spans, dup_tokens = 0, 0
+        cur_s = cur_e = None
+        for start in hits[did]:
+            if cur_e is None or start > cur_e:
+                if cur_e is not None:
+                    spans, dup_tokens = spans + 1, dup_tokens + (cur_e - cur_s)
+                cur_s, cur_e = start, start + k
+            else:
+                cur_e = max(cur_e, start + k)
+        if cur_e is not None:
+            spans, dup_tokens = spans + 1, dup_tokens + (cur_e - cur_s)
+        n = len(toks)
+        expected[did] = (n, spans, dup_tokens, round(dup_tokens / max(n, 1) + 1e-12, 4))
+
+    df = spark.createDataFrame([Row(doc_id=d, toks=t) for d, t in docs.items()])
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_spans, r.dup_tokens, r.dup_frac)
+        for r in corpus.duplicated_spans(df, "doc_id", "toks", k=k).collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# DoReMi domain reweighting
+# ---------------------------------------------------------------------------
+
+
+def test_doremi_weights_hand_computed(spark):
+    """Two 2-token domains: A={x,x}, B={x,y}. KL_A = ln(4/3),
+    KL_B = 0.5*ln(4/3); exp/normalize/smooth per the operator contract."""
+    import math
+
+    df = spark.createDataFrame(
+        [Row(dom="A", toks=["x", "x"]), Row(dom="B", toks=["x", "y"])]
+    )
+    got = {
+        r.domain: r
+        for r in corpus.doremi_domain_weights(
+            df, "dom", "toks", eta=1.0, smoothing_permille=100
+        ).collect()
+    }
+    kl_a = round(math.log(4 / 3) + 1e-12, 6)
+    kl_b = round(0.5 * math.log(4 / 3) + 1e-12, 6)
+    assert got["A"].excess_kl == kl_a
+    assert got["B"].excess_kl == kl_b
+    w_a, w_b = math.exp(kl_a), math.exp(kl_b)
+    exp_a = 0.9 * w_a / (w_a + w_b) + 0.05
+    exp_b = 0.9 * w_b / (w_a + w_b) + 0.05
+    assert abs(got["A"].weight - exp_a) < 1e-5
+    assert abs(got["B"].weight - exp_b) < 1e-5
+    assert abs(got["A"].weight + got["B"].weight - 1.0) < 1e-5
+    assert got["A"].n_docs == 1 and got["A"].n_tokens == 2
+
+
+def test_doremi_identical_domains_get_uniform_weights(spark):
+    """KL(P_d || P_corpus) = 0 when every domain has the same token
+    distribution -> weights collapse to exactly uniform."""
+    toks = ["x", "y", "z"]
+    df = spark.createDataFrame(
+        [Row(dom=d, toks=toks) for d in ("A", "B", "C", "D")]
+    )
+    rows = corpus.doremi_domain_weights(df, "dom", "toks").collect()
+    assert all(r.excess_kl == 0.0 for r in rows)
+    assert all(abs(r.weight - 0.25) < 1e-9 for r in rows)
+
+
+# ---------------------------------------------------------------------------
 # pluggable LM quality scorer (the unigram_logprob upgrade path)
 # ---------------------------------------------------------------------------
 

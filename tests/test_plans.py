@@ -103,6 +103,12 @@ QUADRATIC_BY_DESIGN = {
                               # the bucket key
     "corpus_build_v2",        # same 1-row Z broadcast inside its mixing
                               # stage; every other join is equi
+    "doremi_domain_weights",  # broadcast 1-row corpus-total frame; the
+                              # vocab join is equi, the domain tail is
+                              # D rows
+    "hard_negative_mining",   # IVF centroid assignment: broadcast
+                              # K-row centroid frame; the mining join
+                              # is equi on the bucket key
 }
 
 
