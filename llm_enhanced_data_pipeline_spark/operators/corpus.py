@@ -564,6 +564,60 @@ def dsir_scores(
 _GRAM_SEP = "\u001f"  # == chr(31), the SQL twin's chr(31)
 
 
+def _dup_islands(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    k: int,
+) -> DataFrame:
+    """Shared core of :func:`duplicated_spans` /
+    :func:`remove_duplicated_spans`: maximal merged duplicated spans,
+    one row per island — (id, _s, _me) with token positions
+    [_s, _me) duplicated (0-based)."""
+    n = F.size(F.col(token_col))
+    grams = (
+        df.filter(n >= k)
+        .select(
+            F.col(id_col),
+            F.col(token_col),
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), (n - k).cast("bigint"))
+            ).alias("start"),
+        )
+        .select(
+            id_col,
+            "start",
+            F.concat_ws(
+                _GRAM_SEP,
+                F.slice(F.col(token_col), (F.col("start") + 1).cast("int"), k),
+            ).alias("_gram"),
+        )
+    )
+    w_gram = Window.partitionBy("_gram").orderBy(
+        F.col(id_col).asc(), F.col("start").asc()
+    )
+    hits = (
+        grams.withColumn("_rn", F.row_number().over(w_gram))
+        .filter(F.col("_rn") >= 2)
+        .select(F.col(id_col), "start", (F.col("start") + k).alias("_e"))
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("start")
+    prev_end = F.max("_e").over(w_doc.rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        hits.withColumn(
+            "_brk",
+            F.when(prev_end.isNull() | (F.col("start") > prev_end), 1).otherwise(0),
+        )
+        .withColumn(
+            "_isl",
+            F.sum("_brk").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "_isl")
+        .agg(F.min("start").alias("_s"), F.max("_e").alias("_me"))
+        .drop("_isl")
+    )
+
+
 def duplicated_spans(
     df: DataFrame,
     id_col: str,
@@ -602,47 +656,7 @@ def duplicated_spans(
     """
     from ..functions.rounding import stable_round
 
-    n = F.size(F.col(token_col))
-    grams = (
-        df.filter(n >= k)
-        .select(
-            F.col(id_col),
-            F.col(token_col),
-            F.explode(
-                F.sequence(F.lit(0).cast("bigint"), (n - k).cast("bigint"))
-            ).alias("start"),
-        )
-        .select(
-            id_col,
-            "start",
-            F.concat_ws(
-                _GRAM_SEP,
-                F.slice(F.col(token_col), (F.col("start") + 1).cast("int"), k),
-            ).alias("_gram"),
-        )
-    )
-    w_gram = Window.partitionBy("_gram").orderBy(
-        F.col(id_col).asc(), F.col("start").asc()
-    )
-    hits = (
-        grams.withColumn("_rn", F.row_number().over(w_gram))
-        .filter(F.col("_rn") >= 2)
-        .select(F.col(id_col), "start", (F.col("start") + k).alias("_e"))
-    )
-    w_doc = Window.partitionBy(id_col).orderBy("start")
-    prev_end = F.max("_e").over(w_doc.rowsBetween(Window.unboundedPreceding, -1))
-    islands = (
-        hits.withColumn(
-            "_brk",
-            F.when(prev_end.isNull() | (F.col("start") > prev_end), 1).otherwise(0),
-        )
-        .withColumn(
-            "_isl",
-            F.sum("_brk").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .groupBy(id_col, "_isl")
-        .agg(F.min("start").alias("_s"), F.max("_e").alias("_me"))
-    )
+    islands = _dup_islands(df, id_col, token_col, k)
     agg = islands.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("dup_spans"),
         F.sum(F.col("_me") - F.col("_s")).alias("dup_tokens"),
@@ -707,6 +721,117 @@ SELECT t.id AS {id_expr}, len(t.toks)::BIGINT AS n_tokens,
        coalesce(agg.dup_tokens, 0)::BIGINT AS dup_tokens,
        {stable_round_sql("coalesce(agg.dup_tokens, 0) / greatest(len(t.toks), 1)", 4)} AS dup_frac
 FROM t LEFT JOIN agg ON t.id = agg.id
+"""
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """The APPLY side of :func:`duplicated_spans`: excise every merged
+    duplicated span (all occurrences past the global first) and
+    reassemble each document from its surviving tokens — the actual
+    corpus transformation of Lee et al. 2021's ExactSubstr dedup, not
+    just the report.
+
+    Returns (id, n_tokens, n_kept, clean_text) for EVERY input
+    document; a fully-duplicated document survives with clean_text ''.
+
+    Scale shape: the shared island computation, then each island
+    explodes into exactly its dropped positions (linear in REMOVED
+    tokens, not tokens x islands), a left-anti equi-join on (id, pos)
+    against the position-exploded corpus, and a per-doc ordered
+    reassembly — all keyed on the id, never doc x doc.
+    """
+    islands = _dup_islands(df, id_col, token_col, k)
+    dropped = islands.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("_s"), F.col("_me") - 1)
+        ).alias("pos"),
+    )
+    toks = df.select(
+        F.col(id_col), F.posexplode(F.col(token_col)).alias("pos", "_tok")
+    ).withColumn("pos", F.col("pos").cast("bigint"))
+    kept = toks.join(dropped, [id_col, "pos"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = df.select(
+        F.col(id_col), F.size(F.col(token_col)).cast("bigint").alias("n_tokens")
+    )
+    return base.join(reassembled, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+def remove_duplicated_spans_sql(
+    toks_expr: str,
+    id_expr: str = "doc_id",
+    k: int = 8,
+    relation: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`remove_duplicated_spans`."""
+    return f"""
+WITH t AS (SELECT {id_expr} AS id, {toks_expr} AS toks FROM {relation}),
+g AS (
+  SELECT id, _i AS start,
+         array_to_string(list_slice(toks, _i + 1, _i + {k}), chr(31)) AS _gram
+  FROM t, LATERAL unnest(range(0, len(toks) - {k} + 1)) r(_i)
+),
+rk AS (
+  SELECT id, start, start + {k} AS _e,
+         row_number() OVER (PARTITION BY _gram ORDER BY id, start) AS _rn
+  FROM g
+),
+h AS (SELECT id, start, _e FROM rk WHERE _rn >= 2),
+brk AS (
+  SELECT id, start, _e,
+         CASE WHEN max(_e) OVER w IS NULL OR start > max(_e) OVER w
+              THEN 1 ELSE 0 END AS _brk
+  FROM h
+  WINDOW w AS (PARTITION BY id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl AS (
+  SELECT id, start, _e,
+         sum(_brk) OVER (PARTITION BY id ORDER BY start
+                         ROWS UNBOUNDED PRECEDING) AS _isl
+  FROM brk
+),
+per AS (SELECT id, _isl, min(start) AS _s, max(_e) AS _me FROM isl GROUP BY 1, 2),
+dropped AS (
+  SELECT id, unnest(range(_s, _me)) AS pos FROM per
+),
+toks AS (
+  SELECT id, _p - 1 AS pos, toks[_p] AS _tok
+  FROM t, LATERAL unnest(range(1, len(toks) + 1)) r(_p)
+),
+kept AS (
+  SELECT toks.id, toks.pos, toks._tok
+  FROM toks ANTI JOIN dropped USING (id, pos)
+),
+re AS (
+  SELECT id, count(*)::BIGINT AS n_kept,
+         string_agg(_tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY id
+)
+SELECT t.id AS {id_expr}, len(t.toks)::BIGINT AS n_tokens,
+       coalesce(re.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(re.clean_text, '') AS clean_text
+FROM t LEFT JOIN re ON t.id = re.id
 """
 
 

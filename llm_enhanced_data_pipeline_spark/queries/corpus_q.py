@@ -405,6 +405,22 @@ def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "substring_dedup_apply",
+    doc="APPLY side of substring_dedup_spans: duplicated spans excised "
+    "and documents reassembled from surviving tokens (Lee et al. "
+    "ExactSubstr as a corpus transformation). Island explode is linear "
+    "in removed tokens; the excision is a left-anti equi-join on "
+    "(id, pos).",
+    oracle=corpus.remove_duplicated_spans_sql(_TOKS, "doc_id", k=8),
+)
+def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    return corpus.remove_duplicated_spans(docs, "doc_id", "toks", k=8)
+
+
+@register(
     "doremi_domain_weights",
     doc="DoReMi domain-mixture reweighting (arXiv:2305.10429), one "
     "multiplicative-weights step: excess loss per domain instantiated "

@@ -482,6 +482,31 @@ def test_duplicated_spans_matches_naive_reference_on_random_corpus(spark):
     assert got == expected
 
 
+def test_remove_duplicated_spans_excises_exactly_the_islands(spark):
+    """Apply-side contract: the reassembled text is the original minus
+    the merged duplicated spans, order preserved; counts agree with the
+    report operator on every document."""
+    t = [f"t{i}" for i in range(12)]
+    doc2 = ["x", "y", "z"] + t[3:11] + ["w"]
+    df = spark.createDataFrame(
+        [Row(doc_id=1, toks=t), Row(doc_id=2, toks=doc2), Row(doc_id=3, toks=["a"] * 12)]
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.clean_text)
+        for r in corpus.remove_duplicated_spans(df, "doc_id", "toks", k=8).collect()
+    }
+    assert got[1] == (12, 12, " ".join(t))  # first occurrences untouched
+    assert got[2] == (12, 4, "x y z w")  # the repeated run excised
+    assert got[3] == (12, 1, "a")  # self-repeat collapses to the seed token
+
+    report = {
+        r.doc_id: r.dup_tokens
+        for r in corpus.duplicated_spans(df, "doc_id", "toks", k=8).collect()
+    }
+    for did, (n, kept, _) in got.items():
+        assert n - kept == report[did]
+
+
 # ---------------------------------------------------------------------------
 # DoReMi domain reweighting
 # ---------------------------------------------------------------------------
