@@ -312,6 +312,101 @@ FROM tok JOIN lp USING (_tok) GROUP BY id
 
 
 # ---------------------------------------------------------------------------
+# Vocabulary drift between corpus snapshots (data-freshness monitoring)
+
+
+def vocab_drift(
+    old: DataFrame,
+    new: DataFrame,
+    token_col: str,
+) -> DataFrame:
+    """Per-token frequency shift between two corpus snapshots — the
+    monitoring primitive behind "did this ingest batch change what the
+    model will see": token-level p_old vs p_new with the signed delta,
+    full outer over both vocabularies (a token present in only one
+    snapshot gets probability 0 on the other side).
+
+    Returns (token, c_old, c_new, p_old, p_new, delta) for the union
+    vocabulary; callers rank by |delta| for top movers or sum |delta|/2
+    for total-variation distance.
+
+    Scale shape: two token-keyed count aggregations, a full-outer
+    equi-join on the token, and two broadcast 1-row totals. Cost is
+    O(vocab), never O(corpus^2); at 100 TB the counts frames are the
+    only shuffles and both are map-side combined.
+    """
+    from ..functions.rounding import stable_round
+
+    oc = (
+        old.select(F.explode(F.col(token_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c_old"))
+    )
+    nc = (
+        new.select(F.explode(F.col(token_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c_new"))
+    )
+    tot_o = oc.agg(F.sum("c_old").cast("double").alias("_to"))
+    tot_n = nc.agg(F.sum("c_new").cast("double").alias("_tn"))
+    joined = (
+        oc.join(nc, "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce(F.col("c_old"), F.lit(0)).cast("bigint").alias("c_old"),
+            F.coalesce(F.col("c_new"), F.lit(0)).cast("bigint").alias("c_new"),
+        )
+        .crossJoin(F.broadcast(tot_o))
+        .crossJoin(F.broadcast(tot_n))
+    )
+    p_old = F.col("c_old") / F.col("_to")
+    p_new = F.col("c_new") / F.col("_tn")
+    return joined.select(
+        "token",
+        "c_old",
+        "c_new",
+        stable_round(p_old, 6).alias("p_old"),
+        stable_round(p_new, 6).alias("p_new"),
+        stable_round(p_new - p_old, 6).alias("delta"),
+    )
+
+
+def vocab_drift_sql(
+    old_rel: str,
+    new_rel: str,
+    toks_expr: str,
+) -> str:
+    """DuckDB twin of :func:`vocab_drift`; ``old_rel``/``new_rel`` are
+    relation expressions (subqueries or table names) with the same
+    text column ``toks_expr`` tokenizes."""
+    from ..functions.rounding import stable_round_sql
+
+    return f"""
+WITH oc AS (
+  SELECT _tok AS token, count(*)::BIGINT AS c_old
+  FROM (SELECT unnest({toks_expr}) AS _tok FROM {old_rel}) GROUP BY 1
+),
+nc AS (
+  SELECT _tok AS token, count(*)::BIGINT AS c_new
+  FROM (SELECT unnest({toks_expr}) AS _tok FROM {new_rel}) GROUP BY 1
+),
+tot_o AS (SELECT sum(c_old)::DOUBLE AS _to FROM oc),
+tot_n AS (SELECT sum(c_new)::DOUBLE AS _tn FROM nc),
+j AS (
+  SELECT coalesce(oc.token, nc.token) AS token,
+         coalesce(oc.c_old, 0)::BIGINT AS c_old,
+         coalesce(nc.c_new, 0)::BIGINT AS c_new
+  FROM oc FULL OUTER JOIN nc ON oc.token = nc.token
+)
+SELECT token, c_old, c_new,
+       {stable_round_sql("c_old / _to", 6)} AS p_old,
+       {stable_round_sql("c_new / _tn", 6)} AS p_new,
+       {stable_round_sql("c_new / _tn - c_old / _to", 6)} AS delta
+FROM j CROSS JOIN tot_o CROSS JOIN tot_n
+"""
+
+
+# ---------------------------------------------------------------------------
 # Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
 # ... Gopher", table A1 — public parameters). Each rule is a pure
 # column expression over the raw text (single projection, no shuffle);

@@ -864,3 +864,34 @@ def quality_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("nb_score"), 4).alias("mean_score"),
         )
     )
+
+
+@register(
+    "vocab_drift_movers",
+    doc="Snapshot-over-snapshot vocabulary drift: per-token frequency "
+    "shift between two corpus versions (full outer over both vocabs), "
+    "top-20 movers by |delta| — the data-freshness monitor for ingest "
+    "batches. O(vocab) cost: two map-side-combined counts + one token "
+    "equi-join + two 1-row total broadcasts.",
+    oracle=f"""
+WITH drift AS ({text_analysis.vocab_drift_sql(
+        "(SELECT * FROM documents WHERE doc_id % 10 < 8)",
+        "(SELECT * FROM documents WHERE doc_id % 5 <> 0)",
+        _TOKS,
+    )})
+SELECT token, c_old, c_new, p_old, p_new, delta
+FROM drift
+ORDER BY abs(delta) DESC, token ASC
+LIMIT 20
+""",
+)
+def vocab_drift_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    old = docs.filter(F.col("doc_id") % 10 < 8)
+    new = docs.filter(F.col("doc_id") % 5 != 0)
+    drift = text_analysis.vocab_drift(old, new, "toks")
+    return drift.orderBy(
+        F.abs(F.col("delta")).desc(), F.col("token").asc()
+    ).limit(20)

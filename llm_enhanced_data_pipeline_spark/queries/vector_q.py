@@ -542,3 +542,84 @@ def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         k_out=10,
     )
+
+
+@register(
+    "ann_recall_report",
+    doc="ANN index quality evaluation: recall@10 of the IVF-routed "
+    "search against the exact brute-force ground truth, per query. "
+    "The ground-truth side is quadratic BY DESIGN over a small query "
+    "sample (the standard ANN eval harness); the index side is the "
+    "production bucket equi-join.",
+    oracle=f"""
+WITH {_IVF_CENT_SQL},
+q AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id % 25 = 0),
+exact AS (
+  SELECT qid, neighbor_id, rank FROM (
+    SELECT q.qid, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY round({_cos_sql('q.qv', 'e.embedding')}, 6) DESC,
+                                       e.vec_id ASC) AS rank
+    FROM q CROSS JOIN e WHERE e.vec_id <> q.qid
+  ) WHERE rank <= 10
+),
+assign AS (
+  SELECT vec_id, embedding, ckey FROM (
+    SELECT e.vec_id, e.embedding, c.ckey,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.embedding', 'c.centroid')} DESC,
+                                       c.ckey ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+aq AS (SELECT a.vec_id AS qid, a.embedding AS qv, a.ckey
+       FROM assign a WHERE a.vec_id % 25 = 0),
+approx AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT aq.qid, a.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY aq.qid
+                              ORDER BY round({_cos_sql('aq.qv', 'a.embedding')}, 6) DESC,
+                                       a.vec_id ASC) AS rank
+    FROM aq JOIN assign a ON aq.ckey = a.ckey AND a.vec_id <> aq.qid
+  ) WHERE rank <= 10
+),
+hits AS (
+  SELECT exact.qid, count(*)::BIGINT AS n_hits
+  FROM exact SEMI JOIN approx
+    ON exact.qid = approx.qid AND exact.neighbor_id = approx.neighbor_id
+  GROUP BY exact.qid
+),
+base AS (SELECT qid, count(*)::BIGINT AS n_exact FROM exact GROUP BY qid)
+SELECT base.qid AS vec_id, base.n_exact,
+       coalesce(hits.n_hits, 0)::BIGINT AS n_hits,
+       floor((coalesce(hits.n_hits, 0) / base.n_exact) * 10000.0 + 0.5) / 10000.0
+         AS recall
+FROM base LEFT JOIN hits ON base.qid = hits.qid
+""",
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import stable_round
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = vector.centroids_by_key(emb, "label", "embedding")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = vector.knn_join(
+        qs, emb, "vec_id", "vec_id", "embedding", "embedding", k=10
+    )
+    approx = vector.ivf_knn_join(
+        qs, emb, cents, "vec_id", "vec_id", "embedding", "embedding", k=10
+    ).select("vec_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["vec_id", "neighbor_id"], "left_semi")
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = exact.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return base.join(hits, "vec_id", "left").select(
+        "vec_id",
+        "n_exact",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        stable_round(
+            F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_exact"), 4
+        ).alias("recall"),
+    )

@@ -109,6 +109,13 @@ QUADRATIC_BY_DESIGN = {
     "hard_negative_mining",   # IVF centroid assignment: broadcast
                               # K-row centroid frame; the mining join
                               # is equi on the bucket key
+    "vocab_drift_movers",     # two broadcast 1-row snapshot-total
+                              # frames; the vocab join is a full-outer
+                              # equi on the token
+    "ann_recall_report",      # brute-force ground-truth side of the
+                              # ANN eval harness (quadratic by design
+                              # over the query sample) + broadcast
+                              # centroid frames on the index side
 }
 
 
