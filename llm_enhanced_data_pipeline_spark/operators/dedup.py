@@ -271,6 +271,22 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     return F.array(*keys)
 
 
+def _band_key_cols(num_hashes: int, bands: int) -> list[Column]:
+    """LSH band-key columns over a :func:`minhash_grouped` frame's
+    ``_s0.._sN`` signature columns: band index + md5 of the band's
+    signature slice (identical to the DuckDB oracle's construction)."""
+    rows_per_band = num_hashes // bands
+    band_keys = []
+    for b_idx in range(bands):
+        parts = [
+            F.col(f"_s{b_idx * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        digest = hashing.md5_hex(F.concat_ws(",", *parts))
+        band_keys.append(F.concat(F.lit(f"{b_idx}:"), digest))
+    return band_keys
+
+
 def shingle_hash_rows(
     df: DataFrame, id_col: str, token_col: str, n: int = 3
 ) -> DataFrame:
@@ -375,17 +391,9 @@ def near_dup_pairs_minhash(
       (id_a, id_b) rows; hash sets are joined back (from the persisted
       per-id set frame) just for the final verification.
     """
-    rows_per_band = num_hashes // bands
     if grouped is None:
         grouped = minhash_grouped(df, id_col, token_col, num_hashes, shingle_n)
-    band_keys = []
-    for b_idx in range(bands):
-        parts = [
-            F.col(f"_s{b_idx * rows_per_band + r}").cast("string")
-            for r in range(rows_per_band)
-        ]
-        digest = hashing.md5_hex(F.concat_ws(",", *parts))
-        band_keys.append(F.concat(F.lit(f"{b_idx}:"), digest))
+    band_keys = _band_key_cols(num_hashes, bands)
     banded = grouped.select(F.col(id_col), F.explode(F.array(*band_keys)).alias("_band"))
     left = banded.select(F.col(id_col).alias("id_a"), "_band")
     right = banded.select(F.col(id_col).alias("id_b"), "_band")
@@ -870,6 +878,80 @@ def content_index(df: DataFrame, text_col: str) -> DataFrame:
     return df.select(
         content_hash(F.coalesce(F.col(text_col), F.lit(""))).alias("fp")
     ).distinct()
+
+
+def minhash_index(
+    grouped: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """The NEAR-dup twin of :func:`content_index`: the persisted LSH
+    index a corpus snapshot stores next to its data — one row per
+    (doc, band key), carrying the doc's shingle-hash set for exact
+    Jaccard verification at query time.
+
+    ``grouped`` is a :func:`minhash_grouped` frame (or a filtered view
+    of the shared one). At 100 TB this table lives partitioned by the
+    band key, so an ingest batch probes it with a plain equi-join and
+    never rescans the corpus.
+    """
+    band_keys = _band_key_cols(num_hashes, bands)
+    return grouped.select(
+        F.col(id_col),
+        F.explode(F.array(*band_keys)).alias("_band"),
+        F.col("_hset"),
+    )
+
+
+def near_dup_against_index(
+    batch_grouped: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Incremental near-dup screening: every batch document checked
+    against a snapshot's :func:`minhash_index` WITHOUT touching the
+    snapshot corpus — the fuzzy analogue of
+    :func:`dedup_against_index`'s exact content-hash ingest path.
+
+    Returns (id, n_matches, is_dup) for every doc in
+    ``batch_grouped``: the count of index documents sharing an LSH
+    band AND verified at hash-set Jaccard >= threshold, and the drop
+    decision. Batch-internal duplicates are out of scope by contract
+    (run the in-batch dedup family for those).
+
+    Scale shape: band-key equi-join of the batch's banded signatures
+    against the index (partition-pruned when the index is stored
+    bucketed by band), pair dedup on (batch id, index id), Jaccard
+    verification on the joined hash sets, one count aggregation. Cost
+    is O(batch x collision rate), independent of snapshot size.
+    """
+    band_keys = _band_key_cols(num_hashes, bands)
+    b = batch_grouped.select(
+        F.col(id_col).alias("_bid"),
+        F.explode(F.array(*band_keys)).alias("_band"),
+        F.col("_hset").alias("_bset"),
+    )
+    idx = index.select(
+        F.col(id_col).alias("_iid"), "_band", F.col("_hset").alias("_iset")
+    )
+    cands = b.join(idx, "_band").dropDuplicates(["_bid", "_iid"])
+    verified = cands.filter(
+        jaccard_token_sets(F.col("_bset"), F.col("_iset")) >= F.lit(threshold)
+    )
+    counts = verified.groupBy("_bid").agg(F.count(F.lit(1)).alias("n_matches"))
+    return (
+        batch_grouped.select(F.col(id_col))
+        .join(counts.withColumnRenamed("_bid", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_matches"), F.lit(0)).cast("bigint").alias("n_matches"),
+            (F.coalesce(F.col("n_matches"), F.lit(0)) > 0).alias("is_dup"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

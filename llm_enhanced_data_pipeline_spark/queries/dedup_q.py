@@ -345,6 +345,45 @@ def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.join(dup_ids, "doc_id", "left_anti").select("doc_id")
 
 
+@register(
+    "incremental_near_dup",
+    doc="Incremental near-dup ingest: each batch doc (doc_id%10>=8) "
+    "screened against the snapshot's (doc_id%10<8) persisted MinHash "
+    "band index — band equi-join + Jaccard>=0.8 verification, cost "
+    "independent of snapshot size. Both sides are filtered views of "
+    "the ONE shared signature frame (the production artifact-reuse "
+    "shape).",
+    oracle=_MINHASH_CTE
+    + """,
+snapb AS (SELECT * FROM banded WHERE doc_id % 10 < 8),
+batchb AS (SELECT * FROM banded WHERE doc_id % 10 >= 8),
+cand AS (
+  SELECT DISTINCT b.doc_id AS bid, s.doc_id AS iid
+  FROM batchb b JOIN snapb s ON b.band = s.band
+),
+ver AS (
+  SELECT c.bid FROM cand c
+  JOIN t tb ON tb.doc_id = c.bid
+  JOIN t ti ON ti.doc_id = c.iid
+  WHERE len(list_intersect(tb.toks, ti.toks))::DOUBLE
+        / len(list_distinct(tb.toks || ti.toks)) >= 0.8
+),
+counts AS (SELECT bid, count(*)::BIGINT AS n_matches FROM ver GROUP BY bid)
+SELECT t.doc_id,
+       coalesce(counts.n_matches, 0)::BIGINT AS n_matches,
+       coalesce(counts.n_matches, 0) > 0 AS is_dup
+FROM t LEFT JOIN counts ON t.doc_id = counts.bid
+WHERE t.doc_id % 10 >= 8
+""",
+)
+def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grouped = _shared_minhash_grouped(spark, sf_dir)
+    snap_g = grouped.filter(F.col("doc_id") % 10 < 8)
+    batch_g = grouped.filter(F.col("doc_id") % 10 >= 8)
+    index = dedup.minhash_index(snap_g, "doc_id")
+    return dedup.near_dup_against_index(batch_g, index, "doc_id", threshold=0.8)
+
+
 from ..functions.hashing import simhash60_sql_from_hashes
 
 _SIMHASH_ORACLE = f"""

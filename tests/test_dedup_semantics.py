@@ -434,3 +434,44 @@ def test_semdedup_partitions_survivors_plus_dropped(spark, sf_dir):
     lo_ids = {r.vec_id for r in lo.collect()}
     hi_ids = {r.vec_id for r in hi.collect()}
     assert lo_ids <= hi_ids
+
+
+def test_near_dup_against_index_flags_only_index_matches(spark):
+    """Incremental near-dup contract: a batch doc near-identical to a
+    SNAPSHOT doc is flagged; a novel batch doc is not; two batch docs
+    duplicating each other (but nothing in the snapshot) are NOT
+    flagged — in-batch dedup is a separate stage by contract."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    snap_rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text="one two three four five six seven eight nine ten"),
+    ]
+    batch_rows = [
+        # near-identical to snapshot doc 1 (one trailing token changes)
+        Row(doc_id=10, text=base + " lambda"),
+        # novel content
+        Row(doc_id=11, text="red orange yellow green blue indigo violet pink"),
+        # mutual in-batch duplicates, absent from the snapshot
+        Row(doc_id=12, text="do re mi fa sol la ti do re mi fa sol"),
+        Row(doc_id=13, text="do re mi fa sol la ti do re mi fa sol"),
+    ]
+    snap = spark.createDataFrame(snap_rows).withColumn(
+        "toks", dedup.tokens(F.col("text"))
+    )
+    batch = spark.createDataFrame(batch_rows).withColumn(
+        "toks", dedup.tokens(F.col("text"))
+    )
+    snap_g = dedup.minhash_grouped(snap, "doc_id", "toks", shingle_n=3)
+    batch_g = dedup.minhash_grouped(batch, "doc_id", "toks", shingle_n=3)
+    index = dedup.minhash_index(snap_g, "doc_id")
+    got = {
+        r.doc_id: (r.n_matches, r.is_dup)
+        for r in dedup.near_dup_against_index(
+            batch_g, index, "doc_id", threshold=0.8
+        ).collect()
+    }
+    assert got[10] == (1, True)
+    assert got[11] == (0, False)
+    assert got[12] == (0, False)
+    assert got[13] == (0, False)
+    dedup.release_caches()
