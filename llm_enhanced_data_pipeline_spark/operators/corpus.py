@@ -972,6 +972,50 @@ FROM w
 """
 
 
+def mixture_schedule(
+    weights: DataFrame,
+    budget_tokens: int,
+) -> DataFrame:
+    """Turn a domain-weight frame (:func:`doremi_domain_weights` or the
+    temperature-mix rates) plus a total token budget into the concrete
+    training plan: per-domain token targets and epoch counts (how many
+    passes over each domain the sampler makes — the >1-epoch domains
+    are the up-weighted minorities, the <1 ones are subsampled).
+
+    target_tokens_d = floor(weight_d * budget + 0.5) (exact from the
+    6dp-rounded weight, so both engines agree bit-for-bit);
+    epochs_d = target_tokens_d / n_tokens_d, 4dp stable-rounded.
+
+    Pure projection over the D-row weight frame — free at any scale.
+    """
+    from ..functions.rounding import stable_round
+
+    target = F.floor(F.col("weight") * F.lit(float(budget_tokens)) + 0.5).cast(
+        "bigint"
+    )
+    return weights.select(
+        "domain",
+        "n_tokens",
+        "weight",
+        target.alias("target_tokens"),
+        stable_round(target / F.col("n_tokens"), 4).alias("epochs"),
+    )
+
+
+def mixture_schedule_sql(doremi_sql: str, budget_tokens: int) -> str:
+    """DuckDB twin of :func:`mixture_schedule` over the output of a
+    :func:`doremi_domain_weights_sql` query (nested as a subquery)."""
+    from ..functions.rounding import stable_round_sql
+
+    t = f"floor(weight * {float(budget_tokens)!r} + 0.5)::BIGINT"
+    return f"""
+SELECT domain, n_tokens, weight,
+       {t} AS target_tokens,
+       {stable_round_sql(f"{t} / n_tokens", 4)} AS epochs
+FROM ({doremi_sql}) _w
+"""
+
+
 def snapshot_diff(
     old: DataFrame, new: DataFrame, id_col: str, fp_col: str
 ) -> DataFrame:

@@ -437,6 +437,23 @@ def doremi_domain_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mixture_schedule",
+    doc="Training-mix plan from the DoReMi weights + a 50k-token "
+    "budget: per-domain token targets and epoch counts (passes over "
+    "the domain). Pure projection over the D-row weight frame.",
+    oracle=corpus.mixture_schedule_sql(
+        corpus.doremi_domain_weights_sql(_TOKS, "lang"), 50_000
+    ),
+)
+def mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    weights = corpus.doremi_domain_weights(docs, "lang", "toks")
+    return corpus.mixture_schedule(weights, 50_000)
+
+
+@register(
     "unigram_logprob",
     doc="CCNet-style corpus-likelihood quality signal: per-doc average "
     "token log-probability under the corpus's own unigram model. One "
@@ -628,6 +645,46 @@ def corpus_build_v2_with_scorer(
             F.max("rate_permille").alias("rate_permille"),
         )
     )
+
+
+# corpus_build_v4: this round's ops composed into one lineage —
+# unaligned exact-substring dedup (apply side) -> emptied-doc floor ->
+# DoReMi domain reweighting -> concrete token-budget/epoch schedule.
+_V4_CLEAN_SQL = corpus.remove_duplicated_spans_sql(_TOKS, "doc_id", 8, "documents")
+_V4_DOREMI_SQL = corpus.doremi_domain_weights_sql(
+    tokens_sql("clean_text"), "lang", relation="surv"
+)
+
+
+@register(
+    "corpus_build_v4",
+    doc="Composite corpus build v4: substring dedup APPLIED at "
+    "unaligned offsets (Lee et al. ExactSubstr) -> drop docs reduced "
+    "below 10 tokens -> DoReMi reweighting over the CLEANED corpus -> "
+    "mixture_schedule at a 20k-token budget. One lineage, per-language "
+    "training plan; every stage decision engine-reproducible.",
+    oracle=f"""
+WITH clean AS (SELECT * FROM ({_V4_CLEAN_SQL}) _c),
+surv AS (
+  SELECT c.doc_id, d.lang, c.clean_text
+  FROM clean c JOIN documents d USING (doc_id)
+  WHERE c.n_kept >= 10
+)
+{corpus.mixture_schedule_sql(_V4_DOREMI_SQL, 20_000)}
+""",
+)
+def corpus_build_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    clean = corpus.remove_duplicated_spans(docs, "doc_id", "toks", k=8)
+    surv = (
+        clean.filter(F.col("n_kept") >= 10)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("ctoks", cleaning.tokens(F.col("clean_text")))
+    )
+    weights = corpus.doremi_domain_weights(surv, "lang", "ctoks")
+    return corpus.mixture_schedule(weights, 20_000)
 
 
 # ---------------------------------------------------------------------------

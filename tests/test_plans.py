@@ -116,6 +116,10 @@ QUADRATIC_BY_DESIGN = {
                               # ANN eval harness (quadratic by design
                               # over the query sample) + broadcast
                               # centroid frames on the index side
+    "mixture_schedule",       # inherits doremi_domain_weights' 1-row
+                              # corpus-total broadcast
+    "corpus_build_v4",        # same inherited 1-row broadcast; the
+                              # dedup/join stages are all equi
 }
 
 
