@@ -84,3 +84,101 @@ def incremental_ingest_stream(
     q.awaitTermination(timeout_s)
     q.stop()
     return q
+
+
+# ---------------------------------------------------------------------------
+# Near-dup-aware ingest: the same loop with a SECOND persisted artifact,
+# the MinHash band index (operators/dedup.minhash_index), so each batch
+# is screened for NEAR duplicates of everything previously accepted —
+# not just exact recrawls. Accepted docs append to the corpus store AND
+# their band rows append to the index store atomically-enough for
+# replay: the exact-fp anti-join runs FIRST, so a replayed batch's
+# already-accepted rows never reach the near-dup stage (their index
+# rows are not re-appended), and its previously-rejected rows are
+# re-rejected against the (only-grown) index.
+
+
+def near_dup_index_store(spark: SparkSession, path: str) -> ParquetCheckpoint:
+    """The persisted MinHash band index of everything accepted so far."""
+    return ParquetCheckpoint(spark, path, key="_band")
+
+
+def make_near_dup_ingest_batch_fn(
+    store: ParquetCheckpoint,
+    index_store: ParquetCheckpoint,
+    threshold: float = 0.8,
+):
+    """foreachBatch body: exact-fp dedup -> near-dup screen against the
+    band index -> append accepted docs + their index rows. Exposed for
+    direct replay testing (idempotent per batch)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        keyed = batch_df.withColumn(
+            "fp", dedup.content_hash(F.coalesce(F.col("text"), F.lit("")))
+        )
+        fresh = store.remaining(keyed)
+        first = dedup.dedup_content_hash(fresh, "text", ["doc_id"])
+        toked = first.withColumn("toks", dedup.tokens(F.col("text")))
+        grouped = dedup.minhash_grouped(toked, "doc_id", "toks", shingle_n=3)
+        idx = index_store.load()
+        if idx is None:
+            accepted_ids = grouped.select("doc_id")
+        else:
+            report = dedup.near_dup_against_index(
+                grouped, idx, "doc_id", threshold=threshold
+            )
+            accepted_ids = report.filter(~F.col("is_dup")).select("doc_id")
+        # docs too short to shingle (no grouped row) are accepted as-is:
+        # they cannot near-duplicate anything at shingle granularity
+        accept = first.join(
+            first.select("doc_id")
+            .join(grouped.select("doc_id"), "doc_id", "left_anti")
+            .unionByName(accepted_ids),
+            "doc_id",
+            "left_semi",
+        )
+        to_index = dedup.minhash_index(
+            grouped.join(accepted_ids, "doc_id", "left_semi"), "doc_id"
+        )
+        # Pin BOTH outputs before the first append: writing to the
+        # store path invalidates every cached plan that scans it
+        # (Spark refreshes and uncaches by path on insert), so a lazy
+        # to_index would silently recompute against the post-append
+        # store — fp-anti-join empty — and the index rows would vanish.
+        accept = accept.localCheckpoint(eager=True)
+        to_index = to_index.localCheckpoint(eager=True)
+        store.append(accept)
+        index_store.append(to_index)
+        accept.rdd.unpersist()
+        to_index.rdd.unpersist()
+        dedup.release_caches()  # free the per-batch persisted signatures
+
+    return process
+
+
+def near_dup_ingest_stream(
+    spark: SparkSession,
+    input_path: str,
+    store: ParquetCheckpoint,
+    index_store: ParquetCheckpoint,
+    stream_checkpoint_dir: str | None = None,
+    threshold: float = 0.8,
+    max_files_per_trigger: int = 10,
+    timeout_s: int = 120,
+) -> StreamingQuery:
+    """availableNow drain of document files through the near-dup-aware
+    ingest; restart with the same checkpoint dir to resume."""
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_path)
+    )
+    writer = stream.writeStream.foreachBatch(
+        make_near_dup_ingest_batch_fn(store, index_store, threshold)
+    ).trigger(availableNow=True)
+    if stream_checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", stream_checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination(timeout_s)
+    q.stop()
+    return q

@@ -335,3 +335,46 @@ def test_incremental_ingest_stream_cross_batch_content_dedup(spark, tmp_path):
     batch = spark.read.schema(ig.DOC_SCHEMA).json(str(indir / "b.json"))
     ig.make_ingest_batch_fn(store)(batch, 99)
     assert store.load().count() == 4
+
+
+def test_near_dup_ingest_stream_rejects_fuzzy_recrawls(spark, tmp_path):
+    """Near-dup-aware ingest (streaming/ingest.py): the persisted
+    MinHash band index screens each batch against everything previously
+    accepted, so a lightly-edited recrawl is rejected even though its
+    content hash differs; replaying an accepted batch appends nothing."""
+    from llm_enhanced_data_pipeline_spark.streaming import ingest as ig
+
+    indir = tmp_path / "docs_in"
+    indir.mkdir()
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    def write(name, rows):
+        with open(indir / name, "w") as f:
+            for i, text in rows:
+                f.write(json.dumps({"doc_id": i, "text": text}) + "\n")
+
+    store = ig.corpus_store(spark, str(tmp_path / "corpus_store"))
+    index_store = ig.near_dup_index_store(spark, str(tmp_path / "band_index"))
+    ckpt = str(tmp_path / "stream_ckpt")
+
+    def run():
+        ig.near_dup_ingest_stream(
+            spark, str(indir), store, index_store, stream_checkpoint_dir=ckpt
+        )
+
+    write("a.json", [(0, base), (1, "one two three four five six seven eight")])
+    run()
+    assert {r.doc_id for r in store.load().collect()} == {0, 1}
+
+    # restart: 10 = near-identical recrawl of 0 (different fp!),
+    # 11 = novel, 12 = too short to shingle (accepted by contract)
+    write("b.json", [(10, base + " lambda"), (11, "red orange yellow"), (12, "hi")])
+    run()
+    assert {r.doc_id for r in store.load().collect()} == {0, 1, 11, 12}
+
+    # engine-replay simulation: re-running the accepted batch is a no-op
+    batch = spark.read.schema(ig.DOC_SCHEMA).json(str(indir / "b.json"))
+    ig.make_near_dup_ingest_batch_fn(store, index_store)(batch, 99)
+    assert store.load().count() == 4
+    # index rows exist only for accepted, shingle-able docs
+    assert {r.doc_id for r in index_store.load().select("doc_id").distinct().collect()} == {0, 1, 11}
