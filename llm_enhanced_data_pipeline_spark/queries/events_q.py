@@ -633,3 +633,47 @@ def events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vs_mean",
         F.col("salt_factor").cast("long").alias("salt_factor"),
     )
+
+
+@register(
+    "events_hourly_anomalies",
+    doc="Volume anomaly detection: per-(type, hour) event counts "
+    "z-scored against the type's own hourly mean/stddev; hours at "
+    "|z| >= 2 surface. The monitoring twin of the skew report — two "
+    "keyed aggregations + a broadcast of the per-type stats frame.",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, (epoch_ns(ts) // {NS_PER_HOUR}) AS hour_bucket,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, avg(n) AS _mu, stddev_samp(n) AS _sd
+  FROM hourly GROUP BY event_type
+)
+SELECT event_type, hour_bucket, n, z FROM (
+  SELECT h.event_type, h.hour_bucket, h.n,
+         round((h.n - s._mu) / s._sd, 4) AS z
+  FROM hourly h JOIN stats s USING (event_type)
+  WHERE s._sd > 0
+) WHERE abs(z) >= 2.0
+""",
+)
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    hourly = (
+        ev.withColumn("hour_bucket", F.expr(f"ts div {NS_PER_HOUR}"))
+        .groupBy("event_type", "hour_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("_mu"), F.stddev_samp("n").alias("_sd")
+    )
+    z = F.round((F.col("n") - F.col("_mu")) / F.col("_sd"), 4)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(F.col("_sd") > 0)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= 2.0)
+        .select("event_type", "hour_bucket", "n", "z")
+    )

@@ -895,3 +895,52 @@ def vocab_drift_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift.orderBy(
         F.abs(F.col("delta")).desc(), F.col("token").asc()
     ).limit(20)
+
+
+@register(
+    "data_card_by_source",
+    doc="Per-source corpus data card (the dataset-documentation table "
+    "a training run ships with): doc/token counts, exact token-length "
+    "quantiles, language spread, mean heuristic quality. One keyed "
+    "aggregation over a projection — free at any scale.",
+    oracle=f"""
+WITH d AS (
+  SELECT source, lang, len({_TOKS}) AS n_toks,
+         {rounding.stable_round_sql(
+             "least(length(text) / 2000.0, 1.0) * 0.3"
+             f" + len(list_distinct({_TOKS})) / greatest(len({_TOKS}), 1) * 0.3"
+             f" + least((len(list_filter({_TOKS}, _t -> _t IN ('the','a','and','of','to','in','is','that','it','for')))"
+             f" / greatest(len({_TOKS}), 1)) * 5.0, 1.0) * 0.2"
+             f" + (CASE WHEN (list_sum(list_transform({_TOKS}, _t -> length(_t)::DOUBLE))"
+             f" / greatest(len({_TOKS}), 1)) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2",
+             4,
+         )} AS q
+  FROM documents
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_toks)::BIGINT AS total_tokens,
+       round(quantile_cont(n_toks, 0.50), 6) AS p50_tokens,
+       round(quantile_cont(n_toks, 0.95), 6) AS p95_tokens,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       {rounding.stable_round_sql("avg(q)", 4)} AS avg_quality
+FROM d GROUP BY source
+""",
+)
+def data_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    score = text_analysis.text_quality_score(F.col("text"))
+    d = docs.select(
+        "source",
+        "lang",
+        F.size(cleaning.tokens(F.col("text"))).alias("n_toks"),
+        score.alias("q"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.round(F.percentile(F.col("n_toks"), F.lit(0.50)), 6).alias("p50_tokens"),
+        F.round(F.percentile(F.col("n_toks"), F.lit(0.95)), 6).alias("p95_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        rounding.stable_round(F.avg("q"), 4).alias("avg_quality"),
+    )
