@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import hashing, rounding
-from ..operators import cleaning, compliance, quality, text_analysis
+from ..operators import aggregates, cleaning, compliance, quality, text_analysis
 from ..operators.cleaning import tokens_sql
 from ..sources import inverted_index
 from ..tables import load_table
@@ -943,4 +943,56 @@ def data_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(F.col("n_toks"), F.lit(0.95)), 6).alias("p95_tokens"),
         F.countDistinct("lang").cast("bigint").alias("n_langs"),
         rounding.stable_round(F.avg("q"), 4).alias("avg_quality"),
+    )
+
+
+@register(
+    "kmv_distinct_bigrams",
+    doc="KMV distinct-count sketch (k smallest md5 hashes; Bar-Yossef "
+    "et al. 2002) vs the exact distinct-BIGRAM count (916 at sf0.01 — "
+    "past the k=256 sketch size, so the ESTIMATOR regime is exercised, "
+    "not the exhaustive one) — the engine-exact mergeable alternative "
+    "to HLL for 100 TB cardinality accounting. Deterministic, so the "
+    "whole comparison sits under the hash oracle.",
+    oracle=f"""
+WITH toks AS (SELECT {_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT toks[_i] || ' ' || toks[_i + 1] AS bigram
+  FROM toks, LATERAL unnest(range(1, greatest(len(toks) - 1, 0) + 1)) r(_i)
+),
+est AS ({aggregates.kmv_distinct_sql("bg", "bigram", 256)}),
+ex AS (SELECT count(DISTINCT bigram)::BIGINT AS n_exact FROM bg)
+SELECT ex.n_exact, est.n_estimate,
+       {rounding.stable_round_sql(
+           "abs(est.n_estimate - ex.n_exact) / ex.n_exact", 4
+       )} AS rel_err
+FROM ex CROSS JOIN est
+""",
+)
+def kmv_distinct_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    n = F.size(F.col("toks"))
+    bg = (
+        docs.filter(n >= 2)
+        .select(
+            F.explode(F.sequence(F.lit(1), n - 1)).alias("_i"), F.col("toks")
+        )
+        .select(
+            F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), F.col("_i")),
+                F.element_at(F.col("toks"), F.col("_i") + 1),
+            ).alias("bigram")
+        )
+    )
+    est = aggregates.kmv_distinct(bg, "bigram", k=256)
+    exact = bg.agg(F.countDistinct("bigram").cast("bigint").alias("n_exact"))
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_exact",
+        "n_estimate",
+        rounding.stable_round(
+            F.abs(F.col("n_estimate") - F.col("n_exact")) / F.col("n_exact"), 4
+        ).alias("rel_err"),
     )

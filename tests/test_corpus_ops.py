@@ -678,3 +678,58 @@ def test_dsir_selected_is_top_quantile(spark, sf_dir):
     sel = {r.doc_id for r in out if r.selected}
     expect = {r.doc_id for r in out if r.dsir_score >= q}
     assert sel == expect and sel
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_in_exhaustive_regime_and_close_above_it(spark):
+    from llm_enhanced_data_pipeline_spark.operators import aggregates
+
+    # fewer distinct values than k -> the sketch is exhaustive: exact
+    small = spark.range(100).select(F.col("id").cast("string").alias("v"))
+    est = aggregates.kmv_distinct(small, "v", k=256).collect()[0].n_estimate
+    assert est == 100
+
+    # duplicates never inflate the estimate (distinct-hash semantics)
+    dup = small.unionAll(small).unionAll(small)
+    est_dup = aggregates.kmv_distinct(dup, "v", k=256).collect()[0].n_estimate
+    assert est_dup == 100
+
+    # well above k: estimate within 3 sigma (~1/sqrt(k-2) ~ 6.3%)
+    big = spark.range(5000).select(F.col("id").cast("string").alias("v"))
+    est_big = aggregates.kmv_distinct(big, "v", k=256).collect()[0].n_estimate
+    assert abs(est_big - 5000) / 5000 < 0.20
+
+
+def test_kmv_sketches_merge_by_k_smallest_union(spark):
+    """Mergeability: KMV over A ∪ B == KMV over (sketch rows of A) ∪
+    (sketch rows of B) — per-shard sketches compose without rescans."""
+    from llm_enhanced_data_pipeline_spark.functions import hashing
+    from llm_enhanced_data_pipeline_spark.operators import aggregates
+
+    a = spark.range(0, 3000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(2000, 6000).select(F.col("id").cast("string").alias("v"))
+    whole = aggregates.kmv_distinct(a.unionAll(b), "v", k=128).collect()[0].n_estimate
+
+    def sketch_rows(df):
+        return (
+            df.select(hashing.stable_hash32(F.col("v"), seed=9).alias("_h"))
+            .distinct()
+            .orderBy("_h")
+            .limit(128)
+            .select(F.col("_h").cast("string").alias("v"))
+        )
+
+    # hashing an already-hashed sketch row must be avoided in a real
+    # merge; here we re-feed raw hash strings through a pass-through
+    # estimator equivalent: union the sketch ROWS and re-sketch on _h
+    merged_rows = sketch_rows(a).unionAll(sketch_rows(b)).withColumnRenamed("v", "_h")
+    sk = merged_rows.select(F.col("_h").cast("bigint").alias("_h")).distinct().orderBy("_h").limit(128)
+    row = sk.agg(F.count(F.lit(1)).alias("_k"), F.max("_h").alias("_hk")).collect()[0]
+    merged_est = (
+        row._k if row._k < 128 else int((128 - 1) * 4294967296.0 / row._hk + 0.5)
+    )
+    assert merged_est == whole

@@ -120,6 +120,8 @@ QUADRATIC_BY_DESIGN = {
                               # corpus-total broadcast
     "corpus_build_v4",        # same inherited 1-row broadcast; the
                               # dedup/join stages are all equi
+    "kmv_distinct_bigrams",   # broadcast 1-row sketch-estimate frame
+                              # against the 1-row exact count
 }
 
 
