@@ -168,3 +168,87 @@ SELECT CASE WHEN count(*) < {k} THEN count(*)
        END::BIGINT AS n_estimate
 FROM (SELECT DISTINCT {h} AS _h FROM {values_rel} ORDER BY _h LIMIT {k})
 """
+
+
+def kmv_intersection(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    k: int = 256,
+    seed: int = 9,
+) -> DataFrame:
+    """1-row (n_estimate) KMV/theta estimate of #distinct values shared
+    by two frames — "how much distinct vocabulary do two corpus
+    snapshots share" without an exact distinct-join over either.
+
+    Theta-sketch semantics: theta = the smaller of the two sketches'
+    effective thresholds (2^32 for an exhaustive side, else its k-th
+    smallest hash); the estimate is |sketch_A ∩ sketch_B below theta|
+    scaled by 2^32/theta. Deterministic — identical on every engine.
+
+    Scale shape: two independent k-row sketches (map-side-combined
+    distinct + partial top-k each), a k-row equi-join, two 1-row
+    broadcasts. Nothing global beyond the sketches.
+    """
+    from ..functions import hashing
+
+    m = 4294967296.0
+
+    def sketch(df: DataFrame) -> DataFrame:
+        return (
+            df.select(hashing.stable_hash32(F.col(value_col), seed=seed).alias("_h"))
+            .distinct()
+            .orderBy("_h")
+            .limit(k)
+        )
+
+    sa, sb = sketch(a), sketch(b)
+
+    def theta(sk: DataFrame, name: str) -> DataFrame:
+        return sk.agg(
+            F.when(F.count(F.lit(1)) < k, F.lit(m))
+            .otherwise(F.max("_h").cast("double"))
+            .alias(name)
+        )
+
+    matched = sa.join(sb, "_h")
+    return (
+        matched.crossJoin(F.broadcast(theta(sa, "_ta")))
+        .crossJoin(F.broadcast(theta(sb, "_tb")))
+        .select("_h", F.least("_ta", "_tb").alias("_t"))
+        .agg(
+            F.floor(
+                F.sum(F.when(F.col("_h") < F.col("_t"), 1).otherwise(0))
+                * F.lit(m)
+                / F.min("_t")
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("n_estimate")
+        )
+        .select(F.coalesce(F.col("n_estimate"), F.lit(0)).cast("bigint").alias("n_estimate"))
+    )
+
+
+def kmv_intersection_sql(
+    a_rel: str, b_rel: str, value_expr: str, k: int = 256, seed: int = 9
+) -> str:
+    """DuckDB twin of :func:`kmv_intersection`."""
+    from ..functions import hashing
+
+    h = hashing.stable_hash32_sql(value_expr, seed)
+    m = "4294967296.0"
+    return f"""
+WITH sa AS (SELECT DISTINCT {h} AS _h FROM {a_rel} ORDER BY _h LIMIT {k}),
+sb AS (SELECT DISTINCT {h} AS _h FROM {b_rel} ORDER BY _h LIMIT {k}),
+ta AS (SELECT CASE WHEN count(*) < {k} THEN {m} ELSE max(_h)::DOUBLE END AS _ta FROM sa),
+tb AS (SELECT CASE WHEN count(*) < {k} THEN {m} ELSE max(_h)::DOUBLE END AS _tb FROM sb),
+mt AS (
+  SELECT sa._h, least(ta._ta, tb._tb) AS _t
+  FROM sa JOIN sb USING (_h) CROSS JOIN ta CROSS JOIN tb
+)
+SELECT coalesce(
+  floor(sum(CASE WHEN _h < _t THEN 1 ELSE 0 END) * {m} / min(_t) + 0.5)::BIGINT,
+  0)::BIGINT AS n_estimate
+FROM mt
+"""

@@ -996,3 +996,76 @@ def kmv_distinct_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("n_estimate") - F.col("n_exact")) / F.col("n_exact"), 4
         ).alias("rel_err"),
     )
+
+
+def _bigram_frame(docs: DataFrame) -> DataFrame:
+    """One row per consecutive token pair (the KMV sketch input)."""
+    n = F.size(F.col("toks"))
+    return (
+        docs.filter(n >= 2)
+        .select(F.explode(F.sequence(F.lit(1), n - 1)).alias("_i"), F.col("toks"))
+        .select(
+            F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), F.col("_i")),
+                F.element_at(F.col("toks"), F.col("_i") + 1),
+            ).alias("bigram")
+        )
+    )
+
+
+_BG_REL_A = f"""(
+  SELECT toks[_i] || ' ' || toks[_i + 1] AS bigram
+  FROM (SELECT {_TOKS} AS toks FROM documents WHERE doc_id % 10 < 8) t,
+  LATERAL unnest(range(1, greatest(len(toks) - 1, 0) + 1)) r(_i)
+)"""
+_BG_REL_B = f"""(
+  SELECT toks[_i] || ' ' || toks[_i + 1] AS bigram
+  FROM (SELECT {_TOKS} AS toks FROM documents WHERE doc_id % 5 <> 0) t,
+  LATERAL unnest(range(1, greatest(len(toks) - 1, 0) + 1)) r(_i)
+)"""
+
+
+@register(
+    "kmv_shared_bigrams",
+    doc="Theta-sketch intersection estimate: distinct bigrams SHARED "
+    "by two corpus snapshots from their two k=256 KMV sketches alone — "
+    "snapshot-overlap accounting without an exact distinct-join over "
+    "either side. Deterministic, so the estimate vs the exact overlap "
+    "sits under the hash oracle.",
+    oracle=f"""
+WITH est AS ({aggregates.kmv_intersection_sql(_BG_REL_A, _BG_REL_B, "bigram", 256)}),
+ex AS (
+  SELECT count(*)::BIGINT AS n_exact FROM (
+    SELECT DISTINCT bigram FROM {_BG_REL_A}
+    INTERSECT
+    SELECT DISTINCT bigram FROM {_BG_REL_B}
+  )
+)
+SELECT ex.n_exact, est.n_estimate,
+       {rounding.stable_round_sql(
+           "abs(est.n_estimate - ex.n_exact) / ex.n_exact", 4
+       )} AS rel_err
+FROM ex CROSS JOIN est
+""",
+)
+def kmv_shared_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    a = _bigram_frame(docs.filter(F.col("doc_id") % 10 < 8))
+    b = _bigram_frame(docs.filter(F.col("doc_id") % 5 != 0))
+    est = aggregates.kmv_intersection(a, b, "bigram", k=256)
+    exact = (
+        a.select("bigram")
+        .distinct()
+        .join(b.select("bigram").distinct(), "bigram", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_exact",
+        "n_estimate",
+        rounding.stable_round(
+            F.abs(F.col("n_estimate") - F.col("n_exact")) / F.col("n_exact"), 4
+        ).alias("rel_err"),
+    )

@@ -295,27 +295,12 @@ def main() -> None:
         "data_ratio": data_ratio,
         "low": low,
         "high": high,
+        # every timed op, derived from the measurement dict itself so a
+        # newly-added slot can never silently miss the ratio report
         "wall_ratios": {
             k: round(high[k] / max(low[k], 0.01), 2)
-            for k in (
-                "minhash_pairs",
-                "simhash_pairs",
-                "components",
-                "decontamination",
-                "chunking",
-                "repetition",
-                "asof_join",
-                "range_join",
-                "heuristic_funnel",
-                "incremental_dedup",
-                "dsir",
-                "bpe_train",
-                "snapshot_diff",
-                "ivf_knn",
-                "kmeans_train",
-                "semdedup_prune",
-                "mmr",
-            )
+            for k in low
+            if not k.startswith("n_")
         },
     }
     print(json.dumps(report))

@@ -733,3 +733,28 @@ def test_kmv_sketches_merge_by_k_smallest_union(spark):
         row._k if row._k < 128 else int((128 - 1) * 4294967296.0 / row._hk + 0.5)
     )
     assert merged_est == whole
+
+
+def test_kmv_intersection_exact_when_both_sides_exhaustive(spark):
+    """Both sketches exhaustive (distinct < k) -> theta = 2^32 and the
+    intersection estimate is exactly the true overlap."""
+    from llm_enhanced_data_pipeline_spark.operators import aggregates
+
+    a = spark.range(0, 150).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(100, 260).select(F.col("id").cast("string").alias("v"))
+    est = aggregates.kmv_intersection(a, b, "v", k=256).collect()[0].n_estimate
+    assert est == 50  # ids 100..149
+
+    # disjoint sides -> 0, not null
+    c = spark.range(1000, 1100).select(F.col("id").cast("string").alias("v"))
+    est0 = aggregates.kmv_intersection(a, c, "v", k=256).collect()[0].n_estimate
+    assert est0 == 0
+
+
+def test_kmv_intersection_close_in_estimator_regime(spark):
+    from llm_enhanced_data_pipeline_spark.operators import aggregates
+
+    a = spark.range(0, 4000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(2000, 6000).select(F.col("id").cast("string").alias("v"))
+    est = aggregates.kmv_intersection(a, b, "v", k=256).collect()[0].n_estimate
+    assert abs(est - 2000) / 2000 < 0.35  # overlap fraction ~0.5 of each side

@@ -122,6 +122,8 @@ QUADRATIC_BY_DESIGN = {
                               # dedup/join stages are all equi
     "kmv_distinct_bigrams",   # broadcast 1-row sketch-estimate frame
                               # against the 1-row exact count
+    "kmv_shared_bigrams",     # k-row sketch equi-join + broadcast
+                              # 1-row theta frames + 1-row exact count
 }
 
 
