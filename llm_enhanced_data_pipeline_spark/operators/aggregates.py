@@ -252,3 +252,42 @@ SELECT coalesce(
   0)::BIGINT AS n_estimate
 FROM mt
 """
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto front) — the classic OLAP dominance operator
+# ("Integration of Skyline Queries into Spark SQL", EDBT 2023, is the
+# retrieved-paper anchor; the operator itself is Börzsönyi et al.,
+# ICDE 2001). A row survives iff no other row is at least as good on
+# BOTH axes and strictly better on one.
+
+
+def skyline_2d(
+    df: DataFrame,
+    max_col: str,
+    min_col: str,
+) -> DataFrame:
+    """Rows on the Pareto front of (maximize ``max_col``, minimize
+    ``min_col``), duplicates of a front point included.
+
+    Not a nested-loop dominance test: group to the per-``max_col``
+    best ``min_col`` (one keyed aggregation), sweep that tiny frame
+    once with a running-min window ordered by ``max_col`` descending
+    (a front point must beat every strictly-better-``max_col`` group's
+    best), and semi-join the corpus back on the surviving (max, min)
+    pairs. The window frame has one row per DISTINCT ``max_col`` value
+    — bounded by the value domain (scores are 4dp-rounded here), not
+    the corpus, so the single-partition sweep is safe at any scale.
+    """
+    per = df.groupBy(F.col(max_col).alias("_q")).agg(
+        F.min(F.col(min_col)).alias("_ml")
+    )
+    w = Window.orderBy(F.col("_q").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    front = (
+        per.withColumn("_rm", F.min("_ml").over(w))
+        .filter(F.col("_rm").isNull() | (F.col("_ml") < F.col("_rm")))
+        .select(F.col("_q").alias(max_col), F.col("_ml").alias(min_col))
+    )
+    return df.join(front, [max_col, min_col], "left_semi")

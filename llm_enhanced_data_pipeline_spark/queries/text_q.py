@@ -1069,3 +1069,44 @@ def kmv_shared_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("n_estimate") - F.col("n_exact")) / F.col("n_exact"), 4
         ).alias("rel_err"),
     )
+
+
+@register(
+    "skyline_quality_length",
+    doc="2-D skyline (Pareto front): documents no other document beats "
+    "on BOTH quality (maximize) and token length (minimize) — the "
+    "classic OLAP dominance operator, computed as group -> distinct-"
+    "value running-min sweep -> semi-join (never row x row). The "
+    "oracle is the INDEPENDENT quadratic NOT-EXISTS dominance test.",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens,
+         {rounding.stable_round_sql(
+             "least(length(text) / 2000.0, 1.0) * 0.3"
+             f" + len(list_distinct({_TOKS})) / greatest(len({_TOKS}), 1) * 0.3"
+             f" + least((len(list_filter({_TOKS}, _t -> _t IN ('the','a','and','of','to','in','is','that','it','for')))"
+             f" / greatest(len({_TOKS}), 1)) * 5.0, 1.0) * 0.2"
+             f" + (CASE WHEN (list_sum(list_transform({_TOKS}, _t -> length(_t)::DOUBLE))"
+             f" / greatest(len({_TOKS}), 1)) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2",
+             4,
+         )} AS quality
+  FROM documents
+)
+SELECT doc_id, quality, n_tokens FROM d a
+WHERE NOT EXISTS (
+  SELECT 1 FROM d b
+  WHERE b.quality >= a.quality AND b.n_tokens <= a.n_tokens
+    AND (b.quality > a.quality OR b.n_tokens < a.n_tokens)
+)
+""",
+)
+def skyline_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "doc_id",
+        F.size(cleaning.tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        text_analysis.text_quality_score(F.col("text")).alias("quality"),
+    )
+    return aggregates.skyline_2d(d, "quality", "n_tokens").select(
+        "doc_id", "quality", "n_tokens"
+    )

@@ -758,3 +758,51 @@ def test_kmv_intersection_close_in_estimator_regime(spark):
     b = spark.range(2000, 6000).select(F.col("id").cast("string").alias("v"))
     est = aggregates.kmv_intersection(a, b, "v", k=256).collect()[0].n_estimate
     assert abs(est - 2000) / 2000 < 0.35  # overlap fraction ~0.5 of each side
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline
+# ---------------------------------------------------------------------------
+
+
+def test_skyline_2d_hand_computed_with_ties_and_duplicates(spark):
+    from llm_enhanced_data_pipeline_spark.operators import aggregates
+
+    rows = [
+        Row(id=1, q=0.9, l=100),  # front
+        Row(id=2, q=0.9, l=100),  # duplicate of a front point: kept
+        Row(id=3, q=0.9, l=120),  # dominated by 1 (same q, longer)
+        Row(id=4, q=0.7, l=50),   # front (shorter than everything better)
+        Row(id=5, q=0.7, l=100),  # dominated by 1 (worse q, same l)
+        Row(id=6, q=0.5, l=50),   # dominated by 4 (worse q, same l)
+        Row(id=7, q=0.5, l=10),   # front
+    ]
+    got = {
+        r.id
+        for r in aggregates.skyline_2d(spark.createDataFrame(rows), "q", "l").collect()
+    }
+    assert got == {1, 2, 4, 7}
+
+
+def test_skyline_2d_equals_naive_dominance_on_random_data(spark):
+    import random
+
+    from llm_enhanced_data_pipeline_spark.operators import aggregates
+
+    rng = random.Random(47)
+    rows = [
+        Row(id=i, q=round(rng.random(), 2), l=rng.randrange(1, 60))
+        for i in range(300)
+    ]
+    sky = {
+        r.id
+        for r in aggregates.skyline_2d(spark.createDataFrame(rows), "q", "l").collect()
+    }
+    naive = {
+        a.id
+        for a in rows
+        if not any(
+            b.q >= a.q and b.l <= a.l and (b.q > a.q or b.l < a.l) for b in rows
+        )
+    }
+    assert sky == naive and len(sky) > 0
