@@ -559,11 +559,6 @@ def dsir_scores(
 # Exact substring dedup over UNALIGNED spans (Lee et al. 2021)
 # ---------------------------------------------------------------------------
 
-#: Unit separator joining gram tokens into the exact dedup key — cannot
-#: occur inside a token (tokens are whitespace-split).
-_GRAM_SEP = "\u001f"  # == chr(31), the SQL twin's chr(31)
-
-
 def _dup_islands(
     df: DataFrame,
     id_col: str,
@@ -573,7 +568,12 @@ def _dup_islands(
     """Shared core of :func:`duplicated_spans` /
     :func:`remove_duplicated_spans`: maximal merged duplicated spans,
     one row per island — (id, _s, _me) with token positions
-    [_s, _me) duplicated (0-based)."""
+    [_s, _me) duplicated (0-based).
+
+    The dedup key is the gram token ARRAY itself (same device as
+    chunk_dedup): no separator-joined string, so no character that
+    happens to survive tokenization can make two distinct windows
+    collide into one key."""
     n = F.size(F.col(token_col))
     grams = (
         df.filter(n >= k)
@@ -587,9 +587,8 @@ def _dup_islands(
         .select(
             id_col,
             "start",
-            F.concat_ws(
-                _GRAM_SEP,
-                F.slice(F.col(token_col), (F.col("start") + 1).cast("int"), k),
+            F.slice(
+                F.col(token_col), (F.col("start") + 1).cast("int"), k
             ).alias("_gram"),
         )
     )
@@ -647,8 +646,9 @@ def duplicated_spans(
 
     Scale shape: explode (k tokens carried per position — the k-gram
     analogue of the suffix array's pointer indirection), one window
-    over the exact gram text (near-unique keys; the gram string IS the
-    dedup key, so hash collisions cannot merge distinct spans), one
+    over the exact gram token array (near-unique keys; the tokens ARE
+    the dedup key, so no hash or separator collision can merge
+    distinct spans), one
     per-doc ordered window for island merging, two keyed aggregations.
     Never doc x doc; the only skew risk is a hyper-frequent gram
     (boilerplate), which is precisely the row the operator exists to
@@ -688,7 +688,7 @@ def duplicated_spans_sql(
 WITH t AS (SELECT {id_expr} AS id, {toks_expr} AS toks FROM {relation}),
 g AS (
   SELECT id, _i AS start,
-         array_to_string(list_slice(toks, _i + 1, _i + {k}), chr(31)) AS _gram
+         list_slice(toks, _i + 1, _i + {k}) AS _gram
   FROM t, LATERAL unnest(range(0, len(toks) - {k} + 1)) r(_i)
 ),
 rk AS (
@@ -788,7 +788,7 @@ def remove_duplicated_spans_sql(
 WITH t AS (SELECT {id_expr} AS id, {toks_expr} AS toks FROM {relation}),
 g AS (
   SELECT id, _i AS start,
-         array_to_string(list_slice(toks, _i + 1, _i + {k}), chr(31)) AS _gram
+         list_slice(toks, _i + 1, _i + {k}) AS _gram
   FROM t, LATERAL unnest(range(0, len(toks) - {k} + 1)) r(_i)
 ),
 rk AS (

@@ -144,6 +144,33 @@ def text_quality_score(text: Column) -> Column:
     return stable_round(total, 4)
 
 
+def text_quality_score_sql(toks_expr: str, text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`text_quality_score` — the ONE place the
+    weighted component formula is spelled in SQL (every oracle that
+    needs the score must use this, or a weight change silently forks
+    the engines)."""
+    from ..functions.rounding import stable_round_sql
+
+    stop_list = ",".join(f"'{w}'" for w in _EN_STOP)
+    n = f"greatest(len({toks_expr}), 1)"
+    length = f"least(length({text_expr}) / 2000.0, 1.0)"
+    diversity = f"len(list_distinct({toks_expr})) / {n}"
+    stopword = (
+        f"least((len(list_filter({toks_expr}, _t -> _t IN ({stop_list})))"
+        f" / {n}) * 5.0, 1.0)"
+    )
+    wordlen = (
+        f"(CASE WHEN (list_sum(list_transform({toks_expr}, _t -> length(_t)::DOUBLE))"
+        f" / {n}) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END)"
+    )
+    w = QUALITY_WEIGHTS
+    return stable_round_sql(
+        f"{length} * {w['length']} + {diversity} * {w['diversity']}"
+        f" + {stopword} * {w['stopword']} + {wordlen} * {w['wordlen']}",
+        4,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Document fingerprinting
 

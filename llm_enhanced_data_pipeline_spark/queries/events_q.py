@@ -653,7 +653,7 @@ stats AS (
 )
 SELECT event_type, hour_bucket, n, z FROM (
   SELECT h.event_type, h.hour_bucket, h.n,
-         round((h.n - s._mu) / s._sd, 4) AS z
+         (floor(((h.n - s._mu) / s._sd) * 10000.0 + 0.5) / 10000.0) AS z
   FROM hourly h JOIN stats s USING (event_type)
   WHERE s._sd > 0
 ) WHERE abs(z) >= 2.0
@@ -669,7 +669,9 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = hourly.groupBy("event_type").agg(
         F.avg("n").alias("_mu"), F.stddev_samp("n").alias("_sd")
     )
-    z = F.round((F.col("n") - F.col("_mu")) / F.col("_sd"), 4)
+    from ..functions.rounding import stable_round
+
+    z = stable_round((F.col("n") - F.col("_mu")) / F.col("_sd"), 4)
     return (
         hourly.join(F.broadcast(stats), "event_type")
         .filter(F.col("_sd") > 0)

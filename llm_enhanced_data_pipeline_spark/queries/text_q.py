@@ -906,22 +906,14 @@ def vocab_drift_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH d AS (
   SELECT source, lang, len({_TOKS}) AS n_toks,
-         {rounding.stable_round_sql(
-             "least(length(text) / 2000.0, 1.0) * 0.3"
-             f" + len(list_distinct({_TOKS})) / greatest(len({_TOKS}), 1) * 0.3"
-             f" + least((len(list_filter({_TOKS}, _t -> _t IN ('the','a','and','of','to','in','is','that','it','for')))"
-             f" / greatest(len({_TOKS}), 1)) * 5.0, 1.0) * 0.2"
-             f" + (CASE WHEN (list_sum(list_transform({_TOKS}, _t -> length(_t)::DOUBLE))"
-             f" / greatest(len({_TOKS}), 1)) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2",
-             4,
-         )} AS q
+         {text_analysis.text_quality_score_sql(_TOKS)} AS q
   FROM documents
 )
 SELECT source,
        count(*)::BIGINT AS n_docs,
        sum(n_toks)::BIGINT AS total_tokens,
-       round(quantile_cont(n_toks, 0.50), 6) AS p50_tokens,
-       round(quantile_cont(n_toks, 0.95), 6) AS p95_tokens,
+       (floor((quantile_cont(n_toks, 0.50)) * 1000000.0 + 0.5) / 1000000.0) AS p50_tokens,
+       (floor((quantile_cont(n_toks, 0.95)) * 1000000.0 + 0.5) / 1000000.0) AS p95_tokens,
        count(DISTINCT lang)::BIGINT AS n_langs,
        {rounding.stable_round_sql("avg(q)", 4)} AS avg_quality
 FROM d GROUP BY source
@@ -939,67 +931,20 @@ def data_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_toks").cast("bigint").alias("total_tokens"),
-        F.round(F.percentile(F.col("n_toks"), F.lit(0.50)), 6).alias("p50_tokens"),
-        F.round(F.percentile(F.col("n_toks"), F.lit(0.95)), 6).alias("p95_tokens"),
+        rounding.stable_round(
+            F.percentile(F.col("n_toks"), F.lit(0.50)), 6
+        ).alias("p50_tokens"),
+        rounding.stable_round(
+            F.percentile(F.col("n_toks"), F.lit(0.95)), 6
+        ).alias("p95_tokens"),
         F.countDistinct("lang").cast("bigint").alias("n_langs"),
         rounding.stable_round(F.avg("q"), 4).alias("avg_quality"),
     )
 
 
-@register(
-    "kmv_distinct_bigrams",
-    doc="KMV distinct-count sketch (k smallest md5 hashes; Bar-Yossef "
-    "et al. 2002) vs the exact distinct-BIGRAM count (916 at sf0.01 — "
-    "past the k=256 sketch size, so the ESTIMATOR regime is exercised, "
-    "not the exhaustive one) — the engine-exact mergeable alternative "
-    "to HLL for 100 TB cardinality accounting. Deterministic, so the "
-    "whole comparison sits under the hash oracle.",
-    oracle=f"""
-WITH toks AS (SELECT {_TOKS} AS toks FROM documents),
-bg AS (
-  SELECT toks[_i] || ' ' || toks[_i + 1] AS bigram
-  FROM toks, LATERAL unnest(range(1, greatest(len(toks) - 1, 0) + 1)) r(_i)
-),
-est AS ({aggregates.kmv_distinct_sql("bg", "bigram", 256)}),
-ex AS (SELECT count(DISTINCT bigram)::BIGINT AS n_exact FROM bg)
-SELECT ex.n_exact, est.n_estimate,
-       {rounding.stable_round_sql(
-           "abs(est.n_estimate - ex.n_exact) / ex.n_exact", 4
-       )} AS rel_err
-FROM ex CROSS JOIN est
-""",
-)
-def kmv_distinct_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir).withColumn(
-        "toks", cleaning.tokens(F.col("text"))
-    )
-    n = F.size(F.col("toks"))
-    bg = (
-        docs.filter(n >= 2)
-        .select(
-            F.explode(F.sequence(F.lit(1), n - 1)).alias("_i"), F.col("toks")
-        )
-        .select(
-            F.concat_ws(
-                " ",
-                F.element_at(F.col("toks"), F.col("_i")),
-                F.element_at(F.col("toks"), F.col("_i") + 1),
-            ).alias("bigram")
-        )
-    )
-    est = aggregates.kmv_distinct(bg, "bigram", k=256)
-    exact = bg.agg(F.countDistinct("bigram").cast("bigint").alias("n_exact"))
-    return exact.crossJoin(F.broadcast(est)).select(
-        "n_exact",
-        "n_estimate",
-        rounding.stable_round(
-            F.abs(F.col("n_estimate") - F.col("n_exact")) / F.col("n_exact"), 4
-        ).alias("rel_err"),
-    )
-
-
 def _bigram_frame(docs: DataFrame) -> DataFrame:
-    """One row per consecutive token pair (the KMV sketch input)."""
+    """One row per consecutive token pair (the KMV sketch input).
+    The SINGLE Spark-side bigram construction — both KMV gates use it."""
     n = F.size(F.col("toks"))
     return (
         docs.filter(n >= 2)
@@ -1014,16 +959,53 @@ def _bigram_frame(docs: DataFrame) -> DataFrame:
     )
 
 
-_BG_REL_A = f"""(
+def _bigram_rel_sql(where: str = "TRUE") -> str:
+    """The SINGLE SQL-side bigram relation — oracle twin of
+    :func:`_bigram_frame` over ``documents`` filtered by ``where``."""
+    return f"""(
   SELECT toks[_i] || ' ' || toks[_i + 1] AS bigram
-  FROM (SELECT {_TOKS} AS toks FROM documents WHERE doc_id % 10 < 8) t,
+  FROM (SELECT {_TOKS} AS toks FROM documents WHERE {where}) t,
   LATERAL unnest(range(1, greatest(len(toks) - 1, 0) + 1)) r(_i)
 )"""
-_BG_REL_B = f"""(
-  SELECT toks[_i] || ' ' || toks[_i + 1] AS bigram
-  FROM (SELECT {_TOKS} AS toks FROM documents WHERE doc_id % 5 <> 0) t,
-  LATERAL unnest(range(1, greatest(len(toks) - 1, 0) + 1)) r(_i)
-)"""
+
+
+@register(
+    "kmv_distinct_bigrams",
+    doc="KMV distinct-count sketch (k smallest md5 hashes; Bar-Yossef "
+    "et al. 2002) vs the exact distinct-BIGRAM count (916 at sf0.01 — "
+    "past the k=256 sketch size, so the ESTIMATOR regime is exercised, "
+    "not the exhaustive one) — the engine-exact mergeable alternative "
+    "to HLL for 100 TB cardinality accounting. Deterministic, so the "
+    "whole comparison sits under the hash oracle.",
+    oracle=f"""
+WITH bg AS (SELECT * FROM {_bigram_rel_sql()}),
+est AS ({aggregates.kmv_distinct_sql("bg", "bigram", 256)}),
+ex AS (SELECT count(DISTINCT bigram)::BIGINT AS n_exact FROM bg)
+SELECT ex.n_exact, est.n_estimate,
+       {rounding.stable_round_sql(
+           "abs(est.n_estimate - ex.n_exact) / ex.n_exact", 4
+       )} AS rel_err
+FROM ex CROSS JOIN est
+""",
+)
+def kmv_distinct_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    bg = _bigram_frame(docs)
+    est = aggregates.kmv_distinct(bg, "bigram", k=256)
+    exact = bg.agg(F.countDistinct("bigram").cast("bigint").alias("n_exact"))
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_exact",
+        "n_estimate",
+        rounding.stable_round(
+            F.abs(F.col("n_estimate") - F.col("n_exact")) / F.col("n_exact"), 4
+        ).alias("rel_err"),
+    )
+
+
+_BG_REL_A = _bigram_rel_sql("doc_id % 10 < 8")
+_BG_REL_B = _bigram_rel_sql("doc_id % 5 <> 0")
 
 
 @register(
@@ -1081,15 +1063,7 @@ def kmv_shared_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH d AS (
   SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens,
-         {rounding.stable_round_sql(
-             "least(length(text) / 2000.0, 1.0) * 0.3"
-             f" + len(list_distinct({_TOKS})) / greatest(len({_TOKS}), 1) * 0.3"
-             f" + least((len(list_filter({_TOKS}, _t -> _t IN ('the','a','and','of','to','in','is','that','it','for')))"
-             f" / greatest(len({_TOKS}), 1)) * 5.0, 1.0) * 0.2"
-             f" + (CASE WHEN (list_sum(list_transform({_TOKS}, _t -> length(_t)::DOUBLE))"
-             f" / greatest(len({_TOKS}), 1)) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2",
-             4,
-         )} AS quality
+         {text_analysis.text_quality_score_sql(_TOKS)} AS quality
   FROM documents
 )
 SELECT doc_id, quality, n_tokens FROM d a

@@ -90,12 +90,20 @@ def incremental_ingest_stream(
 # Near-dup-aware ingest: the same loop with a SECOND persisted artifact,
 # the MinHash band index (operators/dedup.minhash_index), so each batch
 # is screened for NEAR duplicates of everything previously accepted —
-# not just exact recrawls. Accepted docs append to the corpus store AND
-# their band rows append to the index store atomically-enough for
-# replay: the exact-fp anti-join runs FIRST, so a replayed batch's
-# already-accepted rows never reach the near-dup stage (their index
-# rows are not re-appended), and its previously-rejected rows are
-# re-rejected against the (only-grown) index.
+# not just exact recrawls.
+#
+# Crash-safety across the TWO appends (no transaction spans them):
+# the INDEX is appended first, and the screen ignores index rows
+# carrying the current batch's own doc_ids. Either crash window then
+# replays cleanly: (a) crash before the index append — nothing
+# written, plain replay; (b) crash between the appends — the corpus
+# store is unchanged so the fp-anti-join re-admits the batch, the
+# self-id filter stops the half-written index rows from rejecting
+# their own documents, decisions replay identically, and the only
+# residue is duplicate index ROWS, which the screen's (batch id,
+# index id) pair-dedup makes harmless. Dropping the index rows of an
+# ACCEPTED doc (the failure the store-first order had) can no longer
+# happen.
 
 
 def near_dup_index_store(spark: SparkSession, path: str) -> ParquetCheckpoint:
@@ -124,6 +132,11 @@ def make_near_dup_ingest_batch_fn(
         if idx is None:
             accepted_ids = grouped.select("doc_id")
         else:
+            # drop index rows carrying this batch's own ids: residue of
+            # a torn previous attempt must not reject its own documents
+            idx = idx.join(
+                first.select(F.col("doc_id")), "doc_id", "left_anti"
+            )
             report = dedup.near_dup_against_index(
                 grouped, idx, "doc_id", threshold=threshold
             )
@@ -140,17 +153,21 @@ def make_near_dup_ingest_batch_fn(
         to_index = dedup.minhash_index(
             grouped.join(accepted_ids, "doc_id", "left_semi"), "doc_id"
         )
-        # Pin BOTH outputs before the first append: writing to the
-        # store path invalidates every cached plan that scans it
-        # (Spark refreshes and uncaches by path on insert), so a lazy
-        # to_index would silently recompute against the post-append
-        # store — fp-anti-join empty — and the index rows would vanish.
-        accept = accept.localCheckpoint(eager=True)
-        to_index = to_index.localCheckpoint(eager=True)
+        # Pin BOTH outputs before the first append: writing to a path
+        # invalidates every cached plan that scans it (Spark refreshes
+        # and uncaches by path on insert), so a lazy frame would
+        # silently recompute against post-append state. _truncate_
+        # lineage also returns the checkpoint block ids — df.rdd.
+        # unpersist() is a documented no-op for localCheckpoint blocks
+        # (see operators/dedup.py), and an unreleased pair per
+        # micro-batch leaks executor storage for the stream's lifetime.
+        sc = batch_df.sparkSession.sparkContext
+        accept, accept_ids_blocks = dedup._truncate_lineage(accept)
+        to_index, index_blocks = dedup._truncate_lineage(to_index)
+        index_store.append(to_index)  # index first — see module note
         store.append(accept)
-        index_store.append(to_index)
-        accept.rdd.unpersist()
-        to_index.rdd.unpersist()
+        dedup._release_ckpt_blocks(sc, accept_ids_blocks)
+        dedup._release_ckpt_blocks(sc, index_blocks)
         dedup.release_caches()  # free the per-batch persisted signatures
 
     return process

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 
+from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from llm_enhanced_data_pipeline_spark.streaming import events as se
@@ -378,3 +379,46 @@ def test_near_dup_ingest_stream_rejects_fuzzy_recrawls(spark, tmp_path):
     assert store.load().count() == 4
     # index rows exist only for accepted, shingle-able docs
     assert {r.doc_id for r in index_store.load().select("doc_id").distinct().collect()} == {0, 1, 11}
+
+
+def test_near_dup_ingest_survives_torn_index_append(spark, tmp_path):
+    """Crash-window contract: the index is appended BEFORE the corpus
+    store, and the screen ignores index rows carrying the batch's own
+    ids — so a batch whose index rows landed but whose corpus append
+    did not is re-admitted on replay instead of rejecting itself, and
+    leaves no leaked localCheckpoint blocks behind."""
+    from llm_enhanced_data_pipeline_spark.operators import dedup
+    from llm_enhanced_data_pipeline_spark.streaming import ingest as ig
+
+    store = ig.corpus_store(spark, str(tmp_path / "corpus_store"))
+    index_store = ig.near_dup_index_store(spark, str(tmp_path / "band_index"))
+    process = ig.make_near_dup_ingest_batch_fn(store, index_store)
+
+    b1 = spark.createDataFrame(
+        [Row(doc_id=0, text="alpha beta gamma delta epsilon zeta eta theta")]
+    )
+    process(b1, 1)
+
+    # simulate the torn window for a NOVEL doc: index rows written,
+    # corpus append lost
+    novel = "one two three four five six seven eight nine"
+    b2 = spark.createDataFrame([Row(doc_id=20, text=novel)])
+    g = dedup.minhash_grouped(
+        b2.withColumn("toks", dedup.tokens(F.col("text"))),
+        "doc_id", "toks", shingle_n=3,
+    )
+    index_store.append(dedup.minhash_index(g, "doc_id"))
+    dedup.release_caches()
+    assert {r.doc_id for r in store.load().collect()} == {0}  # torn state
+
+    # replay: doc 20 must be ACCEPTED despite its own stale index rows
+    n_blocks_before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    process(b2, 2)
+    assert {r.doc_id for r in store.load().collect()} == {0, 20}
+    # no leaked localCheckpoint blocks from the batch body
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= n_blocks_before
+
+    # the (now duplicated) index rows still reject a fuzzy recrawl of 20
+    b3 = spark.createDataFrame([Row(doc_id=30, text=novel + " ten")])
+    process(b3, 3)
+    assert {r.doc_id for r in store.load().collect()} == {0, 20}
