@@ -490,3 +490,129 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.expr(f"stack({len(metrics)}, {pairs}) AS (constraint, metric)")
     ).withColumn("passed", F.col("metric") >= 1.0)
+
+
+@register(
+    "q10_returned_items",
+    doc="Returned-item reporting (TPC-H Q10 pattern): customers whose "
+    "returned lineitems cost the most — 4-way join with the dims "
+    "broadcast, one fact shuffle, top-20 with a total tie-break.",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, "nation", sf_dir)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q7_nation_volume",
+    doc="Cross-nation trade volume (TPC-H Q7 pattern): supplier nation "
+    "x customer nation x ship-year revenue over a 6-way join with TWO "
+    "broadcast nation aliases; same-nation trade excluded.",
+    oracle="""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       year(CAST(l.l_shipdate AS DATE)) AS l_year,
+       (floor((sum(floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+                 * floor((1 - l.l_discount) * 100 + 0.5)::BIGINT) / 10000.0) * 100.0 + 0.5) / 100.0)
+         AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+WHERE ns.n_name <> nc.n_name
+GROUP BY ns.n_name, nc.n_name, l_year
+""",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    ns = nation.select(
+        F.col("n_nationkey").alias("_ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("_nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(ns), s.s_nationkey == F.col("_ns_key"))
+        .join(F.broadcast(nc), c.c_nationkey == F.col("_nc_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.to_date("l_shipdate")).cast("long").alias("l_year"),
+        )
+        .agg(
+            # revenue summed in exact integer (cents x discount-percent)
+            # units: float summation order can park a group total a ulp
+            # either side of a half-cent and flip the 2dp rounding
+            # between engines; the integer sum is order-independent.
+            rounding.stable_round(
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+                    * F.floor((1 - F.col("l_discount")) * 100 + 0.5).cast("long")
+                )
+                / 10000.0,
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    doc="Promotion revenue share (TPC-H Q14 pattern): conditional "
+    "aggregation over a part-broadcast join — the CASE-inside-SUM "
+    "idiom, one row out.",
+    oracle="""
+SELECT round(
+  100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                   THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END)
+        / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias("promo_pct")
+        )
+    )
