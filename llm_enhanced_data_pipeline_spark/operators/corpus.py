@@ -1042,3 +1042,83 @@ def snapshot_diff(
             .alias("status"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact budget apportionment (largest-remainder / Hamilton method)
+
+
+def apportion_budget(
+    df: DataFrame,
+    domain_col: str,
+    budget: int,
+) -> DataFrame:
+    """Split an integer item budget across domains proportionally to
+    their row counts, EXACTLY: floor quotas first, then the leftover
+    seats go to the largest fractional remainders (Hamilton's method —
+    the standard way to size a fixed eval/annotation budget across
+    strata so the quotas sum to the budget, no float drift).
+
+    All arithmetic is integer (quota = budget*n_d div N; remainder =
+    budget*n_d mod N), ties broken by domain ascending. Returns
+    (domain, n_rows, quota) with sum(quota) == min(budget, N... budget)
+    exactly.
+
+    Scale shape: one count aggregation + window math over the D-row
+    result. The 128-bit decimal product keeps budget*n_d exact at any
+    corpus size.
+    """
+    sizes = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    tot = sizes.agg(F.sum("n_rows").alias("_n"))
+    b = f"cast({int(budget)} as decimal(38,0))"
+    based = (
+        sizes.crossJoin(F.broadcast(tot))
+        .withColumn("_fl", F.expr(f"cast(({b} * n_rows) div _n as bigint)"))
+        .withColumn("_rem", F.expr(f"cast(({b} * n_rows) % _n as bigint)"))
+    )
+    leftover = F.lit(int(budget)) - F.sum("_fl").over(Window.partitionBy())
+    rank = F.row_number().over(
+        Window.orderBy(F.col("_rem").desc(), F.col("domain").asc())
+    )
+    return (
+        based.withColumn("_left", leftover)
+        .withColumn("_rk", rank)
+        .select(
+            "domain",
+            "n_rows",
+            (
+                F.col("_fl")
+                + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0)
+            ).cast("bigint").alias("quota"),
+        )
+    )
+
+
+def apportion_budget_sql(
+    domain_expr: str, budget: int, relation: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`apportion_budget`."""
+    return f"""
+WITH sizes AS (
+  SELECT {domain_expr} AS domain, count(*)::BIGINT AS n_rows
+  FROM {relation} GROUP BY 1
+),
+tot AS (SELECT sum(n_rows)::BIGINT AS _n FROM sizes),
+based AS (
+  SELECT domain, n_rows,
+         (({budget}::HUGEINT * n_rows) // _n)::BIGINT AS _fl,
+         (({budget}::HUGEINT * n_rows) % _n)::BIGINT AS _rem
+  FROM sizes CROSS JOIN tot
+),
+ranked AS (
+  SELECT *,
+         {budget} - sum(_fl) OVER () AS _left,
+         row_number() OVER (ORDER BY _rem DESC, domain ASC) AS _rk
+  FROM based
+)
+SELECT domain, n_rows,
+       (_fl + CASE WHEN _rk <= _left THEN 1 ELSE 0 END)::BIGINT AS quota
+FROM ranked
+"""

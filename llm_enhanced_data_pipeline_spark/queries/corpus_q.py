@@ -1036,3 +1036,16 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return corpus.snapshot_diff(old, new, "doc_id", "fp")
+
+
+@register(
+    "eval_budget_apportionment",
+    doc="Largest-remainder (Hamilton) apportionment of a 100-item eval "
+    "budget across languages: floor quotas then +1 to the largest "
+    "integer remainders — quotas sum to the budget exactly, pure "
+    "integer arithmetic (128-bit products), D-row window tail.",
+    oracle=corpus.apportion_budget_sql("lang", 100),
+)
+def eval_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return corpus.apportion_budget(docs, "lang", 100)

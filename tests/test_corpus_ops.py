@@ -806,3 +806,48 @@ def test_skyline_2d_equals_naive_dominance_on_random_data(spark):
         )
     }
     assert sky == naive and len(sky) > 0
+
+
+# ---------------------------------------------------------------------------
+# Hamilton apportionment
+# ---------------------------------------------------------------------------
+
+
+def test_apportion_budget_hand_computed_and_sums_exactly(spark):
+    # counts 3/3/4 over budget 10 -> exact quotas 3/3/4, no remainders
+    rows = [Row(d=d) for d in ["a"] * 3 + ["b"] * 3 + ["c"] * 4]
+    got = {
+        r.domain: r.quota
+        for r in corpus.apportion_budget(spark.createDataFrame(rows), "d", 10).collect()
+    }
+    assert got == {"a": 3, "b": 3, "c": 4}
+
+    # classic remainder case: 5/5/7 over 10 -> floors 2/2/4 (sum 8),
+    # remainders 16/16/2 (x17): a and b (tie -> domain asc) get the +1s
+    rows = [Row(d=d) for d in ["a"] * 5 + ["b"] * 5 + ["c"] * 7]
+    got = {
+        r.domain: r.quota
+        for r in corpus.apportion_budget(spark.createDataFrame(rows), "d", 10).collect()
+    }
+    assert got == {"a": 3, "b": 3, "c": 4}
+    assert sum(got.values()) == 10
+
+
+def test_apportion_budget_sums_to_budget_on_random_distributions(spark):
+    import random
+
+    rng = random.Random(53)
+    for trial in range(3):
+        weights = [rng.randrange(1, 40) for _ in range(rng.randrange(2, 9))]
+        rows = [
+            Row(d=f"d{i}") for i, w in enumerate(weights) for _ in range(w)
+        ]
+        budget = rng.randrange(5, 200)
+        quotas = [
+            r.quota
+            for r in corpus.apportion_budget(
+                spark.createDataFrame(rows), "d", budget
+            ).collect()
+        ]
+        assert sum(quotas) == budget
+        assert all(q >= 0 for q in quotas)

@@ -124,6 +124,8 @@ QUADRATIC_BY_DESIGN = {
                               # against the 1-row exact count
     "kmv_shared_bigrams",     # k-row sketch equi-join + broadcast
                               # 1-row theta frames + 1-row exact count
+    "eval_budget_apportionment",  # broadcast 1-row corpus-total frame;
+                              # the quota math is a D-row window tail
 }
 
 
