@@ -764,3 +764,73 @@ llr AS (
           - (ln((_neg + 1)::DOUBLE) - ln((_neg_total + _v)::DOUBLE))) AS _llr
   FROM counts CROSS JOIN stats
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus diversity indices (per-domain lexical-statistics report)
+
+
+def diversity_by_domain(
+    df: DataFrame,
+    domain_col: str,
+    token_col: str,
+) -> DataFrame:
+    """Per-domain lexical diversity: vocabulary size, type-token ratio,
+    Shannon entropy of the token distribution, and the Simpson
+    repeat-probability — the standard corpus-analysis panel for "is
+    this slice of the corpus degenerate or diverse".
+
+    Shannon is computed as ln(N) - (1/N) * sum(c * ln(c)) — one log per
+    VOCAB entry, no per-token division, and the only float sum is over
+    the vocab (4dp-rounded). Simpson's numerator sum(c*(c-1)) is pure
+    integer arithmetic, exact on any engine.
+
+    Scale shape: one (domain, token) count aggregation, one domain
+    reduction. Nothing global; the output is D rows.
+    """
+    from ..functions.rounding import stable_round
+
+    dt = (
+        df.select(
+            F.col(domain_col).alias("domain"),
+            F.explode(F.col(token_col)).alias("_tok"),
+        )
+        .groupBy("domain", "_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return dt.groupBy("domain").agg(
+        F.sum("_c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        stable_round(F.count(F.lit(1)) / F.sum("_c"), 4).alias("ttr"),
+        stable_round(
+            F.log(F.sum("_c"))
+            - F.sum(F.col("_c") * F.log(F.col("_c"))) / F.sum("_c"),
+            4,
+        ).alias("shannon"),
+        stable_round(
+            F.sum(F.col("_c") * (F.col("_c") - 1))
+            / (F.sum("_c") * (F.sum("_c") - F.lit(1))),
+            6,
+        ).alias("simpson"),
+    )
+
+
+def diversity_by_domain_sql(
+    toks_expr: str, domain_expr: str, relation: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`diversity_by_domain`."""
+    from ..functions.rounding import stable_round_sql
+
+    return f"""
+WITH tok AS (
+  SELECT {domain_expr} AS domain, unnest({toks_expr}) AS _tok FROM {relation}
+),
+dt AS (SELECT domain, _tok, count(*)::BIGINT AS _c FROM tok GROUP BY 1, 2)
+SELECT domain,
+       sum(_c)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS vocab,
+       {stable_round_sql("count(*) / sum(_c)", 4)} AS ttr,
+       {stable_round_sql("ln(sum(_c)) - sum(_c * ln(_c)) / sum(_c)", 4)} AS shannon,
+       {stable_round_sql("sum(_c * (_c - 1)) / (sum(_c) * (sum(_c) - 1))", 6)} AS simpson
+FROM dt GROUP BY domain
+"""

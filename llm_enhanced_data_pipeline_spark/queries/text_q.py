@@ -1084,3 +1084,18 @@ def skyline_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.skyline_2d(d, "quality", "n_tokens").select(
         "doc_id", "quality", "n_tokens"
     )
+
+
+@register(
+    "corpus_diversity_by_lang",
+    doc="Lexical-diversity panel per language: vocab size, type-token "
+    "ratio, Shannon entropy (one log per vocab entry, ln(N) - "
+    "sum(c ln c)/N form), Simpson repeat-probability (integer "
+    "numerator, engine-exact) — the degenerate-slice detector.",
+    oracle=text_analysis.diversity_by_domain_sql(_TOKS, "lang"),
+)
+def corpus_diversity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    return text_analysis.diversity_by_domain(docs, "lang", "toks")

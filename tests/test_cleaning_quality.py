@@ -209,3 +209,27 @@ def test_redact_pii_each_family_and_chain_order(spark):
     got = {r.i: r.r for r in out}
     for i, (src, want) in enumerate(cases.items()):
         assert got[i] == want, f"{src!r}: {got[i]!r} != {want!r}"
+
+
+def test_diversity_by_domain_hand_computed(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from llm_enhanced_data_pipeline_spark.operators import text_analysis
+
+    df = spark.createDataFrame(
+        [
+            Row(d="degenerate", toks=["a", "a", "a", "a"]),
+            Row(d="diverse", toks=["a", "b", "c", "d"]),
+        ]
+    )
+    got = {
+        r.domain: r
+        for r in text_analysis.diversity_by_domain(df, "d", "toks").collect()
+    }
+    dg = got["degenerate"]
+    assert (dg.n_tokens, dg.vocab, dg.ttr, dg.shannon, dg.simpson) == (4, 1, 0.25, 0.0, 1.0)
+    dv = got["diverse"]
+    assert (dv.n_tokens, dv.vocab, dv.ttr, dv.simpson) == (4, 4, 1.0, 0.0)
+    assert abs(dv.shannon - math.log(4)) < 1e-3
