@@ -834,3 +834,75 @@ SELECT domain,
        {stable_round_sql("sum(_c * (_c - 1)) / (sum(_c) * (sum(_c) - 1))", 6)} AS simpson
 FROM dt GROUP BY domain
 """
+
+
+def zipf_slope_by_domain(
+    df: DataFrame,
+    domain_col: str,
+    token_col: str,
+) -> DataFrame:
+    """Per-domain Zipf fit: OLS slope of ln(freq) on ln(rank) over the
+    domain's rank-frequency table. Natural text sits near -1; a slope
+    collapsing toward 0 (flat) or diving steeply flags synthetic or
+    template-degenerate slices — the classic corpus sanity plot,
+    reduced to its statistic.
+
+    Ranking is deterministic (freq desc, token asc). Returns (domain,
+    vocab, zipf_slope). One (domain, token) count, one per-domain rank
+    window, one reduction.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.rounding import stable_round
+
+    dt = (
+        df.select(
+            F.col(domain_col).alias("domain"),
+            F.explode(F.col(token_col)).alias("_tok"),
+        )
+        .groupBy("domain", "_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.partitionBy("domain").orderBy(F.col("_c").desc(), F.col("_tok").asc())
+    ranked = dt.withColumn("_r", F.row_number().over(w)).select(
+        "domain",
+        F.log(F.col("_r").cast("double")).alias("_x"),
+        F.log(F.col("_c").cast("double")).alias("_y"),
+    )
+    n = F.count(F.lit(1))
+    sxy = F.sum(F.col("_x") * F.col("_y"))
+    sx = F.sum("_x")
+    sy = F.sum("_y")
+    sxx = F.sum(F.col("_x") * F.col("_x"))
+    return ranked.groupBy("domain").agg(
+        n.cast("bigint").alias("vocab"),
+        stable_round(
+            (sxy - sx * sy / n) / (sxx - sx * sx / n), 4
+        ).alias("zipf_slope"),
+    )
+
+
+def zipf_slope_by_domain_sql(
+    toks_expr: str, domain_expr: str, relation: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`zipf_slope_by_domain`."""
+    from ..functions.rounding import stable_round_sql
+
+    return f"""
+WITH tok AS (
+  SELECT {domain_expr} AS domain, unnest({toks_expr}) AS _tok FROM {relation}
+),
+dt AS (SELECT domain, _tok, count(*)::BIGINT AS _c FROM tok GROUP BY 1, 2),
+rk AS (
+  SELECT domain,
+         ln(row_number() OVER (PARTITION BY domain ORDER BY _c DESC, _tok ASC)::DOUBLE) AS _x,
+         ln(_c::DOUBLE) AS _y
+  FROM dt
+)
+SELECT domain, count(*)::BIGINT AS vocab,
+       {stable_round_sql(
+           "(sum(_x * _y) - sum(_x) * sum(_y) / count(*))"
+           " / (sum(_x * _x) - sum(_x) * sum(_x) / count(*))", 4
+       )} AS zipf_slope
+FROM rk GROUP BY domain
+"""

@@ -552,6 +552,43 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(corpus.select("doc_id"), pairs, "doc_id")
 
 
+@register(
+    "dup_cluster_size_histogram",
+    doc="Near-dup cluster-size distribution: how many similarity "
+    "components exist at each size (1 = unique doc) — the shape report "
+    "a dedup run ships (a heavy tail here means boilerplate families, "
+    "not pairwise accidents). Two tiny aggregations over the shared "
+    "component labels.",
+    oracle=(
+        _MINHASH_CTE
+        + ","
+        + _MINHASH_VERIFIED_PAIRS_SQL
+        + """,
+e AS (SELECT id_a AS a, id_b AS b FROM vp UNION ALL SELECT id_b, id_a FROM vp),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lbl FROM u
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.node
+),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+sizes AS (SELECT component, count(*)::BIGINT AS cluster_size FROM comp GROUP BY component)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters
+FROM sizes GROUP BY cluster_size
+"""
+    ).replace("WITH u AS", "WITH RECURSIVE u AS", 1),
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _minhash_corpus(spark, sf_dir)
+    pairs = _shared_minhash_pairs(spark, sf_dir)
+    comp = dedup.connected_components(corpus.select("doc_id"), pairs, "doc_id")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental ingest dedup: snapshot = docs with doc_id % 10 < 8
 # (the already-ingested corpus, represented only by its content-hash

@@ -1099,3 +1099,18 @@ def corpus_diversity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks", cleaning.tokens(F.col("text"))
     )
     return text_analysis.diversity_by_domain(docs, "lang", "toks")
+
+
+@register(
+    "zipf_slope_by_lang",
+    doc="Zipf rank-frequency fit per language: OLS slope of ln(freq) "
+    "on ln(rank), deterministic ranking (freq desc, token asc) — "
+    "natural text sits near -1; flat or diving slopes flag synthetic "
+    "or template-degenerate corpus slices.",
+    oracle=text_analysis.zipf_slope_by_domain_sql(_TOKS, "lang"),
+)
+def zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    return text_analysis.zipf_slope_by_domain(docs, "lang", "toks")
