@@ -291,3 +291,61 @@ def skyline_2d(
         .select(F.col("_q").alias(max_col), F.col("_ml").alias(min_col))
     )
     return df.join(front, [max_col, min_col], "left_semi")
+
+
+def gini_of_counts(
+    counts: DataFrame,
+    key_col: str,
+    count_col: str,
+) -> DataFrame:
+    """1-row (n_keys, total, gini) Gini coefficient of an integer count
+    distribution — the imbalance statistic for "how concentrated is the
+    corpus/traffic across domains/keys" (0 = perfectly even, ->1 = one
+    key owns everything).
+
+    Exact formula over the ascending-sorted counts:
+    G = (2 * sum(i * x_i)) / (n * sum(x)) - (n + 1) / n, with i the
+    1-based rank. Every product is integer (rank x count), so the only
+    float step is the final division — engine-exact at any scale.
+
+    Scale shape: one rank window over the keys frame (keys, not rows)
+    + one reduction. Tie-break on the key keeps ranks deterministic;
+    Gini itself is invariant to the order within a tie group (equal
+    counts contribute rank-sum-invariant terms).
+    """
+    from ..functions.rounding import stable_round
+
+    w = Window.orderBy(F.col(count_col).asc(), F.col(key_col).asc())
+    ranked = counts.withColumn("_i", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    tot = F.sum(count_col)
+    return ranked.agg(
+        n.cast("bigint").alias("n_keys"),
+        tot.cast("bigint").alias("total"),
+        stable_round(
+            (2.0 * F.sum(F.col("_i") * F.col(count_col))) / (n * tot)
+            - (n + 1) / n.cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+def gini_of_counts_sql(counts_rel: str, key_expr: str, count_expr: str) -> str:
+    """DuckDB twin of :func:`gini_of_counts`; ``counts_rel`` exposes
+    one row per key."""
+    from ..functions.rounding import stable_round_sql
+
+    return f"""
+WITH ranked AS (
+  SELECT {count_expr} AS _c,
+         row_number() OVER (ORDER BY {count_expr} ASC, {key_expr} ASC) AS _i
+  FROM {counts_rel}
+)
+SELECT count(*)::BIGINT AS n_keys,
+       sum(_c)::BIGINT AS total,
+       {stable_round_sql(
+           "(2.0 * sum(_i * _c)) / (count(*) * sum(_c))"
+           " - (count(*) + 1) / count(*)::DOUBLE", 6
+       )} AS gini
+FROM ranked
+"""

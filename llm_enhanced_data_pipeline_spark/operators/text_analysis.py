@@ -906,3 +906,87 @@ SELECT domain, count(*)::BIGINT AS vocab,
        )} AS zipf_slope
 FROM rk GROUP BY domain
 """
+
+
+def pmi_collocations(
+    df: DataFrame,
+    token_col: str,
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs — the
+    classic collocation detector (Church & Hanks 1990): phrases whose
+    words co-occur far above chance ("new york", "machine learning").
+
+    PMI = ln(c_xy * N / (cL_x * cR_y)) with cL/cR the word's counts in
+    the left/right bigram slot and N the bigram total — each slot
+    distribution sums to N, so the measure is internally consistent,
+    and every product under the log is integer-derived (identical
+    doubles on every engine). Pairs below ``min_count`` are dropped
+    (rare-pair PMI explodes by definition).
+
+    Returns (w1, w2, n_pair, pmi). Scale shape: one bigram explode,
+    three keyed counts (pair, left-slot, right-slot — the slot counts
+    reduce FROM the pair frame, reusing its shuffle), two vocab-keyed
+    equi-joins, a 1-row total broadcast.
+    """
+    from ..functions.rounding import stable_round
+
+    n = F.size(F.col(token_col))
+    pairs = (
+        df.filter(n >= 2)
+        .select(
+            F.explode(F.sequence(F.lit(1), n - 1)).alias("_i"), F.col(token_col)
+        )
+        .select(
+            F.element_at(F.col(token_col), F.col("_i")).alias("w1"),
+            F.element_at(F.col(token_col), F.col("_i") + 1).alias("w2"),
+        )
+    )
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    left = pc.groupBy("w1").agg(F.sum("n_pair").alias("_cl"))
+    right = pc.groupBy("w2").agg(F.sum("n_pair").alias("_cr"))
+    total = pc.agg(F.sum("n_pair").cast("double").alias("_n"))
+    return (
+        pc.filter(F.col("n_pair") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            stable_round(
+                F.log(
+                    (F.col("n_pair") * F.col("_n"))
+                    / (F.col("_cl").cast("double") * F.col("_cr"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+
+
+def pmi_collocations_sql(
+    toks_expr: str, min_count: int = 5, relation: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`pmi_collocations`."""
+    from ..functions.rounding import stable_round_sql
+
+    return f"""
+WITH t AS (SELECT {toks_expr} AS toks FROM {relation}),
+bg AS (
+  SELECT toks[_i] AS w1, toks[_i + 1] AS w2
+  FROM t, LATERAL unnest(range(1, greatest(len(toks) - 1, 0) + 1)) r(_i)
+),
+pc AS (SELECT w1, w2, count(*)::BIGINT AS n_pair FROM bg GROUP BY 1, 2),
+lc AS (SELECT w1, sum(n_pair)::BIGINT AS _cl FROM pc GROUP BY 1),
+rc AS (SELECT w2, sum(n_pair)::BIGINT AS _cr FROM pc GROUP BY 1),
+n AS (SELECT sum(n_pair)::DOUBLE AS _n FROM pc)
+SELECT pc.w1, pc.w2, pc.n_pair,
+       {stable_round_sql("ln((pc.n_pair * n._n) / (lc._cl::DOUBLE * rc._cr))", 4)} AS pmi
+FROM pc
+JOIN lc USING (w1)
+JOIN rc USING (w2)
+CROSS JOIN n
+WHERE pc.n_pair >= {min_count}
+"""

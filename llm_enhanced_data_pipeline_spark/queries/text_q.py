@@ -1114,3 +1114,46 @@ def zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks", cleaning.tokens(F.col("text"))
     )
     return text_analysis.zipf_slope_by_domain(docs, "lang", "toks")
+
+
+@register(
+    "corpus_gini_by_source",
+    doc="Gini coefficient of per-source token counts — the corpus "
+    "concentration statistic (0 even, ->1 one source owns the data). "
+    "Integer rank x count products; the only float step is the final "
+    "division, so the statistic is engine-exact.",
+    oracle=aggregates.gini_of_counts_sql(
+        f"(SELECT source, sum(len({_TOKS}))::BIGINT AS n_toks"
+        " FROM documents GROUP BY source)",
+        "source",
+        "n_toks",
+    ),
+)
+def corpus_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    counts = docs.groupBy("source").agg(
+        F.sum(F.size(cleaning.tokens(F.col("text")))).cast("bigint").alias("n_toks")
+    )
+    return aggregates.gini_of_counts(counts, "source", "n_toks")
+
+
+@register(
+    "pmi_top_collocations",
+    doc="Top-20 adjacent-pair collocations by PMI (Church & Hanks "
+    "1990): pairs co-occurring far above chance under the bigram-slot "
+    "model, min pair count 5, ordering on the rounded statistic with "
+    "a total (w1, w2) tie-break.",
+    oracle=f"""
+SELECT w1, w2, n_pair, pmi FROM ({text_analysis.pmi_collocations_sql(_TOKS, 5)})
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT 20
+""",
+)
+def pmi_top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    out = text_analysis.pmi_collocations(docs, "toks", min_count=5)
+    return out.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(20)

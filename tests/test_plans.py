@@ -126,6 +126,8 @@ QUADRATIC_BY_DESIGN = {
                               # 1-row theta frames + 1-row exact count
     "eval_budget_apportionment",  # broadcast 1-row corpus-total frame;
                               # the quota math is a D-row window tail
+    "pmi_top_collocations",   # broadcast 1-row bigram-total frame;
+                              # the slot-count joins are equi on words
 }
 
 
