@@ -990,3 +990,114 @@ JOIN rc USING (w2)
 CROSS JOIN n
 WHERE pc.n_pair >= {min_count}
 """
+
+
+def heaps_fit_by_domain(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    token_col: str,
+) -> DataFrame:
+    """Per-domain Heaps' law fit V(N) ~ K * N^beta: how fast the
+    vocabulary grows as the corpus streams in (doc-id order). Natural
+    text sits around beta ~ 0.5; beta near 0 means the vocabulary
+    saturated (template/synthetic text), near 1 means near-disjoint
+    documents. The companion statistic to the Zipf slope.
+
+    Mechanics: each token's first-occurrence doc (min id per (domain,
+    token)) -> per-doc new-type counts -> running (N_i, V_i) cumulative
+    token/vocab curves via one per-domain window -> OLS of ln V on
+    ln N. Returns (domain, n_docs, beta, k), both floats 4dp
+    stable-rounded.
+
+    Scale shape: one token-keyed aggregation, one doc-keyed
+    aggregation, one per-domain ordered window, one reduction. The
+    window runs over doc-level rows (not tokens).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.rounding import stable_round
+
+    tok = df.select(
+        F.col(domain_col).alias("domain"),
+        F.col(id_col).alias("_id"),
+        F.explode(F.col(token_col)).alias("_tok"),
+    )
+    first = tok.groupBy("domain", "_tok").agg(F.min("_id").alias("_fid"))
+    new_per_doc = first.groupBy("domain", F.col("_fid").alias("_id")).agg(
+        F.count(F.lit(1)).alias("_n_new")
+    )
+    per_doc = (
+        df.select(
+            F.col(domain_col).alias("domain"),
+            F.col(id_col).alias("_id"),
+            F.size(F.col(token_col)).alias("_n_toks"),
+        )
+        .join(new_per_doc, ["domain", "_id"], "left")
+        .select(
+            "domain",
+            "_id",
+            "_n_toks",
+            F.coalesce(F.col("_n_new"), F.lit(0)).alias("_n_new"),
+        )
+    )
+    w = Window.partitionBy("domain").orderBy("_id")
+    curves = (
+        per_doc.withColumn("_N", F.sum("_n_toks").over(w))
+        .withColumn("_V", F.sum("_n_new").over(w))
+        .filter((F.col("_N") > 0) & (F.col("_V") > 0))
+        .select(
+            "domain",
+            F.log(F.col("_N").cast("double")).alias("_x"),
+            F.log(F.col("_V").cast("double")).alias("_y"),
+        )
+    )
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("_x"), F.sum("_y")
+    sxy = F.sum(F.col("_x") * F.col("_y"))
+    sxx = F.sum(F.col("_x") * F.col("_x"))
+    beta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    return curves.groupBy("domain").agg(
+        n.cast("bigint").alias("n_docs"),
+        stable_round(beta, 4).alias("beta"),
+        stable_round(F.exp((sy - beta * sx) / n), 4).alias("k"),
+    )
+
+
+def heaps_fit_by_domain_sql(
+    toks_expr: str,
+    domain_expr: str,
+    id_expr: str = "doc_id",
+    relation: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`heaps_fit_by_domain`."""
+    from ..functions.rounding import stable_round_sql
+
+    beta = "(sum(_x * _y) - sum(_x) * sum(_y) / count(*)) / (sum(_x * _x) - sum(_x) * sum(_x) / count(*))"
+    return f"""
+WITH tok AS (
+  SELECT {domain_expr} AS domain, {id_expr} AS _id, unnest({toks_expr}) AS _tok
+  FROM {relation}
+),
+first AS (SELECT domain, _tok, min(_id) AS _fid FROM tok GROUP BY 1, 2),
+npd AS (SELECT domain, _fid AS _id, count(*)::BIGINT AS _n_new FROM first GROUP BY 1, 2),
+per_doc AS (
+  SELECT d.domain, d._id, d._n_toks, coalesce(npd._n_new, 0) AS _n_new
+  FROM (SELECT {domain_expr} AS domain, {id_expr} AS _id,
+               len({toks_expr})::BIGINT AS _n_toks FROM {relation}) d
+  LEFT JOIN npd USING (domain, _id)
+),
+curves AS (
+  SELECT domain,
+         ln((sum(_n_toks) OVER w)::DOUBLE) AS _x,
+         ln((sum(_n_new) OVER w)::DOUBLE) AS _y,
+         sum(_n_toks) OVER w AS _N, sum(_n_new) OVER w AS _V
+  FROM per_doc
+  WINDOW w AS (PARTITION BY domain ORDER BY _id ROWS UNBOUNDED PRECEDING)
+)
+SELECT domain, count(*)::BIGINT AS n_docs,
+       {stable_round_sql(beta, 4)} AS beta,
+       {stable_round_sql(f"exp((sum(_y) - ({beta}) * sum(_x)) / count(*))", 4)} AS k
+FROM curves WHERE _N > 0 AND _V > 0
+GROUP BY domain
+"""

@@ -1157,3 +1157,18 @@ def pmi_top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(20)
+
+
+@register(
+    "heaps_fit_by_lang",
+    doc="Heaps' law vocabulary-growth fit per language (V ~ K N^beta "
+    "over the doc-id-ordered stream): beta ~0.5 is natural text, ~0 "
+    "is a saturated/template vocabulary — the companion statistic to "
+    "zipf_slope_by_lang.",
+    oracle=text_analysis.heaps_fit_by_domain_sql(_TOKS, "lang"),
+)
+def heaps_fit_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    return text_analysis.heaps_fit_by_domain(docs, "lang", "doc_id", "toks")
