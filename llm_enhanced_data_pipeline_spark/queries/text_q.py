@@ -1172,3 +1172,43 @@ def heaps_fit_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks", cleaning.tokens(F.col("text"))
     )
     return text_analysis.heaps_fit_by_domain(docs, "lang", "doc_id", "toks")
+
+
+@register(
+    "lang_id_confusion",
+    doc="Language-ID evaluation: confusion matrix of the stopword-"
+    "profile classifier's prediction against the ground-truth lang "
+    "label, with per-cell share of the true class — the operator's "
+    "own quality report (one aggregation).",
+    oracle=f"""
+WITH p AS (
+  SELECT lang AS actual, {text_analysis.lang_id_sql(_TOKS)} AS predicted
+  FROM documents
+),
+cells AS (
+  SELECT actual, predicted, count(*)::BIGINT AS n_docs FROM p GROUP BY 1, 2
+),
+tots AS (SELECT actual, sum(n_docs)::BIGINT AS _t FROM cells GROUP BY 1)
+SELECT c.actual, c.predicted, c.n_docs,
+       {rounding.stable_round_sql("c.n_docs / t._t", 4)} AS share_of_actual
+FROM cells c JOIN tots t USING (actual)
+""",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    p = docs.select(
+        F.col("lang").alias("actual"),
+        text_analysis.lang_id(cleaning.tokens(F.col("text"))).alias("predicted"),
+    )
+    cells = p.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tots = cells.groupBy("actual").agg(F.sum("n_docs").alias("_t"))
+    return cells.join(F.broadcast(tots), "actual").select(
+        "actual",
+        "predicted",
+        "n_docs",
+        rounding.stable_round(F.col("n_docs") / F.col("_t"), 4).alias(
+            "share_of_actual"
+        ),
+    )
