@@ -38,6 +38,21 @@ def test_enrichment_join_no_cartesian(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3
 
 
+def test_q10_pushes_returnflag_and_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q10_returned_items")
+    assert "EqualTo(l_returnflag,R)" in plan  # pushed to the fact scan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "l_shipdate" not in plan  # unused fact columns pruned
+
+
+def test_q7_broadcasts_both_nation_aliases(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q7_nation_volume")
+    assert plan.count("BroadcastHashJoin") >= 4  # s, c, and 2x nation
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_minhash_band_join_is_equi_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "near_dup_pairs_minhash")
     # candidate generation must be a hash/sort-merge equi-join on the
