@@ -679,3 +679,38 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) >= 2.0)
         .select("event_type", "hour_bucket", "n", "z")
     )
+
+
+@register(
+    "events_burstiness",
+    doc="Traffic burstiness per event type: Fano factor (variance / "
+    "mean) of the hourly volume distribution — ~1 is Poisson-like "
+    "arrivals, >>1 is bursty traffic that needs skew-aware "
+    "partitioning. Two keyed aggregations.",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, (epoch_ns(ts) // {NS_PER_HOUR}) AS hour_bucket,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_hours,
+       {rounding.stable_round_sql("avg(n)", 4)} AS mean_per_hour,
+       {rounding.stable_round_sql("var_samp(n) / avg(n)", 4)} AS fano
+FROM hourly GROUP BY event_type
+""",
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import stable_round
+
+    ev = load_table(spark, "events", sf_dir)
+    hourly = (
+        ev.withColumn("hour_bucket", F.expr(f"ts div {NS_PER_HOUR}"))
+        .groupBy("event_type", "hour_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        stable_round(F.avg("n"), 4).alias("mean_per_hour"),
+        stable_round(F.var_samp("n") / F.avg("n"), 4).alias("fano"),
+    )
