@@ -880,6 +880,74 @@ def content_index(df: DataFrame, text_col: str) -> DataFrame:
     ).distinct()
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    grouped: DataFrame | None = None,
+) -> DataFrame:
+    """Directional near-dup pairs by shingle CONTAINMENT:
+    |A ∩ B| / |A| >= threshold, a != b — the subset-duplication
+    detector. A short document pasted inside a much longer one has low
+    Jaccard (the union is dominated by B) but full containment; C4-era
+    dedup misses it, which is why containment joins exist (Bayardo et
+    al. WWW'07 / set-similarity-join prefix filtering).
+
+    Candidate generation is NOT all-pairs-sharing-a-shingle (the
+    common-shingle blowup): by the prefix-filter lemma, if B contains
+    >= t|A| of A's shingles it misses at most (1-t)|A| of them, so it
+    must contain one of A's floor((1-t)|A|)+1 globally-RAREST
+    shingles. Only those prefix rows join against the corpus's shingle
+    rows — selectivity is set by rare keys — and surviving (a, b)
+    candidates are verified exactly on the hash sets. The integer-over-
+    integer containment ratio is engine-exact, so the threshold
+    compare cannot diverge.
+
+    Returns (id_a, id_b, containment) with id_a the CONTAINED side.
+    Scale shape: shingle explode, a doc-frequency count, one per-doc
+    rank window, the rare-key equi-join, and the set-verify joins over
+    the candidate list. Never doc x doc.
+    """
+    if grouped is None:
+        grouped = minhash_grouped(df, id_col, token_col, shingle_n=shingle_n)
+    rows = grouped.select(
+        F.col(id_col), F.explode(F.col("_hset")).alias("_sh")
+    )
+    freq = rows.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+    sized = rows.join(freq, "_sh")
+    w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("_sh").asc())
+    set_size = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    prefix = (
+        sized.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_sz", set_size)
+        .filter(
+            F.col("_rn")
+            <= F.floor((1.0 - threshold) * F.col("_sz")) + 1
+        )
+        .select(F.col(id_col).alias("id_a"), "_sh")
+    )
+    corpus_rows = rows.select(F.col(id_col).alias("id_b"), "_sh")
+    candidates = (
+        prefix.join(corpus_rows, "_sh")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets_a = grouped.select(F.col(id_col).alias("id_a"), F.col("_hset").alias("_aset"))
+    sets_b = grouped.select(F.col(id_col).alias("id_b"), F.col("_hset").alias("_bset"))
+    cont = F.size(F.array_intersect(F.col("_aset"), F.col("_bset"))).cast(
+        "double"
+    ) / F.size(F.col("_aset"))
+    return (
+        candidates.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .filter(cont >= F.lit(threshold))
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+    )
+
+
 def minhash_index(
     grouped: DataFrame,
     id_col: str,

@@ -346,6 +346,36 @@ def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "near_dup_pairs_containment",
+    doc="Directional containment near-dups: |A∩B|/|A| >= 0.8 over "
+    "3-gram shingle sets — catches a short doc pasted inside a longer "
+    "one (low Jaccard, full containment). Candidates come from the "
+    "prefix-filter lemma (only each doc's floor((1-t)|A|)+1 globally-"
+    "rarest shingles join the corpus), then exact set verification; "
+    "the oracle is the INDEPENDENT quadratic formulation.",
+    oracle=_MINHASH_CTE
+    + """
+SELECT id_a, id_b, containment FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.toks, b.toks))::DOUBLE / len(a.toks), 6)
+           AS containment,
+         len(list_intersect(a.toks, b.toks))::DOUBLE / len(a.toks) AS _raw
+  FROM t a JOIN t b ON a.doc_id <> b.doc_id
+) WHERE _raw >= 0.8
+""",
+)
+def near_dup_pairs_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.containment_pairs(
+        _minhash_corpus(spark, sf_dir),
+        "doc_id",
+        "toks",
+        threshold=0.8,
+        shingle_n=3,
+        grouped=_shared_minhash_grouped(spark, sf_dir),
+    )
+
+
+@register(
     "incremental_near_dup",
     doc="Incremental near-dup ingest: each batch doc (doc_id%10>=8) "
     "screened against the snapshot's (doc_id%10<8) persisted MinHash "

@@ -475,3 +475,59 @@ def test_near_dup_against_index_flags_only_index_matches(spark):
     assert got[12] == (0, False)
     assert got[13] == (0, False)
     dedup.release_caches()
+
+
+def test_containment_catches_subset_docs_jaccard_misses(spark):
+    """A short doc fully pasted inside a much longer one: containment
+    1.0 but Jaccard well under any useful threshold."""
+    small = "alpha beta gamma delta epsilon zeta".split()
+    filler = [f"w{i}" for i in range(40)]
+    big = filler[:20] + small + filler[20:]
+    df = spark.createDataFrame(
+        [Row(doc_id=1, toks=small), Row(doc_id=2, toks=big)]
+    )
+    pairs = dedup.containment_pairs(df, "doc_id", "toks", threshold=0.8).collect()
+    assert [(r.id_a, r.id_b, r.containment) for r in pairs] == [(1, 2, 1.0)]
+
+    jac = dedup.near_dup_pairs_minhash(
+        df, "doc_id", "toks", threshold=0.8, shingle_n=3
+    ).collect()
+    assert jac == []  # symmetric Jaccard cannot see the subset
+    dedup.release_caches()
+
+
+def test_containment_prefix_filter_equals_naive_on_random_corpus(spark):
+    import random
+
+    rng = random.Random(59)
+    vocab = [f"w{j}" for j in range(30)]
+    docs = {
+        did: [rng.choice(vocab) for _ in range(rng.randrange(4, 25))]
+        for did in range(40)
+    }
+    # engineered subset structure: contiguous slices of larger docs
+    # (plus random noise docs above) so true containment pairs exist
+    for i, src in enumerate(d for d in range(40) if len(docs[d]) >= 12):
+        if i >= 6:
+            break
+        docs[100 + i] = docs[src][2:10]
+    df = spark.createDataFrame([Row(doc_id=d, toks=t) for d, t in docs.items()])
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.containment_pairs(
+            df, "doc_id", "toks", threshold=0.6, shingle_n=3
+        ).collect()
+    }
+
+    def shingles(toks):
+        return {tuple(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sh = {d: shingles(t) for d, t in docs.items() if len(t) >= 3}
+    naive = {
+        (a, b)
+        for a in sh
+        for b in sh
+        if a != b and len(sh[a] & sh[b]) / len(sh[a]) >= 0.6
+    }
+    assert got == naive and len(naive) > 0
+    dedup.release_caches()
