@@ -714,3 +714,65 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.avg("n"), 4).alias("mean_per_hour"),
         stable_round(F.var_samp("n") / F.avg("n"), 4).alias("fano"),
     )
+
+
+@register(
+    "events_trend_mk",
+    doc="Mann-Kendall monotonic-trend test per event type over the "
+    "DAILY volume series: S = sum of sign(n_j - n_i) over day pairs "
+    "i<j — pure integer arithmetic, engine-exact. The grouped pair "
+    "join is quadratic in DAYS per type (~84 here), not in events.",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, (epoch_ns(ts) // {24 * NS_PER_HOUR}) AS day_bucket,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END AS sgn
+  FROM daily a
+  JOIN daily b
+    ON a.event_type = b.event_type AND b.day_bucket > a.day_bucket
+)
+SELECT event_type,
+       (SELECT count(*) FROM daily d WHERE d.event_type = pairs.event_type)::BIGINT
+         AS n_days,
+       sum(sgn)::BIGINT AS s_statistic,
+       CASE WHEN sum(sgn) > 0 THEN 'rising'
+            WHEN sum(sgn) < 0 THEN 'falling' ELSE 'flat' END AS direction
+FROM pairs GROUP BY event_type
+""",
+)
+def events_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.withColumn("day_bucket", F.expr(f"ts div {24 * NS_PER_HOUR}"))
+        .groupBy("event_type", "day_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = daily.select("event_type", F.col("day_bucket").alias("_da"), F.col("n").alias("_na"))
+    b = daily.select("event_type", F.col("day_bucket").alias("_db"), F.col("n").alias("_nb"))
+    sgn = (
+        F.when(F.col("_nb") > F.col("_na"), 1)
+        .when(F.col("_nb") < F.col("_na"), -1)
+        .otherwise(0)
+    )
+    counts = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    s = (
+        a.join(b, "event_type")
+        .filter(F.col("_db") > F.col("_da"))
+        .groupBy("event_type")
+        .agg(F.sum(sgn).cast("bigint").alias("s_statistic"))
+    )
+    return s.join(F.broadcast(counts), "event_type").select(
+        "event_type",
+        "n_days",
+        "s_statistic",
+        F.when(F.col("s_statistic") > 0, "rising")
+        .when(F.col("s_statistic") < 0, "falling")
+        .otherwise("flat")
+        .alias("direction"),
+    )
