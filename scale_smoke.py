@@ -137,6 +137,14 @@ def run_at(spark: SparkSession, r: int) -> dict[str, float]:
         lambda: dedup.near_dup_pairs_simhash(toked, "doc_id", "toks").count()
     )
     dedup.release_caches()
+    # containment join: prefix-filtered candidates (rarest shingles
+    # only) — must track corpus size, not shingle-frequency skew
+    out["containment_pairs"] = time_op(
+        lambda: dedup.containment_pairs(
+            toked, "doc_id", "toks", threshold=0.8, shingle_n=3
+        ).count()
+    )
+    dedup.release_caches()
 
     # connected components over the engineered near-dup pair graph: the
     # iterative star-contraction loop localCheckpoints each round, so
