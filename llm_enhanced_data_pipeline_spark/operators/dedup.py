@@ -896,22 +896,34 @@ def containment_pairs(
     al. WWW'07 / set-similarity-join prefix filtering).
 
     Candidate generation is NOT all-pairs-sharing-a-shingle (the
-    common-shingle blowup): by the prefix-filter lemma, if B contains
-    >= t|A| of A's shingles it misses at most (1-t)|A| of them, so it
-    must contain one of A's floor((1-t)|A|)+1 globally-RAREST
-    shingles. Only those prefix rows join against the corpus's shingle
-    rows — selectivity is set by rare keys — and surviving (a, b)
-    candidates are verified exactly on the hash sets. The integer-over-
-    integer containment ratio is engine-exact, so the threshold
-    compare cannot diverge.
+    common-shingle blowup): a pair qualifies iff |A ∩ B| >=
+    ceil(t_pm * |A| / 1000) (threshold held as per-mille INTEGER
+    t_pm — float (1-t)*|A| is off by one whenever the product is
+    mathematically integral, e.g. (1.0-0.8)*5 = 0.9999...), so B can
+    miss at most |A| - that many of A's shingles and must contain one
+    of A's |A| - min_intersect + 1 globally-RAREST shingles (the
+    prefix-filter lemma, exact in integer arithmetic). Only those
+    prefix rows join against the corpus's shingle rows — selectivity
+    is set by rare keys — and surviving (a, b) candidates are
+    verified exactly on the hash sets. The integer-over-integer
+    containment ratio is engine-exact, so the threshold compare
+    cannot diverge.
 
     Returns (id_a, id_b, containment) with id_a the CONTAINED side.
     Scale shape: shingle explode, a doc-frequency count, one per-doc
     rank window, the rare-key equi-join, and the set-verify joins over
-    the candidate list. Never doc x doc.
+    the candidate list. Never doc x doc. The ``grouped=None`` fallback
+    builds only the shingle-set frame (no MinHash signatures — this
+    operator never reads them).
     """
+    t_pm = round(threshold * 1000)
     if grouped is None:
-        grouped = minhash_grouped(df, id_col, token_col, shingle_n=shingle_n)
+        grouped = _persist_tracked(
+            shingle_hash_rows(df, id_col, token_col, shingle_n)
+            .groupBy(id_col)
+            .agg(F.collect_set("_sh").alias("_hset"))
+        )
+        grouped.count()  # eager build; see minhash_grouped
     rows = grouped.select(
         F.col(id_col), F.explode(F.col("_hset")).alias("_sh")
     )
@@ -919,13 +931,12 @@ def containment_pairs(
     sized = rows.join(freq, "_sh")
     w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("_sh").asc())
     set_size = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    # min_intersect = ceil(t_pm * |A| / 1000), exact integer arithmetic
+    min_intersect = F.expr(f"(({t_pm} * _sz + 999) div 1000)")
     prefix = (
         sized.withColumn("_rn", F.row_number().over(w))
         .withColumn("_sz", set_size)
-        .filter(
-            F.col("_rn")
-            <= F.floor((1.0 - threshold) * F.col("_sz")) + 1
-        )
+        .filter(F.col("_rn") <= F.col("_sz") - min_intersect + 1)
         .select(F.col(id_col).alias("id_a"), "_sh")
     )
     corpus_rows = rows.select(F.col(id_col).alias("id_b"), "_sh")
@@ -940,11 +951,13 @@ def containment_pairs(
     cont = F.size(F.array_intersect(F.col("_aset"), F.col("_bset"))).cast(
         "double"
     ) / F.size(F.col("_aset"))
+    from ..functions.rounding import stable_round
+
     return (
         candidates.join(sets_a, "id_a")
         .join(sets_b, "id_b")
         .filter(cont >= F.lit(threshold))
-        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+        .select("id_a", "id_b", stable_round(cont, 6).alias("containment"))
     )
 
 

@@ -836,6 +836,30 @@ FROM dt GROUP BY domain
 """
 
 
+# ---------------------------------------------------------------------------
+# Shared OLS-slope closed form (zipf / heaps fits). The SAME expression
+# text must back both the Spark aggregation and the SQL twin, or the
+# fits silently fork between engines.
+
+
+def ols_slope(xcol: Column, ycol: Column) -> Column:
+    n = F.count(F.lit(1))
+    sx, sy = F.sum(xcol), F.sum(ycol)
+    sxy, sxx = F.sum(xcol * ycol), F.sum(xcol * xcol)
+    return (sxy - sx * sy / n) / (sxx - sx * sx / n)
+
+
+def ols_intercept(xcol: Column, ycol: Column) -> Column:
+    return (F.sum(ycol) - ols_slope(xcol, ycol) * F.sum(xcol)) / F.count(F.lit(1))
+
+
+def ols_slope_sql(x: str, y: str) -> str:
+    return (
+        f"(sum({x} * {y}) - sum({x}) * sum({y}) / count(*))"
+        f" / (sum({x} * {x}) - sum({x}) * sum({x}) / count(*))"
+    )
+
+
 def zipf_slope_by_domain(
     df: DataFrame,
     domain_col: str,
@@ -869,16 +893,9 @@ def zipf_slope_by_domain(
         F.log(F.col("_r").cast("double")).alias("_x"),
         F.log(F.col("_c").cast("double")).alias("_y"),
     )
-    n = F.count(F.lit(1))
-    sxy = F.sum(F.col("_x") * F.col("_y"))
-    sx = F.sum("_x")
-    sy = F.sum("_y")
-    sxx = F.sum(F.col("_x") * F.col("_x"))
     return ranked.groupBy("domain").agg(
-        n.cast("bigint").alias("vocab"),
-        stable_round(
-            (sxy - sx * sy / n) / (sxx - sx * sx / n), 4
-        ).alias("zipf_slope"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        stable_round(ols_slope(F.col("_x"), F.col("_y")), 4).alias("zipf_slope"),
     )
 
 
@@ -900,10 +917,7 @@ rk AS (
   FROM dt
 )
 SELECT domain, count(*)::BIGINT AS vocab,
-       {stable_round_sql(
-           "(sum(_x * _y) - sum(_x) * sum(_y) / count(*))"
-           " / (sum(_x * _x) - sum(_x) * sum(_x) / count(*))", 4
-       )} AS zipf_slope
+       {stable_round_sql(ols_slope_sql("_x", "_y"), 4)} AS zipf_slope
 FROM rk GROUP BY domain
 """
 
@@ -1052,15 +1066,11 @@ def heaps_fit_by_domain(
             F.log(F.col("_V").cast("double")).alias("_y"),
         )
     )
-    n = F.count(F.lit(1))
-    sx, sy = F.sum("_x"), F.sum("_y")
-    sxy = F.sum(F.col("_x") * F.col("_y"))
-    sxx = F.sum(F.col("_x") * F.col("_x"))
-    beta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    x, y = F.col("_x"), F.col("_y")
     return curves.groupBy("domain").agg(
-        n.cast("bigint").alias("n_docs"),
-        stable_round(beta, 4).alias("beta"),
-        stable_round(F.exp((sy - beta * sx) / n), 4).alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        stable_round(ols_slope(x, y), 4).alias("beta"),
+        stable_round(F.exp(ols_intercept(x, y)), 4).alias("k"),
     )
 
 
@@ -1073,7 +1083,7 @@ def heaps_fit_by_domain_sql(
     """DuckDB twin of :func:`heaps_fit_by_domain`."""
     from ..functions.rounding import stable_round_sql
 
-    beta = "(sum(_x * _y) - sum(_x) * sum(_y) / count(*)) / (sum(_x * _x) - sum(_x) * sum(_x) / count(*))"
+    beta = ols_slope_sql("_x", "_y")
     return f"""
 WITH tok AS (
   SELECT {domain_expr} AS domain, {id_expr} AS _id, unnest({toks_expr}) AS _tok

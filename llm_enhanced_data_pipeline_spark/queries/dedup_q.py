@@ -357,7 +357,7 @@ def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 SELECT id_a, id_b, containment FROM (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         round(len(list_intersect(a.toks, b.toks))::DOUBLE / len(a.toks), 6)
+         (floor((len(list_intersect(a.toks, b.toks))::DOUBLE / len(a.toks)) * 1000000.0 + 0.5) / 1000000.0)
            AS containment,
          len(list_intersect(a.toks, b.toks))::DOUBLE / len(a.toks) AS _raw
   FROM t a JOIN t b ON a.doc_id <> b.doc_id

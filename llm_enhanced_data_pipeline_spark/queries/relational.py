@@ -499,7 +499,9 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast, one fact shuffle, top-20 with a total tie-break.",
     oracle="""
 SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       (floor((sum(floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+                 * floor((1 - l.l_discount) * 100 + 0.5)::BIGINT) / 10000.0) * 100.0 + 0.5) / 100.0)
+         AS revenue
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -521,8 +523,18 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # exact integer cents x discount-percent sum + one stable
+            # final rounding — small per-customer groups land on
+            # half-cent boundaries often enough that a float sum plus
+            # engines' differing round(double) flips totals AND the
+            # top-20 cut (the q7 lesson)
+            rounding.stable_round(
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+                    * F.floor((1 - F.col("l_discount")) * 100 + 0.5).cast("long")
+                )
+                / 10000.0,
+                2,
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
@@ -598,21 +610,29 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregation over a part-broadcast join — the CASE-inside-SUM "
     "idiom, one row out.",
     oracle="""
-SELECT round(
-  100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                   THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END)
-        / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+SELECT (floor((100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                   THEN floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+                        * floor((1 - l.l_discount) * 100 + 0.5)::BIGINT
+                   ELSE 0 END)
+        / sum(floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+              * floor((1 - l.l_discount) * 100 + 0.5)::BIGINT)) * 10000.0 + 0.5) / 10000.0) AS promo_pct
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 """,
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     p = load_table(spark, "part", sf_dir)
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    # same exact-integer revenue units as q7/q10: order-independent
+    # sums, one stable final rounding
+    disc = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long") * F.floor(
+        (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("long"))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias("promo_pct")
+            rounding.stable_round(
+                100.0 * F.sum(promo) / F.sum(disc), 4
+            ).alias("promo_pct")
         )
     )

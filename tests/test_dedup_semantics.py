@@ -531,3 +531,22 @@ def test_containment_prefix_filter_equals_naive_on_random_corpus(spark):
     }
     assert got == naive and len(naive) > 0
     dedup.release_caches()
+
+
+def test_containment_prefix_size_exact_at_integral_boundary(spark):
+    """Lemma boundary: |A| = 5 shingles, threshold 0.8 -> the prefix
+    must be 2 shingles (float (1-0.8)*5 = 0.999... would truncate it
+    to 1 and lose this true pair: B misses exactly A's RAREST
+    shingle, and containment is exactly 4/5 = 0.8)."""
+    a = ["t1", "t2", "t3", "t4", "t5", "t6", "t7"]  # 5 distinct 3-shingles
+    b = a[1:]  # shares shingles 2..5; misses the df=1 first shingle
+    df = spark.createDataFrame([Row(doc_id=1, toks=a), Row(doc_id=2, toks=b)])
+    pairs = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.containment_pairs(
+            df, "doc_id", "toks", threshold=0.8, shingle_n=3
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0.8  # A 80%-contained in B, found via prefix
+    assert (2, 1) in pairs  # B fully contained in A
+    dedup.release_caches()
