@@ -776,3 +776,56 @@ def events_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("flat")
         .alias("direction"),
     )
+
+
+@register(
+    "events_transition_matrix",
+    doc="Per-user event-type transition counts (first-order Markov "
+    "view of user journeys): consecutive events by (user, ts) with a "
+    "deterministic event_id tie-break, per-(from, to) counts and the "
+    "row-normalized probability — the funnel-shape diagnostic. One "
+    "per-user window + two keyed aggregations.",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts), event_id) AS next_type
+  FROM events
+),
+cells AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*)::BIGINT AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+tots AS (SELECT from_type, sum(n)::BIGINT AS _t FROM cells GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n,
+       {rounding.stable_round_sql("c.n / t._t", 4)} AS p
+FROM cells c JOIN tots t USING (from_type)
+""",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.rounding import stable_round
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    cells = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tots = cells.groupBy("from_type").agg(F.sum("n").alias("_t"))
+    return cells.join(F.broadcast(tots), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        stable_round(F.col("n") / F.col("_t"), 4).alias("p"),
+    )

@@ -636,3 +636,89 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_pct")
         )
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    doc="Forecast revenue change (TPC-H Q6 pattern): pure filter-"
+    "aggregate whose three predicates all push to the parquet scan — "
+    "the filter-pushdown showcase, one row out. Exact integer revenue "
+    "units as q7/q10/q14.",
+    oracle="""
+SELECT round(sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+                 * floor(l_discount * 100 + 0.5)::BIGINT) / 10000.0, 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(l_shipdate AS DATE) <  DATE '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long") * F.floor(
+        F.col("l_discount") * 100 + 0.5
+    ).cast("long")
+    return (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(rev) / 10000.0, 2).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    doc="Disjunctive-predicate revenue (TPC-H Q19 pattern): OR-of-ANDs "
+    "across brand/size/quantity bands over a part-broadcast join — "
+    "the complex-predicate planning case. Exact integer revenue units.",
+    oracle="""
+SELECT round(sum(floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+                 * floor((1 - l.l_discount) * 100 + 0.5)::BIGINT) / 10000.0, 2)
+         AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 40)
+""",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    rev = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long") * F.floor(
+        (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(rev) / 10000.0, 2).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
