@@ -346,6 +346,85 @@ def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "near_dup_rate_by_source",
+    doc="Where the duplication lives: per-source counts of docs that "
+    "appear in at least one verified near-dup pair, with the per-mille "
+    "rate — the triage report deciding which ingest source needs "
+    "upstream cleanup. Reuses the shared verified pair list; one "
+    "semi-join + two keyed aggregations.",
+    oracle=_MINHASH_CTE
+    + ","
+    + """
+vpx AS (
+  SELECT p.id_a, p.id_b
+  FROM pairs p
+  JOIN t ta ON ta.doc_id = p.id_a
+  JOIN t tb ON tb.doc_id = p.id_b
+  WHERE len(list_intersect(ta.toks, tb.toks))::DOUBLE
+        / len(list_distinct(ta.toks || tb.toks)) >= 0.8
+),
+dupids AS (
+  SELECT id_a AS doc_id FROM vpx UNION SELECT id_b FROM vpx
+),
+src AS (
+  SELECT u.doc_id,
+         d.source
+  FROM u JOIN documents d
+    ON (CASE WHEN u.doc_id >= 1000000 THEN u.doc_id - 1000000
+             ELSE u.doc_id END) = d.doc_id
+)
+SELECT s.source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN dp.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+       (sum(CASE WHEN dp.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1000
+        // count(*))::BIGINT AS dup_permille
+FROM src s LEFT JOIN dupids dp ON s.doc_id = dp.doc_id
+GROUP BY s.source
+""",
+)
+def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _minhash_corpus(spark, sf_dir)
+    pairs = _shared_minhash_pairs(spark, sf_dir)
+    dup_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_is_dup", F.lit(1))
+    )
+    src = corpus.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") >= VARIANT_OFFSET, F.col("doc_id") - VARIANT_OFFSET
+        )
+        .otherwise(F.col("doc_id"))
+        .alias("_base_id"),
+    ).join(
+        load_table(spark, "documents", sf_dir).select(
+            F.col("doc_id").alias("_base_id"), "source"
+        ),
+        "_base_id",
+    )
+    return (
+        src.join(dup_ids, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce(F.col("_is_dup"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            F.expr("cast(n_dup_docs * 1000 div n_docs as bigint)").alias(
+                "dup_permille"
+            ),
+        )
+    )
+
+
+@register(
     "near_dup_pairs_containment",
     doc="Directional containment near-dups: |A∩B|/|A| >= 0.8 over "
     "3-gram shingle sets — catches a short doc pasted inside a longer "

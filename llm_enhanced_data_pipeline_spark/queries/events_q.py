@@ -829,3 +829,64 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         stable_round(F.col("n") / F.col("_t"), 4).alias("p"),
     )
+
+
+@register(
+    "events_type_drift",
+    doc="Period-over-period volume drift per event type: first half "
+    "vs second half of the time range (split at the midpoint epoch), "
+    "with the per-mille change — the release-comparison twin of "
+    "vocab_drift. Two keyed aggregations + a broadcast 1-row midpoint.",
+    oracle="""
+WITH bounds AS (
+  SELECT (min(epoch_ns(ts)) + (max(epoch_ns(ts)) - min(epoch_ns(ts))) // 2) AS mid
+  FROM events
+),
+halves AS (
+  SELECT event_type,
+         sum(CASE WHEN epoch_ns(ts) < b.mid THEN 1 ELSE 0 END)::BIGINT AS n_first,
+         sum(CASE WHEN epoch_ns(ts) >= b.mid THEN 1 ELSE 0 END)::BIGINT AS n_second
+  FROM events CROSS JOIN bounds b
+  GROUP BY event_type
+)
+SELECT event_type, n_first, n_second,
+       -- sign-explicit so DuckDB's floor-div and Spark's trunc-div agree
+       (CASE WHEN n_second >= n_first
+             THEN  ((n_second - n_first) * 1000) // greatest(n_first, 1)
+             ELSE -(((n_first - n_second) * 1000) // greatest(n_first, 1))
+        END)::BIGINT AS change_permille
+FROM halves
+""",
+)
+def events_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    bounds = ev.agg(
+        (
+            F.min("ts") + F.floor((F.max("ts") - F.min("ts")) / 2).cast("long")
+        ).alias("mid")
+    )
+    halves = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("ts") < F.col("mid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_first"),
+            F.sum(F.when(F.col("ts") >= F.col("mid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_second"),
+        )
+    )
+    return halves.select(
+        "event_type",
+        "n_first",
+        "n_second",
+        F.expr(
+            # sign-explicit: floor-div (DuckDB //) == trunc-div (Spark
+            # div) only on non-negative operands
+            "cast(case when n_second >= n_first"
+            " then (n_second - n_first) * 1000 div greatest(n_first, 1)"
+            " else -((n_first - n_second) * 1000 div greatest(n_first, 1))"
+            " end as bigint)"
+        ).alias("change_permille"),
+    )

@@ -53,6 +53,16 @@ def test_q7_broadcasts_both_nation_aliases(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q6_predicates_push_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    # all three predicate families reach the parquet scan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24" in plan
+    assert "l_shipdate" in plan and "PushedFilters" in plan
+    # and only the needed columns are read
+    assert "l_partkey" not in plan
+
+
 def test_minhash_band_join_is_equi_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "near_dup_pairs_minhash")
     # candidate generation must be a hash/sort-merge equi-join on the
@@ -143,6 +153,7 @@ QUADRATIC_BY_DESIGN = {
                               # the quota math is a D-row window tail
     "pmi_top_collocations",   # broadcast 1-row bigram-total frame;
                               # the slot-count joins are equi on words
+    "events_type_drift",      # broadcast 1-row midpoint-epoch frame
 }
 
 
