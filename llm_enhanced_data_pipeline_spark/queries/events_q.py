@@ -890,3 +890,42 @@ def events_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " end as bigint)"
         ).alias("change_permille"),
     )
+
+
+@register(
+    "events_hourly_seasonality",
+    doc="Hour-of-day seasonality profile per event type: mean volume "
+    "at each of the 24 clock hours (UTC-epoch arithmetic, no session "
+    "timezone involved) — the baseline the anomaly detector's "
+    "type-level z-scores deliberately ignore.",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, (epoch_ns(ts) // {NS_PER_HOUR}) AS hour_bucket,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, (hour_bucket % 24)::BIGINT AS hour_of_day,
+       count(*)::BIGINT AS n_hours,
+       {{SRS}} AS mean_volume
+FROM hourly GROUP BY event_type, hour_of_day
+""".replace("{SRS}", rounding.stable_round_sql("avg(n)", 4)),
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import stable_round
+
+    ev = load_table(spark, "events", sf_dir)
+    hourly = (
+        ev.withColumn("hour_bucket", F.expr(f"ts div {NS_PER_HOUR}"))
+        .groupBy("event_type", "hour_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        hourly.withColumn(
+            "hour_of_day", (F.col("hour_bucket") % 24).cast("bigint")
+        )
+        .groupBy("event_type", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            stable_round(F.avg("n"), 4).alias("mean_volume"),
+        )
+    )

@@ -722,3 +722,56 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_items"),
         )
     )
+
+
+@register(
+    "customer_rfm_segments",
+    doc="RFM segmentation (the BI staple): per-customer recency / "
+    "frequency / monetary quartiles via ntile(4) with deterministic "
+    "tie-breaks, aggregated to segment-cell counts. One orders "
+    "aggregation + three rank windows over the customer frame.",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_order,
+         count(*)::BIGINT AS n_orders,
+         sum(floor(o_totalprice * 100 + 0.5)::BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+q AS (
+  SELECT o_custkey,
+         ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_q,
+         ntile(4) OVER (ORDER BY n_orders DESC, o_custkey) AS f_q,
+         ntile(4) OVER (ORDER BY cents DESC, o_custkey) AS m_q
+  FROM cust
+)
+SELECT r_q, f_q, m_q, count(*)::BIGINT AS n_customers
+FROM q GROUP BY r_q, f_q, m_q
+""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    cust = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+            "cents"
+        ),
+    )
+    q = cust.select(
+        "o_custkey",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("last_order").desc(), F.col("o_custkey")))
+        .alias("r_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey")))
+        .alias("f_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("cents").desc(), F.col("o_custkey")))
+        .alias("m_q"),
+    )
+    return q.groupBy(
+        F.col("r_q").cast("long").alias("r_q"),
+        F.col("f_q").cast("long").alias("f_q"),
+        F.col("m_q").cast("long").alias("m_q"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
