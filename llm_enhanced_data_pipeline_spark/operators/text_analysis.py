@@ -1026,7 +1026,11 @@ def heaps_fit_by_domain(
 
     Scale shape: one token-keyed aggregation, one doc-keyed
     aggregation, one per-domain ordered window, one reduction. The
-    window runs over doc-level rows (not tokens).
+    window runs over doc-level rows (not tokens); its parallelism is
+    the domain count, so at 1e9-docs-per-domain scale the curve should
+    be SAMPLED at log-spaced checkpoints before the cumsum — the fit
+    only needs O(100) curve points, and subsampling the x-axis does
+    not bias the OLS.
     """
     from pyspark.sql import Window
 

@@ -729,7 +729,12 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="RFM segmentation (the BI staple): per-customer recency / "
     "frequency / monetary quartiles via ntile(4) with deterministic "
     "tie-breaks, aggregated to segment-cell counts. One orders "
-    "aggregation + three rank windows over the customer frame.",
+    "aggregation + three rank windows over the customer frame. NOTE "
+    "the exact-equal-quartile ntile needs a global sort of the "
+    "customer frame; at 1e9 customers swap in percentile-threshold "
+    "assignment (1-row quantile broadcast + comparison) — the "
+    "boundary-tie semantics differ slightly, which is why the exact "
+    "form is the oracle-checked one.",
     oracle="""
 WITH cust AS (
   SELECT o_custkey,
