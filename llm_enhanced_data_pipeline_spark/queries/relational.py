@@ -780,3 +780,56 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f_q").cast("long").alias("f_q"),
         F.col("m_q").cast("long").alias("m_q"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+
+
+@register(
+    "supplier_pareto",
+    doc="Supply-concentration Pareto curve: suppliers ranked by exact "
+    "integer-cents revenue, bucketed into deciles, with each decile's "
+    "per-mille share of total revenue — the 80/20 sourcing-risk "
+    "report. The rank window runs over the supplier frame (not "
+    "lineitems).",
+    oracle="""
+WITH srev AS (
+  SELECT l_suppkey,
+         sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+             * floor((1 - l_discount) * 100 + 0.5)::BIGINT) AS units
+  FROM lineitem GROUP BY l_suppkey
+),
+ranked AS (
+  SELECT l_suppkey, units,
+         ntile(10) OVER (ORDER BY units DESC, l_suppkey) AS decile
+  FROM srev
+),
+tot AS (SELECT sum(units) AS _t FROM srev)
+SELECT decile::BIGINT AS decile,
+       count(*)::BIGINT AS n_suppliers,
+       (sum(units) * 1000 // max(tot._t))::BIGINT AS revenue_share_permille
+FROM ranked CROSS JOIN tot
+GROUP BY decile
+""",
+)
+def supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    units = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long") * F.floor(
+        (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    srev = li.groupBy("l_suppkey").agg(F.sum(units).alias("units"))
+    ranked = srev.select(
+        "units",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("units").desc(), F.col("l_suppkey")))
+        .cast("long")
+        .alias("decile"),
+    )
+    tot = srev.agg(F.sum("units").alias("_t"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.expr("cast(sum(units) * 1000 div max(_t) as bigint)").alias(
+                "revenue_share_permille"
+            ),
+        )
+    )

@@ -154,6 +154,7 @@ QUADRATIC_BY_DESIGN = {
     "pmi_top_collocations",   # broadcast 1-row bigram-total frame;
                               # the slot-count joins are equi on words
     "events_type_drift",      # broadcast 1-row midpoint-epoch frame
+    "supplier_pareto",        # broadcast 1-row revenue-total frame
 }
 
 
