@@ -929,3 +929,54 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.avg("n"), 4).alias("mean_volume"),
         )
     )
+
+
+@register(
+    "monthly_conversion",
+    doc="Activity-to-purchase conversion per 30-day epoch bucket: "
+    "distinct active event users vs distinct ordering customers (the "
+    "keys are shared by construction), with the per-mille conversion. "
+    "30-day integer epoch buckets keep the bucketing timezone-free "
+    "and engine-exact; two distinct-aggregations + one equi-join.",
+    oracle=f"""
+WITH act AS (
+  SELECT ((epoch_ns(ts) // {24 * NS_PER_HOUR}) // 30) AS period,
+         count(DISTINCT user_id)::BIGINT AS n_active
+  FROM events GROUP BY 1
+),
+buy AS (
+  SELECT ((CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 30) AS period,
+         count(DISTINCT o_custkey)::BIGINT AS n_buyers
+  FROM orders GROUP BY 1
+)
+SELECT act.period, act.n_active, buy.n_buyers,
+       (buy.n_buyers * 1000 // act.n_active)::BIGINT AS conversion_permille
+FROM act JOIN buy USING (period)
+""",
+)
+def monthly_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    act = (
+        ev.withColumn("period", F.expr(f"(ts div {24 * NS_PER_HOUR}) div 30"))
+        .groupBy("period")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )
+    buy = (
+        o.withColumn(
+            "period",
+            F.expr("datediff(to_date(o_orderdate), date '1970-01-01') div 30").cast(
+                "long"
+            ),
+        )
+        .groupBy("period")
+        .agg(F.countDistinct("o_custkey").cast("bigint").alias("n_buyers"))
+    )
+    return act.join(buy, "period").select(
+        "period",
+        "n_active",
+        "n_buyers",
+        F.expr("cast(n_buyers * 1000 div n_active as bigint)").alias(
+            "conversion_permille"
+        ),
+    )
