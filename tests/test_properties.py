@@ -65,3 +65,49 @@ def test_hyperplanes_are_stable_and_centered():
     flat = [v for row in p1 for v in row]
     assert all(-0.5 <= v < 0.5 for v in flat)
     assert abs(sum(flat) / len(flat)) < 0.1  # roughly centered
+
+
+def test_stable_round_engine_parity_on_adversarial_doubles(spark):
+    """stable_round (Spark) and stable_round_sql (DuckDB) must agree on
+    IDENTICAL input doubles — including half-boundary and negative
+    values, where the engines' native round() is known to diverge."""
+    import random
+
+    import duckdb
+
+    from llm_enhanced_data_pipeline_spark.functions.rounding import (
+        stable_round,
+        stable_round_sql,
+    )
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    rng = random.Random(61)
+    vals = (
+        # exact decimal half-boundaries at each tested scale
+        [i / 2000.0 for i in range(-30, 30)]
+        + [i / 20000.0 for i in range(-30, 30)]
+        + [rng.uniform(-1e6, 1e6) for _ in range(200)]
+        + [rng.uniform(-1, 1) for _ in range(200)]
+    )
+    df = spark.createDataFrame([Row(i=i, v=float(v)) for i, v in enumerate(vals)])
+    got_spark = {
+        r.i: (r.r2, r.r4, r.r6)
+        for r in df.select(
+            "i",
+            stable_round(F.col("v"), 2).alias("r2"),
+            stable_round(F.col("v"), 4).alias("r4"),
+            stable_round(F.col("v"), 6).alias("r6"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INTEGER, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(map(float, vals))))
+    got_duck = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            f"SELECT i, {stable_round_sql('v', 2)}, {stable_round_sql('v', 4)},"
+            f" {stable_round_sql('v', 6)} FROM t"
+        ).fetchall()
+    }
+    assert got_spark == got_duck
