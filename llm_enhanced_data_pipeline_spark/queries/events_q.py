@@ -980,3 +980,65 @@ def monthly_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conversion_permille"
         ),
     )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    doc="DAU / trailing-7-day WAU / stickiness per day: the rolling "
+    "distinct count is computed by exploding each distinct (user, day) "
+    "into the 7 windows it contributes to — a keyed aggregation "
+    "instead of an unexpressible rolling COUNT DISTINCT. Days without "
+    "a full 7-day history are excluded (partial windows understate "
+    "WAU). Stickiness is per-mille integer.",
+    oracle=f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, (epoch_ns(ts) // {24 * NS_PER_HOUR}) AS day
+  FROM events
+),
+dau AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY day),
+contrib AS (
+  SELECT user_id, day + _k AS wday
+  FROM ud, LATERAL unnest(range(0, 7)) r(_k)
+),
+wau AS (
+  SELECT wday AS day, count(DISTINCT user_id)::BIGINT AS wau
+  FROM contrib GROUP BY wday
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud)
+SELECT d.day, d.dau, w.wau,
+       (d.dau * 1000 // w.wau)::BIGINT AS stickiness_permille
+FROM dau d JOIN wau w USING (day) CROSS JOIN bounds b
+WHERE d.day >= b.d0 + 6 AND d.day <= b.d1
+""",
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    ud = (
+        ev.select(
+            "user_id", F.expr(f"ts div {24 * NS_PER_HOUR}").alias("day")
+        )
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        "day",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("_k"),
+    ).select("user_id", (F.col("day") + F.col("_k")).alias("wday"))
+    wau = contrib.groupBy(F.col("wday").alias("day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    bounds = ud.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    return (
+        dau.join(wau, "day")
+        .crossJoin(F.broadcast(bounds))
+        .filter((F.col("day") >= F.col("d0") + 6) & (F.col("day") <= F.col("d1")))
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("cast(dau * 1000 div wau as bigint)").alias(
+                "stickiness_permille"
+            ),
+        )
+    )
