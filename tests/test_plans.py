@@ -155,6 +155,7 @@ QUADRATIC_BY_DESIGN = {
                               # the slot-count joins are equi on words
     "events_type_drift",      # broadcast 1-row midpoint-epoch frame
     "supplier_pareto",        # broadcast 1-row revenue-total frame
+    "events_dau_wau_stickiness",  # broadcast 1-row day-bounds frame
 }
 
 
