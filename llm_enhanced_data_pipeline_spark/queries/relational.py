@@ -833,3 +833,33 @@ def supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "brand_price_dispersion",
+    doc="Retail-price dispersion per brand: mean, sample stddev, and "
+    "the coefficient of variation — the catalog-consistency check "
+    "(a brand whose CV explodes is mixing product classes). One keyed "
+    "aggregation, engine-stable rounding.",
+    oracle="""
+SELECT p_brand,
+       count(*)::BIGINT AS n_parts,
+       (floor(avg(p_retailprice) * 100.0 + 0.5) / 100.0) AS mean_price,
+       (floor(stddev_samp(p_retailprice) * 100.0 + 0.5) / 100.0) AS sd_price,
+       (floor((stddev_samp(p_retailprice) / avg(p_retailprice)) * 10000.0 + 0.5) / 10000.0) AS cv
+FROM part
+GROUP BY p_brand
+""",
+)
+def brand_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import stable_round
+
+    p = load_table(spark, "part", sf_dir)
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        stable_round(F.avg("p_retailprice"), 2).alias("mean_price"),
+        stable_round(F.stddev_samp("p_retailprice"), 2).alias("sd_price"),
+        stable_round(
+            F.stddev_samp("p_retailprice") / F.avg("p_retailprice"), 4
+        ).alias("cv"),
+    )
