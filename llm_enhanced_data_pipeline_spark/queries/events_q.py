@@ -1042,3 +1042,64 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_mad_outliers",
+    doc="Robust (median/MAD) outlier detection per event type: the "
+    "3-sigma-equivalent cutoff med +- 3 * 1.4826 * MAD — unlike the "
+    "IQR gate this one is per-type and immune to the mean/stddev "
+    "being dragged by the outliers themselves. Two exact-percentile "
+    "passes + one count.",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS _med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m._med, abs(e.value - m._med) AS _ad
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(_ad, 0.5) AS _mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       count(*)::BIGINT AS n_events,
+       (floor(max(d._med) * 10000.0 + 0.5) / 10000.0) AS median_value,
+       (floor(max(m._mad) * 10000.0 + 0.5) / 10000.0) AS mad,
+       sum(CASE WHEN d._ad > 3.0 * 1.4826 * m._mad THEN 1 ELSE 0 END)::BIGINT
+         AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+""",
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import stable_round
+
+    ev = load_table(spark, "events", sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("_med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "_med",
+        F.abs(F.col("value") - F.col("_med")).alias("_ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("_ad"), F.lit(0.5)).alias("_mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            stable_round(F.max("_med"), 4).alias("median_value"),
+            stable_round(F.max("_mad"), 4).alias("mad"),
+            F.sum(
+                F.when(F.col("_ad") > 3.0 * 1.4826 * F.col("_mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
