@@ -863,3 +863,57 @@ def brand_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.stddev_samp("p_retailprice") / F.avg("p_retailprice"), 4
         ).alias("cv"),
     )
+
+
+@register(
+    "nation_share_of_region",
+    doc="Percent-of-parent rollup: each nation's revenue share within "
+    "its region (window-over-aggregate, per-mille integer shares, "
+    "exact integer-cents revenue units). The share window runs over "
+    "the nation-level frame.",
+    oracle="""
+WITH nrev AS (
+  SELECT n.n_regionkey, n.n_name AS nation,
+         sum(floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+             * floor((1 - l.l_discount) * 100 + 0.5)::BIGINT) AS units
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_regionkey, n.n_name
+)
+SELECT r.r_name AS region, nrev.nation,
+       (floor(nrev.units / 10000.0 * 100.0 + 0.5) / 100.0) AS revenue,
+       (nrev.units * 1000 // sum(nrev.units) OVER (PARTITION BY nrev.n_regionkey))::BIGINT
+         AS share_permille
+FROM nrev JOIN region r ON nrev.n_regionkey = r.r_regionkey
+""",
+)
+def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import stable_round
+
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    units = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long") * F.floor(
+        (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    nrev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", F.col("n_name").alias("nation"))
+        .agg(F.sum(units).alias("units"))
+    )
+    w = Window.partitionBy("n_regionkey")
+    return (
+        nrev.join(F.broadcast(r), nrev.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            "nation",
+            stable_round(F.col("units") / 10000.0, 2).alias("revenue"),
+            F.expr(
+                "cast(units * 1000 div (sum(units) over"
+                " (partition by n_regionkey)) as bigint)"
+            ).alias("share_permille"),
+        )
+    )
