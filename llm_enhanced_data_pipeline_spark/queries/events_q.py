@@ -1103,3 +1103,41 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@register(
+    "events_weekday_weekend_mix",
+    doc="Weekday vs weekend volume mix per event type (epoch-day "
+    "modulo-7 arithmetic; 1970-01-01 was a Thursday, so day%7 in "
+    "{2,3} is the weekend — timezone-free on both engines), with the "
+    "weekend share per-mille.",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type,
+         CASE WHEN ((epoch_ns(ts) // {24 * NS_PER_HOUR}) % 7) IN (2, 3)
+              THEN 1 ELSE 0 END AS is_weekend
+  FROM events
+)
+SELECT event_type,
+       sum(1 - is_weekend)::BIGINT AS n_weekday,
+       sum(is_weekend)::BIGINT AS n_weekend,
+       (sum(is_weekend) * 1000 // count(*))::BIGINT AS weekend_permille
+FROM d GROUP BY event_type
+""",
+)
+def events_weekday_weekend_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    is_weekend = F.when(
+        F.expr(f"(ts div {24 * NS_PER_HOUR}) % 7").isin(2, 3), 1
+    ).otherwise(0)
+    return (
+        ev.select("event_type", is_weekend.alias("is_weekend"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(1 - F.col("is_weekend")).cast("bigint").alias("n_weekday"),
+            F.sum("is_weekend").cast("bigint").alias("n_weekend"),
+            F.expr(
+                "cast(sum(is_weekend) * 1000 div count(*) as bigint)"
+            ).alias("weekend_permille"),
+        )
+    )
