@@ -1141,3 +1141,47 @@ def events_weekday_weekend_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weekend_permille"),
         )
     )
+
+
+@register(
+    "top_engaged_users",
+    doc="Top-20 users by events-per-active-day: lifetime span, volume, "
+    "and the integer-scaled engagement rate with a total tie-break — "
+    "the power-user listing. One keyed aggregation + TakeOrdered.",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         count(*)::BIGINT AS n_events,
+         (max(epoch_ns(ts) // {24 * NS_PER_HOUR})
+          - min(epoch_ns(ts) // {24 * NS_PER_HOUR}) + 1)::BIGINT AS span_days,
+         count(DISTINCT epoch_ns(ts) // {24 * NS_PER_HOUR})::BIGINT AS active_days
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events, span_days, active_days,
+       (n_events * 1000 // active_days)::BIGINT AS events_per_day_milli
+FROM u
+ORDER BY events_per_day_milli DESC, user_id ASC
+LIMIT 20
+""",
+)
+def top_engaged_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    day = F.expr(f"ts div {24 * NS_PER_HOUR}")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max(day) - F.min(day) + 1).cast("bigint").alias("span_days"),
+        F.countDistinct(day).cast("bigint").alias("active_days"),
+    )
+    return (
+        u.select(
+            "user_id",
+            "n_events",
+            "span_days",
+            "active_days",
+            F.expr("cast(n_events * 1000 div active_days as bigint)").alias(
+                "events_per_day_milli"
+            ),
+        )
+        .orderBy(F.col("events_per_day_milli").desc(), F.col("user_id").asc())
+        .limit(20)
+    )

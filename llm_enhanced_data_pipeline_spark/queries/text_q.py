@@ -1324,3 +1324,45 @@ def tier_by_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(n_docs * 1000 div _t as bigint)").alias("share_permille"),
         )
     )
+
+
+@register(
+    "documents_dq_report",
+    doc="Data-quality constraint report for the documents table: "
+    "null/empty text, n_chars disagreeing with length(text), "
+    "duplicate doc_ids, out-of-vocabulary lang codes — the ingest "
+    "contract check (documents twin of dq_constraint_report).",
+    oracle="""
+SELECT
+  count(*)::BIGINT AS n_rows,
+  sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)::BIGINT AS n_empty_text,
+  sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)::BIGINT AS n_chars_mismatch,
+  (count(*) - count(DISTINCT doc_id))::BIGINT AS n_dup_ids,
+  sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END)::BIGINT
+    AS n_unknown_lang
+FROM documents
+""",
+)
+def documents_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(
+            F.when(F.col("text").isNull() | (F.col("text") == ""), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_empty_text"),
+        F.sum(F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_chars_mismatch"),
+        (F.count(F.lit(1)) - F.countDistinct("doc_id"))
+        .cast("bigint")
+        .alias("n_dup_ids"),
+        F.sum(
+            F.when(~F.col("lang").isin("en", "de", "fr", "es", "zh"), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_unknown_lang"),
+    )
