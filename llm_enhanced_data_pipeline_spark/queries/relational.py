@@ -917,3 +917,69 @@ def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_permille"),
         )
     )
+
+
+@register(
+    "tax_incidence_by_flag",
+    doc="Effective tax incidence by return flag and line status: "
+    "charged tax in exact integer basis-point units over the "
+    "integer-cents base — covers the one lineitem column (l_tax) no "
+    "other gate reads. One keyed aggregation.",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*)::BIGINT AS n_items,
+       (floor(sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+                  * floor(l_tax * 10000 + 0.5)::BIGINT) / 1000000.0 * 100.0 + 0.5)
+        / 100.0) AS tax_charged,
+       (sum(floor(l_tax * 10000 + 0.5)::BIGINT) * 100 // count(*))::BIGINT
+         AS avg_tax_bp_x100
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tax_incidence_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import stable_round
+
+    li = load_table(spark, "lineitem", sf_dir)
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    tax_bp = F.floor(F.col("l_tax") * 10000 + 0.5).cast("long")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        stable_round(F.sum(cents * tax_bp) / 1000000.0, 2).alias("tax_charged"),
+        F.expr(
+            "cast(sum(cast(floor(l_tax * 10000 + 0.5) as bigint)) * 100"
+            " div count(*) as bigint)"
+        ).alias("avg_tax_bp_x100"),
+    )
+
+
+@register(
+    "order_status_mix_by_year",
+    doc="Order-status mix per order year: counts and per-mille shares "
+    "— the fulfillment-health trend view. One aggregation + a year-"
+    "keyed share join.",
+    oracle="""
+WITH y AS (
+  SELECT year(CAST(o_orderdate AS DATE))::BIGINT AS order_year,
+         o_orderstatus, count(*)::BIGINT AS n_orders
+  FROM orders GROUP BY 1, 2
+),
+tot AS (SELECT order_year, sum(n_orders)::BIGINT AS _t FROM y GROUP BY 1)
+SELECT y.order_year, y.o_orderstatus, y.n_orders,
+       (y.n_orders * 1000 // t._t)::BIGINT AS share_permille
+FROM y JOIN tot t USING (order_year)
+""",
+)
+def order_status_mix_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    y = o.groupBy(
+        F.year(F.to_date("o_orderdate")).cast("long").alias("order_year"),
+        "o_orderstatus",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    tot = y.groupBy("order_year").agg(F.sum("n_orders").alias("_t"))
+    return y.join(F.broadcast(tot), "order_year").select(
+        "order_year",
+        "o_orderstatus",
+        "n_orders",
+        F.expr("cast(n_orders * 1000 div _t as bigint)").alias("share_permille"),
+    )
