@@ -305,8 +305,10 @@ def gini_of_counts(
 
     Exact formula over the ascending-sorted counts:
     G = (2 * sum(i * x_i)) / (n * sum(x)) - (n + 1) / n, with i the
-    1-based rank. Every product is integer (rank x count), so the only
-    float step is the final division — engine-exact at any scale.
+    1-based rank. Every product is integer (rank x count) carried in
+    decimal(38,0) — matching DuckDB's BIGINT-sum-promotes-to-HUGEINT
+    semantics rather than Spark's silently-wrapping int64 — so the only
+    float step is the final division, engine-exact at any scale.
 
     Scale shape: one rank window over the keys frame (keys, not rows)
     + one reduction. Tie-break on the key keeps ranks deterministic;
@@ -318,12 +320,18 @@ def gini_of_counts(
     w = Window.orderBy(F.col(count_col).asc(), F.col(key_col).asc())
     ranked = counts.withColumn("_i", F.row_number().over(w))
     n = F.count(F.lit(1))
-    tot = F.sum(count_col)
+    tot = F.sum(F.col(count_col).cast("decimal(38,0)"))
+    # decimal(38,0) products: DuckDB's sum over BIGINT promotes to
+    # HUGEINT while Spark's int64 sum wraps silently in non-ANSI mode —
+    # the decimal lane keeps both engines exact once rank*count or
+    # n_keys*total exceeds int64 (same trick as apportion_budget)
+    sum_ic = F.sum(F.col("_i").cast("decimal(38,0)") * F.col(count_col))
     return ranked.agg(
         n.cast("bigint").alias("n_keys"),
         tot.cast("bigint").alias("total"),
         stable_round(
-            (2.0 * F.sum(F.col("_i") * F.col(count_col))) / (n * tot)
+            (F.lit(2.0) * sum_ic.cast("double"))
+            / (n.cast("decimal(38,0)") * tot).cast("double")
             - (n + 1) / n.cast("double"),
             6,
         ).alias("gini"),

@@ -1059,7 +1059,15 @@ def heaps_fit_by_domain(
             F.coalesce(F.col("_n_new"), F.lit(0)).alias("_n_new"),
         )
     )
-    w = Window.partitionBy("domain").orderBy("_id")
+    # explicit ROWS frame: Spark's default for an ordered window is RANGE
+    # UNBOUNDED..CURRENT, which folds in all ORDER-BY tie peers — the SQL
+    # twin pins ROWS, so the engines' curves would diverge if (domain,
+    # doc_id) were ever non-unique
+    w = (
+        Window.partitionBy("domain")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     curves = (
         per_doc.withColumn("_N", F.sum("_n_toks").over(w))
         .withColumn("_V", F.sum("_n_new").over(w))

@@ -861,9 +861,11 @@ FROM halves
 def events_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     bounds = ev.agg(
-        (
-            F.min("ts") + F.floor((F.max("ts") - F.min("ts")) / 2).cast("long")
-        ).alias("mid")
+        # pure integer arithmetic (div, not double /): double division of
+        # epoch-nano longs loses integer exactness past 2^53 ns (~104 days
+        # of range) and would silently diverge from the oracle's `// 2`;
+        # both operands are non-negative so trunc-div == floor-div
+        F.expr("min(ts) + (max(ts) - min(ts)) div 2").cast("long").alias("mid")
     )
     halves = (
         ev.crossJoin(F.broadcast(bounds))

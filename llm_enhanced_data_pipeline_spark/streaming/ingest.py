@@ -94,16 +94,22 @@ def incremental_ingest_stream(
 #
 # Crash-safety across the TWO appends (no transaction spans them):
 # the INDEX is appended first, and the screen ignores index rows
-# carrying the current batch's own doc_ids. Either crash window then
-# replays cleanly: (a) crash before the index append — nothing
-# written, plain replay; (b) crash between the appends — the corpus
-# store is unchanged so the fp-anti-join re-admits the batch, the
-# self-id filter stops the half-written index rows from rejecting
-# their own documents, decisions replay identically, and the only
-# residue is duplicate index ROWS, which the screen's (batch id,
-# index id) pair-dedup makes harmless. Dropping the index rows of an
-# ACCEPTED doc (the failure the store-first order had) can no longer
-# happen.
+# matching the current batch's own (doc_id, fp) pairs. Either crash
+# window then replays cleanly: (a) crash before the index append —
+# nothing written, plain replay; (b) crash between the appends — the
+# corpus store is unchanged so the fp-anti-join re-admits the batch,
+# the self-pair filter stops the half-written index rows from
+# rejecting their own documents, decisions replay identically, and
+# the only residue is duplicate index ROWS, which the screen's
+# (batch id, index id) pair-dedup makes harmless. Dropping the index
+# rows of an ACCEPTED doc (the failure the store-first order had)
+# can no longer happen.
+#
+# The exclusion keys on the PAIR, not the bare doc_id: a doc_id
+# legitimately reused by a later batch with edited text carries a
+# different fp, so its prior version's index rows survive the filter
+# and the edit IS screened against them (bare-id exclusion silently
+# skipped that screen and was the one hole in the replay story).
 
 
 def near_dup_index_store(spark: SparkSession, path: str) -> ParquetCheckpoint:
@@ -132,11 +138,21 @@ def make_near_dup_ingest_batch_fn(
         if idx is None:
             accepted_ids = grouped.select("doc_id")
         else:
-            # drop index rows carrying this batch's own ids: residue of
-            # a torn previous attempt must not reject its own documents
-            idx = idx.join(
-                first.select(F.col("doc_id")), "doc_id", "left_anti"
-            )
+            # drop index rows matching this batch's own (doc_id, fp)
+            # pairs: residue of a torn previous attempt must not reject
+            # its own documents. Keying on the pair (not bare doc_id)
+            # keeps the PRIOR version's rows when a doc_id is reused
+            # with edited text, so the edit is screened against it.
+            # Pre-fp index vintages lack the column; for those the
+            # exclusion degrades to bare-id (the old contract).
+            if "fp" in idx.columns:
+                idx = idx.join(
+                    first.select("doc_id", "fp"), ["doc_id", "fp"], "left_anti"
+                )
+            else:
+                idx = idx.join(
+                    first.select(F.col("doc_id")), "doc_id", "left_anti"
+                )
             report = dedup.near_dup_against_index(
                 grouped, idx, "doc_id", threshold=threshold
             )
@@ -150,9 +166,15 @@ def make_near_dup_ingest_batch_fn(
             "doc_id",
             "left_semi",
         )
+        # Index rows carry the content fp so a torn replay can be
+        # recognized by (doc_id, fp) pair, not bare id (see module
+        # note). min(fp) per id is deterministic for the pathological
+        # same-id-two-texts batch (minhash_grouped already merges those
+        # into one signature row).
+        fp_by_id = first.groupBy("doc_id").agg(F.min("fp").alias("fp"))
         to_index = dedup.minhash_index(
             grouped.join(accepted_ids, "doc_id", "left_semi"), "doc_id"
-        )
+        ).join(fp_by_id, "doc_id")
         # Pin BOTH outputs before the first append: writing to a path
         # invalidates every cached plan that scans it (Spark refreshes
         # and uncaches by path on insert), so a lazy frame would

@@ -383,10 +383,10 @@ def test_near_dup_ingest_stream_rejects_fuzzy_recrawls(spark, tmp_path):
 
 def test_near_dup_ingest_survives_torn_index_append(spark, tmp_path):
     """Crash-window contract: the index is appended BEFORE the corpus
-    store, and the screen ignores index rows carrying the batch's own
-    ids — so a batch whose index rows landed but whose corpus append
-    did not is re-admitted on replay instead of rejecting itself, and
-    leaves no leaked localCheckpoint blocks behind."""
+    store, and the screen ignores index rows matching the batch's own
+    (doc_id, fp) pairs — so a batch whose index rows landed but whose
+    corpus append did not is re-admitted on replay instead of rejecting
+    itself, and leaves no leaked localCheckpoint blocks behind."""
     from llm_enhanced_data_pipeline_spark.operators import dedup
     from llm_enhanced_data_pipeline_spark.streaming import ingest as ig
 
@@ -399,15 +399,23 @@ def test_near_dup_ingest_survives_torn_index_append(spark, tmp_path):
     )
     process(b1, 1)
 
-    # simulate the torn window for a NOVEL doc: index rows written,
+    # simulate the torn window for a NOVEL doc: index rows written
+    # (carrying fp, exactly as the real first attempt writes them),
     # corpus append lost
     novel = "one two three four five six seven eight nine"
     b2 = spark.createDataFrame([Row(doc_id=20, text=novel)])
+    b2k = b2.withColumn(
+        "fp", dedup.content_hash(F.coalesce(F.col("text"), F.lit("")))
+    )
     g = dedup.minhash_grouped(
-        b2.withColumn("toks", dedup.tokens(F.col("text"))),
+        b2k.withColumn("toks", dedup.tokens(F.col("text"))),
         "doc_id", "toks", shingle_n=3,
     )
-    index_store.append(dedup.minhash_index(g, "doc_id"))
+    index_store.append(
+        dedup.minhash_index(g, "doc_id").join(
+            b2k.select("doc_id", "fp"), "doc_id"
+        )
+    )
     dedup.release_caches()
     assert {r.doc_id for r in store.load().collect()} == {0}  # torn state
 
@@ -422,3 +430,38 @@ def test_near_dup_ingest_survives_torn_index_append(spark, tmp_path):
     b3 = spark.createDataFrame([Row(doc_id=30, text=novel + " ten")])
     process(b3, 3)
     assert {r.doc_id for r in store.load().collect()} == {0, 20}
+
+
+def test_near_dup_ingest_screens_reused_doc_id_against_prior(spark, tmp_path):
+    """doc_id reuse contract (ADVICE r5): the torn-replay self-exclusion
+    keys on (doc_id, fp), so a doc_id legitimately reused by a later
+    batch with EDITED text is still screened against its own prior
+    version — a lightly-edited resubmission under the same id is
+    rejected, while a wholly different text under the same id is
+    accepted and indexed alongside the prior version's rows."""
+    from llm_enhanced_data_pipeline_spark.streaming import ingest as ig
+
+    store = ig.corpus_store(spark, str(tmp_path / "corpus_store"))
+    index_store = ig.near_dup_index_store(spark, str(tmp_path / "band_index"))
+    process = ig.make_near_dup_ingest_batch_fn(store, index_store)
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    process(spark.createDataFrame([Row(doc_id=0, text=base)]), 1)
+    assert store.load().count() == 1
+
+    # same doc_id, lightly edited text (different fp): with bare-id
+    # exclusion this sailed through unscreened; the pair exclusion
+    # keeps the prior version's index rows and rejects the near-dup
+    process(spark.createDataFrame([Row(doc_id=0, text=base + " lambda")]), 2)
+    assert [r.text for r in store.load().collect()] == [base]
+
+    # same doc_id, wholly different text: accepted, and the band index
+    # now carries rows for BOTH versions (distinct fps) of the id
+    other = "one two three four five six seven eight nine ten"
+    process(spark.createDataFrame([Row(doc_id=0, text=other)]), 3)
+    assert {r.text for r in store.load().collect()} == {base, other}
+    assert index_store.load().select("fp").distinct().count() == 2
+
+    # and a fuzzy recrawl of EITHER version under a fresh id is rejected
+    process(spark.createDataFrame([Row(doc_id=9, text=other + " eleven")]), 4)
+    assert {r.text for r in store.load().collect()} == {base, other}
