@@ -46,6 +46,31 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+
+    # The shared MinHash signature/pair index (memoized per (session,
+    # sf_dir)) serves several headline queries. Build it as its OWN
+    # timed slot BEFORE the per-query loop so each consumer measures
+    # its marginal cost — otherwise the build lands on whichever
+    # consumer runs first and a real regression in the minhash path
+    # hides inside run-order attribution noise.
+    from llm_enhanced_data_pipeline_spark.queries import dedup_q
+
+    t0 = time.perf_counter()
+    try:
+        dedup_q.build_shared_minhash_index(spark, SF_DIR)
+        timings["shared_minhash_index_build"] = round(time.perf_counter() - t0, 4)
+        print(
+            f"# shared_minhash_index_build: "
+            f"{timings['shared_minhash_index_build']:.3f}s",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        errors["shared_minhash_index_build"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(
+            f"# shared_minhash_index_build: ERROR "
+            f"{errors['shared_minhash_index_build']}",
+            file=sys.stderr,
+        )
     for spec in bench_specs:
         t0 = time.perf_counter()
         try:
@@ -66,11 +91,27 @@ def main() -> None:
     # n_failed keep the surviving data comparable.
     total = round(sum(timings.values()), 4) if not errors else None
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # Round-over-round comparability: rounds 1-5 benched a 13-query set
+    # with the shared minhash build inside near_dup_pairs_minhash's
+    # slot. The 15-slot total above adds corpus_build_v4 +
+    # substring_dedup_apply; this subtotal (legacy 13 + the split-out
+    # build) is the number to diff against BENCH_r05's `value`.
+    legacy_names = {
+        "cosine_topk", "decontamination_report", "enrichment_join_5way",
+        "events_asof_join", "events_hourly_rollup", "flagship_pipeline",
+        "ivf_knn", "near_dup_pairs_minhash", "q1_pricing_summary",
+        "q3_shipping_priority", "q5_region_revenue", "text_clean_chain",
+        "training_data_pipeline", "shared_minhash_index_build",
+    }
+    legacy_total = round(
+        sum(v for k, v in timings.items() if k in legacy_names), 4
+    )
     payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "n_failed": len(errors),
+        "legacy_13slot_total": legacy_total if not errors else None,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -406,6 +406,7 @@ def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "substring_dedup_apply",
+    bench=True,
     doc="APPLY side of substring_dedup_spans: duplicated spans excised "
     "and documents reassembled from surviving tokens (Lee et al. "
     "ExactSubstr as a corpus transformation). Island explode is linear "
@@ -658,6 +659,7 @@ _V4_DOREMI_SQL = corpus.doremi_domain_weights_sql(
 
 @register(
     "corpus_build_v4",
+    bench=True,
     doc="Composite corpus build v4: substring dedup APPLIED at "
     "unaligned offsets (Lee et al. ExactSubstr) -> drop docs reduced "
     "below 10 tokens -> DoReMi reweighting over the CLEANED corpus -> "
