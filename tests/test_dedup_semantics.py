@@ -174,6 +174,41 @@ def test_connected_components_frees_superseded_checkpoint_blocks(spark):
         assert jmap() - before == set(), f"{fn.__name__} survived release_caches"
 
 
+def test_connected_components_reliable_checkpoint_mode_identical(spark, sf_dir, tmp_path):
+    """Production fault-tolerance knob: inside
+    dedup.reliable_checkpoints the CC loops swap localCheckpoint for
+    reliable DFS checkpoints (each round survives executor loss). Both
+    modes must converge to IDENTICAL components on the sf0.01 near-dup
+    graph, the reliable run must actually write checkpoint files, and
+    the session's checkpoint-dir setting must be restored afterwards
+    (including the unset state)."""
+    import os
+
+    from llm_enhanced_data_pipeline_spark.queries import dedup_q
+
+    pairs = dedup_q.build_shared_minhash_index(spark, sf_dir)
+    nodes = dedup_q._minhash_corpus(spark, sf_dir).select("doc_id")
+
+    for fn in (dedup.connected_components, dedup.connected_components_star):
+        local = {
+            (r.doc_id, r.component) for r in fn(nodes, pairs, "doc_id").collect()
+        }
+        ckpt_dir = str(tmp_path / f"ckpt_{fn.__name__}")
+        assert spark.sparkContext.getCheckpointDir() is None
+        with dedup.reliable_checkpoints(spark, ckpt_dir):
+            assert spark.sparkContext.getCheckpointDir() is not None
+            reliable = {
+                (r.doc_id, r.component)
+                for r in fn(nodes, pairs, "doc_id").collect()
+            }
+        assert spark.sparkContext.getCheckpointDir() is None  # restored
+        assert reliable == local
+        # the reliable run must have materialized rounds to the dir
+        n_files = sum(len(fs) for _, _, fs in os.walk(ckpt_dir))
+        assert n_files > 0, f"{fn.__name__} wrote no reliable checkpoints"
+    dedup.release_caches()
+
+
 def test_ivf_embedding_near_dup_matches_exact_and_avoids_cartesian(spark):
     """The IVF-bucketed scale path must (a) find the same pairs as the
     all-pairs ground truth on a clustered corpus, and (b) generate
