@@ -145,6 +145,80 @@ def test_embed_with_honors_batch_size_contract(spark):
     assert all(rows[i][2] == float(i + 1) for i in range(10))
 
 
+def test_vendored_transformer_embedder_properties():
+    """The vendored numpy transformer (384-d, fixed seeded weights) must
+    behave like a real encoder where the TF/hash fallbacks cannot:
+    deterministic across calls, ORDER-sensitive (attention + position
+    embeddings see sequence structure; bag-of-words cannot), and
+    batch-shape invariant (a text's vector must not depend on its batch
+    neighbors — pad keys carry exact-zero attention weight)."""
+    import numpy as np
+
+    from llm_enhanced_data_pipeline_spark.enrich.embedding import (
+        vendored_transformer_embedder,
+    )
+
+    embed = vendored_transformer_embedder()
+    texts = [
+        "deep learning for vision",
+        "vision for learning deep",  # same bag of words, different order
+        "graph neural networks operate on molecular structures",
+        "",
+    ]
+    out = embed(texts)
+    assert [len(v) for v in out] == [384] * 4
+    # unit norm for non-empty, zero vector for empty
+    for v in out[:3]:
+        assert abs(sum(x * x for x in v) ** 0.5 - 1.0) < 1e-4
+    assert out[3] == [0.0] * 384
+    # determinism: a fresh factory (fresh lazy weights) reproduces bits
+    out2 = vendored_transformer_embedder()(texts)
+    assert out == out2
+    # order sensitivity: permuted tokens give a genuinely different
+    # vector (cosine clearly below 1) — the hash/TF fallbacks tie here
+    cos = float(np.dot(out[0], out[1]))
+    assert cos < 0.999
+    # batch-shape invariance: same text alone vs inside a mixed batch
+    solo = embed([texts[2]])[0]
+    assert np.allclose(out[2], solo, atol=1e-5)
+
+
+def test_vendored_transformer_through_embed_with(spark):
+    """End-to-end adapter run at the reference's shape (384-d, batch 32)
+    through mapInPandas on real documents — the model builds lazily on
+    executors and the vectors come back Arrow-batched, partition-count
+    independent."""
+    import numpy as np
+
+    from llm_enhanced_data_pipeline_spark.enrich.embedding import (
+        embed_with,
+        vendored_transformer_embedder,
+    )
+    from llm_enhanced_data_pipeline_spark.tables import load_table
+
+    from .conftest import SMOKE_SF_DIR
+
+    docs = load_table(spark, "documents", SMOKE_SF_DIR).select("doc_id", "text")
+    out = embed_with(
+        docs, "doc_id", "text", vendored_transformer_embedder(), batch_size=32
+    )
+    assert dict(out.dtypes) == {"doc_id": "bigint", "embedding": "array<float>"}
+    rows = {r.doc_id: list(r.embedding) for r in out.collect()}
+    assert len(rows) == docs.count()
+    assert all(len(v) == 384 for v in rows.values())
+    # partitioning must not change the vectors
+    rows8 = {
+        r.doc_id: list(r.embedding)
+        for r in embed_with(
+            docs.repartition(8), "doc_id", "text",
+            vendored_transformer_embedder(), batch_size=32,
+        ).collect()
+    }
+    sample = list(rows)[:5]
+    for k in sample:
+        assert np.allclose(rows[k], rows8[k], atol=1e-5)
+
+
 def test_sentence_transformer_embedder_is_cleanly_gated():
     import pytest as _pytest
 
