@@ -28,12 +28,14 @@ PII_PATTERNS: dict[str, str] = {
     "credit_card_like": r"\b(?:[0-9]{4}[ -]?){3}[0-9]{4}\b",
 }
 
-# family → risk weight for the max-risk rollup (critical families first)
+# family → risk level, matching the reference's per-family ladder
+# exactly (provenance_compliance.py:192-217: email/phone high,
+# ip_address medium, credentials/ssn/credit-card critical)
 PII_RISK: dict[str, str] = {
-    "email": "medium",
-    "phone": "medium",
+    "email": "high",
+    "phone": "high",
     "credentials_in_url": "critical",
-    "ip_address": "low",
+    "ip_address": "medium",
     "ssn_like": "critical",
     "credit_card_like": "critical",
 }
@@ -47,9 +49,12 @@ def pii_counts(text: Column) -> dict[str, Column]:
 
 
 def pii_risk(counts: dict[str, Column]) -> Column:
-    """Max risk across matched families (provenance_compliance.py:243-258)."""
+    """Max risk across matched families, floored at 'low' for clean
+    documents — the reference's exact rollup
+    (provenance_compliance.py:246-258: ``risk_assessment = 'low'``
+    when nothing matched, else the max family level)."""
     rank = {r: i for i, r in enumerate(RISK_ORDER)}
-    risk_idx = F.lit(0)
+    risk_idx = F.lit(rank["low"])
     for name, cnt in counts.items():
         fam_idx = rank[PII_RISK[name]]
         risk_idx = F.when(cnt > 0, F.greatest(risk_idx, F.lit(fam_idx))).otherwise(risk_idx)
