@@ -35,11 +35,19 @@ vocab AS (
 
 
 def _tf_embeddings(
-    spark: SparkSession, sf_dir: str, rounded: bool = True
+    spark: SparkSession, sf_dir: str, rounded: bool = True, storage: str = "double"
 ) -> DataFrame:
-    """(doc_id, embedding array<double>) — L2-normalized TF over the
-    top-K vocab. Vocab build and doc×vocab counts are both hash
-    aggregates; the vector assembles from a position map (no pivot)."""
+    """(doc_id, embedding) — L2-normalized TF over the top-K vocab.
+    Vocab build and doc×vocab counts are both hash aggregates; the
+    vector assembles from a position map (no pivot).
+
+    ``storage`` picks the element dtype of the RETURNED vector:
+    ``"double"`` (default, oracle-exact math end to end) or
+    ``"float"`` — the 100 TB store layout (half the footprint /
+    shuffle bytes of the R3 vector store; the synthetic embeddings
+    table already ships float32). Similarity consumers widen back to
+    double element-wise (operators/vector.py), so float storage
+    changes only the persisted precision, never the math lane."""
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
         "doc_id", F.explode(cleaning.tokens(F.col("text"))).alias("_tok")
@@ -74,6 +82,10 @@ def _tf_embeddings(
     emb = (
         F.transform(normalized, lambda x: F.round(x, 6)) if rounded else normalized
     )
+    if storage == "float":
+        emb = F.transform(emb, lambda x: x.cast("float"))
+    elif storage != "double":
+        raise ValueError(f"storage must be 'double' or 'float', got {storage!r}")
     return (
         with_all.withColumn("_raw", raw_vec)
         .withColumn("embedding", emb)
@@ -332,4 +344,70 @@ def vendored_transformer_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
                 "embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x
             ) * 1000 + F.lit(0.5)
         ).cast("long").alias("sq_norm_milli"),
+    )
+
+
+@register(
+    "tf_embedding_search_f32",
+    doc="R3/R4 at the 100 TB store layout: the SAME retrieval as "
+    "tf_embedding_search but over a float32 vector store (normalized "
+    "in double, stored as array<float> — half the footprint and "
+    "shuffle bytes — widened back to double only inside the rounded "
+    "similarity expr). Oracle replicates the double->float32->double "
+    "round-trip bit-for-bit (both engines are IEEE-754 nearest-even).",
+    oracle=f"""
+WITH {_VOCAB_SQL},
+counts AS (
+  SELECT doc_id, v.pos, count(*) AS n
+  FROM (SELECT doc_id, unnest({_TOKS}) AS _tok FROM documents) t
+  JOIN vocab v ON v._tok = t._tok
+  GROUP BY doc_id, v.pos
+),
+ent AS (
+  SELECT doc_id, list({{'pos': pos, 'n': n}}) AS es FROM counts GROUP BY doc_id
+),
+vecs AS (
+  SELECT d.doc_id,
+         list_transform(range(0, {VOCAB_K}), _i ->
+           coalesce(list_sum(list_transform(list_filter(e.es, _e -> _e.pos = _i), _e -> _e.n)), 0)::DOUBLE
+         ) AS v
+  FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
+),
+normed AS (
+  SELECT doc_id,
+         CASE WHEN sqrt(list_sum(list_transform(v, _x -> _x * _x))::DOUBLE) > 0
+              THEN list_transform(v, _x ->
+                     (_x / sqrt(list_sum(list_transform(v, _y -> _y * _y))::DOUBLE))::FLOAT)
+              ELSE list_transform(v, _x -> _x::FLOAT) END AS fv
+  FROM vecs
+),
+q AS (SELECT fv AS qv FROM normed WHERE doc_id = 0),
+scored AS (
+  SELECT normed.doc_id,
+         round((CASE WHEN (sqrt(list_sum(list_transform(normed.fv, _x -> _x::DOUBLE * _x::DOUBLE))::DOUBLE)
+                           * sqrt(list_sum(list_transform(q.qv, _x -> _x::DOUBLE * _x::DOUBLE))::DOUBLE)) > 0
+             THEN list_sum(list_transform(range(1, len(normed.fv) + 1),
+                      _i -> normed.fv[_i]::DOUBLE * q.qv[_i]::DOUBLE))::DOUBLE
+                  / (sqrt(list_sum(list_transform(normed.fv, _x -> _x::DOUBLE * _x::DOUBLE))::DOUBLE)
+                     * sqrt(list_sum(list_transform(q.qv, _x -> _x::DOUBLE * _x::DOUBLE))::DOUBLE))
+             ELSE 0.0 END), 6) AS sim
+  FROM normed CROSS JOIN q WHERE normed.doc_id <> 0
+)
+SELECT doc_id, sim FROM scored ORDER BY sim DESC, doc_id ASC LIMIT 5
+""",
+)
+def tf_embedding_search_f32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _tf_embeddings(spark, sf_dir, rounded=False, storage="float")
+    q = store.filter(F.col("doc_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        store.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.round(
+                vector.cosine_similarity(F.col("embedding"), F.col("qv")), 6
+            ).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("doc_id").asc())
+        .limit(5)
     )

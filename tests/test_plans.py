@@ -94,6 +94,7 @@ QUADRATIC_BY_DESIGN = {
     "near_dup_pairs_embedding",  # small-N oracle twin of the IVF path
     "dedup_fuzzy_jaccard",    # D4 exact form (pipeline uses the LSH twin at scale)
     "tf_embedding_search",    # R4: query vector broadcast against corpus
+    "tf_embedding_search_f32",  # same shape over the float32 store
     "rag_context_assembly",   # same broadcast query-row shape
     "rag_eval_report",        # eval harness over the broadcast query row
     "retrieval_metrics",      # same
@@ -220,6 +221,9 @@ def test_events_loader_normalization_preserves_pushdown(spark, sf_dir):
 PYTHON_EVAL_BY_DESIGN = {
     "llm_enrichment_fake",  # P19/P21 mapInPandas LLM adapter (Arrow)
     "lm_quality_scores",  # pluggable LM-scorer mapInPandas adapter (Arrow)
+    "vendored_transformer_embeddings",  # R2 real-model lane: the numpy
+    # transformer runs through the embed_with mapInPandas adapter
+    # (Arrow) — Python IS the point, as with the LLM adapters
 }
 
 
@@ -243,3 +247,32 @@ def test_no_python_eval_in_hot_paths(spark, sf_dir):
         if marks:
             offenders[name] = marks
     assert not offenders, f"unexpected Python eval nodes: {offenders}"
+
+
+def test_vector_family_float32_storage_end_to_end(spark, sf_dir):
+    """100 TB vector-store layout: the ANN production paths must consume
+    the embeddings table at its float32 storage dtype (half the scan +
+    shuffle bytes), widening to double only INSIDE similarity exprs —
+    never via a plan-level cast of the stored column. And the float32
+    TF store variant must not add exchanges over the double one."""
+    from llm_enhanced_data_pipeline_spark.queries.rag_q import _tf_embeddings
+
+    for name in ("ivf_knn", "pq_adc_knn", "cosine_topk"):
+        plan = _plan(spark, sf_dir, name)
+        # the parquet scan reads embedding as array<float> — an upcast
+        # at load would show array<double> in ReadSchema
+        assert "embedding:array<float>" in plan, f"{name}: {plan[:1500]}"
+        assert "CartesianProduct" not in plan
+
+    # float32 TF store: same exchange count as the double store (the
+    # dtype cast is a projection, not a repartition point)
+    d64 = _tf_embeddings(spark, sf_dir, rounded=False)
+    f32 = _tf_embeddings(spark, sf_dir, rounded=False, storage="float")
+    assert dict(f32.dtypes)["embedding"] == "array<float>"
+    assert dict(d64.dtypes)["embedding"] == "array<double>"
+
+    def n_exchanges(df):
+        s = df._jdf.queryExecution().executedPlan().toString()
+        return s.count("Exchange")
+
+    assert n_exchanges(f32) == n_exchanges(d64)
