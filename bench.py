@@ -55,22 +55,27 @@ def main() -> None:
     # hides inside run-order attribution noise.
     from llm_enhanced_data_pipeline_spark.queries import dedup_q
 
-    t0 = time.perf_counter()
-    try:
-        dedup_q.build_shared_minhash_index(spark, SF_DIR)
-        timings["shared_minhash_index_build"] = round(time.perf_counter() - t0, 4)
-        print(
-            f"# shared_minhash_index_build: "
-            f"{timings['shared_minhash_index_build']:.3f}s",
-            file=sys.stderr,
-        )
-    except Exception as exc:
-        errors["shared_minhash_index_build"] = f"{type(exc).__name__}: {exc}"[:500]
-        print(
-            f"# shared_minhash_index_build: ERROR "
-            f"{errors['shared_minhash_index_build']}",
-            file=sys.stderr,
-        )
+    if any(s.name in dedup_q.SHARED_MINHASH_CONSUMERS for s in bench_specs):
+        t0 = time.perf_counter()
+        try:
+            dedup_q.build_shared_minhash_index(spark, SF_DIR)
+            timings["shared_minhash_index_build"] = round(
+                time.perf_counter() - t0, 4
+            )
+            print(
+                f"# shared_minhash_index_build: "
+                f"{timings['shared_minhash_index_build']:.3f}s",
+                file=sys.stderr,
+            )
+        except Exception as exc:
+            errors["shared_minhash_index_build"] = (
+                f"{type(exc).__name__}: {exc}"[:500]
+            )
+            print(
+                f"# shared_minhash_index_build: ERROR "
+                f"{errors['shared_minhash_index_build']}",
+                file=sys.stderr,
+            )
     for spec in bench_specs:
         t0 = time.perf_counter()
         try:

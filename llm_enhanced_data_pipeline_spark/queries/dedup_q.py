@@ -296,6 +296,25 @@ def _shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame
 
 
+# Registered queries that consume the shared signature/pair index.
+# bench.py uses this to decide whether its explicit index-build slot is
+# needed for the benched set (and to skip it entirely under the fake
+# registries the bench-isolation tests inject).
+SHARED_MINHASH_CONSUMERS = frozenset(
+    {
+        "near_dup_pairs_minhash",
+        "dedup_minhash_survivors",
+        "near_dup_rate_by_source",
+        "near_dup_pairs_containment",
+        "incremental_near_dup",
+        "dedup_components",
+        "dup_cluster_size_histogram",
+        "dedup_components_keep_newest",
+        "training_data_pipeline",  # pipeline_q: two semi-joins on the index
+    }
+)
+
+
 def build_shared_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eagerly build (or return) the memoized per-(session, sf_dir)
     MinHash signature frame + verified pair index shared by the whole

@@ -77,3 +77,33 @@ def test_all_queries_broken_exits_nonzero(spark, monkeypatch, capsys):
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["queries"] == {}
     assert "only_broken" in payload["errors"]
+
+
+def test_shared_minhash_consumer_list_is_tight():
+    """The explicit index-build slot is gated on this list; a renamed
+    consumer must fail here, not silently re-attach the build cost to
+    whichever query runs first. Source introspection keeps the list
+    honest in BOTH directions: every registered dedup_q/pipeline_q
+    query that touches the shared memo must be listed, and every
+    listed name must still be registered."""
+    import inspect
+    import re
+
+    from llm_enhanced_data_pipeline_spark.queries import REGISTRY, dedup_q, pipeline_q
+
+    for name in dedup_q.SHARED_MINHASH_CONSUMERS:
+        assert name in REGISTRY, f"{name} no longer registered"
+
+    # find registered query fns whose source references the shared memo
+    callers = set()
+    for name, spec in REGISTRY.items():
+        mod = inspect.getmodule(spec.fn)
+        if mod not in (dedup_q, pipeline_q):
+            continue
+        src = inspect.getsource(spec.fn)
+        if re.search(r"_shared_minhash_(pairs|grouped)", src):
+            callers.add(name)
+    assert callers == dedup_q.SHARED_MINHASH_CONSUMERS, (
+        f"consumer list drift: missing={callers - dedup_q.SHARED_MINHASH_CONSUMERS}, "
+        f"stale={dedup_q.SHARED_MINHASH_CONSUMERS - callers}"
+    )
