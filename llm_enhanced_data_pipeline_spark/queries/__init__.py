@@ -11,5 +11,6 @@ from . import (  # noqa: F401
     relational,
     text_q,
     vector_q,
+    web_q,
 )
 from .registry import REGISTRY, bench_queries, oracle_sql, queries  # noqa: F401

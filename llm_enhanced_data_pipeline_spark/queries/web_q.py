@@ -1,0 +1,201 @@
+"""Web-corpus hygiene queries: URL canonicalization / per-domain caps
+(operators/web.py) and the C4-style token-blocklist filter.
+
+The synthetic documents table carries no URL column, so the URL
+queries synthesize deterministic messy URLs from (source, doc_id) —
+five variants per page identity (case-shifted host, default port,
+utm params, fragment, trailing slash, http-vs-https) — in BOTH engines
+identically, the same in-query-synthesis pattern the compliance and C4
+gates use. The interesting part (and what the oracle checks) is the
+canonicalization algebra, not the fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import cleaning, web
+from ..operators.cleaning import tokens_sql
+from ..tables import load_table
+from .registry import register
+
+_TOKS = tokens_sql("text")
+
+# C4's bad-word filter drops any document containing a blocklisted
+# token (public C4 methodology; the published list is profanity — here
+# a neutral stand-in over the synthetic vocabulary, configurable).
+BLOCKLIST = ("dup", "slow")
+
+
+def _messy_url() -> F.Column:
+    """Deterministic messy URL per doc: variant m = doc_id % 5 over
+    page identity doc_id div 5. Variants 0/1/2 canonicalize to the
+    same URL; 3 keeps its id param; 4 is http (a distinct canonical)."""
+    page = F.expr("cast(doc_id div 5 as string)")
+    m = F.expr("doc_id % 5")
+    lo = F.concat(F.lit("https://www."), F.col("source"), F.lit(".com/p/"), page)
+    return (
+        F.when(m == 0, lo)
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("HTTPS://WWW."),
+                F.upper("source"),
+                F.lit(".COM:443/p/"),
+                page,
+                F.lit("/"),
+            ),
+        )
+        .when(m == 2, F.concat(lo, F.lit("?utm_source=feed&utm_medium=rss")))
+        .when(
+            m == 3,
+            F.concat(lo, F.lit("?id="), page, F.lit("&utm_campaign=x#frag")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://www."), F.col("source"), F.lit(".com:80/p/"),
+                page, F.lit("#top"),
+            )
+        )
+    )
+
+
+_MESSY_URL_SQL = """
+CASE doc_id % 5
+  WHEN 0 THEN 'https://www.' || source || '.com/p/' || (doc_id // 5)
+  WHEN 1 THEN 'HTTPS://WWW.' || upper(source) || '.COM:443/p/' || (doc_id // 5) || '/'
+  WHEN 2 THEN 'https://www.' || source || '.com/p/' || (doc_id // 5) || '?utm_source=feed&utm_medium=rss'
+  WHEN 3 THEN 'https://www.' || source || '.com/p/' || (doc_id // 5) || '?id=' || (doc_id // 5) || '&utm_campaign=x#frag'
+  ELSE 'http://www.' || source || '.com:80/p/' || (doc_id // 5) || '#top'
+END
+"""
+
+
+@register(
+    "url_canonical_report",
+    doc="URL canonicalization ahead of content dedup (Common-Crawl "
+    "practice): messy variants (case, default ports, utm params, "
+    "fragments, trailing slashes) collapse to canonical form; per "
+    "registered domain, raw-vs-canonical distinct counts and the "
+    "collapse rate. Pure string algebra — one scan, two hash aggs.",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id, ({_MESSY_URL_SQL}) AS url FROM documents
+),
+c AS (
+  SELECT doc_id, url, {web.canonicalize_url_sql("url")} AS curl FROM u
+)
+SELECT {web.registered_domain_sql("curl")} AS domain,
+       count(*)::BIGINT AS n_urls,
+       count(DISTINCT url)::BIGINT AS n_raw_distinct,
+       count(DISTINCT curl)::BIGINT AS n_canonical,
+       ((1000 * (count(DISTINCT url) - count(DISTINCT curl)))
+        // count(DISTINCT url))::BIGINT AS collapse_permille
+FROM c GROUP BY 1
+""",
+)
+def url_canonical_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    c = docs.select(
+        "doc_id",
+        _messy_url().alias("url"),
+    ).withColumn("curl", web.canonicalize_url(F.col("url")))
+    agg = c.groupBy(web.registered_domain(F.col("curl")).alias("domain")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+        F.countDistinct("url").cast("bigint").alias("n_raw_distinct"),
+        F.countDistinct("curl").cast("bigint").alias("n_canonical"),
+    )
+    return agg.select(
+        "domain",
+        "n_urls",
+        "n_raw_distinct",
+        "n_canonical",
+        F.expr(
+            "cast(1000 * (n_raw_distinct - n_canonical)"
+            " div n_raw_distinct as bigint)"
+        ).alias("collapse_permille"),
+    )
+
+
+@register(
+    "domain_cap_sample",
+    doc="Per-registered-domain document cap (bound any one site's "
+    "corpus share, C4/Gopher-era practice): keep the first 20 docs per "
+    "domain by doc_id, report kept/total per domain. One keyed window "
+    "+ one agg.",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id, ({_MESSY_URL_SQL}) AS url FROM documents
+),
+d AS (
+  SELECT doc_id,
+         {web.registered_domain_sql(web.canonicalize_url_sql("url"))} AS domain
+  FROM u
+),
+rk AS (
+  SELECT domain, doc_id,
+         row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS _rk
+  FROM d
+)
+SELECT domain,
+       count(*)::BIGINT AS n_total,
+       sum(CASE WHEN _rk <= 20 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       ((1000 * sum(CASE WHEN _rk <= 20 THEN 1 ELSE 0 END)) // count(*))::BIGINT
+         AS kept_permille
+FROM rk GROUP BY domain
+""",
+)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "doc_id",
+        web.registered_domain(web.canonicalize_url(_messy_url())).alias("domain"),
+    )
+    kept = web.cap_per_domain(d, "domain", [F.col("doc_id")], cap=20)
+    totals = d.groupBy("domain").agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    kepts = kept.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept")
+    )
+    return totals.join(kepts, "domain").select(
+        "domain",
+        "n_total",
+        "n_kept",
+        F.expr("cast(1000 * n_kept div n_total as bigint)").alias("kept_permille"),
+    )
+
+
+@register(
+    "blocklist_filter_report",
+    doc="C4-style token-blocklist filter: drop any document containing "
+    "a blocklisted token; per-source blocked counts and rate. One "
+    "arrays_overlap projection + one keyed agg — no explode, no "
+    "shuffle before the agg.",
+    oracle=f"""
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN list_has_any({_TOKS}, ['dup', 'slow']) THEN 1 ELSE 0 END)::BIGINT
+         AS n_blocked,
+       ((1000 * sum(CASE WHEN list_has_any({_TOKS}, ['dup', 'slow']) THEN 1 ELSE 0 END))
+        // count(*))::BIGINT AS blocked_permille
+FROM documents GROUP BY source
+""",
+)
+def blocklist_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    blocked = F.arrays_overlap(
+        cleaning.tokens(F.col("text")),
+        F.array(*[F.lit(w) for w in BLOCKLIST]),
+    )
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(blocked, 1).otherwise(0)).cast("bigint").alias("n_blocked"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_blocked",
+        F.expr("cast(1000 * n_blocked div n_docs as bigint)").alias(
+            "blocked_permille"
+        ),
+    )

@@ -1,0 +1,92 @@
+"""URL hygiene operators (operators/web.py): canonicalization algebra
+edge cases, registered-domain extraction, per-domain caps."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from llm_enhanced_data_pipeline_spark.operators import web
+
+
+def _canon(spark, urls: list[str]) -> list[str]:
+    df = spark.createDataFrame([Row(i=i, u=u) for i, u in enumerate(urls)])
+    rows = df.select("i", web.canonicalize_url(F.col("u")).alias("c")).collect()
+    return [r.c for r in sorted(rows, key=lambda r: r.i)]
+
+
+def test_canonicalize_url_edge_cases(spark):
+    got = _canon(
+        spark,
+        [
+            # case + default port + trailing slash + fragment collapse
+            "HTTPS://WWW.Site.COM:443/Path/Sub/#frag",
+            # utm params removed, real params kept in order
+            "https://site.com/p?utm_source=x&id=7&utm_medium=y&q=2",
+            # utm-only query drops the '?' entirely
+            "https://site.com/p?utm_campaign=only",
+            # :80 stripped on http, path case preserved
+            "http://Site.com:80/CaseSensitive",
+            # root path slash preserved (only non-root slashes strip)
+            "https://site.com/",
+            # no-op: already canonical
+            "https://site.com/p?id=1",
+            # non-default port kept
+            "https://site.com:8443/p/",
+        ],
+    )
+    assert got == [
+        "https://www.site.com/Path/Sub",
+        "https://site.com/p?id=7&q=2",
+        "https://site.com/p",
+        "http://site.com/CaseSensitive",
+        "https://site.com/",
+        "https://site.com/p?id=1",
+        "https://site.com:8443/p",
+    ]
+
+
+def test_canonicalize_collapses_messy_variants_for_dedup(spark):
+    variants = [
+        "https://www.site.com/p/9",
+        "HTTPS://WWW.SITE.COM:443/p/9/",
+        "https://www.site.com/p/9?utm_source=feed&utm_medium=rss",
+        "https://www.site.com/p/9#section-2",
+    ]
+    assert len(set(_canon(spark, variants))) == 1
+    # but scheme and real params are identity-bearing
+    differ = ["http://www.site.com/p/9", "https://www.site.com/p/9?id=1"]
+    assert len(set(_canon(spark, variants + differ))) == 3
+
+
+def test_registered_domain(spark):
+    df = spark.createDataFrame(
+        [
+            Row(i=0, u="https://a.b.site.co/x"),
+            Row(i=1, u="http://SITE.COM:8080/y?z=1"),
+            Row(i=2, u="https://localhost/x"),  # single label -> no match
+        ]
+    )
+    rows = {r.i: r.d for r in df.select(
+        "i", web.registered_domain(F.col("u")).alias("d")
+    ).collect()}
+    assert rows[0] == "site.co"
+    assert rows[1] == "site.com"
+    assert rows[2] == ""
+
+
+def test_cap_per_domain_keeps_first_k_deterministically(spark):
+    rows = [Row(domain="a.com", doc_id=i) for i in range(30)] + [
+        Row(domain="b.com", doc_id=i) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows)
+    kept = web.cap_per_domain(df, "domain", [F.col("doc_id")], cap=20)
+    got = {
+        d: sorted(r.doc_id for r in rs)
+        for d, rs in [
+            (d, [r for r in kept.collect() if r.domain == d])
+            for d in ("a.com", "b.com")
+        ]
+    }
+    assert got["a.com"] == list(range(20))  # first 20 by doc_id, exactly
+    assert got["b.com"] == list(range(5))  # under-cap domains untouched
