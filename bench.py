@@ -27,6 +27,24 @@ def main() -> None:
     bench_specs = sorted(
         (s for s in REGISTRY.values() if s.bench), key=lambda s: s.name
     )
+    def force(df) -> None:
+        """Force FULL execution including every output column. A bare
+        count() lets Catalyst prune unreferenced columns, so row-level
+        transforms (substring_dedup_apply's clean_text, text_clean
+        chains) were silently benched without their actual work.
+        bit_xor over a row hash genuinely consumes every column while
+        keeping the query's own plan (AQE, sort/limit shortcuts)
+        intact. Rejected alternatives, both measured: a noop-sink
+        write distorts final-stage shapes by up to 7x on aggregates;
+        count(xxhash64(cols)) gets optimized to count(*) because the
+        hash is non-nullable, silently restoring the pruning."""
+        from pyspark.sql import functions as F
+
+        df.select(
+            F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h")
+        ).collect()
+
+
     # Warm-up pass: run every benched query once at the smallest scale
     # factor so whole-stage-codegen compilation (plan-shape dependent,
     # data-size independent) happens OUTSIDE the timed runs. Cold-start
@@ -35,7 +53,7 @@ def main() -> None:
     warm_t0 = time.perf_counter()
     for spec in bench_specs:
         try:
-            spec.fn(spark, WARM_SF_DIR).count()
+            force(spec.fn(spark, WARM_SF_DIR))  # warm the SAME plan shape
         except Exception as exc:  # warm-up failure must not kill the bench
             print(f"# warm-up {spec.name} failed: {exc}", file=sys.stderr)
     print(
@@ -79,8 +97,7 @@ def main() -> None:
     for spec in bench_specs:
         t0 = time.perf_counter()
         try:
-            df = spec.fn(spark, SF_DIR)
-            n = df.count()  # forces full execution; result stays distributed
+            force(spec.fn(spark, SF_DIR))  # all columns, result stays distributed
         except Exception as exc:
             # One broken query must not zero the whole round's bench:
             # record the error, keep timing the rest.
@@ -88,7 +105,7 @@ def main() -> None:
             print(f"# {spec.name}: ERROR {errors[spec.name]}", file=sys.stderr)
             continue
         timings[spec.name] = round(time.perf_counter() - t0, 4)
-        print(f"# {spec.name}: {timings[spec.name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {spec.name}: {timings[spec.name]:.3f}s", file=sys.stderr)
 
     # A failed query means the headline total covers FEWER queries than
     # previous rounds — a partial sum would read as a fake speedup. Null

@@ -739,41 +739,49 @@ def remove_duplicated_spans(
     Returns (id, n_tokens, n_kept, clean_text) for EVERY input
     document; a fully-duplicated document survives with clean_text ''.
 
-    Scale shape: the shared island computation, then each island
-    explodes into exactly its dropped positions (linear in REMOVED
-    tokens, not tokens x islands), a left-anti equi-join on (id, pos)
-    against the position-exploded corpus, and a per-doc ordered
-    reassembly — all keyed on the id, never doc x doc.
+    Scale shape: the shared island computation, one per-doc island-list
+    aggregation (islands are FEW per doc by construction — they are
+    maximal merged spans), then excision as pure array algebra: the
+    kept text is the concatenation of the token slices BETWEEN islands
+    (zip_with over segment boundaries + slice + flatten), computed in a
+    single projection. No position explode, no (id, pos) anti-join, no
+    per-doc sort — the earlier shape paid a corpus-sized shuffle and a
+    collect_list sort for what is per-row array arithmetic.
     """
     islands = _dup_islands(df, id_col, token_col, k)
-    dropped = islands.select(
-        F.col(id_col),
-        F.explode(
-            F.sequence(F.col("_s"), F.col("_me") - 1)
-        ).alias("pos"),
+    isl_per_doc = islands.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_s").alias("s"), F.col("_me").alias("e")))
+        ).alias("_isl")
     )
-    toks = df.select(
-        F.col(id_col), F.posexplode(F.col(token_col)).alias("pos", "_tok")
-    ).withColumn("pos", F.col("pos").cast("bigint"))
-    kept = toks.join(dropped, [id_col, "pos"], "left_anti")
-    reassembled = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "_tok"))),
-                lambda s: s["_tok"],
+    j = df.select(F.col(id_col), F.col(token_col).alias("_toks")).join(
+        isl_per_doc, id_col, "left"
+    )
+    isl = F.coalesce(
+        F.col("_isl"), F.expr("cast(array() as array<struct<s:bigint,e:bigint>>)")
+    )
+    # kept segments: [0, isl[0].s), [isl[0].e, isl[1].s), ..., [last.e, n)
+    starts = F.concat(
+        F.array(F.lit(0).cast("bigint")), F.transform(isl, lambda i: i["e"])
+    )
+    ends = F.concat(
+        F.transform(isl, lambda i: i["s"]),
+        F.array(F.size("_toks").cast("bigint")),
+    )
+    kept = F.flatten(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.slice(
+                F.col("_toks"), (s + 1).cast("int"), (e - s).cast("int")
             ),
-            " ",
-        ).alias("clean_text"),
+        )
     )
-    base = df.select(
-        F.col(id_col), F.size(F.col(token_col)).cast("bigint").alias("n_tokens")
-    )
-    return base.join(reassembled, id_col, "left").select(
-        id_col,
-        "n_tokens",
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    return j.select(
+        F.col(id_col),
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.array_join(kept, " ").alias("clean_text"),
     )
 
 
@@ -878,11 +886,22 @@ def doremi_domain_weights(
     """
     from ..functions.rounding import stable_round
 
+    from . import dedup
+
     s = smoothing_permille / 1000.0
     tok = df.select(
         F.col(domain_col).alias("domain"), F.explode(F.col(token_col)).alias("_tok")
     )
     dt = tok.groupBy("domain", "_tok").agg(F.count(F.lit(1)).alias("_c_dt"))
+    # Materialize the (domain, token) count frame NOW: four branches
+    # (domain totals, token totals, corpus total, the KL terms) consume
+    # it, and each would otherwise re-run the token explode + shuffle —
+    # the operator's entire data-sized cost — once per branch (measured
+    # 4x at sf0.1; exchange reuse does not dedupe these shapes). The
+    # frame itself is vocab x domains rows, trivially cacheable at any
+    # corpus size; released via dedup.release_caches.
+    dt = dedup._persist_tracked(dt)
+    dt.count()
     d_tot = dt.groupBy("domain").agg(F.sum("_c_dt").alias("_n_d"))
     t_tot = dt.groupBy("_tok").agg(F.sum("_c_dt").alias("_c_t"))
     n_total = dt.agg(F.sum("_c_dt").alias("_n"))

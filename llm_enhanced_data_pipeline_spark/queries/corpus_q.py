@@ -685,6 +685,17 @@ def corpus_build_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select("doc_id", "lang"), "doc_id")
         .withColumn("ctoks", cleaning.tokens(F.col("clean_text")))
     )
+    # Pin the survivor frame: doremi's stats branches (token counts,
+    # domain totals, doc counts) each re-execute their input lineage,
+    # and surv's lineage is the full substring-dedup chain — uncached,
+    # the expensive excision ran once per branch (measured 3.9s -> ~2s
+    # at sf0.1). Materialize NOW: branches planned against a not-yet-
+    # built cache recompute the whole chain instead of reading it (the
+    # minhash_grouped lesson, operators/dedup.py). The frame is
+    # corpus-rows sized, tiny next to the position explode it caps;
+    # released via dedup.release_caches.
+    surv = dedup._persist_tracked(surv)
+    surv.count()
     weights = corpus.doremi_domain_weights(surv, "lang", "ctoks")
     return corpus.mixture_schedule(weights, 20_000)
 
