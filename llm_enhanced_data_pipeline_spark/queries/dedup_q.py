@@ -310,6 +310,7 @@ SHARED_MINHASH_CONSUMERS = frozenset(
         "dedup_components",
         "dup_cluster_size_histogram",
         "dedup_components_keep_newest",
+        "lsh_tuning_report",
         "training_data_pipeline",  # pipeline_q: two semi-joins on the index
     }
 )
@@ -955,4 +956,81 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return dedup.semdedup_survivors(
         emb, "vec_id", "embedding", k=8, iters=2, tau=0.35
+    )
+
+
+@register(
+    "lsh_tuning_report",
+    doc="LSH index-quality harness (the near-dup twin of "
+    "ann_recall_report): candidate-stage precision and true-pair "
+    "recall of the 16-hash/8-band MinHash scheme against exact "
+    "shingle-set Jaccard >= 0.8 ground truth on the augmented corpus. "
+    "The all-pairs ground-truth side is the quarantined eval baseline "
+    "(run on a sample at 100 TB); the candidate side is the production "
+    "banded equi-join. Theory check: banding collision prob at s=0.8 "
+    "is 1-(1-s^2)^8 ~ 0.99, so recall_permille should sit near 990+.",
+    oracle=_MINHASH_CTE
+    + """,
+ver AS (
+  SELECT p.id_a, p.id_b,
+         len(list_intersect(ta.toks, tb.toks))::DOUBLE
+           / len(list_distinct(ta.toks || tb.toks)) AS jac
+  FROM pairs p
+  JOIN t ta ON ta.doc_id = p.id_a
+  JOIN t tb ON tb.doc_id = p.id_b
+),
+truth AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+          / len(list_distinct(a.toks || b.toks)) >= 0.8
+)
+SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
+       (SELECT count(*) FROM pairs)::BIGINT AS n_candidates,
+       (SELECT count(*) FROM ver WHERE jac >= 0.8)::BIGINT AS n_hits,
+       ((1000 * (SELECT count(*) FROM ver WHERE jac >= 0.8))
+        // greatest((SELECT count(*) FROM pairs), 1))::BIGINT AS precision_permille,
+       ((1000 * (SELECT count(*) FROM ver WHERE jac >= 0.8))
+        // greatest((SELECT count(*) FROM truth), 1))::BIGINT AS recall_permille
+""",
+)
+def lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grouped = _shared_minhash_grouped(spark, sf_dir)
+    # candidate pairs with their verified jaccard (threshold=0 keeps
+    # every banded candidate, so the count measures the raw candidate
+    # stage the production threshold filters)
+    cand = dedup.near_dup_pairs_minhash(
+        _minhash_corpus(spark, sf_dir), "doc_id", "toks",
+        threshold=0.0, num_hashes=16, bands=8, shingle_n=3, grouped=grouped,
+    )
+    a = grouped.select(F.col("doc_id").alias("id_a"), F.col("_hset").alias("_aset"))
+    b = grouped.select(F.col("doc_id").alias("id_b"), F.col("_hset").alias("_bset"))
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(dedup.jaccard_token_sets(F.col("_aset"), F.col("_bset")) >= 0.8)
+        .select("id_a", "id_b")
+    )
+    stats = (
+        cand.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum(F.when(F.col("jaccard") >= 0.8, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .crossJoin(
+            F.broadcast(
+                truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+            )
+        )
+    )
+    return stats.select(
+        "n_true",
+        "n_candidates",
+        "n_hits",
+        F.expr(
+            "cast(1000 * n_hits div greatest(n_candidates, 1) as bigint)"
+        ).alias("precision_permille"),
+        F.expr(
+            "cast(1000 * n_hits div greatest(n_true, 1) as bigint)"
+        ).alias("recall_permille"),
     )

@@ -91,6 +91,9 @@ QUADRATIC_BY_DESIGN = {
     "knn_brute_force",        # named brute-force baseline (IVF/LSH are the scale paths)
     "cosine_topk",            # R4 quirk replication over a broadcast query row
     "near_dup_pairs_ngram",   # exact-Jaccard ground truth (size-band pruned)
+    "lsh_tuning_report",      # eval harness: all-pairs exact ground truth
+                              # side (sampled at 100 TB) vs the banded
+                              # candidate stage + broadcast 1-row totals
     "near_dup_pairs_embedding",  # small-N oracle twin of the IVF path
     "dedup_fuzzy_jaccard",    # D4 exact form (pipeline uses the LSH twin at scale)
     "tf_embedding_search",    # R4: query vector broadcast against corpus
