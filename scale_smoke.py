@@ -182,6 +182,18 @@ def run_at(spark: SparkSession, r: int) -> dict[str, float]:
     out["substring_spans"] = time_op(
         lambda: corpus.duplicated_spans(toked, "doc_id", "toks", k=8).count()
     )
+    # APPLY side: island aggregation + per-row array-slice excision.
+    # count() would prune the clean_text assembly, so force it through
+    # a row-hash reduction (same device as bench.py's force()).
+    out["substring_apply"] = time_op(
+        lambda: corpus.remove_duplicated_spans(toked, "doc_id", "toks", k=8)
+        .select(
+            F.bit_xor(
+                F.xxhash64("doc_id", "n_tokens", "n_kept", "clean_text")
+            ).alias("h")
+        )
+        .collect()
+    )
     # DoReMi reweighting: token shuffle + vocab-keyed join + D-row tail
     out["doremi"] = time_op(
         lambda: corpus.doremi_domain_weights(
