@@ -1062,3 +1062,121 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def eval_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return corpus.apportion_budget(docs, "lang", 100)
+
+
+@register(
+    "stratified_sample_exact",
+    doc="Exact-N stratified sample: exactly min(N, |stratum|) docs per "
+    "language, chosen by md5(doc_id) order — deterministic 'random' "
+    "that is reproducible across engines, partitionings, and reruns "
+    "(Bernoulli sampling gives only expected counts; eval sets and "
+    "ablations need exact ones). One keyed window.",
+    oracle="""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 30
+""",
+)
+def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 30)
+        .select("lang", "doc_id")
+    )
+
+
+_MIX_APPLY_DOREMI_SQL = corpus.doremi_domain_weights_sql(_TOKS, "lang")
+
+
+@register(
+    "mixture_apply",
+    doc="Materialize the DoReMi mixture schedule into an actual "
+    "selection: per-language token targets from mixture_schedule "
+    "(20k budget), docs taken in deterministic md5 order until each "
+    "domain's quota fills — the missing last step between 'training "
+    "plan' and 'training corpus'. Report: selected docs/tokens vs "
+    "target with fill rate; under-filled domains are the >1-epoch "
+    "upsampled minorities. One keyed prefix-sum window + a broadcast "
+    "D-row schedule join.",
+    oracle=f"""
+WITH sched AS ({corpus.mixture_schedule_sql(_MIX_APPLY_DOREMI_SQL, 20_000)}),
+d AS (
+  SELECT lang, doc_id, len({_TOKS})::BIGINT AS n_toks FROM documents
+),
+c AS (
+  SELECT lang, doc_id, n_toks,
+         sum(n_toks) OVER (PARTITION BY lang
+                           ORDER BY md5(doc_id::VARCHAR), doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+),
+selagg AS (
+  SELECT c.lang,
+         count(*)::BIGINT AS n_docs_selected,
+         sum(c.n_toks)::BIGINT AS n_tokens_selected
+  FROM c JOIN sched s ON s.domain = c.lang
+  WHERE c.cum <= s.target_tokens
+  GROUP BY c.lang
+)
+SELECT s.domain, s.target_tokens,
+       coalesce(a.n_docs_selected, 0)::BIGINT AS n_docs_selected,
+       coalesce(a.n_tokens_selected, 0)::BIGINT AS n_tokens_selected,
+       ((1000 * coalesce(a.n_tokens_selected, 0))
+        // greatest(s.target_tokens, 1))::BIGINT AS fill_permille
+FROM sched s LEFT JOIN selagg a ON a.lang = s.domain
+""",
+)
+def mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    weights = corpus.doremi_domain_weights(docs, "lang", "toks")
+    sched = corpus.mixture_schedule(weights, 20_000)
+    d = docs.select(
+        "lang", "doc_id", F.size("toks").cast("bigint").alias("n_toks")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_toks").over(w))
+    sel = c.join(
+        F.broadcast(
+            sched.select(F.col("domain").alias("lang"), "target_tokens")
+        ),
+        "lang",
+    ).filter(F.col("cum") <= F.col("target_tokens"))
+    selagg = sel.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_selected"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens_selected"),
+    )
+    return (
+        sched.select(F.col("domain"), "target_tokens")
+        .join(selagg.withColumnRenamed("lang", "domain"), "domain", "left")
+        .select(
+            "domain",
+            "target_tokens",
+            F.coalesce(F.col("n_docs_selected"), F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_selected"),
+            F.coalesce(F.col("n_tokens_selected"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens_selected"),
+            F.expr(
+                "cast(1000 * coalesce(n_tokens_selected, 0)"
+                " div greatest(target_tokens, 1) as bigint)"
+            ).alias("fill_permille"),
+        )
+    )

@@ -147,6 +147,9 @@ QUADRATIC_BY_DESIGN = {
                               # centroid frames on the index side
     "mixture_schedule",       # inherits doremi_domain_weights' 1-row
                               # corpus-total broadcast
+    "mixture_apply",          # same inherited 1-row broadcast; the
+                              # selection join is a broadcast D-row
+                              # schedule equi-join
     "corpus_build_v4",        # same inherited 1-row broadcast; the
                               # dedup/join stages are all equi
     "kmv_distinct_bigrams",   # broadcast 1-row sketch-estimate frame
