@@ -1180,3 +1180,113 @@ def mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fill_permille"),
         )
     )
+
+
+@register(
+    "top_repeated_ngrams",
+    doc="Boilerplate miner: the 5-gram windows repeated across the "
+    "most documents (headers, footers, licence blurbs — the spans "
+    "substring dedup will excise, surfaced as a triage report first). "
+    "One explode + one gram-keyed aggregation + top-20; never "
+    "doc x doc.",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                _i -> array_to_string(list_slice(toks, _i, _i + 4), ' '))) AS gram
+  FROM tk
+),
+agg AS (
+  SELECT gram,
+         count(*)::BIGINT AS n_occurrences,
+         count(DISTINCT doc_id)::BIGINT AS n_docs
+  FROM g GROUP BY gram
+)
+SELECT gram, n_docs, n_occurrences FROM agg
+ORDER BY n_docs DESC, n_occurrences DESC, gram ASC LIMIT 20
+""",
+)
+def top_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    g = docs.select(
+        "doc_id", F.explode(dedup.word_shingles(F.col("toks"), 5)).alias("gram")
+    )
+    agg = g.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    return (
+        agg.select("gram", "n_docs", "n_occurrences")
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occurrences").desc(), F.col("gram").asc()
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "quality_calibration_report",
+    doc="Score-calibration panel: heuristic quality-score deciles vs "
+    "the corpus-LM signal (unigram avg logprob) — do the two quality "
+    "lenses agree, and where do they diverge? Decile BOUNDARIES come "
+    "from the distributed exact percentile (Spark percentile == "
+    "DuckDB quantile_cont bit-for-bit, the iqr_outliers precedent) "
+    "and rows bucket by comparison against the broadcast 9-value "
+    "boundary list — a global ntile window would funnel every doc "
+    "through one task at scale. Boundary ties collapse into the "
+    "lower bucket identically in both engines.",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, {rounding.stable_round_sql(text_analysis.text_quality_score_sql(_TOKS), 6)} AS q
+  FROM documents
+),
+lp AS ({text_analysis.unigram_logprob_sql(_TOKS, "doc_id")}),
+j AS (
+  SELECT q.doc_id, q.q, lp.avg_logprob
+  FROM q JOIN lp USING (doc_id)
+),
+bounds AS (
+  SELECT quantile_cont(q, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+  FROM j
+),
+d AS (
+  SELECT j.*, 1 + len(list_filter(b.bs, _b -> j.q > _b)) AS decile
+  FROM j CROSS JOIN bounds b
+)
+SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_docs,
+       {rounding.stable_round_sql("avg(q)", 4)} AS avg_quality,
+       {rounding.stable_round_sql("avg(avg_logprob)", 4)} AS avg_lm_logprob
+FROM d GROUP BY decile
+""",
+)
+def quality_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    q = docs.select(
+        "doc_id",
+        rounding.stable_round(
+            text_analysis.text_quality_score(F.col("text")), 6
+        ).alias("q"),
+    )
+    lp = text_analysis.unigram_logprob_scores(docs, "doc_id", "toks")
+    j = q.join(lp.select("doc_id", "avg_logprob"), "doc_id")
+    bounds = j.agg(
+        F.expr(
+            "percentile(q, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))"
+        ).alias("bs")
+    )
+    d = j.crossJoin(F.broadcast(bounds)).withColumn(
+        "decile",
+        (
+            F.lit(1) + F.size(F.filter(F.col("bs"), lambda b: F.col("q") > b))
+        ).cast("bigint"),
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        rounding.stable_round(F.avg("q"), 4).alias("avg_quality"),
+        rounding.stable_round(F.avg("avg_logprob"), 4).alias("avg_lm_logprob"),
+    )

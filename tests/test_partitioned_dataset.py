@@ -28,3 +28,37 @@ def test_partitioned_write_and_pruned_read(spark, sf_dir, tmp_path):
     assert "isnotnull(lang" in plan or "lang#" in plan
     en_expected = docs.filter(F.col("lang") == "en").count()
     assert back.count() == en_expected
+
+
+def test_write_sharded_balances_file_sizes(spark, sf_dir, tmp_path):
+    """write_sharded must produce exactly n_shards parquet files with
+    near-equal row counts even though doc_ids are sequential (the
+    md5 shard key decorrelates the range partitioning from id order).
+    Balance matters because downstream training loaders map one worker
+    per shard."""
+    import duckdb
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = str(tmp_path / "sharded")
+    dataset.write_sharded(docs, out, n_shards=8, id_col="doc_id")
+
+    files = [
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    ]
+    assert len(files) == 8
+    con = duckdb.connect()
+    counts = [
+        con.execute(
+            "select count(*) from read_parquet(?)", [f]
+        ).fetchone()[0]
+        for f in files
+    ]
+    con.close()
+    total = docs.count()
+    assert sum(counts) == total  # nothing lost or duplicated
+    mean = total / 8
+    assert min(counts) > 0.6 * mean and max(counts) < 1.5 * mean, counts
+    # round-trip: same rows, schema intact
+    back = dataset.read_dataset(spark, out)
+    assert back.count() == total
+    assert set(back.columns) == set(docs.columns)

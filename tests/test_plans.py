@@ -123,6 +123,9 @@ QUADRATIC_BY_DESIGN = {
                               # shape as the tfidf idf broadcast)
     "ccnet_perplexity_buckets",  # same 1-row corpus-total broadcast
                               # inside its unigram-LM scoring stage
+    "quality_calibration_report",  # the unigram 1-row total broadcast
+                              # + a broadcast 1-row decile-boundary
+                              # frame (9 doubles)
     "quality_classifier_report",  # 1-row broadcasts only: the unigram
                               # corpus total + the NB model-stats row
     "events_skew_report",     # broadcast 1-row (total, n_keys) frame
