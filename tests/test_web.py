@@ -90,3 +90,54 @@ def test_cap_per_domain_keeps_first_k_deterministically(spark):
     }
     assert got["a.com"] == list(range(20))  # first 20 by doc_id, exactly
     assert got["b.com"] == list(range(5))  # under-cap domains untouched
+
+
+def test_canonicalize_url_differential_and_idempotent(spark):
+    """Differential test against an independent Python reference over a
+    seeded zoo of structured-random URLs, plus the idempotence
+    invariant canon(canon(u)) == canon(u) — the property that makes
+    canonical URLs safe as dedup keys (a second pass must not keep
+    rewriting)."""
+    import random
+    import re
+
+    def ref_canon(u: str) -> str:
+        u = re.sub(r"#.*$", "", u)
+        m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", u)
+        pre = m.group(0) if m else ""
+        rest = u[len(pre):]
+        pre = re.sub(r":(80|443)$", "", pre.lower())
+        path = re.sub(r"\?.*$", "", rest)
+        query = re.sub(r"^[^?]*\?", "", rest) if "?" in rest else ""
+        kept = [p for p in query.split("&") if p and not p.startswith("utm_")]
+        if len(path) > 1 and path.endswith("/"):
+            path = path[:-1]
+        return pre + path + ("?" + "&".join(kept) if kept else "")
+
+    rng = random.Random(42)
+    schemes = ["http", "https", "HTTP", "HtTpS", "ftp"]
+    hosts = ["Site.com", "WWW.EXAMPLE.ORG", "a.b.co", "x-y.z.net", "localhost"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/P/Q", "/p/q/", "/One//Two", "/tr_ailing/"]
+    params = ["", "utm_source=a", "id=7", "utm_medium=b&q=2", "q=1&utm_c=3&z=9",
+              "utm_a=1&utm_b=2&utm_c=3"]
+    frags = ["", "#f", "#Sec-2"]
+    urls = [
+        f"{rng.choice(schemes)}://{rng.choice(hosts)}{rng.choice(ports)}"
+        f"{rng.choice(paths)}"
+        + (lambda q: f"?{q}" if q else "")(rng.choice(params))
+        + rng.choice(frags)
+        for _ in range(300)
+    ]
+    got = _canon(spark, urls)
+    want = [ref_canon(u) for u in urls]
+    assert got == want
+    # idempotence: canonicalizing the canonical form is a no-op
+    again = _canon(spark, got)
+    assert again == got
+    # structural invariants of the canonical form
+    for c in got:
+        assert "#" not in c
+        assert ":80/" not in c and not c.endswith(":80")
+        assert ":443/" not in c and not c.endswith(":443")
+        assert "utm_" not in c
