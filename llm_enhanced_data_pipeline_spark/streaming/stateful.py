@@ -83,3 +83,66 @@ def running_user_counters(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming per-domain document cap: the stateful twin of
+# operators/web.cap_per_domain. State = accepted-so-far per domain;
+# each micro-batch's rows are admitted in doc_id order until the
+# domain's cap fills, after which everything from that domain is
+# rejected forever. The per-key counter is exactly the accumulator
+# shape applyInPandasWithState exists for — a windowed aggregate
+# cannot express "admit only while a running count is under N".
+
+CAP_STATE_SCHEMA = T.StructType([T.StructField("n_accepted", T.LongType())])
+
+CAP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("domain", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("accepted", T.BooleanType()),
+    ]
+)
+
+
+def _make_cap_fn(cap: int):
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (domain,) = key
+        n = state.get[0] if state.exists else 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) == 0:
+            return
+        # deterministic within-batch admission order
+        batch = batch.sort_values("doc_id", ignore_index=True)
+        room = max(cap - n, 0)
+        accepted = [i < room for i in range(len(batch))]
+        state.update((n + min(room, len(batch)),))
+        yield pd.DataFrame(
+            {
+                "domain": [domain] * len(batch),
+                "doc_id": batch["doc_id"].astype("int64"),
+                "accepted": accepted,
+            }
+        )
+
+    return update
+
+
+def domain_cap_stream(docs: DataFrame, cap: int) -> DataFrame:
+    """Streaming per-domain cap: emits (domain, doc_id, accepted) for
+    every input row; at most ``cap`` rows per domain are ever marked
+    accepted across the stream's lifetime. Input needs (domain,
+    doc_id) columns. No timeout — rejection state lives for the run
+    (at production scale, bound state by domain-count, which is small
+    by construction)."""
+    return docs.groupBy("domain").applyInPandasWithState(
+        _make_cap_fn(cap),
+        outputStructType=CAP_OUTPUT_SCHEMA,
+        stateStructType=CAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

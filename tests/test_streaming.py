@@ -465,3 +465,68 @@ def test_near_dup_ingest_screens_reused_doc_id_against_prior(spark, tmp_path):
     # and a fuzzy recrawl of EITHER version under a fresh id is rejected
     process(spark.createDataFrame([Row(doc_id=9, text=other + " eleven")]), 4)
     assert {r.text for r in store.load().collect()} == {base, other}
+
+
+def test_stateful_domain_cap_matches_batch_twin(spark, tmp_path):
+    """Streaming per-domain cap (streaming/stateful.domain_cap_stream):
+    at most N docs accepted per domain across micro-batches, earliest
+    doc_ids win within each batch — and with batches arriving in
+    doc_id order the accepted set equals the batch-side
+    web.cap_per_domain on the union. Cross-batch state is the point:
+    batch 2's rows must see batch 1's counts."""
+    import json as _json
+
+    from llm_enhanced_data_pipeline_spark.operators import web
+    from llm_enhanced_data_pipeline_spark.streaming.stateful import (
+        CAP_OUTPUT_SCHEMA,
+        domain_cap_stream,
+    )
+
+    indir = tmp_path / "docs_in"
+    indir.mkdir()
+    # batch a: a.com ids 0..3, b.com ids 0..1 | batch b: a.com 10..13
+    rows_a = [("a.com", i) for i in range(4)] + [("b.com", i) for i in range(2)]
+    rows_b = [("a.com", 10 + i) for i in range(4)]
+    for name, rows in (("a.json", rows_a), ("b.json", rows_b)):
+        with open(indir / name, "w") as f:
+            for d, i in rows:
+                f.write(_json.dumps({"domain": d, "doc_id": i}) + "\n")
+
+    stream = (
+        spark.readStream.schema("domain string, doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    out = str(tmp_path / "out")
+    q = (
+        domain_cap_stream(stream, cap=6)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    got = spark.read.schema(CAP_OUTPUT_SCHEMA).parquet(out)
+    assert got.count() == 10  # every input row gets a decision
+    accepted = {
+        (r.domain, r.doc_id) for r in got.filter(F.col("accepted")).collect()
+    }
+    # a.com: 4 from batch a + first 2 of batch b (cap 6); b.com: both
+    assert accepted == {("a.com", i) for i in (0, 1, 2, 3, 10, 11)} | {
+        ("b.com", 0), ("b.com", 1)
+    }
+    # batch twin: same accepted set as cap_per_domain over the union
+    batch = spark.createDataFrame(
+        [Row(domain=d, doc_id=i) for d, i in rows_a + rows_b]
+    )
+    twin = {
+        (r.domain, r.doc_id)
+        for r in web.cap_per_domain(
+            batch, "domain", [F.col("doc_id")], cap=6
+        ).collect()
+    }
+    assert accepted == twin
