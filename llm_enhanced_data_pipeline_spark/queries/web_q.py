@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import cleaning, web
+from ..functions import rounding
+from ..operators import cleaning, text_analysis, web
 from ..operators.cleaning import tokens_sql
 from ..tables import load_table
 from .registry import register
@@ -198,4 +199,102 @@ def blocklist_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(1000 * n_blocked div n_docs as bigint)").alias(
             "blocked_permille"
         ),
+    )
+
+
+@register(
+    "corpus_build_v5",
+    doc="Composite web-corpus build: canonical-URL dedup (recrawl "
+    "variants collapse, keep lowest doc_id) -> token-blocklist gate -> "
+    "exact content dedup (first surviving occurrence) -> quality-score "
+    "floor (>= 0.3) -> per-registered-domain cap (20). Per-language "
+    "funnel report. ONE pass in the corpus_build_v3 flag-column style: "
+    "every stage is a boolean column, the dedup/cap windows rank "
+    "prior-stage survivors first, one aggregation at the end — three "
+    "keyed shuffles total at any scale.",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id, lang, text, ({_MESSY_URL_SQL}) AS url FROM documents
+),
+c AS (
+  SELECT doc_id, lang, text,
+         {web.canonicalize_url_sql("url")} AS curl,
+         {web.registered_domain_sql(web.canonicalize_url_sql("url"))} AS domain,
+         NOT list_has_any({_TOKS}, ['dup', 'slow']) AS b_ok,
+         {rounding.stable_round_sql(text_analysis.text_quality_score_sql(_TOKS), 4)} AS q
+  FROM u
+),
+f1 AS (
+  SELECT *, (row_number() OVER (PARTITION BY curl ORDER BY doc_id) = 1) AS s1
+  FROM c
+),
+f2 AS (SELECT *, (s1 AND b_ok) AS s2 FROM f1),
+f3 AS (
+  SELECT *, (s2 AND row_number() OVER (
+               PARTITION BY md5(lower(trim(text)))
+               ORDER BY s2 DESC, doc_id) = 1) AS s3
+  FROM f2
+),
+f4 AS (SELECT *, (s3 AND q >= 0.3) AS s4 FROM f3),
+f5 AS (
+  SELECT *, (s4 AND row_number() OVER (
+               PARTITION BY domain ORDER BY s4 DESC, doc_id) <= 20) AS s5
+  FROM f4
+)
+SELECT lang,
+       count(*)::BIGINT AS n_raw,
+       sum(CASE WHEN s1 THEN 1 ELSE 0 END)::BIGINT AS n_after_url,
+       sum(CASE WHEN s2 THEN 1 ELSE 0 END)::BIGINT AS n_after_blocklist,
+       sum(CASE WHEN s3 THEN 1 ELSE 0 END)::BIGINT AS n_after_exact,
+       sum(CASE WHEN s4 THEN 1 ELSE 0 END)::BIGINT AS n_after_quality,
+       sum(CASE WHEN s5 THEN 1 ELSE 0 END)::BIGINT AS n_final,
+       sum(CASE WHEN s5 THEN len({_TOKS}) ELSE 0 END)::BIGINT AS tokens_final
+FROM f5 GROUP BY lang
+""",
+)
+def corpus_build_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.rounding import stable_round
+    from ..operators import dedup, text_analysis
+
+    docs = load_table(spark, "documents", sf_dir)
+    url = _messy_url()
+    curl = web.canonicalize_url(url)
+    c = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        curl.alias("curl"),
+        web.registered_domain(curl).alias("domain"),
+        (
+            ~F.arrays_overlap(
+                cleaning.tokens(F.col("text")),
+                F.array(*[F.lit(w) for w in BLOCKLIST]),
+            )
+        ).alias("b_ok"),
+        stable_round(
+            text_analysis.text_quality_score(F.col("text")), 4
+        ).alias("q"),
+        F.size(cleaning.tokens(F.col("text"))).cast("bigint").alias("n_toks"),
+        dedup.content_hash(F.col("text")).alias("_fp"),
+    )
+    w_url = Window.partitionBy("curl").orderBy("doc_id")
+    f = c.withColumn("s1", F.row_number().over(w_url) == 1)
+    f = f.withColumn("s2", F.col("s1") & F.col("b_ok"))
+    w_fp = Window.partitionBy("_fp").orderBy(F.col("s2").desc(), F.col("doc_id"))
+    f = f.withColumn("s3", F.col("s2") & (F.row_number().over(w_fp) == 1))
+    f = f.withColumn("s4", F.col("s3") & (F.col("q") >= 0.3))
+    w_dom = Window.partitionBy("domain").orderBy(F.col("s4").desc(), F.col("doc_id"))
+    f = f.withColumn("s5", F.col("s4") & (F.row_number().over(w_dom) <= 20))
+    return f.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+        F.sum(F.col("s1").cast("int")).cast("bigint").alias("n_after_url"),
+        F.sum(F.col("s2").cast("int")).cast("bigint").alias("n_after_blocklist"),
+        F.sum(F.col("s3").cast("int")).cast("bigint").alias("n_after_exact"),
+        F.sum(F.col("s4").cast("int")).cast("bigint").alias("n_after_quality"),
+        F.sum(F.col("s5").cast("int")).cast("bigint").alias("n_final"),
+        F.sum(F.when(F.col("s5"), F.col("n_toks")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_final"),
     )
