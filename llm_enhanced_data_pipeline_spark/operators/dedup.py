@@ -1267,3 +1267,96 @@ def semdedup_prune_within(
     return base.join(dropped, id_col, "left_anti").select(
         id_col, "cluster", "centroid_sim"
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken: "Winnowing:
+# Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the
+# MOSS algorithm). Guarantees: any shared substring of length
+# >= w + k - 1 tokens yields at least one shared fingerprint, and
+# expected fingerprint density is 2/(w+1) — a sub-linear,
+# position-robust dedup index with a detection-length guarantee that
+# MinHash (whole-doc similarity) does not give.
+
+
+def gram_hash_array(token_hashes: Column, k: int = 4) -> Column:
+    """Rolling k-gram hash array over a per-token hash array (the
+    (acc*131 + h) mod p fold shared with shingle_hash_rows)."""
+    p = hashing.ROLLING_PRIME
+    th = token_hashes
+
+    def gram_at(i: Column) -> Column:
+        acc = F.element_at(th, i) % p
+        for j in range(1, k):
+            acc = (acc * 131 + F.element_at(th, i + j)) % p
+        return acc
+
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(th) - (k - 1), F.lit(0))),
+        gram_at,
+    )
+
+
+def gram_hash_array_sql(token_hashes_expr: str, k: int = 4) -> str:
+    """DuckDB twin of :func:`gram_hash_array`."""
+    p = hashing.ROLLING_PRIME
+    acc = f"(_W[_i] % {p})"
+    for j in range(1, k):
+        acc = f"(({acc} * 131 + _W[_i + {j}]) % {p})"
+    body = f"list_transform(range(1, greatest(len(_W) - {k - 1}, 0) + 1), _i -> {acc})"
+    return body.replace("_W", f"({token_hashes_expr})")
+
+
+def winnow_fingerprints(grams: Column, w: int = 4) -> Column:
+    """Array of winnowed fingerprints as (pos, fp) structs over a
+    MATERIALIZED gram-hash array column: per sliding window of ``w``
+    consecutive gram hashes, the MINIMUM hash is selected (rightmost on
+    ties, per the paper), then duplicates collapse.
+
+    ``grams`` must be a plain column (withColumn the gram array first):
+    passing a computed expression re-expands the whole gram fold at
+    every one of this selector's ~6 references per window — measured
+    as a multi-minute blowup in both engines' expression evaluation.
+
+    Pure array algebra — one projection, no explode.
+    """
+
+    def pick_pos(j: Column) -> Column:
+        s = F.slice(grams, j, w)
+        minv = F.array_min(s)
+        # rightmost occurrence of the min within the window
+        last = F.lit(w + 1) - F.array_position(F.reverse(s), minv)
+        return (j + last - 1).cast("bigint")
+
+    # a selected position determines its fingerprint (the gram at that
+    # position), so dedup runs on the primitive position list — struct
+    # dedup is unimplemented in DuckDB's list_distinct, and this way
+    # both engines dedupe the same bigint list
+    positions = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(grams) - (w - 1), F.lit(0))),
+            pick_pos,
+        )
+    )
+    return F.transform(
+        positions,
+        lambda p: F.struct(
+            p.alias("pos"), F.element_at(grams, p.cast("int")).alias("fp")
+        ),
+    )
+
+
+def winnow_fingerprints_sql(grams_col: str, w: int = 4) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints`; ``grams_col`` must be
+    a COLUMN NAME of a materialized gram-hash list (same blowup caveat
+    as the Spark side)."""
+    g = grams_col
+    s = f"list_slice({g}, _j, _j + {w - 1})"
+    pos = f"(_j + {w} - list_position(list_reverse({s}), list_min({s})))::BIGINT"
+    return f"""
+list_transform(
+  list_distinct(
+    list_transform(range(1, greatest(len({g}) - {w - 1}, 0) + 1), _j -> {pos})
+  ),
+  _p -> {{'pos': _p, 'fp': {g}[_p]}}
+)"""

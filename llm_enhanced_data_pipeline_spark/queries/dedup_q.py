@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing
 from ..operators import dedup
+from ..operators.cleaning import tokens_sql
 from ..tables import load_table
 from .registry import register
 
@@ -1033,4 +1034,119 @@ def lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "cast(1000 * n_hits div greatest(n_true, 1) as bigint)"
         ).alias("recall_permille"),
+    )
+
+
+@register(
+    "winnowing_fingerprints",
+    doc="Winnowing document fingerprints (Schleimer/Wilkerson/Aiken "
+    "SIGMOD'03, the MOSS algorithm): per 4-window of 4-gram hashes "
+    "select the minimum (rightmost on ties), dedupe — guarantees any "
+    "shared run >= w+k-1 = 7 tokens yields a shared fingerprint at "
+    "~2/(w+1) density. Per-doc stats report; pure array algebra over "
+    "MATERIALIZED intermediate columns (token hashes -> grams -> "
+    "selection; re-expanding the gram fold per selector reference is "
+    "a measured multi-minute blowup), no explode, one scan.",
+    oracle=f"""
+WITH th AS (
+  SELECT doc_id, {hashing.token_hashes32_sql(tokens_sql("text"))} AS _h FROM documents
+),
+g AS (
+  SELECT doc_id, greatest(len(_h) - 3, 0)::BIGINT AS n_grams,
+         {dedup.gram_hash_array_sql("_h", 4)} AS _g
+  FROM th
+),
+fp AS (
+  SELECT doc_id, n_grams,
+         len({dedup.winnow_fingerprints_sql("_g", 4)})::BIGINT AS n_fps
+  FROM g
+)
+SELECT doc_id, n_grams, n_fps,
+       ((1000 * n_fps) // greatest(n_grams, 1))::BIGINT AS density_permille
+FROM fp
+""",
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cleaning import tokens as _tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    staged = (
+        docs.withColumn(
+            "_h", F.transform(_tokens(F.col("text")), lambda t: hashing.stable_hash32(t))
+        )
+        .withColumn("n_grams", F.greatest(F.size("_h") - 3, F.lit(0)).cast("bigint"))
+        .withColumn("_g", dedup.gram_hash_array(F.col("_h"), k=4))
+        .withColumn("n_fps", F.size(dedup.winnow_fingerprints(F.col("_g"), w=4)).cast("bigint"))
+    )
+    return staged.select(
+        "doc_id",
+        "n_grams",
+        "n_fps",
+        F.expr("cast(1000 * n_fps div greatest(n_grams, 1) as bigint)").alias(
+            "density_permille"
+        ),
+    )
+
+
+@register(
+    "near_dup_pairs_winnowing",
+    doc="Winnowing-based near-dup pairs over the augmented corpus: "
+    "docs sharing >= 4 winnowed fingerprint hashes. Candidate "
+    "generation is an equi-join on the fingerprint hash (sub-linear "
+    "index: ~2/(w+1) of gram count) — the substring-guarantee "
+    "counterpart to MinHash's whole-doc similarity (any shared 7-token "
+    "run WILL produce a shared fingerprint). Hot fingerprints "
+    "(boilerplate grams) are exactly the skew the report families "
+    "surface; cap or drop top-k keys at 100 TB.",
+    oracle=f"""
+WITH u AS ({_DOCS_WITH_NEAR_DUPS_SQL}),
+th AS (
+  SELECT doc_id, {hashing.token_hashes32_sql(tokens_sql("text"))} AS _h FROM u
+),
+g AS (
+  SELECT doc_id, {dedup.gram_hash_array_sql("_h", 4)} AS _g FROM th
+),
+fp AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           {dedup.winnow_fingerprints_sql("_g", 4)}, _s -> _s.fp))) AS fp
+  FROM g
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 4
+""",
+)
+def near_dup_pairs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cleaning import tokens as _tokens
+
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    fps = (
+        corpus.withColumn(
+            "_h", F.transform(_tokens(F.col("text")), lambda t: hashing.stable_hash32(t))
+        )
+        .withColumn("_g", dedup.gram_hash_array(F.col("_h"), k=4))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        dedup.winnow_fingerprints(F.col("_g"), w=4),
+                        lambda s: s["fp"],
+                    )
+                )
+            ).alias("fp"),
+        )
+    )
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 4)
     )

@@ -585,3 +585,75 @@ def test_containment_prefix_size_exact_at_integral_boundary(spark):
     assert pairs[(1, 2)] == 0.8  # A 80%-contained in B, found via prefix
     assert (2, 1) in pairs  # B fully contained in A
     dedup.release_caches()
+
+
+def test_winnowing_matches_python_reference_and_guarantee(spark):
+    """Winnowing (SIGMOD'03) semantics: (a) the Spark selector equals
+    an independent Python implementation of the algorithm on random
+    token sequences; (b) the paper's guarantee holds — two docs sharing
+    a token run of length >= w + k - 1 share at least one fingerprint
+    HASH, while disjoint-vocabulary docs share none."""
+    import random
+
+    from llm_enhanced_data_pipeline_spark.functions import hashing as H
+
+    k, w = 4, 4
+    P = H.ROLLING_PRIME
+
+    def py_token_hash(t):
+        import hashlib
+
+        return int(hashlib.md5(f"0:{t}".encode()).hexdigest()[:8], 16)
+
+    def py_winnow(toks):
+        th = [py_token_hash(t) for t in toks]
+        grams = []
+        for i in range(len(th) - k + 1):
+            acc = th[i] % P
+            for j in range(1, k):
+                acc = (acc * 131 + th[i + j]) % P
+            grams.append(acc)
+        sel = []
+        for j in range(len(grams) - w + 1):
+            win = grams[j : j + w]
+            m = min(win)
+            # rightmost min in window, 1-based global gram position
+            last = max(idx for idx, v in enumerate(win) if v == m)
+            sel.append((j + last + 1, m))
+        out, seen = [], set()
+        for p_, f_ in sel:
+            if p_ not in seen:
+                seen.add(p_)
+                out.append((p_, f_))
+        return out
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [[rng.choice(vocab) for _ in range(rng.randint(8, 40))] for _ in range(25)]
+
+    df = spark.createDataFrame(
+        [Row(i=i, text=" ".join(d)) for i, d in enumerate(docs)]
+    )
+    staged = df.withColumn(
+        "_h",
+        F.transform(F.split(F.col("text"), " "), lambda t: dedup.hashing.stable_hash32(t)),
+    ).withColumn("_g", dedup.gram_hash_array(F.col("_h"), k=k))
+    got = {
+        r.i: [(s["pos"], s["fp"]) for s in r.fps]
+        for r in staged.select(
+            "i", dedup.winnow_fingerprints(F.col("_g"), w=w).alias("fps")
+        ).collect()
+    }
+    for i, d in enumerate(docs):
+        assert got[i] == py_winnow(d), f"doc {i}"
+
+    # guarantee: a shared run of w + k - 1 = 7 tokens -> shared fp hash
+    shared_run = [f"s{i}" for i in range(7)]
+    a = [f"a{i}" for i in range(6)] + shared_run + [f"a{9+i}" for i in range(5)]
+    b = [f"b{i}" for i in range(4)] + shared_run + [f"b{9+i}" for i in range(8)]
+    fa = {f for _, f in py_winnow(a)}
+    fb = {f for _, f in py_winnow(b)}
+    assert fa & fb, "guarantee violated: no shared fingerprint"
+    # disjoint vocabularies share nothing
+    c = [f"c{i}" for i in range(20)]
+    assert not (fa & {f for _, f in py_winnow(c)})
