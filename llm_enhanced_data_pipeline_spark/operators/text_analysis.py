@@ -1123,3 +1123,105 @@ SELECT domain, count(*)::BIGINT AS n_docs,
 FROM curves WHERE _N > 0 AND _V > 0
 GROUP BY domain
 """
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Per-document average interpolated bigram log-probability under
+    the corpus's own LM: ln(lam * P(w2|w1) + (1-lam) * P(w2)) averaged
+    over the doc's bigram positions — one step closer to CCNet's
+    reference-LM perplexity than the unigram signal (conditioning
+    penalizes improbable SEQUENCES of individually-common tokens; the
+    unigram interpolation floor keeps unseen bigrams finite, Jelinek-
+    Mercer smoothing).
+
+    Returns (id, n_bigrams, avg_logprob); docs with < 2 tokens get a
+    zero-bigram row with NULL avg_logprob.
+
+    Scale shape: one bigram explode feeding the model aggregation AND
+    the doc aggregation (same shuffle key), a vocab²-bounded bigram
+    model equi-join, a vocab-bounded unigram join, one broadcast 1-row
+    total. Never doc x doc.
+    """
+    from ..functions.rounding import stable_round
+
+    toks = F.col(token_col)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda i: F.struct(
+            F.element_at(toks, i.cast("int")).alias("w1"),
+            F.element_at(toks, i.cast("int") + 1).alias("w2"),
+        ),
+    )
+    rows = df.select(F.col(id_col), F.explode(bigrams).alias("_b")).select(
+        F.col(id_col), F.col("_b.w1").alias("_w1"), F.col("_b.w2").alias("_w2")
+    )
+    bi = rows.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c_bi"))
+    uni = bi.groupBy("_w1").agg(F.sum("_c_bi").alias("_c_w1"))
+    # unigram dist over SECOND positions (the interpolation floor)
+    uni2 = bi.groupBy("_w2").agg(F.sum("_c_bi").alias("_c_w2"))
+    total = bi.agg(F.sum("_c_bi").cast("double").alias("_n"))
+    p = (
+        F.lit(float(lam)) * (F.col("_c_bi") / F.col("_c_w1"))
+        + F.lit(1.0 - float(lam)) * (F.col("_c_w2") / F.col("_n"))
+    )
+    scored = (
+        rows.join(bi, ["_w1", "_w2"])
+        .join(uni, "_w1")
+        .join(uni2, "_w2")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(id_col), F.log(p).alias("_lp"))
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        stable_round(F.avg("_lp"), 4).alias("avg_logprob"),
+    )
+    base = df.select(F.col(id_col))
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.col("avg_logprob"),
+    )
+
+
+def bigram_logprob_sql(
+    toks_expr: str,
+    id_expr: str = "doc_id",
+    relation: str = "documents",
+    lam: float = 0.7,
+) -> str:
+    """DuckDB twin of :func:`bigram_logprob_scores`."""
+    from ..functions.rounding import stable_round_sql
+
+    return f"""
+WITH t AS (SELECT {id_expr} AS id, {toks_expr} AS toks FROM {relation}),
+rows_ AS (
+  SELECT id, toks[_i] AS _w1, toks[_i + 1] AS _w2
+  FROM t, LATERAL unnest(range(1, greatest(len(toks) - 1, 0) + 1)) r(_i)
+),
+bi AS (SELECT _w1, _w2, count(*) AS _c_bi FROM rows_ GROUP BY 1, 2),
+uni AS (SELECT _w1, sum(_c_bi) AS _c_w1 FROM bi GROUP BY 1),
+uni2 AS (SELECT _w2, sum(_c_bi) AS _c_w2 FROM bi GROUP BY 1),
+tot AS (SELECT sum(_c_bi)::DOUBLE AS _n FROM bi),
+sc AS (
+  SELECT rows_.id,
+         ln({float(lam)!r} * (bi._c_bi / uni._c_w1)
+            + {1.0 - float(lam)!r} * (uni2._c_w2 / tot._n)) AS _lp
+  FROM rows_
+  JOIN bi USING (_w1, _w2) JOIN uni USING (_w1) JOIN uni2 USING (_w2)
+  CROSS JOIN tot
+),
+agg AS (
+  SELECT id, count(*)::BIGINT AS n_bigrams,
+         {stable_round_sql("avg(_lp)", 4)} AS avg_logprob
+  FROM sc GROUP BY id
+)
+SELECT t.id AS {id_expr},
+       coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
+       agg.avg_logprob
+FROM t LEFT JOIN agg ON t.id = agg.id
+"""

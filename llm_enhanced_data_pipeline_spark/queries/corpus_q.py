@@ -1290,3 +1290,19 @@ def quality_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         rounding.stable_round(F.avg("q"), 4).alias("avg_quality"),
         rounding.stable_round(F.avg("avg_logprob"), 4).alias("avg_lm_logprob"),
     )
+
+
+@register(
+    "bigram_logprob",
+    doc="Interpolated bigram LM quality signal (Jelinek-Mercer "
+    "lam=0.7): per-doc average ln(lam*P(w2|w1) + (1-lam)*P(w2)) under "
+    "the corpus's own model — conditioning catches improbable token "
+    "SEQUENCES the unigram signal scores as fine. One bigram shuffle "
+    "shared by model and doc aggregations; vocab-bounded joins.",
+    oracle=text_analysis.bigram_logprob_sql(_TOKS, "doc_id"),
+)
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    return text_analysis.bigram_logprob_scores(docs, "doc_id", "toks")

@@ -121,6 +121,8 @@ QUADRATIC_BY_DESIGN = {
     "tfidf_top_terms",        # broadcast 1-row corpus-size frame (idf)
     "unigram_logprob",        # broadcast 1-row corpus-total frame (same
                               # shape as the tfidf idf broadcast)
+    "bigram_logprob",         # same 1-row corpus-total broadcast inside
+                              # the interpolation floor
     "ccnet_perplexity_buckets",  # same 1-row corpus-total broadcast
                               # inside its unigram-LM scoring stage
     "quality_calibration_report",  # the unigram 1-row total broadcast
