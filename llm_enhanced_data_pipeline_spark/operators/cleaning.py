@@ -177,3 +177,46 @@ def tokens_sql(expr: str) -> str:
         f"list_filter(string_split(trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g')), ' '), "
         f"_x -> _x <> '')"
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML text extraction (web-corpus staple: strip markup before any
+# quality/dedup stage). Fixed regexp chain, identical in the SQL twin —
+# order matters: script/style BODIES go first (their content is not
+# text), then remaining tags, then entity decodes, then whitespace.
+
+HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?is)<!--.*?-->", " "),
+    (r"(?s)<[^>]+>", " "),
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),  # LAST: earlier would double-decode &amp;lt;
+)
+
+
+def html_strip(col: Column) -> Column:
+    """Markup-to-text extraction: drop script/style/comment bodies,
+    strip remaining tags, decode the common entities (&amp; last so
+    double-encoded entities decode exactly one level), collapse
+    whitespace. One projection — fuses into the same codegen pass as
+    the rest of the cleanse chain."""
+    out = col
+    for pat, rep in HTML_STRIP_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return normalize_whitespace(out)
+
+
+def html_strip_sql(expr: str) -> str:
+    """DuckDB twin of :func:`html_strip` (same patterns, same order,
+    global replacement)."""
+    out = expr
+    for pat, rep in HTML_STRIP_STEPS:
+        sql_pat = pat.replace("'", "''")
+        sql_rep = rep.replace("'", "''")
+        out = f"regexp_replace({out}, '{sql_pat}', '{sql_rep}', 'g')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"

@@ -298,3 +298,107 @@ def corpus_build_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tokens_final"),
     )
+
+
+_MESSY_HTML_SQL = """
+CASE doc_id % 4
+  WHEN 0 THEN '<html><head><style>p {color: red}</style></head><body><p>' || text || '</p><!-- note --></body></html>'
+  WHEN 1 THEN '<div class="a">' || text || '</div><script type="text/javascript">var x = 1 < 2;</script>'
+  WHEN 2 THEN '<span>' || replace(text, ' ', '&nbsp;') || '</span>'
+  ELSE '<p>' || replace(text, ' ', ' </p><p> ') || '</p>'
+END
+"""
+
+
+def _messy_html() -> F.Column:
+    t = F.col("text")
+    m = F.expr("doc_id % 4")
+    return (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("<html><head><style>p {color: red}</style></head><body><p>"),
+                t,
+                F.lit("</p><!-- note --></body></html>"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit('<div class="a">'),
+                t,
+                F.lit('</div><script type="text/javascript">var x = 1 < 2;</script>'),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("<span>"),
+                F.expr("replace(text, ' ', '&nbsp;')"),
+                F.lit("</span>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<p>"),
+                F.expr("replace(text, ' ', ' </p><p> ')"),
+                F.lit("</p>"),
+            )
+        )
+    )
+
+
+@register(
+    "html_strip_report",
+    doc="HTML text extraction (the web-corpus stage before any "
+    "quality/dedup work): markup synthesized deterministically around "
+    "the documents (style/script bodies, comments, tags between "
+    "tokens, &nbsp; separators), stripped by the fixed regexp chain — "
+    "and the report PROVES recovery: n_recovered counts docs whose "
+    "stripped text equals the whitespace-normalized original. One "
+    "projection + one keyed agg.",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, source, text, ({_MESSY_HTML_SQL}) AS html FROM documents
+),
+s AS (
+  SELECT doc_id, source, text, html,
+         {cleaning.html_strip_sql("html")} AS stripped
+  FROM h
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN stripped = trim(regexp_replace(text, '\\s+', ' ', 'g'))
+                THEN 1 ELSE 0 END)::BIGINT AS n_recovered,
+       ((1000 * (sum(length(html)) - sum(length(text))))
+        // greatest(sum(length(text)), 1))::BIGINT AS markup_overhead_permille
+FROM s GROUP BY source
+""",
+)
+def html_strip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    s = docs.select(
+        "source",
+        "text",
+        _messy_html().alias("html"),
+    ).withColumn("stripped", cleaning.html_strip(F.col("html")))
+    agg = s.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("stripped") == cleaning.normalize_whitespace(F.col("text")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_recovered"),
+        F.sum(F.length("html")).alias("_hl"),
+        F.sum(F.length("text")).alias("_tl"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_recovered",
+        F.expr(
+            "cast(1000 * (_hl - _tl) div greatest(_tl, 1) as bigint)"
+        ).alias("markup_overhead_permille"),
+    )

@@ -141,3 +141,36 @@ def test_canonicalize_url_differential_and_idempotent(spark):
         assert ":80/" not in c and not c.endswith(":80")
         assert ":443/" not in c and not c.endswith(":443")
         assert "utm_" not in c
+
+
+def test_html_strip_edge_cases(spark):
+    """html_strip semantics: script/style/comment BODIES vanish, tags
+    become spaces, entities decode exactly one level (&amp;lt; -> &lt;,
+    never <), and the report query's recovery invariant holds on the
+    real table (every synthesized wrapper strips back to the
+    normalized original)."""
+    from llm_enhanced_data_pipeline_spark.operators import cleaning
+    from llm_enhanced_data_pipeline_spark.queries.web_q import html_strip_report
+
+    cases = [
+        ("<p>Hello <b>world</b></p>", "Hello world"),
+        ("<script>var x = 1 < 2;</script>text", "text"),
+        ("<style>p { color: red }</style>body", "body"),
+        ("a<!-- hidden -->b", "a b"),
+        ("x&nbsp;y &amp; z", "x y & z"),
+        ("&amp;lt;tag&amp;gt;", "&lt;tag&gt;"),  # one decode level only
+        ("<DIV CLASS='X'>caps</DIV>", "caps"),
+        ("no markup at all", "no markup at all"),
+        ("<p>multi\n  line\ttext</p>", "multi line text"),
+    ]
+    df = spark.createDataFrame([Row(i=i, h=h) for i, (h, _) in enumerate(cases)])
+    got = {
+        r.i: r.s
+        for r in df.select("i", cleaning.html_strip(F.col("h")).alias("s")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+    # recovery invariant on the real table at smoke scale
+    rep = html_strip_report(spark, "/root/testdata/sf0.001").collect()
+    assert all(r.n_recovered == r.n_docs for r in rep), rep
