@@ -1132,3 +1132,89 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("total_qty", 2).alias("total_qty"),
         )
     )
+
+
+@register(
+    "q15_top_supplier",
+    doc="TPC-H Q15 pattern (top supplier): quarterly revenue per "
+    "supplier, then the supplier(s) achieving the MAXIMUM — the "
+    "max-over-aggregate shape done as one revenue aggregation + a "
+    "broadcast 1-row max + an equality filter (the view is never "
+    "recomputed). Revenue in exact integer cent x percent units so "
+    "max-equality is bit-exact across engines.",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+             * floor((1 - l_discount) * 100 + 0.5)::BIGINT) AS rev_units
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+  GROUP BY l_suppkey
+),
+mx AS (SELECT max(rev_units) AS m FROM rev)
+SELECT s.s_suppkey, s.s_name,
+       (floor((r.rev_units / 10000.0) * 100.0 + 0.5) / 100.0) AS total_revenue
+FROM rev r JOIN mx ON r.rev_units = mx.m
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            * F.floor((1 - F.col("l_discount")) * 100 + 0.5).cast("long")
+        ).alias("rev_units")
+    )
+    mx = rev.agg(F.max("rev_units").alias("_m"))
+    s = load_table(spark, "supplier", sf_dir)
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_units") == F.col("_m"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            rounding.stable_round(F.col("rev_units") / 10000.0, 2).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "q22_dormant_rich_customers",
+    doc="TPC-H Q22 pattern (global-sales-opportunity): customers with "
+    "above-average account balance (avg over POSITIVE balances — a "
+    "broadcast 1-row scalar subquery) and NO orders (anti join). "
+    "Per market segment: count + total balance. The anti join is the "
+    "shape a NOT EXISTS must plan as; never a nested loop.",
+    oracle="""
+WITH cutoff AS (
+  SELECT avg(c_acctbal) AS m FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_mktsegment,
+       count(*)::BIGINT AS numcust,
+       round(sum(c.c_acctbal), 2) AS totacctbal
+FROM customer c CROSS JOIN cutoff
+WHERE c.c_acctbal > cutoff.m
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_mktsegment
+""",
+)
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    cutoff = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_m")
+    )
+    o = load_table(spark, "orders", sf_dir).select("o_custkey")
+    rich = c.crossJoin(F.broadcast(cutoff)).filter(F.col("c_acctbal") > F.col("_m"))
+    dormant = rich.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )

@@ -167,6 +167,8 @@ QUADRATIC_BY_DESIGN = {
                               # the slot-count joins are equi on words
     "events_type_drift",      # broadcast 1-row midpoint-epoch frame
     "supplier_pareto",        # broadcast 1-row revenue-total frame
+    "q15_top_supplier",       # broadcast 1-row max-revenue frame
+    "q22_dormant_rich_customers",  # broadcast 1-row avg-balance cutoff
     "events_dau_wau_stickiness",  # broadcast 1-row day-bounds frame
 }
 
