@@ -1187,3 +1187,53 @@ def top_engaged_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("events_per_day_milli").desc(), F.col("user_id").asc())
         .limit(20)
     )
+
+
+@register(
+    "events_interarrival_stats",
+    doc="Inter-arrival gap statistics per event type: median / p90 / "
+    "max of the seconds between consecutive events of the SAME user "
+    "(lag window per user, gaps attributed to the later event's type) "
+    "— the burstiness profile session gap thresholds are tuned "
+    "against. One keyed window + one percentile aggregation; exact "
+    "interpolated percentiles match DuckDB's quantile_cont bit-for-"
+    "bit (the iqr precedent).",
+    oracle="""
+WITH gaps AS (
+  SELECT event_type,
+         (epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+            (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)) AS gap_ns
+  FROM events
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_gaps,
+       (floor((quantile_cont(gap_ns, 0.5) / 1000000000.0) * 100.0 + 0.5) / 100.0)
+         AS median_gap_s,
+       (floor((quantile_cont(gap_ns, 0.9) / 1000000000.0) * 100.0 + 0.5) / 100.0)
+         AS p90_gap_s,
+       (floor((max(gap_ns) / 1000000000.0) * 100.0 + 0.5) / 100.0) AS max_gap_s
+FROM gaps WHERE gap_ns IS NOT NULL
+GROUP BY event_type
+""",
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.rounding import stable_round
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.col("ts") - F.lag("ts").over(w)).alias("gap_ns"),
+    ).filter(F.col("gap_ns").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        stable_round(
+            F.expr("percentile(gap_ns, 0.5)") / 1_000_000_000.0, 2
+        ).alias("median_gap_s"),
+        stable_round(
+            F.expr("percentile(gap_ns, 0.9)") / 1_000_000_000.0, 2
+        ).alias("p90_gap_s"),
+        stable_round(F.max("gap_ns") / 1_000_000_000.0, 2).alias("max_gap_s"),
+    )
