@@ -1218,3 +1218,58 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("numcust"),
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+@register(
+    "monthly_revenue_moving_avg",
+    doc="Monthly order revenue with a 3-month trailing moving average "
+    "and month-over-month delta — the explicit-ROWS-frame sliding "
+    "window over an ordered aggregate (the frame runs over the TINY "
+    "months table, not the fact rows, so the global window is ~100 "
+    "rows at any scale). Revenue summed in integer cents.",
+    oracle="""
+WITH monthly AS (
+  SELECT (year(CAST(o_orderdate AS DATE)) * 100
+          + month(CAST(o_orderdate AS DATE)))::BIGINT AS ym,
+         sum(floor(o_totalprice * 100 + 0.5)::BIGINT) AS rev_cents
+  FROM orders GROUP BY ym
+)
+SELECT ym,
+       (floor((rev_cents / 100.0) * 100.0 + 0.5) / 100.0) AS revenue,
+       (floor((avg(rev_cents) OVER (ORDER BY ym
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0) * 100.0 + 0.5) / 100.0)
+         AS moving_avg_3m,
+       coalesce(rev_cents - lag(rev_cents) OVER (ORDER BY ym), 0)::BIGINT
+         AS delta_cents
+FROM monthly
+""",
+)
+def monthly_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, "orders", sf_dir)
+    monthly = o.groupBy(
+        (
+            F.year(F.to_date("o_orderdate")) * 100 + F.month(F.to_date("o_orderdate"))
+        )
+        .cast("bigint")
+        .alias("ym")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+            "rev_cents"
+        )
+    )
+    w3 = Window.orderBy("ym").rowsBetween(-2, Window.currentRow)
+    wl = Window.orderBy("ym")
+    return monthly.select(
+        "ym",
+        rounding.stable_round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+        rounding.stable_round(F.avg("rev_cents").over(w3) / 100.0, 2).alias(
+            "moving_avg_3m"
+        ),
+        F.coalesce(
+            F.col("rev_cents") - F.lag("rev_cents").over(wl), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("delta_cents"),
+    )
