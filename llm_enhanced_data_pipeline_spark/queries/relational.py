@@ -1273,3 +1273,43 @@ def monthly_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("delta_cents"),
     )
+
+
+@register(
+    "ship_latency_by_priority",
+    doc="Order-to-ship latency distribution per order priority: exact "
+    "median/p90 days between order date and each lineitem's ship "
+    "date — the fulfillment-SLA view (urgent orders should ship "
+    "faster; the synthetic data's answer is the oracle's business). "
+    "One fact-dim join + percentile aggregation on integer day "
+    "diffs.",
+    oracle="""
+SELECT o.o_orderpriority,
+       count(*)::BIGINT AS n_lines,
+       quantile_cont(date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)), 0.5) AS median_days,
+       quantile_cont(date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)), 0.9) AS p90_days,
+       max(date_diff('day', CAST(o.o_orderdate AS DATE),
+                     CAST(l.l_shipdate AS DATE)))::BIGINT AS max_days
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def ship_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    days = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("_d", days)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.expr("percentile(_d, 0.5)").alias("median_days"),
+            F.expr("percentile(_d, 0.9)").alias("p90_days"),
+            F.max("_d").cast("bigint").alias("max_days"),
+        )
+    )
