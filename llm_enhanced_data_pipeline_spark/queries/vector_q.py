@@ -623,3 +623,69 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_exact"), 4
         ).alias("recall"),
     )
+
+
+@register(
+    "ivf_bucket_stats",
+    doc="IVF index-quality report: per-bucket fill (count + share) and "
+    "cohesion (mean cosine to own centroid) — the numbers that decide "
+    "nprobe and whether the coarse quantizer needs retraining "
+    "(under-filled buckets waste probes, low-cohesion buckets leak "
+    "recall). Broadcast centroid scoring + one keyed agg; the share "
+    "denominator is a window over the K-row aggregate.",
+    oracle=f"""
+WITH {_IVF_CENT_SQL},
+assign AS (
+  SELECT vec_id, embedding, ckey FROM (
+    SELECT e.vec_id, e.embedding, c.ckey,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.embedding', 'c.centroid')} DESC,
+                                       c.ckey ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+per AS (
+  SELECT a.ckey AS cluster,
+         count(*)::BIGINT AS n_vecs,
+         {{mean_sim}} AS mean_sim
+  FROM assign a JOIN cent c ON c.ckey = a.ckey
+  GROUP BY a.ckey
+)
+SELECT cluster, n_vecs, mean_sim,
+       ((1000 * n_vecs) // sum(n_vecs) OVER ())::BIGINT AS share_permille
+FROM per
+""".replace(
+        "{mean_sim}",
+        __import__(
+            "llm_enhanced_data_pipeline_spark.functions.rounding",
+            fromlist=["stable_round_sql"],
+        ).stable_round_sql(
+            f"avg({_cos_sql('a.embedding', 'c.centroid')})", 6
+        ),
+    ),
+)
+def ivf_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import stable_round
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = vector.centroids_by_key(emb, "label", "embedding")
+    assigned = vector.ivf_assign(emb, cents, "vec_id", "embedding")
+    sim = vector.cosine_similarity(F.col("embedding"), F.col("centroid"))
+    per = (
+        assigned.join(cents, "ckey")
+        .groupBy(F.col("ckey").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            stable_round(F.avg(sim), 6).alias("mean_sim"),
+        )
+    )
+    # integer floor-div against the window total: double division +
+    # cast can land a hair under an exact integer and truncate low
+    return per.withColumn(
+        "_tot", F.sum("n_vecs").over(Window.partitionBy())
+    ).select(
+        "cluster",
+        "n_vecs",
+        "mean_sim",
+        F.expr("cast(1000 * n_vecs div _tot as bigint)").alias("share_permille"),
+    )

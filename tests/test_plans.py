@@ -107,6 +107,7 @@ QUADRATIC_BY_DESIGN = {
     "training_data_pipeline", # SimHash block join is equi; allowlisted for
                               # the broadcast 1-row stats it shares with
                               # pipeline stage counters
+    "ivf_bucket_stats",       # same broadcast centroid-scoring shape
     "ivf_assignments",        # N x K centroid scoring over a broadcast
     "ivf_knn",                # K-row centroid frame — the IVF plan
     "kmeans_train",           # Lloyd's assignment: N x K scoring over a
