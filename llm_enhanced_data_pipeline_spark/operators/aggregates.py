@@ -357,3 +357,56 @@ SELECT count(*)::BIGINT AS n_keys,
        )} AS gini
 FROM ranked
 """
+
+
+def count_min_table(
+    tok: DataFrame,
+    token_col: str = "_tok",
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Count-Min sketch as a (row, bucket, n) TABLE (Cormode &
+    Muthukrishnan 2005): ``depth`` md5-seeded hash rows x ``width``
+    buckets, each cell the exact count of tokens hashing into it.
+
+    Cell values are SUMS of per-token indicators, so the sketch is
+    mergeable (shard sketches add cell-wise), partitioning-independent,
+    and engine-exact — unlike Misra-Gries, whose merge depends on
+    arrival order. Point estimate for a token = min over rows of its
+    bucket's count; the classic one-sided guarantee (estimate >= true,
+    overestimate bounded by collisions) holds by construction.
+
+    Scale shape: one token explode x depth (a generate, not a join),
+    one (row, bucket) hash aggregation — depth*width cells total, a
+    broadcastable few-KB frame at ANY corpus size.
+    """
+    from ..functions import hashing
+
+    # per-row seed goes into the hash salt (seed=i); the union of the
+    # depth projections is a generate over the same scan, not a join
+    out = None
+    for i in range(depth):
+        part = tok.select(
+            F.lit(i).alias("cms_row"),
+            (hashing.stable_hash32(F.col(token_col), seed=i) % width).alias(
+                "bucket"
+            ),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.groupBy("cms_row", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+def count_min_table_sql(
+    tok_rel: str, token_expr: str, depth: int = 4, width: int = 64
+) -> str:
+    """DuckDB twin of :func:`count_min_table` (same seeded hashes)."""
+    from ..functions import hashing
+
+    parts = [
+        f"SELECT {i} AS cms_row, ({hashing.stable_hash32_sql(token_expr, seed=i)}) % {width} AS bucket FROM {tok_rel}"
+        for i in range(depth)
+    ]
+    union = " UNION ALL ".join(parts)
+    return f"SELECT cms_row, bucket, count(*)::BIGINT AS n FROM ({union}) GROUP BY 1, 2"

@@ -1366,3 +1366,77 @@ def documents_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_unknown_lang"),
     )
+
+
+@register(
+    "cms_heavy_hitters",
+    doc="Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005): "
+    "the exact top-10 tokens' true counts next to their sketch "
+    "estimates (min over 4 seeded hash rows of 64 buckets) and the "
+    "one-sided overestimate. The sketch table is depth x width cells "
+    "TOTAL at any corpus size and merges cell-wise across shards — "
+    "the engine-exact mergeable twin of the KMV cardinality sketch, "
+    "for frequencies instead of cardinality.",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest({_TOKS}) AS _tok FROM documents
+),
+cms AS ({aggregates.count_min_table_sql("tok", "_tok", 4, 64)}),
+exact AS (
+  SELECT _tok, count(*)::BIGINT AS true_count FROM tok GROUP BY _tok
+  ORDER BY true_count DESC, _tok ASC LIMIT 10
+),
+est AS (
+  SELECT e._tok, e.true_count, min(c.n)::BIGINT AS cms_estimate
+  FROM exact e
+  JOIN cms c
+    ON c.bucket = CASE c.cms_row
+         WHEN 0 THEN ({hashing.stable_hash32_sql('e._tok', 0)}) % 64
+         WHEN 1 THEN ({hashing.stable_hash32_sql('e._tok', 1)}) % 64
+         WHEN 2 THEN ({hashing.stable_hash32_sql('e._tok', 2)}) % 64
+         ELSE ({hashing.stable_hash32_sql('e._tok', 3)}) % 64
+       END
+  GROUP BY e._tok, e.true_count
+)
+SELECT _tok AS token, true_count, cms_estimate,
+       (cms_estimate - true_count)::BIGINT AS overestimate
+FROM est
+""",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import hashing
+    from ..operators import aggregates
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        F.explode(cleaning.tokens(F.col("text"))).alias("_tok")
+    )
+    cms = aggregates.count_min_table(tok, "_tok", depth=4, width=64)
+    exact = (
+        tok.groupBy("_tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("_tok").asc())
+        .limit(10)
+    )
+    probes = None
+    for i in range(4):
+        part = exact.select(
+            "_tok",
+            "true_count",
+            F.lit(i).alias("cms_row"),
+            (hashing.stable_hash32(F.col("_tok"), seed=i) % 64).alias("bucket"),
+        )
+        probes = part if probes is None else probes.unionByName(part)
+    est = (
+        probes.join(F.broadcast(cms), ["cms_row", "bucket"])
+        .groupBy("_tok", "true_count")
+        .agg(F.min("n").cast("bigint").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("_tok").alias("token"),
+        "true_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("true_count"))
+        .cast("bigint")
+        .alias("overestimate"),
+    )

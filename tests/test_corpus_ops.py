@@ -851,3 +851,33 @@ def test_apportion_budget_sums_to_budget_on_random_distributions(spark):
         ]
         assert sum(quotas) == budget
         assert all(q >= 0 for q in quotas)
+
+
+def test_count_min_sketch_guarantee_and_mergeability(spark):
+    """CMS invariants: (a) the point estimate NEVER underestimates
+    (one-sided guarantee — min over rows of bucket counts >= true
+    count); (b) shard sketches merge cell-wise: cms(A ∪ B) equals the
+    cell-wise sum of cms(A) + cms(B), the property that makes per-shard
+    sketches composable at 100 TB without rescanning."""
+    from llm_enhanced_data_pipeline_spark.operators import aggregates
+    from llm_enhanced_data_pipeline_spark.queries.text_q import cms_heavy_hitters
+
+    from .conftest import SMOKE_SF_DIR
+
+    # (a) on the real table via the registered report
+    rep = cms_heavy_hitters(spark, SMOKE_SF_DIR).collect()
+    assert len(rep) == 10
+    assert all(r.overestimate >= 0 for r in rep), rep
+    assert all(r.cms_estimate >= r.true_count for r in rep)
+
+    # (b) mergeability on synthetic shards
+    a = spark.createDataFrame([Row(_tok=t) for t in ["x", "y", "x", "z"] * 5])
+    b = spark.createDataFrame([Row(_tok=t) for t in ["y", "w"] * 7])
+    u = a.unionByName(b)
+    cells = lambda df: {  # noqa: E731
+        (r.cms_row, r.bucket): r.n
+        for r in aggregates.count_min_table(df, "_tok", depth=4, width=16).collect()
+    }
+    ca, cb, cu = cells(a), cells(b), cells(u)
+    merged = {k: ca.get(k, 0) + cb.get(k, 0) for k in set(ca) | set(cb)}
+    assert merged == cu
