@@ -1313,3 +1313,56 @@ def ship_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("_d").cast("bigint").alias("max_days"),
         )
     )
+
+
+@register(
+    "discount_depth_by_type",
+    doc="Pricing analytics per part type: realized revenue vs the "
+    "retail baseline (sum extendedprice*(1-discount) over sum "
+    "retailprice*quantity) as an integer per-mille ratio, plus line "
+    "counts and mean discount — the discount-depth report a pricing "
+    "team reads per catalog segment. One fact-dim join, exact "
+    "integer cent x percent units end to end.",
+    oracle="""
+SELECT p.p_type,
+       count(*)::BIGINT AS n_lines,
+       round(avg(l.l_discount), 4) AS avg_discount,
+       ((1000 * sum(floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+                    * floor((1 - l.l_discount) * 100 + 0.5)::BIGINT))
+        // sum(floor(p.p_retailprice * 100 + 0.5)::BIGINT
+               * floor(l.l_quantity + 0.5)::BIGINT * 100))::BIGINT
+         AS realized_vs_retail_permille
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_type
+""",
+)
+def discount_depth_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).select("p_partkey", "p_type", "p_retailprice")
+    realized = F.sum(
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        * F.floor((1 - F.col("l_discount")) * 100 + 0.5).cast("long")
+    )
+    retail = F.sum(
+        F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long")
+        * F.floor(F.col("l_quantity") + 0.5).cast("long")
+        * F.lit(100)
+    )
+    agg = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.avg("l_discount"), 4).alias("avg_discount"),
+            realized.alias("_real"),
+            retail.alias("_retail"),
+        )
+    )
+    return agg.select(
+        "p_type",
+        "n_lines",
+        "avg_discount",
+        F.expr("cast(1000 * _real div _retail as bigint)").alias(
+            "realized_vs_retail_permille"
+        ),
+    )
