@@ -402,3 +402,63 @@ def html_strip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(1000 * (_hl - _tl) div greatest(_tl, 1) as bigint)"
         ).alias("markup_overhead_permille"),
     )
+
+
+@register(
+    "corpus_health_dashboard",
+    doc="One-scan per-source health panel: doc count, mean heuristic "
+    "quality, blocklist hit rate, PII hit rate (any of the six regex "
+    "families on raw text), distinct languages, and mean doc length — "
+    "every signal a projection over the same row, so the whole "
+    "dashboard is ONE scan + ONE keyed aggregation at any corpus "
+    "size.",
+    oracle=f"""
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       {rounding.stable_round_sql(
+           "avg(" + text_analysis.text_quality_score_sql(_TOKS) + ")", 4)} AS mean_quality,
+       ((1000 * sum(CASE WHEN list_has_any({_TOKS}, ['dup', 'slow']) THEN 1 ELSE 0 END))
+        // count(*))::BIGINT AS blocked_permille,
+       ((1000 * sum(CASE WHEN
+            len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}')) > 0
+         OR len(regexp_extract_all(text, '\\+?[0-9][0-9 ()-]{{7,}}[0-9]')) > 0
+         OR len(regexp_extract_all(text, '[a-zA-Z]+://[^/\\s:@]+:[^/\\s:@]+@')) > 0
+         OR len(regexp_extract_all(text, '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b')) > 0
+         OR len(regexp_extract_all(text, '\\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\\b')) > 0
+         OR len(regexp_extract_all(text, '\\b(?:[0-9]{{4}}[ -]?){{3}}[0-9]{{4}}\\b')) > 0
+         THEN 1 ELSE 0 END)) // count(*))::BIGINT AS pii_permille,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       round(avg(n_chars), 2) AS mean_chars
+FROM documents GROUP BY source
+""",
+)
+def corpus_health_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import compliance
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = cleaning.tokens(F.col("text"))
+    blocked = F.arrays_overlap(toks, F.array(*[F.lit(w) for w in BLOCKLIST]))
+    counts = compliance.pii_counts(F.col("text"))
+    any_pii = None
+    for c in counts.values():
+        cond = c > 0
+        any_pii = cond if any_pii is None else (any_pii | cond)
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        rounding.stable_round(
+            F.avg(text_analysis.text_quality_score(F.col("text"))), 4
+        ).alias("mean_quality"),
+        F.sum(F.when(blocked, 1).otherwise(0)).alias("_blk"),
+        F.sum(F.when(any_pii, 1).otherwise(0)).alias("_pii"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.round(F.avg("n_chars"), 2).alias("mean_chars"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "mean_quality",
+        F.expr("cast(1000 * _blk div n_docs as bigint)").alias("blocked_permille"),
+        F.expr("cast(1000 * _pii div n_docs as bigint)").alias("pii_permille"),
+        "n_langs",
+        "mean_chars",
+    )
