@@ -112,11 +112,11 @@ class reliable_checkpoints:
         return self
 
     def __exit__(self, *exc):
+        # restore the RAW previous option: setCheckpointDir(prev) would
+        # mint a fresh UUID subdirectory under prev instead of restoring
+        # the identical dir (and grow the path on every nested scope)
         jsc = getattr(self._sc._jsc.sc(), "checkpointDir_$eq")
-        if self._prev is None:
-            jsc(self._sc._jvm.scala.Option.apply(None))
-        else:
-            self._sc.setCheckpointDir(self._prev)
+        jsc(self._sc._jvm.scala.Option.apply(self._prev))
         return False
 
 

@@ -657,3 +657,21 @@ def test_winnowing_matches_python_reference_and_guarantee(spark):
     # disjoint vocabularies share nothing
     c = [f"c{i}" for i in range(20)]
     assert not (fa & {f for _, f in py_winnow(c)})
+
+
+def test_reliable_checkpoints_restores_prior_dir_and_nests(spark, tmp_path):
+    """The context manager must restore whatever checkpoint-dir state
+    it found: a pre-existing dir comes back after exit (not reset to
+    None), and nested scopes unwind level by level."""
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    outer = str(tmp_path / "outer_ckpt")
+    inner = str(tmp_path / "inner_ckpt")
+    with dedup.reliable_checkpoints(spark, outer):
+        outer_dir = sc.getCheckpointDir()
+        assert "outer_ckpt" in outer_dir
+        with dedup.reliable_checkpoints(spark, inner):
+            assert "inner_ckpt" in sc.getCheckpointDir()
+        # back to the OUTER dir, not to None
+        assert sc.getCheckpointDir() == outer_dir
+    assert sc.getCheckpointDir() is None
