@@ -107,3 +107,29 @@ def test_shared_minhash_consumer_list_is_tight():
         f"consumer list drift: missing={callers - dedup_q.SHARED_MINHASH_CONSUMERS}, "
         f"stale={dedup_q.SHARED_MINHASH_CONSUMERS - callers}"
     )
+
+
+def test_bench_force_actually_computes_all_columns(spark):
+    """Regression guard for the forcing trap bench.py documents:
+    count(xxhash64(cols)) gets optimized to count(*) because the hash
+    is non-nullable — silently restoring column pruning — while
+    bit_xor(xxhash64(cols)) must keep the hash (and therefore every
+    column's computation) in the optimized plan."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        "id", F.sha2(F.col("id").cast("string"), 256).alias("expensive")
+    )
+
+    def optimized(q):
+        return q._jdf.queryExecution().optimizedPlan().toString()
+
+    pruned = optimized(
+        df.select(F.count(F.xxhash64("id", "expensive")).alias("n"))
+    )
+    assert "xxhash64" not in pruned  # the trap: hash optimized away
+
+    kept = optimized(
+        df.select(F.bit_xor(F.xxhash64("id", "expensive")).alias("h"))
+    )
+    assert "xxhash64" in kept and "sha2" in kept  # real work retained
