@@ -47,6 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.arrays import index_1_to
 from .dedup import _persist_tracked
 
 EOW = "</w>"
@@ -64,7 +65,7 @@ def word_freqs(df: DataFrame, token_col: str) -> DataFrame:
 def init_symbols(word: F.Column) -> F.Column:
     """Word -> ``" c h a r s </w> "`` separator-joined symbol string."""
     chars = F.transform(
-        F.sequence(F.lit(1), F.length(word)),
+        index_1_to(F.length(word)),
         lambda i: F.substring(word, i, F.lit(1)),
     )
     return F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(f" {EOW} "))

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing
+from ..functions.arrays import index_1_to
 from .cleaning import tokens
 
 
@@ -221,7 +222,7 @@ def jaccard_token_sets(a: Column, b: Column) -> Column:
 
 def word_shingles(toks: Column, n: int) -> Column:
     """n-gram shingles (space-joined consecutive token windows)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    idx = index_1_to(F.size(toks) - (n - 1))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
 
 
@@ -1175,13 +1176,29 @@ def dedup_components_keep_best(
     return ranked.filter(F.col("_rn") == 1).drop("_rn")
 
 
+#: Auto-k target: the paper's regime holds cluster SIZE constant as the
+#: corpus grows (50k clusters for LAION-440M ≈ 9k vectors/cluster on
+#: GPU; for the in-executor pairwise prune a much smaller fill keeps
+#: sum(|cluster|^2) = n * target — linear with a small constant).
+SEMDEDUP_TARGET_CLUSTER_SIZE = 64
+
+
+def semdedup_auto_k(n_rows: int, target_cluster_size: int = SEMDEDUP_TARGET_CLUSTER_SIZE) -> int:
+    """k ~ n / target_cluster_size (at least 1): the arXiv:2303.09540
+    scaling regime. Deriving k from the corpus size is what makes the
+    in-cluster quadratic prune scale-INVARIANT — with fixed k, cluster
+    fill grows with n and the pair count detonates quadratically."""
+    return max(1, -(-int(n_rows) // int(target_cluster_size)))
+
+
 def semdedup_survivors(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = 8,
+    k: int | None = 8,
     iters: int = 2,
     tau: float = 0.35,
+    target_cluster_size: int = SEMDEDUP_TARGET_CLUSTER_SIZE,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     embedding-cluster pruning. K-means the embeddings (the exact
@@ -1197,9 +1214,14 @@ def semdedup_survivors(
     Scale shape: the trainer is the audited kmeans chain (broadcast
     centroids, keyed windows); the prune is a self-equi-join on the
     cluster key with the pairwise cosine verified in-bucket — cost is
-    sum(|cluster|^2), never n^2. At 100 TB, k is chosen ~n/target so
-    cluster sizes stay bounded (the paper uses 50k clusters for LAION);
-    k here is small only because the test corpus is.
+    sum(|cluster|^2), never n^2. Pass ``k=None`` for the production
+    default: k is derived as n / ``target_cluster_size`` (one eager
+    count job at plan-construction time), so cluster fill stays
+    CONSTANT as the corpus grows and the prune's pair count is
+    n * target — linear (the paper's regime; it uses 50k clusters for
+    LAION). A fixed explicit k is the oracle-replayable mode for gates
+    and small corpora — with fixed k the pair count grows
+    quadratically in n, so never fix k on a growing corpus.
 
     Beyond-reference scale operator; reference anchor for the dedup
     family: Data_Cleaning/strict_deduplication.py (exact/near title
@@ -1211,6 +1233,8 @@ def semdedup_survivors(
         kmeans_train_quantized,
     )
 
+    if k is None:
+        k = semdedup_auto_k(df.count(), target_cluster_size)
     assigned, cents = kmeans_train_quantized(df, id_col, vec_col, k=k, iters=iters)
     serving = dequantize_centroids(cents).withColumnRenamed("ckey", "cid")
     base = (
@@ -1292,7 +1316,7 @@ def gram_hash_array(token_hashes: Column, k: int = 4) -> Column:
         return acc
 
     return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(th) - (k - 1), F.lit(0))),
+        index_1_to(F.size(th) - (k - 1)),
         gram_at,
     )
 
@@ -1334,7 +1358,7 @@ def winnow_fingerprints(grams: Column, w: int = 4) -> Column:
     # both engines dedupe the same bigint list
     positions = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(grams) - (w - 1), F.lit(0))),
+            index_1_to(F.size(grams) - (w - 1)),
             pick_pos,
         )
     )

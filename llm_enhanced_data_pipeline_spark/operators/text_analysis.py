@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import hashing
+from ..functions.arrays import index_1_to
 from .cleaning import tokens
 
 # ---------------------------------------------------------------------------
@@ -1151,7 +1152,7 @@ def bigram_logprob_scores(
 
     toks = F.col(token_col)
     bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        index_1_to(F.size(toks) - 1),
         lambda i: F.struct(
             F.element_at(toks, i.cast("int")).alias("w1"),
             F.element_at(toks, i.cast("int") + 1).alias("w2"),

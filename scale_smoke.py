@@ -278,11 +278,16 @@ def run_at(spark: SparkSession, r: int) -> dict[str, float]:
             0
         ].count()
     )
-    # SemDeDup prune under the production invariant: cluster COUNT grows
-    # with the corpus ((label, replica) key), cluster size stays constant
+    # SemDeDup prune under the production invariant — the auto-k regime
+    # (dedup.semdedup_auto_k): cluster COUNT grows with the corpus,
+    # cluster SIZE stays at the constant target, so the in-cluster
+    # quadratic side is n * target = linear. The synthetic assignment
+    # hash-shards vectors into exactly that many clusters (the trainer
+    # itself is timed separately in the kmeans_train slot).
+    n_clusters = dedup.semdedup_auto_k(out["n_vecs"])
     sd_base = emb.select(
         "vec_id",
-        (F.col("label").cast("bigint") * 1000 + F.col("vec_id") / 10_000_000)
+        F.pmod(_h.stable_hash32(F.col("vec_id").cast("string")), F.lit(n_clusters))
         .cast("bigint")
         .alias("cluster"),
         F.col("embedding").alias("_v"),
@@ -323,8 +328,21 @@ def main() -> None:
             if not k.startswith("n_")
         },
     }
+    # Invariant gates: every slot must stay under the data ratio, and
+    # semdedup — the one op whose cost law DEPENDS on the auto-k
+    # invariant — must stay in line with its linear siblings (r6
+    # verdict bound). A violation means a quadratic side regressed.
+    bounds = {k: data_ratio for k in report["wall_ratios"]}
+    bounds["semdedup_prune"] = min(1.6, data_ratio)
+    report["ratio_violations"] = {
+        k: {"ratio": report["wall_ratios"][k], "bound": round(b, 2)}
+        for k, b in bounds.items()
+        if report["wall_ratios"][k] > b
+    }
     print(json.dumps(report))
     spark.stop()
+    if report["ratio_violations"]:
+        sys.exit(f"scale invariant violated: {report['ratio_violations']}")
 
 
 if __name__ == "__main__":

@@ -630,6 +630,11 @@ def test_winnowing_matches_python_reference_and_guarantee(spark):
     rng = random.Random(7)
     vocab = [f"w{i}" for i in range(30)]
     docs = [[rng.choice(vocab) for _ in range(rng.randint(8, 40))] for _ in range(25)]
+    # short docs below the gram window (k) and the winnow guarantee
+    # length (w + k - 1): Spark's sequence(1, 0) is the DESCENDING
+    # [1, 0], so an unguarded index array crashes element_at with
+    # INVALID_INDEX_OF_ZERO on any of these
+    docs += [[rng.choice(vocab) for _ in range(n)] for n in range(1, 8)]
 
     df = spark.createDataFrame(
         [Row(i=i, text=" ".join(d)) for i, d in enumerate(docs)]
@@ -675,3 +680,99 @@ def test_reliable_checkpoints_restores_prior_dir_and_nests(spark, tmp_path):
         # back to the OUTER dir, not to None
         assert sc.getCheckpointDir() == outer_dir
     assert sc.getCheckpointDir() is None
+
+
+def test_short_doc_windows_are_empty_not_descending(spark):
+    """Regression: Spark's sequence(1, greatest(n, 0)) yields the
+    DESCENDING [1, 0] when n == 0 (sequence auto-steps -1), so every
+    rolling-window index built that way crashed element_at/slice with
+    INVALID_INDEX_OF_ZERO on docs shorter than the window. DuckDB's
+    range(1, n + 1) is empty, so the twins also diverged. index_1_to
+    restores range() semantics; short docs now yield empty windows on
+    both engines (ADVICE r6, high)."""
+    from llm_enhanced_data_pipeline_spark.operators import text_analysis
+
+    rows = [
+        Row(doc_id=i, toks=["tok%d" % j for j in range(n)])
+        for i, n in enumerate([0, 1, 2, 3, 4, 7, 8])
+    ]
+    df = spark.createDataFrame(rows)
+
+    # word_shingles(n=3): docs with < 3 tokens -> empty shingle list
+    got = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", dedup.word_shingles(F.col("toks"), 3).alias("s")
+        ).collect()
+    }
+    assert got[0] == [] and got[1] == [] and got[2] == []
+    assert len(got[3]) == 1 and len(got[6]) == 6
+
+    # gram_hash_array(k=4) + winnow_fingerprints(w=4): < k tokens ->
+    # no grams; < w + k - 1 tokens -> grams but no fingerprints
+    staged = df.withColumn(
+        "_h", F.transform(F.col("toks"), dedup.hashing.stable_hash32)
+    ).withColumn("_g", dedup.gram_hash_array(F.col("_h"), k=4))
+    wf = {
+        r.doc_id: (r.ng, len(r.fps))
+        for r in staged.select(
+            "doc_id",
+            F.size("_g").alias("ng"),
+            dedup.winnow_fingerprints(F.col("_g"), w=4).alias("fps"),
+        ).collect()
+    }
+    assert wf[0] == (0, 0) and wf[3] == (0, 0)  # 0 and 3 tokens: no grams
+    assert wf[4] == (1, 0)  # 4 tokens: one gram, below the w window
+    assert wf[5] == (4, 1)  # 7 = w + k - 1 tokens: first fingerprint
+    assert wf[6][1] >= 1
+
+    # bigram_logprob_scores: docs with < 2 tokens keep a zero-bigram
+    # row with NULL avg_logprob (the docstring's contract)
+    bl = {
+        r.doc_id: (r.n_bigrams, r.avg_logprob)
+        for r in text_analysis.bigram_logprob_scores(
+            df, "doc_id", "toks"
+        ).collect()
+    }
+    assert len(bl) == len(rows)
+    assert bl[0] == (0, None) and bl[1] == (0, None)
+    assert bl[2][0] == 1 and bl[2][1] is not None
+
+    # BPE symbol init: the empty word degrades to just the EOW marker
+    from llm_enhanced_data_pipeline_spark.operators import bpe
+
+    sym = (
+        spark.createDataFrame([Row(w=""), Row(w="ab")])
+        .select(bpe.init_symbols(F.col("w")).alias("s"))
+        .collect()
+    )
+    assert sorted(r.s for r in sym) == ["  </w> ", " a b </w> "]
+
+
+def test_semdedup_auto_k_scaling_regime(spark, sf_dir):
+    """Auto-k (k=None) derives k ~ n / target so cluster fill stays
+    constant as the corpus grows — the arXiv:2303.09540 regime that
+    keeps the in-cluster quadratic prune linear. Fixed-k mode stays
+    bit-identical for the oracle gate."""
+    assert dedup.semdedup_auto_k(0) == 1
+    assert dedup.semdedup_auto_k(64) == 1
+    assert dedup.semdedup_auto_k(65) == 2
+    assert dedup.semdedup_auto_k(10_000_000, 64) == 156_250
+    # 100x the corpus -> 100x the clusters, constant fill
+    assert dedup.semdedup_auto_k(1_000_000_000, 64) == 100 * dedup.semdedup_auto_k(
+        10_000_000, 64
+    )
+
+    from llm_enhanced_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    n = emb.count()
+    out = dedup.semdedup_survivors(
+        emb, "vec_id", "embedding", k=None, iters=1, target_cluster_size=100
+    )
+    got = out.collect()
+    assert 0 < len(got) <= n
+    # the derived k bounds the cluster ids actually assigned
+    k = dedup.semdedup_auto_k(n, 100)
+    assert all(0 <= r.cluster < k for r in got)
+    dedup.release_caches()
