@@ -4,12 +4,23 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Methodology (settled round 7):
+- Forcing: bit_xor(xxhash64(*all_columns)) per slot — consumes every
+  output column. Rounds 1-5 forced with count(), which let Catalyst
+  prune unreferenced columns, so text-transform slots under-reported;
+  r6+ numbers are like-for-like with each other but NOT with r1-r5.
+- Median-of-3: each slot runs SPARK_GRAFT_BENCH_REPS times (default 3)
+  after the codegen warm-up; `queries` carries the per-slot MEDIAN and
+  `query_spreads` the {median,min,max} band, so a one-rep scheduler
+  hiccup cannot masquerade as a round-over-round regression.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -20,6 +31,7 @@ from llm_enhanced_data_pipeline_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARM_SF_DIR = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 
 def main() -> None:
@@ -62,29 +74,38 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    timings: dict[str, float] = {}
+    reps: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+
+    def record(name: str, secs: list[float]) -> None:
+        reps[name] = secs
+        med = statistics.median(secs)
+        print(
+            f"# {name}: {med:.3f}s (median of {len(secs)}; "
+            f"min {min(secs):.3f} max {max(secs):.3f})",
+            file=sys.stderr,
+        )
 
     # The shared MinHash signature/pair index (memoized per (session,
     # sf_dir)) serves several headline queries. Build it as its OWN
     # timed slot BEFORE the per-query loop so each consumer measures
     # its marginal cost — otherwise the build lands on whichever
     # consumer runs first and a real regression in the minhash path
-    # hides inside run-order attribution noise.
+    # hides inside run-order attribution noise. Between reps the memo
+    # is invalidated so every rep is a cold build; the LAST build is
+    # left live for the consumer slots.
     from llm_enhanced_data_pipeline_spark.queries import dedup_q
 
     if any(s.name in dedup_q.SHARED_MINHASH_CONSUMERS for s in bench_specs):
-        t0 = time.perf_counter()
+        secs: list[float] = []
         try:
-            dedup_q.build_shared_minhash_index(spark, SF_DIR)
-            timings["shared_minhash_index_build"] = round(
-                time.perf_counter() - t0, 4
-            )
-            print(
-                f"# shared_minhash_index_build: "
-                f"{timings['shared_minhash_index_build']:.3f}s",
-                file=sys.stderr,
-            )
+            for i in range(REPS):
+                if i:
+                    dedup_q.invalidate_shared_minhash_index(spark, SF_DIR)
+                t0 = time.perf_counter()
+                dedup_q.build_shared_minhash_index(spark, SF_DIR)
+                secs.append(time.perf_counter() - t0)
+            record("shared_minhash_index_build", secs)
         except Exception as exc:
             errors["shared_minhash_index_build"] = (
                 f"{type(exc).__name__}: {exc}"[:500]
@@ -95,18 +116,21 @@ def main() -> None:
                 file=sys.stderr,
             )
     for spec in bench_specs:
-        t0 = time.perf_counter()
+        secs = []
         try:
-            force(spec.fn(spark, SF_DIR))  # all columns, result stays distributed
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                force(spec.fn(spark, SF_DIR))  # all columns, distributed
+                secs.append(time.perf_counter() - t0)
         except Exception as exc:
             # One broken query must not zero the whole round's bench:
             # record the error, keep timing the rest.
             errors[spec.name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {spec.name}: ERROR {errors[spec.name]}", file=sys.stderr)
             continue
-        timings[spec.name] = round(time.perf_counter() - t0, 4)
-        print(f"# {spec.name}: {timings[spec.name]:.3f}s", file=sys.stderr)
+        record(spec.name, secs)
 
+    timings = {k: round(statistics.median(v), 4) for k, v in reps.items()}
     # A failed query means the headline total covers FEWER queries than
     # previous rounds — a partial sum would read as a fake speedup. Null
     # the headline value whenever anything failed; per-query timings and
@@ -117,7 +141,8 @@ def main() -> None:
     # with the shared minhash build inside near_dup_pairs_minhash's
     # slot. The 15-slot total above adds corpus_build_v4 +
     # substring_dedup_apply; this subtotal (legacy 13 + the split-out
-    # build) is the number to diff against BENCH_r05's `value`.
+    # build) diffs against BENCH_r06's value (r1-r5 used count()
+    # forcing — see module docstring — so they are NOT like-for-like).
     legacy_names = {
         "cosine_topk", "decontamination_report", "enrichment_join_5way",
         "events_asof_join", "events_hourly_rollup", "flagship_pipeline",
@@ -133,8 +158,19 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "n_failed": len(errors),
+        "reps_per_slot": REPS,
+        "forcing": "bit_xor(xxhash64(*cols)) since r6; r1-r5 count() "
+        "forcing column-pruned and is not comparable",
         "legacy_13slot_total": legacy_total if not errors else None,
         "queries": timings,
+        "query_spreads": {
+            k: {
+                "median": round(statistics.median(v), 4),
+                "min": round(min(v), 4),
+                "max": round(max(v), 4),
+            }
+            for k, v in reps.items()
+        },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

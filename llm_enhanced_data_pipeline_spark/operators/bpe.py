@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.arrays import index_1_to
-from .dedup import _persist_tracked
+from .dedup import persist_tracked
 
 EOW = "</w>"
 
@@ -120,7 +120,7 @@ def bpe_train(
     lookup table: applying the tokenizer to the training corpus is a
     broadcast equi-join against it, no re-segmentation).
     """
-    base = _persist_tracked(
+    base = persist_tracked(
         words.select("word", "freq", init_symbols(F.col("word")).alias("_s"))
     )
     cur = base

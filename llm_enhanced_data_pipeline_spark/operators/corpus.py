@@ -883,6 +883,14 @@ def doremi_domain_weights(
     equi-join of the counts against the per-token totals (vocab-sized,
     AQE-broadcast), a per-domain aggregation, and window math over the
     D-row result. Never doc x doc; the D-row tail is trivially tiny.
+
+    EAGER + caching contract: the (domain, token) count frame is
+    persisted via ``dedup.persist_tracked`` and materialized at
+    plan-construction time (four downstream branches would otherwise
+    each re-run the token explode — measured 4x at sf0.1; exchange
+    reuse does not dedupe these shapes). Callers therefore pay the
+    token shuffle when BUILDING the plan, and own a
+    ``dedup.release_caches()`` call after consuming the result.
     """
     from ..functions.rounding import stable_round
 
@@ -900,7 +908,7 @@ def doremi_domain_weights(
     # 4x at sf0.1; exchange reuse does not dedupe these shapes). The
     # frame itself is vocab x domains rows, trivially cacheable at any
     # corpus size; released via dedup.release_caches.
-    dt = dedup._persist_tracked(dt)
+    dt = dedup.persist_tracked(dt)
     dt.count()
     d_tot = dt.groupBy("domain").agg(F.sum("_c_dt").alias("_n_d"))
     t_tot = dt.groupBy("_tok").agg(F.sum("_c_dt").alias("_c_t"))

@@ -40,10 +40,24 @@ from .cleaning import tokens
 _LIVE_CACHES: list[DataFrame] = []
 
 
-def _persist_tracked(df: DataFrame) -> DataFrame:
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and register it with this module's cache ledger.
+
+    The PUBLIC multi-consumer persistence hook for the whole package
+    (bpe, corpus, composite queries): any frame persisted through here
+    stays cached until the caller invokes :func:`release_caches` after
+    materializing its results — callers take on that release
+    obligation (a long-lived session that never releases accumulates
+    executor blocks). Operators that persist eagerly (e.g. doremi's
+    (domain, token) counts) also run their materializing job at
+    plan-construction time; their docstrings say so."""
     cached = df.persist()
     _LIVE_CACHES.append(cached)
     return cached
+
+
+#: backwards-compat alias (pre-r7 internal name)
+_persist_tracked = persist_tracked
 
 
 # localCheckpoint block registry: (SparkContext, persistent-RDD ids).
@@ -115,9 +129,17 @@ class reliable_checkpoints:
     def __exit__(self, *exc):
         # restore the RAW previous option: setCheckpointDir(prev) would
         # mint a fresh UUID subdirectory under prev instead of restoring
-        # the identical dir (and grow the path on every nested scope)
-        jsc = getattr(self._sc._jsc.sc(), "checkpointDir_$eq")
-        jsc(self._sc._jvm.scala.Option.apply(self._prev))
+        # the identical dir (and grow the path on every nested scope).
+        # The raw restore needs Spark's INTERNAL var setter; if a Spark
+        # release renames it, fall back to the public API (accepting
+        # the UUID-subdir growth) rather than failing jobs whose body
+        # succeeded.
+        try:
+            jsc = getattr(self._sc._jsc.sc(), "checkpointDir_$eq")
+            jsc(self._sc._jvm.scala.Option.apply(self._prev))
+        except (AttributeError, TypeError):
+            if self._prev is not None:
+                self._sc.setCheckpointDir(self._prev)
         return False
 
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import psl
+
 # scheme://host[:port] prefix (before any path/query/fragment)
 _PRE_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
 
@@ -39,7 +41,11 @@ def canonicalize_url(url: Column) -> Column:
     pre = F.regexp_extract(u, _PRE_RE, 0)
     rest = F.substring(u, F.length(pre) + 1, F.lit(1 << 30))
     pre = F.lower(pre)  # 2. scheme+host case
-    pre = F.regexp_replace(pre, r":(80|443)$", "")  # 3. default ports
+    # 3. default ports — only the port that matches the SCHEME is
+    # default (http://h:443 and https://h:80 point at real non-default
+    # ports and must survive canonicalization distinct)
+    pre = F.regexp_replace(pre, r"^(http://[^:/]*):80$", "$1")
+    pre = F.regexp_replace(pre, r"^(https://[^:/]*):443$", "$1")
     path = F.regexp_replace(rest, r"\?.*$", "")
     query = F.when(
         rest.contains("?"), F.regexp_replace(rest, r"^[^?]*\?", "")
@@ -68,7 +74,10 @@ def canonicalize_url_sql(expr: str) -> str:
     u = f"regexp_replace({expr}, '#.*$', '')"
     pre = f"regexp_extract({u}, '{_PRE_RE}', 0)"
     rest = f"substring({u}, length({pre}) + 1)"
-    cpre = f"regexp_replace(lower({pre}), ':(80|443)$', '')"
+    cpre = (
+        f"regexp_replace(regexp_replace(lower({pre}),"
+        f" '^(http://[^:/]*):80$', '\\1'), '^(https://[^:/]*):443$', '\\1')"
+    )
     path = f"regexp_replace({rest}, '\\?.*$', '')"
     query = (
         f"CASE WHEN contains({rest}, '?')"
@@ -90,9 +99,11 @@ def canonicalize_url_sql(expr: str) -> str:
 
 
 def registered_domain(url: Column) -> Column:
-    """Last two dot-labels of the host — the per-site cap key. (A full
-    public-suffix-list lookup is a broadcast join against the PSL
-    table at production; two labels is the PSL-free approximation.)"""
+    """Last two dot-labels of the host — the ZERO-DATA approximation of
+    the per-site cap key. Wrong on multi-label public suffixes (it
+    lumps every ``*.co.uk`` site into one ``co.uk`` bucket); use
+    :func:`registered_domain_psl` — the production key — unless the
+    corpus is known to be generic-TLD only."""
     host = F.regexp_extract(url, r"://([^:/?#]+)", 1)
     return F.lower(F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1))
 
@@ -100,6 +111,22 @@ def registered_domain(url: Column) -> Column:
 def registered_domain_sql(expr: str) -> str:
     host = f"regexp_extract({expr}, '://([^:/?#]+)', 1)"
     return f"lower(regexp_extract({host}, '([^.]+\\.[^.]+)$', 1))"
+
+
+def registered_domain_psl(url: Column) -> Column:
+    """Registrable domain of a URL per the Public Suffix List
+    (vendored snapshot; see ``functions/psl.py``): ``example.co.uk``
+    stays ``example.co.uk``, wildcard/exception rules honored, NULL
+    when the host IS a public suffix. The production ``cap_per_domain``
+    key — still a pure zero-shuffle column expression (the rule arrays
+    constant-fold)."""
+    return psl.registered_domain_psl(psl.host_of(url))
+
+
+def registered_domain_psl_sql(expr: str) -> str:
+    """DuckDB twin of :func:`registered_domain_psl` (same vendored
+    snapshot)."""
+    return psl.registered_domain_psl_sql(psl.host_of_sql(expr))
 
 
 def cap_per_domain(

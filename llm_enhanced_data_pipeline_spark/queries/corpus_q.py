@@ -206,7 +206,7 @@ def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows — not two scans through separate train/eval branches. The
     # gram frame is persisted (and materialized — see minhash_grouped)
     # because both the train and eval branches consume it.
-    grams = dedup._persist_tracked(
+    grams = dedup.persist_tracked(
         dedup.shingle_hash_rows(docs, "doc_id", "toks", n=3)
     )
     grams.count()
@@ -694,7 +694,7 @@ def corpus_build_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash_grouped lesson, operators/dedup.py). The frame is
     # corpus-rows sized, tiny next to the position explode it caps;
     # released via dedup.release_caches.
-    surv = dedup._persist_tracked(surv)
+    surv = dedup.persist_tracked(surv)
     surv.count()
     weights = corpus.doremi_domain_weights(surv, "lang", "ctoks")
     return corpus.mixture_schedule(weights, 20_000)

@@ -285,7 +285,7 @@ def _shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _memo_live(_MINHASH_PAIRS_CACHE, key)
     if cached is not None:
         return cached
-    frame = dedup._persist_tracked(
+    frame = dedup.persist_tracked(
         dedup.near_dup_pairs_minhash(
             _minhash_corpus(spark, sf_dir), "doc_id", "toks",
             threshold=0.8, num_hashes=16, bands=8, shingle_n=3,
@@ -329,6 +329,18 @@ def build_shared_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression in the minhash path could hide inside the attribution
     noise)."""
     return _shared_minhash_pairs(spark, sf_dir)
+
+
+def invalidate_shared_minhash_index(spark: SparkSession, sf_dir: str) -> None:
+    """Drop the memoized signature + pair frames (unpersist + forget)
+    so the next build is cold. Used by bench.py's median-of-3 index
+    slot — every other caller should let the memo live for the whole
+    session."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for cache in (_MINHASH_GROUPED_CACHE, _MINHASH_PAIRS_CACHE):
+        frame = cache.pop(key, None)
+        if frame is not None:
+            frame.unpersist()
 
 
 @register(

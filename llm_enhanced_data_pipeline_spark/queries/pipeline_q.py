@@ -313,7 +313,7 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The deduped frame is consumed three times (both semi-join id
     # sides, the survivor anti-join) — persist it so the
     # scan->gate->window lineage runs once, not three times.
-    with_toks = dedup._persist_tracked(exact)
+    with_toks = dedup.persist_tracked(exact)
     with_toks.count()  # 3 consumers; see minhash_grouped on why eager
     # Near-dup stage: filter the shared pair index to pairs whose BOTH
     # endpoints survived the gate + exact dedup (near-dup-ness is

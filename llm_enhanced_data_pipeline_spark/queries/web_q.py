@@ -87,7 +87,7 @@ WITH u AS (
 c AS (
   SELECT doc_id, url, {web.canonicalize_url_sql("url")} AS curl FROM u
 )
-SELECT {web.registered_domain_sql("curl")} AS domain,
+SELECT {web.registered_domain_psl_sql("curl")} AS domain,
        count(*)::BIGINT AS n_urls,
        count(DISTINCT url)::BIGINT AS n_raw_distinct,
        count(DISTINCT curl)::BIGINT AS n_canonical,
@@ -102,7 +102,7 @@ def url_canonical_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         _messy_url().alias("url"),
     ).withColumn("curl", web.canonicalize_url(F.col("url")))
-    agg = c.groupBy(web.registered_domain(F.col("curl")).alias("domain")).agg(
+    agg = c.groupBy(web.registered_domain_psl(F.col("curl")).alias("domain")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_urls"),
         F.countDistinct("url").cast("bigint").alias("n_raw_distinct"),
         F.countDistinct("curl").cast("bigint").alias("n_canonical"),
@@ -131,7 +131,7 @@ WITH u AS (
 ),
 d AS (
   SELECT doc_id,
-         {web.registered_domain_sql(web.canonicalize_url_sql("url"))} AS domain
+         {web.registered_domain_psl_sql(web.canonicalize_url_sql("url"))} AS domain
   FROM u
 ),
 rk AS (
@@ -151,7 +151,7 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     d = docs.select(
         "doc_id",
-        web.registered_domain(web.canonicalize_url(_messy_url())).alias("domain"),
+        web.registered_domain_psl(web.canonicalize_url(_messy_url())).alias("domain"),
     )
     kept = web.cap_per_domain(d, "domain", [F.col("doc_id")], cap=20)
     totals = d.groupBy("domain").agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
@@ -219,7 +219,7 @@ WITH u AS (
 c AS (
   SELECT doc_id, lang, text,
          {web.canonicalize_url_sql("url")} AS curl,
-         {web.registered_domain_sql(web.canonicalize_url_sql("url"))} AS domain,
+         {web.registered_domain_psl_sql(web.canonicalize_url_sql("url"))} AS domain,
          NOT list_has_any({_TOKS}, ['dup', 'slow']) AS b_ok,
          {rounding.stable_round_sql(text_analysis.text_quality_score_sql(_TOKS), 4)} AS q
   FROM u
@@ -266,7 +266,7 @@ def corpus_build_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "text",
         curl.alias("curl"),
-        web.registered_domain(curl).alias("domain"),
+        web.registered_domain_psl(curl).alias("domain"),
         (
             ~F.arrays_overlap(
                 cleaning.tokens(F.col("text")),
@@ -461,4 +461,100 @@ def corpus_health_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(1000 * _pii div n_docs as bigint)").alias("pii_permille"),
         "n_langs",
         "mean_chars",
+    )
+
+
+# ccTLD-mixed host fixture: every PSL rule kind is represented (normal
+# 2-label, default '*', private-section, wildcard, exception, and the
+# host-IS-a-public-suffix NULL case), so this gate diverges from the
+# 2-label key ON PURPOSE — it is the proof the PSL path fixes the
+# *.co.uk over-capping.
+_CCTLD_URL_SQL = """
+'https://' || (CASE doc_id % 8
+  WHEN 0 THEN source || '.com'
+  WHEN 1 THEN source || '.co.uk'
+  WHEN 2 THEN 'www.' || source || '.org.uk'
+  WHEN 3 THEN source || '.github.io'
+  WHEN 4 THEN 'sub.' || source || '.kawasaki.jp'
+  WHEN 5 THEN 'city.kawasaki.jp'
+  WHEN 6 THEN source || '.ck'
+  ELSE 'www.ck'
+END) || '/p/' || (doc_id // 8)
+"""
+
+
+def _cctld_url() -> F.Column:
+    m = F.expr("doc_id % 8")
+    src = F.col("source")
+    host = (
+        F.when(m == 0, F.concat(src, F.lit(".com")))
+        .when(m == 1, F.concat(src, F.lit(".co.uk")))
+        .when(m == 2, F.concat(F.lit("www."), src, F.lit(".org.uk")))
+        .when(m == 3, F.concat(src, F.lit(".github.io")))
+        .when(m == 4, F.concat(F.lit("sub."), src, F.lit(".kawasaki.jp")))
+        .when(m == 5, F.lit("city.kawasaki.jp"))
+        .when(m == 6, F.concat(src, F.lit(".ck")))
+        .otherwise(F.lit("www.ck"))
+    )
+    return F.concat(
+        F.lit("https://"), host, F.lit("/p/"), F.expr("cast(doc_id div 8 as string)")
+    )
+
+
+@register(
+    "domain_cap_psl",
+    doc="Per-registered-domain cap keyed by the PSL lookup "
+    "(functions/psl.py vendored snapshot) over a ccTLD-mixed host "
+    "fixture: *.co.uk sites stay separate buckets (the 2-label key "
+    "merges them — shown in the two_label_key contrast column), "
+    "wildcard children (source.ck) resolve to NULL and are exempt "
+    "from the cap, exceptions (www.ck, city.kawasaki.jp) are "
+    "registrable. Keep 5 docs per domain by doc_id. One keyed window "
+    "+ one agg; the PSL chain is a constant-folded projection.",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id, source, ({_CCTLD_URL_SQL}) AS url FROM documents
+),
+d AS (
+  SELECT doc_id, source, url,
+         {web.registered_domain_psl_sql("url")} AS domain,
+         {web.registered_domain_sql("url")} AS two_label
+  FROM u
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS _rk
+  FROM d
+)
+SELECT domain,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT url)::BIGINT AS n_urls,
+       max(two_label) AS two_label_key,
+       sum(CASE WHEN domain IS NULL OR _rk <= 5 THEN 1 ELSE 0 END)::BIGINT
+         AS n_kept
+FROM rk GROUP BY domain
+""",
+)
+def domain_cap_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    url = _cctld_url()
+    d = docs.select(
+        "doc_id",
+        "source",
+        url.alias("url"),
+        web.registered_domain_psl(url).alias("domain"),
+        web.registered_domain(url).alias("two_label"),
+    )
+    w = Window.partitionBy("domain").orderBy("doc_id")
+    rk = d.withColumn("_rk", F.row_number().over(w))
+    return rk.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("url").cast("bigint").alias("n_urls"),
+        F.max("two_label").alias("two_label_key"),
+        F.sum(
+            F.when(F.col("domain").isNull() | (F.col("_rk") <= 5), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_kept"),
     )

@@ -106,7 +106,9 @@ def test_canonicalize_url_differential_and_idempotent(spark):
         m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", u)
         pre = m.group(0) if m else ""
         rest = u[len(pre):]
-        pre = re.sub(r":(80|443)$", "", pre.lower())
+        pre = pre.lower()
+        pre = re.sub(r"^(http://[^:/]*):80$", r"\1", pre)
+        pre = re.sub(r"^(https://[^:/]*):443$", r"\1", pre)
         path = re.sub(r"\?.*$", "", rest)
         query = re.sub(r"^[^?]*\?", "", rest) if "?" in rest else ""
         kept = [p for p in query.split("&") if p and not p.startswith("utm_")]
@@ -135,11 +137,12 @@ def test_canonicalize_url_differential_and_idempotent(spark):
     # idempotence: canonicalizing the canonical form is a no-op
     again = _canon(spark, got)
     assert again == got
-    # structural invariants of the canonical form
+    # structural invariants of the canonical form (default ports are
+    # scheme-aware: only http's :80 / https's :443 are stripped)
     for c in got:
         assert "#" not in c
-        assert ":80/" not in c and not c.endswith(":80")
-        assert ":443/" not in c and not c.endswith(":443")
+        assert not re.search(r"^http://[^:/]*:80(?:/|\?|$)", c)
+        assert not re.search(r"^https://[^:/]*:443(?:/|\?|$)", c)
         assert "utm_" not in c
 
 
@@ -174,3 +177,127 @@ def test_html_strip_edge_cases(spark):
     # recovery invariant on the real table at smoke scale
     rep = html_strip_report(spark, "/root/testdata/sf0.001").collect()
     assert all(r.n_recovered == r.n_docs for r in rep), rep
+
+
+# --- PSL registered-domain: the three implementations must agree ------
+
+PSL_CASES = [
+    # (host, expected registered domain)
+    ("example.com", "example.com"),
+    ("www.example.com", "example.com"),
+    ("a.b.c.example.com", "example.com"),
+    ("com", None),                          # bare TLD = public suffix
+    ("example.co.uk", "example.co.uk"),     # 2-label rule
+    ("www.example.co.uk", "example.co.uk"),
+    ("co.uk", None),                        # the suffix itself
+    ("uk", None),
+    ("alpha.org.uk", "alpha.org.uk"),
+    ("school.k12.ca.us", "school.k12.ca.us"),  # 3-label rule
+    ("www.school.k12.ca.us", "school.k12.ca.us"),
+    ("k12.ca.us", None),
+    ("sub.ny.us", "sub.ny.us"),             # 2-label state rule
+    ("foo.bar.ck", "foo.bar.ck"),           # *.ck wildcard
+    ("bar.ck", None),                       # direct child of wildcard
+    ("www.ck", "www.ck"),                   # !www.ck exception
+    ("sub.www.ck", "www.ck"),
+    ("ck", None),
+    ("city.kawasaki.jp", "city.kawasaki.jp"),   # !city.kawasaki.jp
+    ("sub.city.kawasaki.jp", "city.kawasaki.jp"),
+    ("foo.kawasaki.jp", None),              # *.kawasaki.jp wildcard
+    ("x.foo.kawasaki.jp", "x.foo.kawasaki.jp"),
+    ("shop.co.jp", "shop.co.jp"),           # plain jp SLD
+    ("user.github.io", "user.github.io"),   # private-section suffix
+    ("github.io", None),
+    ("mysite.blogspot.com", "mysite.blogspot.com"),
+    ("data.s3.amazonaws.com", "data.s3.amazonaws.com"),
+    ("", None),
+]
+
+
+def test_registered_domain_psl_three_way_agreement(spark):
+    """Spark column, DuckDB twin, and the independent pure-Python PSL
+    walk must agree on every rule kind: normal (2- and 3-label),
+    wildcard, exception, private-section, default-'*', and the
+    host-IS-a-public-suffix NULL cases."""
+    import duckdb
+
+    from llm_enhanced_data_pipeline_spark.functions import psl
+
+    for host, want in PSL_CASES:
+        assert psl.registered_domain_psl_py(host) == want, host
+
+    df = spark.createDataFrame(
+        [Row(i=i, h=h) for i, (h, _) in enumerate(PSL_CASES)]
+    )
+    got = {
+        r.i: r.rd
+        for r in df.select(
+            "i", psl.registered_domain_psl(F.col("h")).alias("rd")
+        ).collect()
+    }
+    for i, (host, want) in enumerate(PSL_CASES):
+        assert got[i] == want, f"spark: {host}"
+
+    con = duckdb.connect()
+    for host, want in PSL_CASES:
+        # the web-level twin composes host_of_sql + the PSL chain
+        sql_rd = web.registered_domain_psl_sql(f"'https://{host}/'")
+        got_sql = con.execute(f"SELECT {sql_rd}").fetchone()[0]
+        assert got_sql == want, f"duckdb: {host}"
+
+
+def test_registered_domain_psl_url_wrappers_and_cap(spark):
+    """The URL-level wrappers parse ports/userinfo away, and
+    cap_per_domain keyed on the PSL domain no longer over-caps
+    disjoint *.co.uk sites (the 2-label key merges them into one
+    bucket; the PSL key keeps them apart)."""
+    urls = [
+        ("https://alpha.co.uk:443/x", "alpha.co.uk"),
+        ("http://user:pw@beta.co.uk:8080/y", "beta.co.uk"),
+        ("https://WWW.Gamma.CO.UK/z#f", "gamma.co.uk"),
+    ]
+    df = spark.createDataFrame([Row(i=i, u=u) for i, (u, _) in enumerate(urls)])
+    got = {
+        r.i: r.rd
+        for r in df.select(
+            "i", web.registered_domain_psl(F.col("u")).alias("rd")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(urls):
+        assert got[i] == want
+
+    # 6 docs on 3 distinct UK sites, cap=2: the PSL key keeps all 6
+    # (2 per site); the 2-label key collapses them into one 'co.uk'
+    # bucket and over-caps to 2 total
+    rows = [
+        Row(doc_id=i, url=f"https://site{i % 3}.co.uk/p/{i}") for i in range(6)
+    ]
+    d = spark.createDataFrame(rows)
+    by_psl = d.withColumn("dom", web.registered_domain_psl(F.col("url")))
+    by_2lb = d.withColumn("dom", web.registered_domain(F.col("url")))
+    kept_psl = web.cap_per_domain(by_psl, "dom", [F.col("doc_id")], cap=2).count()
+    kept_2lb = web.cap_per_domain(by_2lb, "dom", [F.col("doc_id")], cap=2).count()
+    assert kept_psl == 6
+    assert kept_2lb == 2
+
+
+def test_default_port_strip_is_scheme_aware(spark):
+    """ADVICE r6: http://h:443 and https://h:80 are NON-default ports
+    and must survive canonicalization distinct; only the scheme's own
+    default port strips. Spark and DuckDB twins agree."""
+    import duckdb
+
+    cases = [
+        ("http://site.com:80/x", "http://site.com/x"),
+        ("https://site.com:443/x", "https://site.com/x"),
+        ("http://site.com:443/x", "http://site.com:443/x"),
+        ("https://site.com:80/x", "https://site.com:80/x"),
+        ("http://site.com:8080/x", "http://site.com:8080/x"),
+    ]
+    got = _canon(spark, [u for u, _ in cases])
+    for (u, want), g in zip(cases, got):
+        assert g == want, u
+    con = duckdb.connect()
+    for u, want in cases:
+        sql = web.canonicalize_url_sql(f"'{u}'")
+        assert con.execute(f"SELECT {sql}").fetchone()[0] == want, u
