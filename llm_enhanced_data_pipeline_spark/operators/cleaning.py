@@ -190,12 +190,16 @@ HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
     (r"(?is)<style\b[^>]*>.*?</style>", " "),
     (r"(?is)<!--.*?-->", " "),
     (r"(?s)<[^>]+>", " "),
-    (r"&nbsp;", " "),
-    (r"&lt;", "<"),
-    (r"&gt;", ">"),
-    (r"&quot;", "\""),
-    (r"&#39;", "'"),
-    (r"&amp;", "&"),  # LAST: earlier would double-decode &amp;lt;
+    # named + NUMERIC entity forms (decimal &#39; and hex &#x27;, any
+    # case, leading zeros allowed) — the numeric forms are what real
+    # crawls carry and they must not survive into dedup keys
+    (r"(?i)&nbsp;|&#0*160;|&#x0*a0;", " "),
+    (r"(?i)&lt;|&#0*60;|&#x0*3c;", "<"),
+    (r"(?i)&gt;|&#0*62;|&#x0*3e;", ">"),
+    (r"(?i)&quot;|&#0*34;|&#x0*22;", "\""),
+    (r"(?i)&#0*39;|&#x0*27;|&apos;", "'"),
+    # LAST: earlier would double-decode &amp;lt; (and &amp;#39;)
+    (r"(?i)&amp;|&#0*38;|&#x0*26;", "&"),
 )
 
 

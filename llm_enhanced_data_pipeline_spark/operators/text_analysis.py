@@ -1226,3 +1226,121 @@ SELECT t.id AS {id_expr},
        agg.avg_logprob
 FROM t LEFT JOIN agg ON t.id = agg.id
 """
+
+
+# ---------------------------------------------------------------------------
+# Okapi BM25 (Robertson & Walker / Sparck Jones; the Lucene +1 idf
+# variant that keeps idf positive for terms in more than half the
+# corpus) — the sparse-retrieval baseline next to the dense ANN family.
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    query_terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 score of every document against a fixed query-term list:
+    score(d) = sum over q of idf(q) * tf * (k1+1) /
+    (tf + k1 * (1 - b + b * dl / avgdl)), idf = ln(1 + (N - df + .5) /
+    (df + .5)). Documents matching NO query term are omitted (their
+    score is 0 — at corpus scale emitting all-zero rows is the bug).
+
+    Returns (id, n_terms_matched, score), score engine-stably rounded.
+
+    Scale shape: corpus doc-length frame is one narrow projection;
+    the token explode is FILTERED to the |Q| query terms before any
+    shuffle (predicate pushes to the scan side of the explode), so the
+    shuffled volume is matching postings only — the classic inverted-
+    index posting traversal as a dataframe plan. Per-term df and the
+    1-row (N, avgdl) stats broadcast. Never doc x doc.
+    """
+    from ..functions.rounding import stable_round
+
+    q = [t.lower() for t in query_terms]
+    lens = df.select(
+        F.col(id_col), F.size(F.col(token_col)).cast("double").alias("_dl")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    post = (
+        df.select(F.col(id_col), F.explode(F.col(token_col)).alias("_term"))
+        .filter(F.col("_term").isin(q))
+        .groupBy(id_col, "_term")
+        .agg(F.count(F.lit(1)).cast("double").alias("_tf"))
+    )
+    dft = post.groupBy("_term").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    scored = (
+        post.join(F.broadcast(dft), "_term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+                )
+                * (F.col("_tf") * (k1 + 1.0))
+                / (
+                    F.col("_tf")
+                    + k1
+                    * (
+                        1.0
+                        - b
+                        + b * F.col("_dl") / F.greatest(F.col("_avgdl"), F.lit(1e-9))
+                    )
+                )
+            ).alias("_s"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+        stable_round(F.sum("_s"), 4).alias("score"),
+    )
+
+
+def bm25_scores_sql(
+    toks_expr: str,
+    query_terms: tuple[str, ...],
+    id_expr: str = "doc_id",
+    relation: str = "documents",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of :func:`bm25_scores` (same idf form, same
+    rounding)."""
+    from ..functions.rounding import stable_round_sql
+
+    terms = ", ".join(f"'{t.lower()}'" for t in query_terms)
+    s = (
+        f"ln(1.0 + (st._n - d._df + 0.5) / (d._df + 0.5))"
+        f" * (p._tf * {float(k1 + 1.0)!r})"
+        f" / (p._tf + {float(k1)!r} * (1.0 - {float(b)!r}"
+        f" + {float(b)!r} * l._dl / greatest(st._avgdl, 1e-9)))"
+    )
+    return f"""
+WITH t AS (SELECT {id_expr} AS id, {toks_expr} AS toks FROM {relation}),
+lens AS (SELECT id, len(toks)::DOUBLE AS _dl FROM t),
+st AS (SELECT count(*)::DOUBLE AS _n, avg(_dl) AS _avgdl FROM lens),
+post AS (
+  SELECT id, _term, count(*)::DOUBLE AS _tf
+  FROM (SELECT id, unnest(toks) AS _term FROM t)
+  WHERE _term IN ({terms})
+  GROUP BY id, _term
+),
+d AS (SELECT _term, count(*)::DOUBLE AS _df FROM post GROUP BY _term),
+sc AS (
+  SELECT p.id, ({s}) AS _s
+  FROM post p JOIN d USING (_term) JOIN lens l ON l.id = p.id CROSS JOIN st
+)
+SELECT id AS {id_expr}, count(*)::BIGINT AS n_terms_matched,
+       {stable_round_sql("sum(_s)", 4)} AS score
+FROM sc GROUP BY id
+"""

@@ -676,9 +676,14 @@ surv AS (
 """,
 )
 def corpus_build_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir).withColumn(
-        "toks", cleaning.tokens(F.col("text"))
-    )
+    docs = load_table(spark, "documents", sf_dir)
+    return _corpus_build_v4_from(docs)
+
+
+def _corpus_build_v4_from(docs: DataFrame) -> DataFrame:
+    """The v4 lineage over an arbitrary documents frame — shared by the
+    full gate and the sf0.1 sampled twin."""
+    docs = docs.withColumn("toks", cleaning.tokens(F.col("text")))
     clean = corpus.remove_duplicated_spans(docs, "doc_id", "toks", k=8)
     surv = (
         clean.filter(F.col("n_kept") >= 10)
@@ -1306,3 +1311,63 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks", cleaning.tokens(F.col("text"))
     )
     return text_analysis.bigram_logprob_scores(docs, "doc_id", "toks")
+
+
+# ---------------------------------------------------------------------------
+# sf0.1-scale verification twins for the two heaviest quadratic-oracle
+# gates. substring_dedup_apply and corpus_build_v4 are bench headliners
+# whose DuckDB twins are quadratic in corpus size (the per-position
+# gram explode), so the full gates verify only at sf0.01. These twins
+# run the SAME lineages over a deterministic md5 slice of the corpus
+# (first two hex chars of md5(doc_id) < '1a': 26/256 ~ 10%), keeping
+# the oracle tractable at sf0.1 — they ship in the regular suite AND
+# the sf0.1 sweep, closing the "heaviest gates unverified at 10x"
+# gap (r6 verdict, nit 5).
+
+_S10_PRED_SQL = "substring(md5(doc_id::VARCHAR), 1, 2) < '1a'"
+
+
+def _sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a"
+    )
+
+
+@register(
+    "substring_dedup_apply_sampled",
+    doc="substring_dedup_apply over the deterministic ~10% md5 slice — "
+    "the sf0.1-sweep twin of the full gate (whose quadratic DuckDB "
+    "oracle is sf0.01-only). Same operator, same lineage.",
+    oracle=f"""
+WITH s10 AS (SELECT * FROM documents WHERE {_S10_PRED_SQL})
+SELECT * FROM ({corpus.remove_duplicated_spans_sql(_TOKS, "doc_id", 8, "s10")}) _x
+""",
+)
+def substring_dedup_apply_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _sampled_docs(spark, sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    return corpus.remove_duplicated_spans(docs, "doc_id", "toks", k=8)
+
+
+@register(
+    "corpus_build_v4_sampled",
+    doc="corpus_build_v4 (substring dedup -> floor -> DoReMi -> "
+    "schedule) over the deterministic ~10% md5 slice — the sf0.1-sweep "
+    "twin of the full gate. Same composed lineage.",
+    oracle=f"""
+WITH s10 AS (SELECT * FROM documents WHERE {_S10_PRED_SQL}),
+clean AS (
+  SELECT * FROM ({corpus.remove_duplicated_spans_sql(_TOKS, "doc_id", 8, "s10")}) _c
+),
+surv AS (
+  SELECT c.doc_id, d.lang, c.clean_text
+  FROM clean c JOIN s10 d USING (doc_id)
+  WHERE c.n_kept >= 10
+)
+{corpus.mixture_schedule_sql(corpus.doremi_domain_weights_sql(tokens_sql("clean_text"), "lang", relation="surv"), 20_000)}
+""",
+)
+def corpus_build_v4_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _corpus_build_v4_from(_sampled_docs(spark, sf_dir))

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import cleaning, vector
+from ..operators import cleaning, text_analysis, vector
 from ..operators.cleaning import tokens_sql
 from ..tables import load_table
 from .registry import register
@@ -348,6 +348,59 @@ def vendored_transformer_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "streaming_embed_on_ingest",
+    oracle=None,  # streaming composition over the numpy model — the
+    # second rows-only driver-lane gate (r6 verdict #5): exercises the
+    # fp-keyed exactly-once store + foreachBatch + real-model embedding
+    # end-to-end. Determinism: fixed doc subset, seeded model, content
+    # fingerprints; the store is a fresh tempdir per call.
+    doc="Embed-on-ingest streaming composition: a JSONL file stream of "
+    "documents drains through foreachBatch (availableNow) into an "
+    "fp-keyed parquet store — per micro-batch: md5-fingerprint, "
+    "in-batch first-occurrence, store anti-join, vendored-transformer "
+    "embed_with over NOVEL content only, durable append. Returns one "
+    "summary row per stored fingerprint. The production shape for a "
+    "corpus service that must never re-spend embedding compute on "
+    "replayed or re-crawled content.",
+)
+def streaming_embed_on_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..enrich.embedding import vendored_transformer_embedder
+    from ..sources.checkpoint import ParquetCheckpoint
+    from ..streaming.enrichment import incremental_embedding_stream
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    base = tempfile.mkdtemp(prefix="embed_ingest_")
+    docs.coalesce(2).write.mode("overwrite").json(f"{base}/in")
+    store = ParquetCheckpoint(spark, f"{base}/store", key="fp")
+    incremental_embedding_stream(
+        spark,
+        f"{base}/in",
+        store,
+        vendored_transformer_embedder,
+        stream_checkpoint_dir=f"{base}/ckpt",
+    )
+    emb = store.load()
+    return emb.select(
+        "fp",
+        "doc_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.floor(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x
+            )
+            * 1000
+            + F.lit(0.5)
+        ).cast("long").alias("sq_norm_milli"),
+    )
+
+
+@register(
     "tf_embedding_search_f32",
     doc="R3/R4 at the 100 TB store layout: the SAME retrieval as "
     "tf_embedding_search but over a float32 vector store (normalized "
@@ -410,4 +463,161 @@ def tf_embedding_search_f32(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("sim").desc(), F.col("doc_id").asc())
         .limit(5)
+    )
+
+
+# Sparse-retrieval baseline: the query-term list spans common and rare
+# synthetic-vocabulary terms so idf differentiation is real.
+_BM25_QUERY = ("table", "query", "spark", "merge")
+
+
+@register(
+    "bm25_topk",
+    doc="Okapi BM25 sparse retrieval (Lucene +1 idf form) over the "
+    "corpus for a fixed 4-term query: posting-list traversal as a "
+    "dataframe plan (explode filtered to query terms BEFORE any "
+    "shuffle, per-term df + 1-row corpus stats broadcast), top 20 by "
+    "rounded score with doc_id tie-break. The sparse twin of the "
+    "dense ANN retrieval family.",
+    oracle=f"""
+WITH scores AS (
+{text_analysis.bm25_scores_sql(_TOKS, _BM25_QUERY)}
+)
+SELECT doc_id, n_terms_matched, score, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scores
+) WHERE rank <= 20
+""",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text_analysis as ta
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    scores = ta.bm25_scores(docs, "doc_id", "toks", _BM25_QUERY)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "n_terms_matched", "score", "rank")
+    )
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    doc="Hybrid retrieval for the same 4-term query: BM25 (sparse) and "
+    "TF-vector cosine (dense fallback space) rankings fused by "
+    "Reciprocal Rank Fusion, rrf = sum 1/(60 + rank) over the two "
+    "top-50 lists (Cormack et al. 2009), top 10 by fused score. Each "
+    "leg is the already-audited plan (posting traversal / broadcast "
+    "vocab + hash aggs); the fusion is a full-outer equi-join of two "
+    "50-row frames — free at any corpus scale.",
+    oracle=f"""
+WITH {_VOCAB_SQL},
+counts AS (
+  SELECT doc_id, v.pos, count(*) AS n
+  FROM (SELECT doc_id, unnest({_TOKS}) AS _tok FROM documents) t
+  JOIN vocab v ON v._tok = t._tok
+  GROUP BY doc_id, v.pos
+),
+vnorm AS (
+  SELECT doc_id, sqrt(sum(n * n)::DOUBLE) AS _vn FROM counts GROUP BY doc_id
+),
+qpos AS (SELECT pos FROM vocab WHERE _tok IN ({", ".join(f"'{t}'" for t in _BM25_QUERY)})),
+qn AS (SELECT sqrt(count(*)::DOUBLE) AS _qn FROM qpos),
+dots AS (
+  SELECT c.doc_id, sum(c.n)::DOUBLE AS _dot
+  FROM counts c JOIN qpos USING (pos) GROUP BY c.doc_id
+),
+dense AS (
+  SELECT doc_id, rank FROM (
+    SELECT d.doc_id,
+           row_number() OVER (
+             ORDER BY round(d._dot / (v._vn * q._qn), 6) DESC, d.doc_id) AS rank
+    FROM dots d JOIN vnorm v USING (doc_id) CROSS JOIN qn q
+  ) WHERE rank <= 50
+),
+sparse AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+    FROM ({text_analysis.bm25_scores_sql(_TOKS, _BM25_QUERY)})
+  ) WHERE rank <= 50
+),
+fused AS (
+  SELECT coalesce(d.doc_id, s.doc_id) AS doc_id,
+         d.rank AS dense_rank, s.rank AS sparse_rank,
+         round(coalesce(1.0 / (60 + d.rank), 0.0)
+               + coalesce(1.0 / (60 + s.rank), 0.0), 6) AS rrf
+  FROM dense d FULL OUTER JOIN sparse s ON d.doc_id = s.doc_id
+)
+SELECT doc_id, dense_rank, sparse_rank, rrf, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank FROM fused
+) WHERE rank <= 10
+""",
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text_analysis as ta
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(cleaning.tokens(F.col("text"))).alias("_tok")
+    )
+    wv = Window.orderBy(F.col("cnt").desc(), F.col("_tok").asc())
+    vocab = (
+        toks.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("pos", F.row_number().over(wv) - 1)
+        .filter(F.col("pos") < VOCAB_K)
+        .select("_tok", "pos")
+    )
+    counts = (
+        toks.join(F.broadcast(vocab), "_tok")
+        .groupBy("doc_id", "pos")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vnorm = counts.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("n") * F.col("n")).cast("double")).alias("_vn")
+    )
+    qpos = vocab.filter(F.col("_tok").isin(list(_BM25_QUERY))).select("pos")
+    qn = qpos.agg(F.sqrt(F.count(F.lit(1)).cast("double")).alias("_qn"))
+    dots = (
+        counts.join(F.broadcast(qpos), "pos")
+        .groupBy("doc_id")
+        .agg(F.sum("n").cast("double").alias("_dot"))
+    )
+    wd = Window.orderBy(
+        F.round(F.col("_dot") / (F.col("_vn") * F.col("_qn")), 6).desc(),
+        F.col("doc_id"),
+    )
+    dense = (
+        dots.join(vnorm, "doc_id")
+        .crossJoin(F.broadcast(qn))
+        .withColumn("rank", F.row_number().over(wd))
+        .filter(F.col("rank") <= 50)
+        .select("doc_id", F.col("rank").alias("dense_rank"))
+    )
+    docs_t = docs.withColumn("toks", cleaning.tokens(F.col("text")))
+    ws = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    sparse = (
+        ta.bm25_scores(docs_t, "doc_id", "toks", _BM25_QUERY)
+        .withColumn("rank", F.row_number().over(ws))
+        .filter(F.col("rank") <= 50)
+        .select("doc_id", F.col("rank").alias("sparse_rank"))
+    )
+    fused = dense.join(sparse, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("dense_rank").cast("bigint").alias("dense_rank"),
+        F.col("sparse_rank").cast("bigint").alias("sparse_rank"),
+        F.round(
+            F.coalesce(1.0 / (F.lit(60) + F.col("dense_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(60) + F.col("sparse_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    wf = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "dense_rank", "sparse_rank", "rrf", "rank")
     )

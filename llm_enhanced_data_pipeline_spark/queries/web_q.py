@@ -304,7 +304,9 @@ _MESSY_HTML_SQL = """
 CASE doc_id % 4
   WHEN 0 THEN '<html><head><style>p {color: red}</style></head><body><p>' || text || '</p><!-- note --></body></html>'
   WHEN 1 THEN '<div class="a">' || text || '</div><script type="text/javascript">var x = 1 < 2;</script>'
-  WHEN 2 THEN '<span>' || replace(text, ' ', '&nbsp;') || '</span>'
+  WHEN 2 THEN '<span>' || replace(text, ' ',
+    CASE doc_id % 12 WHEN 2 THEN '&nbsp;' WHEN 6 THEN '&#160;' ELSE '&#x00A0;' END
+  ) || '</span>'
   ELSE '<p>' || replace(text, ' ', ' </p><p> ') || '</p>'
 END
 """
@@ -334,7 +336,10 @@ def _messy_html() -> F.Column:
             m == 2,
             F.concat(
                 F.lit("<span>"),
-                F.expr("replace(text, ' ', '&nbsp;')"),
+                F.expr(
+                    "replace(text, ' ', CASE doc_id % 12 WHEN 2 THEN '&nbsp;'"
+                    " WHEN 6 THEN '&#160;' ELSE '&#x00A0;' END)"
+                ),
                 F.lit("</span>"),
             ),
         )
@@ -353,7 +358,7 @@ def _messy_html() -> F.Column:
     doc="HTML text extraction (the web-corpus stage before any "
     "quality/dedup work): markup synthesized deterministically around "
     "the documents (style/script bodies, comments, tags between "
-    "tokens, &nbsp; separators), stripped by the fixed regexp chain — "
+    "tokens, named/decimal/hex nbsp separators), stripped by the fixed regexp chain — "
     "and the report PROVES recovery: n_recovered counts docs whose "
     "stripped text equals the whitespace-normalized original. One "
     "projection + one keyed agg.",

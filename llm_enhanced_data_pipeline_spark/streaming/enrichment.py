@@ -106,3 +106,67 @@ def incremental_enrichment_stream(
     q.awaitTermination(timeout_s)
     q.stop()
     return q
+
+
+def make_embed_batch_fn(
+    checkpoint: ParquetCheckpoint,
+    embedder_factory: Callable[[], Callable[[list[str]], list[list[float]]]],
+    batch_size: int = 32,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body for embed-on-ingest: fingerprint the batch's
+    content (md5 of text), keep the first in-batch occurrence per
+    fingerprint, anti-join the fp-keyed durable store, run the REAL
+    model (embed_with mapInPandas) over novel content only, append
+    (fp, doc_id, embedding). Content-keyed exactly-once: a re-ingested
+    or replayed document with already-embedded text costs nothing —
+    even under a new doc_id. Safe to call twice with the same batch.
+
+    ``checkpoint`` must be keyed on ``fp``."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..enrich.embedding import embed_with
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        fp = batch_df.withColumn("fp", F.md5(F.col("text")))
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        novel = (
+            fp.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        todo = checkpoint.remaining(novel)
+        emb = embed_with(todo, "doc_id", "text", embedder_factory(), batch_size)
+        out = emb.join(todo.select("doc_id", "fp"), "doc_id").select(
+            "fp", "doc_id", "embedding"
+        )
+        checkpoint.append(out)
+
+    return process
+
+
+def incremental_embedding_stream(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint: ParquetCheckpoint,
+    embedder_factory: Callable[[], Callable[[list[str]], list[list[float]]]],
+    batch_size: int = 32,
+    stream_checkpoint_dir: str | None = None,
+    timeout_s: int = 120,
+) -> StreamingQuery:
+    """Embed-on-ingest: drain all currently-available document files
+    through the fp-keyed embedding foreachBatch (availableNow), then
+    stop. The same two-layer exactly-once design as the LLM enrichment
+    stream — the offset log bounds re-reads, the content-keyed store
+    bounds re-embeds — so stop/restart mid-stream neither loses nor
+    recomputes embeddings (tested in test_streaming)."""
+    stream = read_document_stream(spark, input_path)
+    writer = stream.writeStream.foreachBatch(
+        make_embed_batch_fn(checkpoint, embedder_factory, batch_size)
+    ).trigger(availableNow=True)
+    if stream_checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", stream_checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination(timeout_s)
+    q.stop()
+    return q

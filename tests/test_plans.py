@@ -158,6 +158,13 @@ QUADRATIC_BY_DESIGN = {
                               # schedule equi-join
     "corpus_build_v4",        # same inherited 1-row broadcast; the
                               # dedup/join stages are all equi
+    "corpus_build_v4_sampled",  # the sf0.1-sweep twin: identical v4
+                              # lineage over the md5 slice
+    "bm25_topk",              # broadcast 1-row (N, avgdl) corpus-stats
+                              # frame; postings/df joins are equi
+    "hybrid_rrf_retrieval",   # the bm25 1-row stats broadcast + a
+                              # broadcast 1-row query-norm frame; the
+                              # fusion join is a 50-row full-outer equi
     "kmv_distinct_bigrams",   # broadcast 1-row sketch-estimate frame
                               # against the 1-row exact count
     "kmv_shared_bigrams",     # k-row sketch equi-join + broadcast

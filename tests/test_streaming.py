@@ -530,3 +530,82 @@ def test_stateful_domain_cap_matches_batch_twin(spark, tmp_path):
         ).collect()
     }
     assert accepted == twin
+
+
+def test_embed_on_ingest_stream_exactly_once_real_model(spark, tmp_path):
+    """Embed-on-ingest (r6 verdict #6): the vendored 384-d transformer
+    runs through the incremental streaming path with the fp-keyed
+    exactly-once store. Across a stop/restart mid-stream, embeddings
+    are neither lost (every distinct content fp is stored) nor
+    recomputed (one store row per fp, even when re-crawled content
+    re-ships under a NEW doc_id, and even when the foreachBatch body
+    replays a committed batch)."""
+    from llm_enhanced_data_pipeline_spark.enrich.embedding import (
+        vendored_transformer_embedder,
+    )
+    from llm_enhanced_data_pipeline_spark.sources.checkpoint import ParquetCheckpoint
+    from llm_enhanced_data_pipeline_spark.streaming import enrichment as en
+
+    indir = tmp_path / "docs_in"
+    indir.mkdir()
+
+    def write(name, rows):
+        with open(indir / name, "w") as f:
+            for i, text in rows:
+                f.write(json.dumps({"doc_id": i, "text": text}) + "\n")
+
+    # small model config: the real attention path at test size
+    factory = lambda: vendored_transformer_embedder(  # noqa: E731
+        dim=32, n_layers=1, n_heads=2, vocab=256, max_len=16
+    )
+    store = ParquetCheckpoint(spark, str(tmp_path / "emb_store"), "fp")
+    stream_ckpt = str(tmp_path / "stream_ckpt")
+
+    def run():
+        en.incremental_embedding_stream(
+            spark,
+            str(indir),
+            store,
+            factory,
+            stream_checkpoint_dir=stream_ckpt,
+        )
+
+    # run 1: docs 0-3; 0 and 3 share CONTENT (one fp) — and doc 2
+    # duplicates doc 1's content within the same batch
+    write("a.json", [(0, "alpha beta gamma"), (1, "delta epsilon")])
+    write("b.json", [(2, "delta epsilon"), (3, "alpha beta gamma")])
+    run()
+    first = {r.fp: (r.doc_id, list(r.embedding)) for r in store.load().collect()}
+    assert len(first) == 2  # one row per distinct content
+    assert store.load().count() == 2  # no duplicate appends
+
+    # restart mid-stream: new file ships new content AND a re-crawl of
+    # doc 0's content under a brand-new doc_id (the paid-compute trap)
+    write("c.json", [(9, "zeta eta theta"), (10, "alpha beta gamma")])
+    run()
+    rows = store.load().collect()
+    assert len(rows) == 3  # new content embedded, re-crawl skipped
+    second = {r.fp: (r.doc_id, list(r.embedding)) for r in rows}
+    for fp, (doc_id, vec) in first.items():
+        # not lost, not recomputed, not re-attributed
+        assert second[fp] == (doc_id, vec)
+
+    # direct engine-replay simulation: foreachBatch re-invoked with a
+    # committed batch (crash between append and offset commit)
+    batch = spark.read.schema(en.DOC_SCHEMA).json(str(indir / "c.json"))
+    en.make_embed_batch_fn(store, factory)(batch, 99)
+    assert store.load().count() == 3
+
+    # the stored vectors come from the REAL model: unit-norm, 32-d,
+    # and distinct contents embed to distinct directions
+    import math
+
+    vecs = {r.fp: list(r.embedding) for r in store.load().collect()}
+    for v in vecs.values():
+        assert len(v) == 32
+        assert abs(math.fsum(x * x for x in v) - 1.0) < 1e-3
+    vs = list(vecs.values())
+    for i in range(len(vs)):
+        for j in range(i + 1, len(vs)):
+            dot = math.fsum(a * b for a, b in zip(vs[i], vs[j]))
+            assert dot < 0.999

@@ -301,3 +301,36 @@ def test_default_port_strip_is_scheme_aware(spark):
     for u, want in cases:
         sql = web.canonicalize_url_sql(f"'{u}'")
         assert con.execute(f"SELECT {sql}").fetchone()[0] == want, u
+
+
+def test_html_strip_numeric_entities(spark):
+    """Numeric (decimal and hex, any case, leading zeros) entity forms
+    decode like their named twins and never survive into dedup keys;
+    double-encoded numerics decode exactly one level. Spark and DuckDB
+    twins agree."""
+    import duckdb
+
+    from llm_enhanced_data_pipeline_spark.operators import cleaning
+
+    cases = [
+        ("it&#39;s &#x27;quoted&#X27;", "it's 'quoted'"),
+        ("a&#160;b&#x00A0;c&#xa0;d", "a b c d"),
+        ("&#60;tag&#62; &#x3C;T&#x3E;", "<tag> <T>"),
+        ("&#34;q&#x22; &quot;n&quot; &apos;a&apos;", '"q" "n" \'a\''),
+        ("x &#38; y &#x26; z", "x & y & z"),
+        ("&amp;#39; stays once-decoded", "&#39; stays once-decoded"),
+        ("&#038; &#0039;", "& '"),
+    ]
+    df = spark.createDataFrame([Row(i=i, h=h) for i, (h, _) in enumerate(cases)])
+    got = {
+        r.i: r.s
+        for r in df.select(
+            "i", cleaning.html_strip(F.col("h")).alias("s")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+    con = duckdb.connect()
+    for h, want in cases:
+        sql = cleaning.html_strip_sql("'" + h.replace("'", "''") + "'")
+        assert con.execute(f"SELECT {sql}").fetchone()[0] == want, h
