@@ -162,14 +162,32 @@ def release_caches() -> int:
     number released. Call AFTER materializing results; a released
     PERSISTED frame recomputes if re-used, but a released CHECKPOINTED
     frame cannot (its lineage was truncated) — don't re-use those."""
-    n = len(_LIVE_CACHES)
-    for df in _LIVE_CACHES:
+    return release_caches_since((0, 0))
+
+
+def cache_mark() -> tuple[int, int]:
+    """Position marker into the cache ledgers, for scoped release."""
+    return (len(_LIVE_CACHES), len(_LIVE_CKPT_IDS))
+
+
+def release_caches_since(mark: tuple[int, int]) -> int:
+    """Release only the cached intermediates registered AFTER ``mark``
+    (from :func:`cache_mark`). bench.py uses this between repetitions
+    of a slot so every rep pays its own cold build — Spark's
+    CacheManager matches persisted frames by analyzed-PLAN equality,
+    so without the release a rep re-running an identical lineage reads
+    the previous rep's cache and the median reports warm-cache cost.
+    Entries BEFORE the mark (e.g. the shared MinHash index, whose
+    marginal-cost attribution depends on staying live) are kept."""
+    i, j = mark
+    n = len(_LIVE_CACHES) - i
+    for df in _LIVE_CACHES[i:]:
         df.unpersist()
-    _LIVE_CACHES.clear()
-    n += len(_LIVE_CKPT_IDS)
-    for sc, ids in _LIVE_CKPT_IDS:
+    del _LIVE_CACHES[i:]
+    n += len(_LIVE_CKPT_IDS) - j
+    for sc, ids in _LIVE_CKPT_IDS[j:]:
         _release_ckpt_blocks(sc, ids)
-    _LIVE_CKPT_IDS.clear()
+    del _LIVE_CKPT_IDS[j:]
     return n
 
 

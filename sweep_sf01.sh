@@ -1,0 +1,37 @@
+#!/bin/bash
+# sf0.1 oracle sweep: every gate whose DuckDB twin is tractable at 10x
+# the driver's checking scale. The deselected node ids are the
+# documented all-pairs / iterative-CTE oracles that are quadratic in
+# DuckDB at sf0.1 (the Spark sides are scale-tested via scale_smoke.py
+# instead); substring_dedup_apply and corpus_build_v4 are additionally
+# covered at sf0.1 through their *_sampled twins (deterministic ~10%
+# md5 slice), which run IN this sweep.
+set -u
+Q=tests/test_queries_oracle.py::test_query_matches_oracle
+DESELECT=(
+  near_dup_pairs_ngram
+  near_dup_pairs_embedding
+  near_dup_pairs_containment
+  near_dup_pairs_winnowing
+  dedup_fuzzy_jaccard
+  lsh_tuning_report
+  bpe_train_merges
+  bpe_segment_stats
+  bpe_fertility_by_lang
+  kmeans_train
+  ivf_knn_trained
+  pq_adc_knn
+  mmr_rerank
+  substring_dedup_spans
+  substring_dedup_apply
+  corpus_build_v4
+  semdedup_prune
+  knn_brute_force
+  ann_recall_report
+)
+args=()
+for name in "${DESELECT[@]}"; do
+  args+=(--deselect "${Q}[${name}]")
+done
+SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 \
+  python -m pytest tests/test_queries_oracle.py -q "${args[@]}" "$@"
