@@ -1149,3 +1149,4 @@ SELECT domain, n_rows,
        (_fl + CASE WHEN _rk <= _left THEN 1 ELSE 0 END)::BIGINT AS quota
 FROM ranked
 """
+

@@ -1162,3 +1162,23 @@ def near_dup_pairs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= 4)
     )
+
+
+@register(
+    "semdedup_prune_autok",
+    doc="SemDeDup through the PRODUCTION auto-k lane: k=None derives "
+    "k = ceil(n / target_cluster_size) from a corpus count at plan "
+    "construction (the arXiv:2303.09540 constant-cluster-fill regime "
+    "that keeps the in-cluster quadratic prune linear — scale_smoke "
+    "asserts its 4x ratio bound). At sf0.01 the derivation lands on "
+    "k = ceil(500/64) = 8, so the fixed-k oracle CTE replays the "
+    "exact same clustering — the gate exercises the auto-k code path "
+    "end-to-end while staying hash-comparable.",
+    oracle=_semdedup_sql(k=8),
+)
+def semdedup_prune_autok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return dedup.semdedup_survivors(
+        emb, "vec_id", "embedding", k=None, iters=2, tau=0.35,
+        target_cluster_size=64,
+    )

@@ -5,7 +5,9 @@
 # DuckDB at sf0.1 (the Spark sides are scale-tested via scale_smoke.py
 # instead); substring_dedup_apply and corpus_build_v4 are additionally
 # covered at sf0.1 through their *_sampled twins (deterministic ~10%
-# md5 slice), which run IN this sweep.
+# md5 slice), which run IN this sweep. semdedup_prune_autok is
+# deselected because its oracle pins k=8 (= the auto-k derivation
+# at sf0.01's 500 vectors); at sf0.1 auto-k derives k=32 by design.
 set -u
 Q=tests/test_queries_oracle.py::test_query_matches_oracle
 DESELECT=(
@@ -26,6 +28,7 @@ DESELECT=(
   substring_dedup_apply
   corpus_build_v4
   semdedup_prune
+  semdedup_prune_autok
   knn_brute_force
   ann_recall_report
 )

@@ -115,6 +115,7 @@ QUADRATIC_BY_DESIGN = {
     "ivf_knn_trained",        # same Lloyd's chain feeding IVF serving
     "semdedup_prune",         # same Lloyd's chain; the prune itself is
                               # an equi-join on the cluster key
+    "semdedup_prune_autok",   # identical chain through the auto-k lane
     "mmr_rerank",             # broadcast 1-row query + per-round 1-row
                               # argmax frames (greedy MMR selection)
     "pq_adc_knn",             # per-subspace Lloyd's chains (broadcast
