@@ -2,9 +2,14 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata. The Spark-side plumbing — schema, partition sizing, Arrow
-batch shape, UDF signatures — is real and tested; the actual decoders
-are stubbed (the media libraries are not in this container) behind
-clearly-marked deterministic fakes / NotImplementedError.
+batch shape, UDF signatures — is real and tested. Decoders come in two
+tiers: the self-describing uncompressed formats decode FOR REAL in
+pure numpy/struct (binary PPM/PGM images via :func:`parse_ppm`, PCM
+WAV audio via :func:`parse_wav` — golden-byte tested, oracle-gated
+against closed-form pixel/sample formulas), while compressed formats
+(JPEG/PNG/MP4) stay env-gated behind clearly-marked deterministic
+fakes / NotImplementedError (the media libraries are not in this
+container).
 
 Scale posture: binary payloads dominate row size, so operators here
 use ``mapInPandas`` (Arrow batches, zero-copy into numpy) and never
@@ -28,7 +33,14 @@ def binary_metadata(payload: Column) -> dict[str, Column]:
     fmt = (
         F.when(F.hex(F.substring(payload, 1, 2)) == "FFD8", F.lit("jpeg"))
         .when(F.hex(F.substring(payload, 1, 4)) == "89504E47", F.lit("png"))
+        .when(
+            (F.hex(F.substring(payload, 1, 4)) == "52494646")
+            & (F.hex(F.substring(payload, 9, 4)) == "57415645"),
+            F.lit("wav"),
+        )
         .when(F.hex(F.substring(payload, 1, 4)) == "52494646", F.lit("riff"))
+        .when(F.hex(F.substring(payload, 1, 2)) == "5036", F.lit("ppm"))
+        .when(F.hex(F.substring(payload, 1, 2)) == "5035", F.lit("pgm"))
         .otherwise(F.lit("unknown"))
     )
     return {
@@ -89,10 +101,13 @@ def extract_features(
 
 
 def decode_image(payload: Column) -> Column:  # pragma: no cover - stub
-    """Real image decode is not available in this container."""
+    """COMPRESSED image decode is not available in this container.
+    (Uncompressed PNM decodes for real: :func:`parse_ppm` /
+    :func:`decode_image_stats` / :func:`resize_image_real`.)"""
     raise NotImplementedError(
-        "image decode requires PIL/opencv; wire it into extract_features's "
-        "mapInPandas adapter — the Spark-side plumbing is already in place"
+        "jpeg/png decode requires PIL/opencv; wire it into the same "
+        "mapInPandas adapters parse_ppm already flows through — the "
+        "Spark-side plumbing is in place and gate-tested"
     )
 
 
@@ -243,3 +258,217 @@ def audio_energy_windows(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, AUDIO_WINDOW_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL codecs for the self-describing uncompressed formats — pure
+# numpy/struct, runnable in this container. This closes part of the
+# "decoders are stubbed" gap honestly: PPM/PGM images and PCM WAV audio
+# decode for real end-to-end (parse -> pixel/sample arrays -> features),
+# and only the compressed formats (JPEG/PNG/MP4/...) stay env-gated on
+# external libraries. Production swaps the per-format dispatch, not the
+# Spark plumbing.
+
+
+def parse_ppm(payload: bytes):
+    """Parse binary PPM (P6, RGB) / PGM (P5, grayscale): returns
+    (width, height, channels, numpy uint8 array of shape (h, w, c)).
+    Handles the format's whitespace/comment grammar; maxval must be
+    < 256 (1-byte samples). Raises ValueError on malformed input."""
+    import numpy as np
+
+    if payload is None or len(payload) < 2 or payload[:1] != b"P":
+        raise ValueError("not a PNM payload")
+    magic = payload[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"unsupported PNM magic {magic!r}")
+    channels = 3 if magic == b"P6" else 1
+
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        # skip whitespace and '#' comments
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PNM header")
+        tokens.append(int(payload[start:pos]))
+    width, height, maxval = tokens
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported maxval {maxval}")
+    pos += 1  # exactly one whitespace byte after maxval, per spec
+    n = width * height * channels
+    raster = payload[pos : pos + n]
+    if len(raster) != n:
+        raise ValueError(f"raster has {len(raster)} bytes, expected {n}")
+    arr = np.frombuffer(raster, dtype=np.uint8).reshape(height, width, channels)
+    return width, height, channels, arr
+
+
+def write_ppm(arr) -> bytes:
+    """Inverse of :func:`parse_ppm`: uint8 (h, w, 3) -> P6, (h, w, 1)
+    or (h, w) -> P5."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + b"\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def parse_wav(payload: bytes):
+    """Parse a PCM WAV (RIFF/WAVE) container: returns (sample_rate,
+    n_channels, numpy int16 array of shape (n_frames, n_channels)).
+    16-bit PCM only; walks the chunk list (handles extra chunks and
+    odd-size padding). Raises ValueError on malformed input."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size or (cid == b"fmt " and size < 16):
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV encoding (format={audio_format}, bits={bits})")
+    samples = np.frombuffer(data[: len(data) // (2 * n_channels) * 2 * n_channels],
+                            dtype="<i2").reshape(-1, n_channels)
+    return sample_rate, n_channels, samples
+
+
+def write_wav(samples, sample_rate: int = 16000) -> bytes:
+    """Inverse of :func:`parse_wav`: int16 (n,) or (n, c) -> PCM WAV."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype="<i2")
+    if a.ndim == 1:
+        a = a[:, None]
+    n_channels = a.shape[1]
+    data = a.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * n_channels * 2, n_channels * 2, 16,
+    )
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def decode_image_stats(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """REAL image decode over PNM payloads: parse -> pixel array ->
+    per-channel means (grayscale repeats its single channel). Arrow-
+    batched mapInPandas; payload projected away before any shuffle.
+    Rows whose payload fails to parse are dropped (corrupt-input
+    posture: quarantine, don't poison the batch)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: dict[str, list] = {k.name: [] for k in IMAGE_STATS_SCHEMA}
+        for pdf in batches:
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, c, arr = parse_ppm(bytes(payload) if payload is not None else None)
+                except ValueError:
+                    continue
+                means = arr.reshape(-1, c).mean(axis=0)
+                r, g, b = (means if c == 3 else [means[0]] * 3)
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(c)
+                rows["mean_r"].append(round(float(r), 4))
+                rows["mean_g"].append(round(float(g), 4))
+                rows["mean_b"].append(round(float(b), 4))
+            yield pd.DataFrame(rows)
+            rows = {k.name: [] for k in IMAGE_STATS_SCHEMA}
+
+    return df.select(id_col, payload_col).mapInPandas(run, IMAGE_STATS_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def decode_audio_stats(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """REAL audio decode over PCM WAV payloads: parse -> int16 samples
+    -> full-signal RMS in [-1, 1] units. Same corrupt-input posture as
+    :func:`decode_image_stats`."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: dict[str, list] = {k.name: [] for k in AUDIO_STATS_SCHEMA}
+        for pdf in batches:
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    rate, nch, samples = parse_wav(
+                        bytes(payload) if payload is not None else None
+                    )
+                except ValueError:
+                    continue
+                x = samples.astype(np.float64) / 32768.0
+                rows["doc_id"].append(int(doc_id))
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(nch)
+                rows["n_frames"].append(int(samples.shape[0]))
+                rows["rms"].append(round(float(np.sqrt(np.mean(x * x))), 4))
+            yield pd.DataFrame(rows)
+            rows = {k.name: [] for k in AUDIO_STATS_SCHEMA}
+
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
+def resize_image_real(payload: bytes, tw: int, th: int) -> bytes:
+    """REAL decode+resize for PNM payloads: block-mean downsample to
+    (tw, th) and re-encode as PNM. The real-lane counterpart of
+    :func:`_fake_resize` (which handles undecodable payloads)."""
+    import numpy as np
+
+    w, h, c, arr = parse_ppm(payload)
+    bh, bw = max(h // th, 1), max(w // tw, 1)
+    arr = arr[: bh * min(th, h), : bw * min(tw, w)]
+    ch, cw = arr.shape[0] // bh, arr.shape[1] // bw
+    blocks = arr[: ch * bh, : cw * bw].reshape(ch, bh, cw, bw, c)
+    small = blocks.mean(axis=(1, 3)).round().astype(np.uint8)
+    return write_ppm(small)

@@ -1440,3 +1440,119 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("overestimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL multimodal decode gates. Payloads are synthesized per doc from a
+# closed-form pixel/sample formula, encoded into the real container
+# format (binary PPM / PCM WAV) on the executors, then decoded by the
+# real parsers (operators/multimodal.parse_ppm/parse_wav) — and the
+# DuckDB oracle computes the EXPECTED statistics directly from the
+# formula, never seeing the container bytes. A wrong header walk, a
+# wrong stride, a channel swap, or an endianness bug all surface as a
+# value mismatch. (Compressed formats — jpeg/png/mp4 — remain
+# env-gated; these two prove the decode LANE end-to-end.)
+
+
+@register(
+    "ppm_image_decode_stats",
+    doc="REAL image decode: per-doc 16x16 RGB P6 payload built from a "
+    "closed-form pixel formula, parsed by the pure-numpy PPM decoder "
+    "(header grammar + raster reshape), per-channel means compared "
+    "against the formula's expectation computed independently in SQL.",
+    oracle="""
+SELECT doc_id, 16 AS width, 16 AS height, 3 AS channels,
+       round(list_avg(list_transform(range(0, 256),
+             _i -> (doc_id * 31 + _i * _i + 0) % 256)), 4) AS mean_r,
+       round(list_avg(list_transform(range(0, 256),
+             _i -> (doc_id * 31 + _i * _i + 11) % 256)), 4) AS mean_g,
+       round(list_avg(list_transform(range(0, 256),
+             _i -> (doc_id * 31 + _i * _i + 22) % 256)), 4) AS mean_b
+FROM documents WHERE doc_id % 7 = 0
+""",
+)
+def ppm_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators import multimodal
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 7 == 0
+    ).select("doc_id")
+
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            i = np.arange(256, dtype=np.int64)
+            base = (i * i) % 256
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id) * 31
+                chans = [
+                    ((k + base + c * 11) % 256).astype(np.uint8) for c in range(3)
+                ]
+                arr = np.stack(chans, axis=-1).reshape(16, 16, 3)
+                ids.append(int(doc_id))
+                payloads.append(multimodal.write_ppm(arr))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = docs.mapInPandas(synth, synth_schema)
+    return multimodal.decode_image_stats(payloads, "doc_id", "payload")
+
+
+@register(
+    "wav_audio_decode_stats",
+    doc="REAL audio decode: per-doc 1024-frame 16-bit PCM WAV payload "
+    "built from a closed-form sample formula, parsed by the pure-"
+    "struct/numpy RIFF chunk walker (fmt + data, word-aligned), "
+    "full-signal RMS compared against the formula's expectation "
+    "computed independently in SQL.",
+    oracle="""
+SELECT doc_id, 8000 AS sample_rate, 1 AS n_channels, 1024::BIGINT AS n_frames,
+       round(sqrt(list_avg(list_transform(range(0, 1024),
+             _i -> pow((((doc_id * 131 + _i * _i * 3) % 65536) - 32768)
+                       / 32768.0, 2)))), 4) AS rms
+FROM documents WHERE doc_id % 7 = 3
+""",
+)
+def wav_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators import multimodal
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 7 == 3
+    ).select("doc_id")
+
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            i = np.arange(1024, dtype=np.int64)
+            base = (i * i * 3) % 65536
+            for doc_id in pdf["doc_id"]:
+                s = ((int(doc_id) * 131 + base) % 65536 - 32768).astype("<i2")
+                ids.append(int(doc_id))
+                payloads.append(multimodal.write_wav(s, sample_rate=8000))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = docs.mapInPandas(synth, synth_schema)
+    return multimodal.decode_audio_stats(payloads, "doc_id", "payload")

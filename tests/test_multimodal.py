@@ -103,3 +103,112 @@ def test_audio_energy_windows_rms(spark):
     assert by_key[(1, 1)].rms > 0.99
     assert by_key[(1, 0)].n_samples == 64
     assert (2, 0) not in by_key  # empty payload yields no windows
+
+
+def test_ppm_codec_golden_bytes_and_roundtrip():
+    """parse_ppm against HAND-CRAFTED container bytes (so a writer bug
+    cannot cancel a parser bug), the comment/whitespace grammar, the
+    malformed-input contract, and write->parse roundtrip."""
+    import numpy as np
+
+    # golden P6: 2x1, red then green — written by hand, not write_ppm
+    golden = b"P6\n2 1\n255\n" + bytes([255, 0, 0, 0, 255, 0])
+    w, h, c, arr = multimodal.parse_ppm(golden)
+    assert (w, h, c) == (2, 1, 3)
+    assert arr.tolist() == [[[255, 0, 0], [0, 255, 0]]]
+
+    # comments + arbitrary whitespace in the header, per the spec
+    commented = b"P6 # fmt\n# a comment line\n 2\t1 # dims\n255\n" + bytes(
+        [1, 2, 3, 4, 5, 6]
+    )
+    w, h, c, arr = multimodal.parse_ppm(commented)
+    assert (w, h, c) == (2, 1, 3) and arr[0, 1].tolist() == [4, 5, 6]
+
+    # golden P5 grayscale
+    w, h, c, arr = multimodal.parse_ppm(b"P5\n3 1\n255\n" + bytes([0, 128, 255]))
+    assert (w, h, c) == (3, 1, 1) and arr[0, :, 0].tolist() == [0, 128, 255]
+
+    # roundtrip at an odd size
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    w, h, c, back = multimodal.parse_ppm(multimodal.write_ppm(img))
+    assert (w, h, c) == (7, 5, 3) and (back == img).all()
+
+    # malformed inputs raise (never return garbage)
+    for bad in [b"", b"P7\n1 1\n255\nx", b"P6\n2 1\n65535\n" + bytes(6),
+                b"P6\n2 1\n255\n" + bytes(5), None]:
+        with pytest.raises(ValueError):
+            multimodal.parse_ppm(bad)
+
+
+def test_wav_codec_golden_bytes_and_roundtrip():
+    """parse_wav against hand-packed RIFF bytes, including an extra
+    chunk BEFORE data and odd-size word-alignment padding; roundtrip;
+    malformed-input contract; stereo shape."""
+    import struct
+
+    import numpy as np
+
+    samples = [0, 1000, -1000, 32767]
+    data = struct.pack("<4h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    junk = b"abc"  # 3 bytes -> needs 1 pad byte for word alignment
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"junk" + struct.pack("<I", len(junk)) + junk + b"\x00"
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    golden = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, nch, arr = multimodal.parse_wav(golden)
+    assert (rate, nch) == (8000, 1)
+    assert arr[:, 0].tolist() == samples
+
+    # roundtrip mono + stereo
+    mono = np.array([3, -7, 9], dtype="<i2")
+    rate, nch, back = multimodal.parse_wav(multimodal.write_wav(mono, 16000))
+    assert (rate, nch) == (16000, 1) and back[:, 0].tolist() == [3, -7, 9]
+    stereo = np.array([[1, 2], [3, 4]], dtype="<i2")
+    rate, nch, back = multimodal.parse_wav(multimodal.write_wav(stereo, 44100))
+    assert (rate, nch) == (44100, 2) and back.tolist() == [[1, 2], [3, 4]]
+
+    # malformed inputs raise
+    bad_fmt = golden.replace(struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16),
+                             struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16))
+    for bad in [b"", b"RIFF" + b"\x00" * 8, golden[:20], bad_fmt, None]:
+        with pytest.raises(ValueError):
+            multimodal.parse_wav(bad)
+
+
+def test_resize_image_real_block_mean():
+    """Real decode+resize: block means are exact on a constant-block
+    image, output is a parseable PNM at the target size."""
+    import numpy as np
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[:2, :2] = 10   # four 2x2 constant blocks
+    img[:2, 2:] = 20
+    img[2:, :2] = 30
+    img[2:, 2:] = 40
+    out = multimodal.resize_image_real(multimodal.write_ppm(img), 2, 2)
+    w, h, c, arr = multimodal.parse_ppm(out)
+    assert (w, h, c) == (2, 2, 3)
+    assert arr[:, :, 0].tolist() == [[10, 20], [30, 40]]
+
+
+def test_decode_stats_quarantine_corrupt_payloads(spark):
+    """decode_image_stats drops undecodable rows (quarantine posture)
+    and decodes the rest — mixed batches must not poison each other."""
+    import numpy as np
+
+    good = multimodal.write_ppm(np.full((2, 2, 3), 100, np.uint8))
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, payload=bytearray(good)),
+            Row(doc_id=2, payload=bytearray(b"not an image")),
+            Row(doc_id=3, payload=None),
+        ]
+    )
+    out = {r.doc_id: r for r in multimodal.decode_image_stats(df, "doc_id", "payload").collect()}
+    assert set(out) == {1}
+    assert out[1].mean_r == 100.0 and out[1].width == 2

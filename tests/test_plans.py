@@ -246,6 +246,9 @@ PYTHON_EVAL_BY_DESIGN = {
     "vendored_transformer_embeddings",  # R2 real-model lane: the numpy
     # transformer runs through the embed_with mapInPandas adapter
     # (Arrow) — Python IS the point, as with the LLM adapters
+    "ppm_image_decode_stats",  # real-codec lane: PNM synth + parse in
+    # numpy through mapInPandas (Arrow) — media decode IS Python work
+    "wav_audio_decode_stats",  # same, PCM WAV RIFF walker
 }
 
 
