@@ -1556,3 +1556,62 @@ def wav_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payloads = docs.mapInPandas(synth, synth_schema)
     return multimodal.decode_audio_stats(payloads, "doc_id", "payload")
+
+
+@register(
+    "y4m_frame_sample_stats",
+    doc="REAL video decode: per-doc 10-frame 8x8 mono YUV4MPEG2 stream "
+    "built from a closed-form luma formula, parsed by the pure-numpy "
+    "Y4M container walker (stream header params, FRAME markers, plane "
+    "arithmetic), 4 uniformly-strided frames sampled per stream with "
+    "per-frame mean luma compared against the formula's expectation "
+    "computed independently in SQL.",
+    oracle="""
+SELECT doc_id,
+       ((j * 10) // 4)::INT AS frame_idx,
+       8 AS width, 8 AS height,
+       round(list_avg(list_transform(range(0, 64),
+             _i -> (doc_id * 13 + ((j * 10) // 4) * 37 + _i * 5) % 256)), 4)
+         AS mean_luma
+FROM documents CROSS JOIN (VALUES (0),(1),(2),(3)) t(j)
+WHERE doc_id % 7 = 5
+""",
+)
+def y4m_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators import multimodal
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 7 == 5
+    ).select("doc_id")
+
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            i = np.arange(64, dtype=np.int64)
+            for doc_id in pdf["doc_id"]:
+                frames = np.stack(
+                    [
+                        ((int(doc_id) * 13 + f * 37 + i * 5) % 256)
+                        .astype(np.uint8)
+                        .reshape(8, 8)
+                        for f in range(10)
+                    ]
+                )
+                ids.append(int(doc_id))
+                payloads.append(multimodal.write_y4m(frames, 24, 1))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = docs.mapInPandas(synth, synth_schema)
+    return multimodal.sample_frames_real(payloads, "doc_id", "payload", max_frames=4)

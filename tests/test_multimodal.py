@@ -212,3 +212,79 @@ def test_decode_stats_quarantine_corrupt_payloads(spark):
     out = {r.doc_id: r for r in multimodal.decode_image_stats(df, "doc_id", "payload").collect()}
     assert set(out) == {1}
     assert out[1].mean_r == 100.0 and out[1].width == 2
+
+
+def test_y4m_codec_golden_bytes_and_contracts():
+    """parse_y4m against hand-crafted container bytes: header param
+    parsing (including fps and colorspace), C420 chroma-plane skipping,
+    FRAME markers with parameters, empty streams, truncation, and the
+    write->parse roundtrip for mono."""
+    import numpy as np
+
+    # hand-built mono stream: 2x2, 2 frames
+    golden = (
+        b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 Cmono\n"
+        b"FRAME\n" + bytes([1, 2, 3, 4]) + b"FRAME\n" + bytes([5, 6, 7, 8])
+    )
+    w, h, fn, fd, cs, luma = multimodal.parse_y4m(golden)
+    assert (w, h, fn, fd, cs) == (2, 2, 25, 1, "mono")
+    assert luma.shape == (2, 2, 2)
+    assert luma[1].flatten().tolist() == [5, 6, 7, 8]
+
+    # C420: luma read, chroma skipped; FRAME params tolerated
+    y = bytes([10, 20, 30, 40])
+    chroma = bytes([99, 98])  # 2 x (1x1) planes for 2x2 C420
+    g420 = (
+        b"YUV4MPEG2 W2 H2 F30:1 C420jpeg\n"
+        + b"FRAME Xparam\n" + y + chroma
+    )
+    w, h, _, _, cs, luma = multimodal.parse_y4m(g420)
+    assert cs == "420jpeg" and luma[0].flatten().tolist() == [10, 20, 30, 40]
+
+    # empty stream (header only) -> zero frames, shape preserved
+    w, h, _, _, _, luma = multimodal.parse_y4m(b"YUV4MPEG2 W4 H3 Cmono\n")
+    assert luma.shape == (0, 3, 4)
+
+    # roundtrip
+    vid = np.arange(2 * 3 * 4, dtype=np.uint8).reshape(2, 3, 4)
+    w, h, fn, fd, _, back = multimodal.parse_y4m(multimodal.write_y4m(vid, 24, 1))
+    assert (w, h, fn, fd) == (4, 3, 24, 1) and (back == vid).all()
+
+    # malformed inputs raise
+    for bad in [
+        None,
+        b"",
+        b"JUNK\n",
+        b"YUV4MPEG2 W2 Cmono\n",                  # missing H
+        b"YUV4MPEG2 W2 H2 Cmono\nFRAME\n" + bytes(3),  # short raster
+        b"YUV4MPEG2 W2 H2 Cmono\nNOTFRAME\n" + bytes(4),
+        b"YUV4MPEG2 W2 H2 Cweird\nFRAME\n" + bytes(4),
+    ]:
+        with pytest.raises(ValueError):
+            multimodal.parse_y4m(bad)
+
+
+def test_sample_frames_real_stride_rule(spark):
+    """The real sampler uses the same uniform-stride rule as the
+    plumbing twin: 10 frames sampled to 4 -> indices 0, 2, 5, 7; short
+    streams yield all their frames."""
+    import numpy as np
+
+    vid10 = np.zeros((10, 2, 2), np.uint8)
+    for f in range(10):
+        vid10[f] = f * 10
+    vid2 = np.full((2, 2, 2), 7, np.uint8)
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, payload=bytearray(multimodal.write_y4m(vid10))),
+            Row(doc_id=2, payload=bytearray(multimodal.write_y4m(vid2))),
+            Row(doc_id=3, payload=bytearray(b"garbage")),
+        ]
+    )
+    out = multimodal.sample_frames_real(df, "doc_id", "payload").collect()
+    got = {(r.doc_id, r.frame_idx): r.mean_luma for r in out}
+    assert sorted(k[1] for k in got if k[0] == 1) == [0, 2, 5, 7]
+    assert got[(1, 5)] == 50.0
+    assert sorted(k[1] for k in got if k[0] == 2) == [0, 1]
+    assert got[(2, 0)] == 7.0
+    assert not any(k[0] == 3 for k in got)
