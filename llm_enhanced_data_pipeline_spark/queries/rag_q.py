@@ -506,6 +506,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hybrid_rrf_retrieval",
+    bench=True,
     doc="Hybrid retrieval for the same 4-term query: BM25 (sparse) and "
     "TF-vector cosine (dense fallback space) rankings fused by "
     "Reciprocal Rank Fusion, rrf = sum 1/(60 + rank) over the two "

@@ -111,3 +111,56 @@ def test_stable_round_engine_parity_on_adversarial_doubles(spark):
         ).fetchall()
     }
     assert got_spark == got_duck
+
+
+# --- media codec round-trip properties (pure Python/numpy, no Spark) --
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 12), st.integers(1, 12), st.sampled_from([1, 3]),
+    st.integers(0, 2**32 - 1),
+)
+def test_pnm_roundtrip_is_identity(h, w, c, seed):
+    import numpy as np
+
+    from llm_enhanced_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+    w2, h2, c2, back = mm.parse_ppm(mm.write_ppm(img))
+    assert (w2, h2, c2) == (w, h, c)
+    assert (back == img).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(0, 500), st.sampled_from([1, 2]),
+    st.sampled_from([8000, 16000, 44100]), st.integers(0, 2**32 - 1),
+)
+def test_wav_roundtrip_is_identity(n, channels, rate, seed):
+    import numpy as np
+
+    from llm_enhanced_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, (n, channels)).astype("<i2")
+    rate2, ch2, back = mm.parse_wav(mm.write_wav(samples, rate))
+    assert (rate2, ch2) == (rate, channels)
+    assert back.shape == (n, channels) and (back == samples).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(0, 6), st.integers(1, 10), st.integers(1, 10),
+    st.integers(0, 2**32 - 1),
+)
+def test_y4m_roundtrip_is_identity(n_frames, h, w, seed):
+    import numpy as np
+
+    from llm_enhanced_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    vid = rng.integers(0, 256, (n_frames, h, w), dtype=np.uint8)
+    w2, h2, _, _, cs, back = mm.parse_y4m(mm.write_y4m(vid))
+    assert (w2, h2, cs) == (w, h, "mono")
+    assert back.shape == (n_frames, h, w) and (back == vid).all()
