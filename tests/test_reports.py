@@ -78,3 +78,82 @@ def test_compliance_report_doc_shape():
     assert abs(doc["privacy_analysis"]["percentages"]["low"] - 99.956) < 0.01
     assert doc["quality_analysis"]["most_common_issue"] == "title_too_short"
     assert doc["licensing_summary"]["all_arxiv"] is True
+
+
+def test_svg_stage_report_renders_and_is_proportional(tmp_path):
+    """The dependency-free SVG twins of visualize_improvement.py's
+    three matplotlib artifacts: valid XML, bar heights proportional to
+    values (via data-* attributes), one radar polygon per stage, and
+    signed improvement percentages computed first-vs-last."""
+    import xml.etree.ElementTree as ET
+
+    from llm_enhanced_data_pipeline_spark.plans import viz
+
+    rows = [
+        {"stage": "raw", "num_papers": 1000, "avg_overall_score": 5.0,
+         "schema_completeness_%": 60.0},
+        {"stage": "cleaned", "num_papers": 800, "avg_overall_score": 6.5,
+         "schema_completeness_%": 90.0},
+        {"stage": "final", "num_papers": 600, "avg_overall_score": 8.0,
+         "schema_completeness_%": 100.0},
+    ]
+    cols = ["avg_overall_score", "schema_completeness_%"]
+    arts = viz.render_stage_report(rows, str(tmp_path), value_cols=cols)
+    assert set(arts) == {
+        "quality_comparison.svg", "quality_radar.svg", "quality_improvement.svg"
+    }
+
+    ns = {"s": "http://www.w3.org/2000/svg"}
+    comp = ET.parse(arts["quality_comparison.svg"]).getroot()
+    bars = [
+        e for e in comp.iter("{http://www.w3.org/2000/svg}rect")
+        if e.get("data-metric")
+    ]
+    assert len(bars) == len(rows) * len(cols)
+    # height proportional to data-value within a metric
+    for col in cols:
+        mbars = [b for b in bars if b.get("data-metric") == col]
+        ratios = [
+            float(b.get("height")) / float(b.get("data-value")) for b in mbars
+        ]
+        # px-per-unit constant across bars (up to the 0.1px coordinate
+        # rounding the SVG emits)
+        assert max(ratios) - min(ratios) < 0.01 * max(ratios), (col, ratios)
+
+    radar = ET.parse(arts["quality_radar.svg"]).getroot()
+    polys = [
+        e for e in radar.iter("{http://www.w3.org/2000/svg}polygon")
+        if e.get("data-group")
+    ]
+    assert [p.get("data-group") for p in polys] == ["raw", "cleaned", "final"]
+
+    imp = ET.parse(arts["quality_improvement.svg"]).getroot()
+    pct = {
+        e.get("data-metric"): float(e.get("data-pct"))
+        for e in imp.iter("{http://www.w3.org/2000/svg}rect")
+        if e.get("data-metric")
+    }
+    assert abs(pct["avg_overall_score"] - 60.0) < 0.01   # 5.0 -> 8.0
+    assert abs(pct["schema_completeness_%"] - 66.67) < 0.01
+
+
+def test_svg_stage_report_from_real_stage_frame(spark, tmp_path):
+    """End-to-end: the Spark stage_comparison_frame collects into the
+    renderer — the reference's CSV -> matplotlib path as frame -> SVG."""
+    from pyspark.sql import Row
+
+    from llm_enhanced_data_pipeline_spark.plans import reports, viz
+
+    raw = spark.createDataFrame(
+        [Row(title="t%d" % i, abstract="a" * (10 + i), overall_score=float(5 + i % 3))
+         for i in range(20)]
+    )
+    final = raw.filter("overall_score >= 6")
+    frame = reports.stage_comparison_frame({"raw": raw, "final": final})
+    rows = [r.asDict() for r in frame.collect()]
+    arts = viz.render_stage_report(
+        rows, str(tmp_path), value_cols=["avg_overall_score", "num_papers"]
+    )
+    import os
+
+    assert all(os.path.getsize(p) > 500 for p in arts.values())
