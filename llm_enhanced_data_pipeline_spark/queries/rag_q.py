@@ -558,7 +558,7 @@ SELECT doc_id, dense_rank, sparse_rank, rrf, rank FROM (
 """,
 )
 def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import text_analysis as ta
+    from ..operators import dedup, text_analysis as ta
 
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
@@ -572,6 +572,14 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") < VOCAB_K)
         .select("_tok", "pos")
     )
+    # Pin the K-row vocab: it feeds BOTH the doc-counts join and the
+    # query-position filter, and without the cache each reference
+    # re-runs the full corpus token scan + vocab window (two extra
+    # corpus scans at any size — visible as duplicate Window subtrees
+    # in the plan). Eager tiny build; released via release_caches
+    # (bench releases per rep).
+    vocab = dedup.persist_tracked(vocab)
+    vocab.count()
     counts = (
         toks.join(F.broadcast(vocab), "_tok")
         .groupBy("doc_id", "pos")
