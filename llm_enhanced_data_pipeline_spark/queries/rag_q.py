@@ -21,6 +21,28 @@ from .registry import register
 _TOKS = tokens_sql("text")
 VOCAB_K = 32
 
+
+def _top_vocab(toks: DataFrame, k: int = VOCAB_K) -> DataFrame:
+    """(_tok, pos) — the corpus top-``k`` tokens by (count desc, token asc).
+
+    Filters DIRECTLY on the ``row_number()`` column so Catalyst's
+    ``LimitPushDownThroughWindow`` fires and the plan becomes a
+    per-partition top-K (``TakeOrderedAndProject`` /
+    ``WindowGroupLimit``) instead of a single-partition sort of every
+    distinct token — at 100 TB the vocab frame is 10^8+ rows, so the
+    derived-column form (``filter(rank - 1 < K)``) would sort it all
+    in ONE task. ``pos = rank - 1`` is derived in the select AFTER the
+    filter, which keeps the pushdown eligible.
+    """
+    w = Window.orderBy(F.col("cnt").desc(), F.col("_tok").asc())
+    return (
+        toks.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .select("_tok", (F.col("_rank") - 1).alias("pos"))
+    )
+
 _VOCAB_SQL = f"""
 vocab AS (
   SELECT _tok, row_number() OVER (ORDER BY cnt DESC, _tok ASC) - 1 AS pos
@@ -52,14 +74,7 @@ def _tf_embeddings(
     toks = docs.select(
         "doc_id", F.explode(cleaning.tokens(F.col("text"))).alias("_tok")
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("_tok").asc())
-    vocab = (
-        toks.groupBy("_tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("pos", F.row_number().over(w) - 1)
-        .filter(F.col("pos") < VOCAB_K)
-        .select("_tok", "pos")
-    )
+    vocab = _top_vocab(toks)
     counts = (
         toks.join(F.broadcast(vocab), "_tok")
         .groupBy("doc_id", "pos")
@@ -189,14 +204,7 @@ def tf_embedding_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(cleaning.tokens(F.col("text"))).alias("_tok")
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("_tok").asc())
-    vocab = (
-        toks.groupBy("_tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("pos", F.row_number().over(w) - 1)
-        .filter(F.col("pos") < VOCAB_K)
-        .select("_tok", "pos")
-    )
+    vocab = _top_vocab(toks)
     counts = (
         toks.join(F.broadcast(vocab), "_tok")
         .groupBy("doc_id", "pos")
@@ -564,14 +572,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(cleaning.tokens(F.col("text"))).alias("_tok")
     )
-    wv = Window.orderBy(F.col("cnt").desc(), F.col("_tok").asc())
-    vocab = (
-        toks.groupBy("_tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("pos", F.row_number().over(wv) - 1)
-        .filter(F.col("pos") < VOCAB_K)
-        .select("_tok", "pos")
-    )
+    vocab = _top_vocab(toks)
     # Pin the K-row vocab: it feeds BOTH the doc-counts join and the
     # query-position filter, and without the cache each reference
     # re-runs the full corpus token scan + vocab window (two extra

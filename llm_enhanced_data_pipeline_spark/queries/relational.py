@@ -783,6 +783,84 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_rfm_segments_approx",
+    doc="Scale-safe RFM twin: quartile assignment by comparing each "
+    "customer to mergeable-sketch percentile boundaries instead of "
+    "ntile's global sort. percentile_approx at accuracy 100000 is "
+    "EXACT below 1e5 customers (this gate's regime, and it matches "
+    "DuckDB quantile_disc element-for-element — verified across n, "
+    "both pick the ceil(p*n)-ranked element) and degrades to a "
+    "bounded-memory GK sketch above, where ntile would need a "
+    "single-partition sort of every customer. Boundary-tie semantics "
+    "differ from ntile on purpose: values equal to a boundary land in "
+    "the lower-valued (higher-numbered) quartile, so bucket sizes are "
+    "only approximately equal — that is the documented trade for the "
+    "one-pass 1-row-broadcast plan shape.",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         date_diff('day', DATE '1970-01-01', max(CAST(o_orderdate AS DATE)))::BIGINT
+           AS rec_days,
+         count(*)::BIGINT AS n_orders,
+         sum(floor(o_totalprice * 100 + 0.5)::BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+b AS (
+  SELECT quantile_disc(rec_days, [0.25, 0.5, 0.75]) AS rb,
+         quantile_disc(n_orders, [0.25, 0.5, 0.75]) AS fb,
+         quantile_disc(cents,    [0.25, 0.5, 0.75]) AS mb
+  FROM cust
+)
+SELECT r_q, f_q, m_q, count(*)::BIGINT AS n_customers FROM (
+  SELECT (1 + (rec_days <= rb[3])::INT + (rec_days <= rb[2])::INT
+            + (rec_days <= rb[1])::INT)::BIGINT AS r_q,
+         (1 + (n_orders <= fb[3])::INT + (n_orders <= fb[2])::INT
+            + (n_orders <= fb[1])::INT)::BIGINT AS f_q,
+         (1 + (cents <= mb[3])::INT + (cents <= mb[2])::INT
+            + (cents <= mb[1])::INT)::BIGINT AS m_q
+  FROM cust CROSS JOIN b
+) GROUP BY r_q, f_q, m_q
+""",
+)
+def customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(F.max(F.to_date("o_orderdate")), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("rec_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("cents"),
+    )
+    pcts = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    acc = F.lit(100_000)
+    b = cust.agg(
+        F.percentile_approx("rec_days", pcts, acc).alias("rb"),
+        F.percentile_approx("n_orders", pcts, acc).alias("fb"),
+        F.percentile_approx("cents", pcts, acc).alias("mb"),
+    )
+
+    def quart(v: str, bnd: str):
+        # desc semantics: above the 75th percentile -> quartile 1
+        return (
+            F.lit(1)
+            + (F.col(v) <= F.col(bnd)[2]).cast("int")
+            + (F.col(v) <= F.col(bnd)[1]).cast("int")
+            + (F.col(v) <= F.col(bnd)[0]).cast("int")
+        ).cast("bigint")
+
+    return (
+        cust.crossJoin(F.broadcast(b))
+        .select(
+            quart("rec_days", "rb").alias("r_q"),
+            quart("n_orders", "fb").alias("f_q"),
+            quart("cents", "mb").alias("m_q"),
+        )
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
+
+
+@register(
     "supplier_pareto",
     doc="Supply-concentration Pareto curve: suppliers ranked by exact "
     "integer-cents revenue, bucketed into deciles, with each decile's "

@@ -179,6 +179,8 @@ QUADRATIC_BY_DESIGN = {
     "q15_top_supplier",       # broadcast 1-row max-revenue frame
     "q22_dormant_rich_customers",  # broadcast 1-row avg-balance cutoff
     "events_dau_wau_stickiness",  # broadcast 1-row day-bounds frame
+    "customer_rfm_segments_approx",  # broadcast 1-row quartile-boundary
+                              # frame (the scale-safe ntile twin)
 }
 
 
@@ -206,6 +208,125 @@ def test_quadratic_allowlist_is_tight(spark, sf_dir):
     frame (in which case the nested-loop is a 1-row broadcast, fine)."""
     for name in QUADRATIC_BY_DESIGN:
         assert name in REGISTRY, f"allowlisted query {name} no longer registered"
+
+
+# Queries whose physical plan contains a WindowExec with an EMPTY
+# partition spec and no TakeOrdered/limit underneath — i.e. a true
+# single-partition global window — that is nonetheless scale-safe
+# because the frame it sweeps is bounded by something much smaller
+# than the corpus. Every entry documents that bound; anything NOT
+# here acquiring such a window is the exact defect class of the r7
+# TF-vocab single-partition sort and must fail the sweep.
+GLOBAL_WINDOW_BY_DESIGN = {
+    "compliance_report",      # pct window over the aggregated
+                              # issue-type frame (≤ #flag kinds)
+    "corpus_build_v4",        # Hamilton apportionment running-sum over
+    "corpus_build_v4_sampled",  # the D-row domain frame
+    "doremi_domain_weights",  # same D-row apportionment window
+    "mixture_apply",          # same (inherits the schedule lineage)
+    "mixture_schedule",       # same
+    "eval_budget_apportionment",  # largest-remainder rank over D domains
+    "corpus_gini_by_source",  # Gini rank window over the per-source
+                              # keys frame (sources, not rows)
+    "monthly_revenue_moving_avg",  # 3-month trailing frame over the
+                              # months table (~100 rows at any scale)
+    "skyline_quality_length",  # running-min sweep over DISTINCT
+                              # 4dp-rounded quality values (≤ 10^4+1
+                              # groups regardless of corpus size)
+    "customer_rfm_segments",  # exact ntile(4) form — customer-frame
+                              # sort, kept as the oracle-exact
+                              # semantics; the scale path is
+                              # customer_rfm_segments_approx
+                              # (percentile-boundary ladder, 1-row
+                              # broadcast, no global window)
+    "supplier_pareto",        # exact ntile(10) over the supplier frame
+                              # (dim-sized, 1e4x smaller than lineitem;
+                              # at 1e9 suppliers swap in the same
+                              # percentile-boundary ladder as the RFM
+                              # approx twin)
+}
+
+_WINDOW_LIMITERS = (
+    "TakeOrderedAndProject",
+    "WindowGroupLimit",
+    "GlobalLimit",
+    "CollectLimit",
+)
+
+
+def _iter_exec_nodes(node):
+    """Walk a physical-plan tree via py4j, descending through AQE."""
+    if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        yield from _iter_exec_nodes(node.initialPlan())
+        return
+    yield node
+    cs = node.children()
+    for i in range(cs.size()):
+        yield from _iter_exec_nodes(cs.apply(i))
+
+
+def _unbounded_global_windows(df) -> list[str]:
+    """WindowExecs with an empty partition spec whose subtree has no
+    limit node — each is a single-partition sort of its whole input."""
+    hits = []
+    for n in _iter_exec_nodes(df._jdf.queryExecution().executedPlan()):
+        if (
+            n.getClass().getSimpleName() == "WindowExec"
+            and n.partitionSpec().isEmpty()
+            and not any(m in n.toString() for m in _WINDOW_LIMITERS)
+        ):
+            hits.append(str(n.windowExpression().mkString("; "))[:120])
+    return hits
+
+
+def test_no_unbounded_global_windows_anywhere(spark, sf_dir):
+    """The r7 TF-vocab defect class, swept package-wide: an
+    unpartitioned row_number/ntile/running-agg window over an
+    unbounded frame is a single-partition sort of every input row —
+    fine at sf0.01, fatal at 100 TB. Catalyst only rewrites to
+    TakeOrderedAndProject/WindowGroupLimit when the rank filter sits
+    DIRECTLY on the window column, so any query outside the documented
+    bounded-frame allowlist must plan one of those limiters under
+    every global window."""
+    offenders = {}
+    for name, spec in sorted(REGISTRY.items()):
+        if name in GLOBAL_WINDOW_BY_DESIGN:
+            continue
+        df = REGISTRY[name].fn(spark, sf_dir)
+        hits = _unbounded_global_windows(df)
+        if hits:
+            offenders[name] = hits
+    assert not offenders, f"single-partition global windows: {offenders}"
+
+
+def test_global_window_allowlist_is_tight(spark, sf_dir):
+    """Rot-check: every allowlisted query still exists AND still plans
+    an unbounded global window — an entry whose window got fixed or
+    removed must leave the allowlist."""
+    for name in sorted(GLOBAL_WINDOW_BY_DESIGN):
+        assert name in REGISTRY, f"allowlisted query {name} no longer registered"
+        df = REGISTRY[name].fn(spark, sf_dir)
+        assert _unbounded_global_windows(df), (
+            f"{name} no longer plans a global window — drop it from "
+            "GLOBAL_WINDOW_BY_DESIGN"
+        )
+
+
+def test_tf_vocab_builds_use_limit_pushdown(spark, sf_dir):
+    """The r7 finding, pinned forever: the top-K vocab build must rank
+    with a DIRECT row_number filter so LimitPushDownThroughWindow
+    fires — the plan must show a per-partition top-K under the vocab
+    window, not a single-partition sort of every distinct token."""
+    for name in (
+        "tf_embeddings",
+        "tf_embedding_search",
+        "tf_embedding_search_f32",
+        "hybrid_rrf_retrieval",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan, name
+        df = REGISTRY[name].fn(spark, sf_dir)
+        assert not _unbounded_global_windows(df), name
 
 
 def test_compliance_report_single_scan(spark, sf_dir):
