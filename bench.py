@@ -133,11 +133,16 @@ def main() -> None:
         secs = []
         try:
             for _ in range(REPS):
+                # finally: a rep that RAISES must still release what it
+                # persisted — otherwise the orphaned frames hold executor
+                # memory and can warm later slots sharing plan prefixes.
                 mark = _dedup.cache_mark()
-                t0 = time.perf_counter()
-                force(spec.fn(spark, SF_DIR))  # all columns, distributed
-                secs.append(time.perf_counter() - t0)
-                _dedup.release_caches_since(mark)
+                try:
+                    t0 = time.perf_counter()
+                    force(spec.fn(spark, SF_DIR))  # all columns, distributed
+                    secs.append(time.perf_counter() - t0)
+                finally:
+                    _dedup.release_caches_since(mark)
         except Exception as exc:
             # One broken query must not zero the whole round's bench:
             # record the error, keep timing the rest.

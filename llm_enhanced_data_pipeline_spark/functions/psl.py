@@ -122,10 +122,31 @@ PSL_EXCEPTION: tuple[str, ...] = tuple(
     )
 )
 
-#: deepest level a rule can match: max(normal/exception labels,
-#: wildcard parent labels + 1). Snapshot: 3-label normal (k12.ca.us,
-#: s3.amazonaws.com), 3-label exceptions, 2-label wildcard parents.
+#: deepest level a SNAPSHOT rule can match — derived from the data by
+#: rules_max_labels() below (3: k12.ca.us / s3.amazonaws.com normals,
+#: city.*.jp exceptions, 2-label wildcard parents). Kept as a named
+#: constant for documentation; the lookup functions re-derive the depth
+#: from whatever rules they are handed.
 MAX_MATCH_LABELS = 3
+
+
+def rules_max_labels(
+    normal: tuple[str, ...],
+    wildcard: tuple[str, ...],
+    exception: tuple[str, ...],
+) -> int:
+    """Deepest level the given rule set can match: max label count
+    over normal/exception rules, wildcard PARENT labels + 1 (the
+    wildcard covers its parent's direct children). Derived from the
+    data so a caller swapping in the full PSL (which has 4-5-label
+    rules) can never silently truncate its deep rules to the snapshot's
+    depth — they'd otherwise never match, mis-bucketing those hosts
+    with no error."""
+    return max(
+        max((r.count(".") + 1 for r in normal), default=1),
+        max((r.count(".") + 1 for r in exception), default=1),
+        max((r.count(".") + 2 for r in wildcard), default=1),
+    )
 
 
 def _suffix_regex(i: int) -> str:
@@ -149,7 +170,7 @@ def registered_domain_psl(
     normal: tuple[str, ...] = PSL_NORMAL,
     wildcard: tuple[str, ...] = PSL_WILDCARD,
     exception: tuple[str, ...] = PSL_EXCEPTION,
-    max_labels: int = MAX_MATCH_LABELS,
+    max_labels: int | None = None,
 ) -> Column:
     """Registrable domain of a (lowercased) host per the PSL algorithm:
     public suffix = prevailing rule's span; registered domain = suffix
@@ -157,7 +178,10 @@ def registered_domain_psl(
 
     Pure column expression: the rule sets become constant-folded
     literal arrays, the lookup is a fixed when-chain over the last
-    1..max_labels+1 label spans — zero shuffle at any scale."""
+    1..max_labels+1 label spans — zero shuffle at any scale.
+    ``max_labels`` defaults to the depth the PASSED rules need."""
+    if max_labels is None:
+        max_labels = rules_max_labels(normal, wildcard, exception)
     s = {i: F.regexp_extract(host, _suffix_regex(i), 1) for i in range(1, max_labels + 2)}
     norm = F.array(*[F.lit(x) for x in normal])
     wild = F.array(*[F.lit(x) for x in wildcard])
@@ -188,10 +212,12 @@ def registered_domain_psl_sql(
     normal: tuple[str, ...] = PSL_NORMAL,
     wildcard: tuple[str, ...] = PSL_WILDCARD,
     exception: tuple[str, ...] = PSL_EXCEPTION,
-    max_labels: int = MAX_MATCH_LABELS,
+    max_labels: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`registered_domain_psl` — same vendored
-    arrays, same chain, same regexes."""
+    arrays, same chain, same regexes, same derived depth."""
+    if max_labels is None:
+        max_labels = rules_max_labels(normal, wildcard, exception)
 
     def arr(xs: tuple[str, ...]) -> str:
         return "[" + ", ".join(f"'{x}'" for x in xs) + "]"

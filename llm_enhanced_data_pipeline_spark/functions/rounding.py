@@ -22,3 +22,16 @@ def stable_round(col: Column, decimals: int) -> Column:
 def stable_round_sql(expr: str, decimals: int) -> str:
     scale = float(10**decimals)
     return f"(floor(({expr}) * {scale} + 0.5) / {scale})"
+
+
+def stable_round_py(x: float, decimals: int) -> float:
+    """The same floor(x * 10^n + 0.5) / 10^n in plain Python floats —
+    for pandas-UDF workers whose outputs cross an oracle boundary, so
+    the worker and its DuckDB twin round identically (Python round()
+    is half-to-even; DuckDB round() is half-away-from-zero; this is
+    neither, but it is the SAME f64 ops on both sides). Non-negative
+    inputs only, like the SQL form."""
+    import math
+
+    scale = float(10**decimals)
+    return math.floor(x * scale + 0.5) / scale

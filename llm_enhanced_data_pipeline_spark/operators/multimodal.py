@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.rounding import stable_round_py
+
 
 def binary_metadata(payload: Column) -> dict[str, Column]:
     """Cheap JVM-side metadata for a binary column: size + sha256 + a
@@ -411,9 +413,9 @@ def decode_image_stats(df: DataFrame, id_col: str, payload_col: str) -> DataFram
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["channels"].append(c)
-                rows["mean_r"].append(round(float(r), 4))
-                rows["mean_g"].append(round(float(g), 4))
-                rows["mean_b"].append(round(float(b), 4))
+                rows["mean_r"].append(stable_round_py(float(r), 4))
+                rows["mean_g"].append(stable_round_py(float(g), 4))
+                rows["mean_b"].append(stable_round_py(float(b), 4))
             yield pd.DataFrame(rows)
             rows = {k.name: [] for k in IMAGE_STATS_SCHEMA}
 
@@ -452,7 +454,7 @@ def decode_audio_stats(df: DataFrame, id_col: str, payload_col: str) -> DataFram
                 rows["sample_rate"].append(rate)
                 rows["n_channels"].append(nch)
                 rows["n_frames"].append(int(samples.shape[0]))
-                rows["rms"].append(round(float(np.sqrt(np.mean(x * x))), 4))
+                rows["rms"].append(stable_round_py(float(np.sqrt(np.mean(x * x))), 4))
             yield pd.DataFrame(rows)
             rows = {k.name: [] for k in AUDIO_STATS_SCHEMA}
 
@@ -597,7 +599,7 @@ def sample_frames_real(
                     rows["width"].append(w)
                     rows["height"].append(h)
                     rows["mean_luma"].append(
-                        round(float(luma[k].astype(np.float64).mean()), 4)
+                        stable_round_py(float(luma[k].astype(np.float64).mean()), 4)
                     )
             yield pd.DataFrame(rows)
             rows = {k.name: [] for k in VIDEO_FRAME_STATS_SCHEMA}

@@ -372,6 +372,7 @@ def vendored_transformer_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
     "replayed or re-crawled content.",
 )
 def streaming_embed_on_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from ..enrich.embedding import vendored_transformer_embedder
@@ -383,29 +384,38 @@ def streaming_embed_on_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 5 == 0)
         .select("doc_id", "text")
     )
+    # The working set (input JSON, parquet store, stream checkpoint) is
+    # per-invocation scratch: materialize the summary frame OUT of it
+    # (eager localCheckpoint detaches the lineage from the files), then
+    # remove the directory — repeated suite/CLI invocations must not
+    # leak disk (r7 advice).
     base = tempfile.mkdtemp(prefix="embed_ingest_")
-    docs.coalesce(2).write.mode("overwrite").json(f"{base}/in")
-    store = ParquetCheckpoint(spark, f"{base}/store", key="fp")
-    incremental_embedding_stream(
-        spark,
-        f"{base}/in",
-        store,
-        vendored_transformer_embedder,
-        stream_checkpoint_dir=f"{base}/ckpt",
-    )
-    emb = store.load()
-    return emb.select(
-        "fp",
-        "doc_id",
-        F.size("embedding").cast("long").alias("dim"),
-        F.floor(
-            F.aggregate(
-                "embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x
-            )
-            * 1000
-            + F.lit(0.5)
-        ).cast("long").alias("sq_norm_milli"),
-    )
+    try:
+        docs.coalesce(2).write.mode("overwrite").json(f"{base}/in")
+        store = ParquetCheckpoint(spark, f"{base}/store", key="fp")
+        incremental_embedding_stream(
+            spark,
+            f"{base}/in",
+            store,
+            vendored_transformer_embedder,
+            stream_checkpoint_dir=f"{base}/ckpt",
+        )
+        emb = store.load()
+        summary = emb.select(
+            "fp",
+            "doc_id",
+            F.size("embedding").cast("long").alias("dim"),
+            F.floor(
+                F.aggregate(
+                    "embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x
+                )
+                * 1000
+                + F.lit(0.5)
+            ).cast("long").alias("sq_norm_milli"),
+        )
+        return summary.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @register(

@@ -1460,14 +1460,14 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "closed-form pixel formula, parsed by the pure-numpy PPM decoder "
     "(header grammar + raster reshape), per-channel means compared "
     "against the formula's expectation computed independently in SQL.",
-    oracle="""
+    oracle=f"""
 SELECT doc_id, 16 AS width, 16 AS height, 3 AS channels,
-       round(list_avg(list_transform(range(0, 256),
-             _i -> (doc_id * 31 + _i * _i + 0) % 256)), 4) AS mean_r,
-       round(list_avg(list_transform(range(0, 256),
-             _i -> (doc_id * 31 + _i * _i + 11) % 256)), 4) AS mean_g,
-       round(list_avg(list_transform(range(0, 256),
-             _i -> (doc_id * 31 + _i * _i + 22) % 256)), 4) AS mean_b
+       {rounding.stable_round_sql('''list_avg(list_transform(range(0, 256),
+             _i -> (doc_id * 31 + _i * _i + 0) % 256))''', 4)} AS mean_r,
+       {rounding.stable_round_sql('''list_avg(list_transform(range(0, 256),
+             _i -> (doc_id * 31 + _i * _i + 11) % 256))''', 4)} AS mean_g,
+       {rounding.stable_round_sql('''list_avg(list_transform(range(0, 256),
+             _i -> (doc_id * 31 + _i * _i + 22) % 256))''', 4)} AS mean_b
 FROM documents WHERE doc_id % 7 = 0
 """,
 )
@@ -1516,11 +1516,11 @@ def ppm_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "struct/numpy RIFF chunk walker (fmt + data, word-aligned), "
     "full-signal RMS compared against the formula's expectation "
     "computed independently in SQL.",
-    oracle="""
+    oracle=f"""
 SELECT doc_id, 8000 AS sample_rate, 1 AS n_channels, 1024::BIGINT AS n_frames,
-       round(sqrt(list_avg(list_transform(range(0, 1024),
+       {rounding.stable_round_sql('''sqrt(list_avg(list_transform(range(0, 1024),
              _i -> pow((((doc_id * 131 + _i * _i * 3) % 65536) - 32768)
-                       / 32768.0, 2)))), 4) AS rms
+                       / 32768.0, 2))))''', 4)} AS rms
 FROM documents WHERE doc_id % 7 = 3
 """,
 )
@@ -1566,12 +1566,12 @@ def wav_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arithmetic), 4 uniformly-strided frames sampled per stream with "
     "per-frame mean luma compared against the formula's expectation "
     "computed independently in SQL.",
-    oracle="""
+    oracle=f"""
 SELECT doc_id,
        ((j * 10) // 4)::INT AS frame_idx,
        8 AS width, 8 AS height,
-       round(list_avg(list_transform(range(0, 64),
-             _i -> (doc_id * 13 + ((j * 10) // 4) * 37 + _i * 5) % 256)), 4)
+       {rounding.stable_round_sql('''list_avg(list_transform(range(0, 64),
+             _i -> (doc_id * 13 + ((j * 10) // 4) * 37 + _i * 5) % 256))''', 4)}
          AS mean_luma
 FROM documents CROSS JOIN (VALUES (0),(1),(2),(3)) t(j)
 WHERE doc_id % 7 = 5

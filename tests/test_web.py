@@ -334,3 +334,60 @@ def test_html_strip_numeric_entities(spark):
     for h, want in cases:
         sql = cleaning.html_strip_sql("'" + h.replace("'", "''") + "'")
         assert con.execute(f"SELECT {sql}").fetchone()[0] == want, h
+
+
+def test_psl_max_labels_derived_from_passed_rules(spark):
+    """Swapping in deeper rules (the full PSL has 4-5-label rules) must
+    deepen the match automatically — max_labels is derived from the
+    rule tuples, so a deep rule can never be silently truncated to the
+    snapshot's depth and mis-bucket its hosts."""
+    import duckdb
+
+    from llm_enhanced_data_pipeline_spark.functions import psl
+
+    # a 4-label private-section style rule + a 3-label wildcard parent
+    normal = psl.PSL_NORMAL + ("s3.eu-west-1.compute.example",)
+    wildcard = psl.PSL_WILDCARD + ("ap.south.example",)
+    exception = psl.PSL_EXCEPTION + ("ok.ap.south.example",)
+    assert psl.rules_max_labels(normal, wildcard, exception) == 4
+    assert (
+        psl.rules_max_labels(psl.PSL_NORMAL, psl.PSL_WILDCARD, psl.PSL_EXCEPTION)
+        == psl.MAX_MATCH_LABELS
+    )
+
+    cases = [
+        # 4-label normal rule: suffix itself -> registrable = +1 label
+        ("bucket.s3.eu-west-1.compute.example", "bucket.s3.eu-west-1.compute.example"),
+        ("x.bucket.s3.eu-west-1.compute.example", "bucket.s3.eu-west-1.compute.example"),
+        ("s3.eu-west-1.compute.example", None),  # IS a public suffix
+        # wildcard under a 3-label parent
+        ("site.zone.ap.south.example", "site.zone.ap.south.example"),
+        ("deep.site.zone.ap.south.example", "site.zone.ap.south.example"),
+        # exception overrides the wildcard
+        ("ok.ap.south.example", "ok.ap.south.example"),
+        ("a.ok.ap.south.example", "ok.ap.south.example"),
+        # snapshot rules still behave
+        ("www.example.co.uk", "example.co.uk"),
+    ]
+    for host, want in cases:
+        assert (
+            psl.registered_domain_psl_py(host, normal, wildcard, exception) == want
+        ), host
+
+    df = spark.createDataFrame(
+        [Row(i=i, h=h) for i, (h, _) in enumerate(cases)]
+    )
+    got = {
+        r.i: r.rd
+        for r in df.select(
+            "i",
+            psl.registered_domain_psl(
+                F.col("h"), normal, wildcard, exception
+            ).alias("rd"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, (host, want) in enumerate(cases):
+        assert got[i] == want, (host, got[i], want)
+        sql = psl.registered_domain_psl_sql(f"'{host}'", normal, wildcard, exception)
+        assert con.execute(f"SELECT {sql}").fetchone()[0] == want, host
