@@ -103,12 +103,13 @@ def extract_features(
 
 
 def decode_image(payload: Column) -> Column:  # pragma: no cover - stub
-    """COMPRESSED image decode is not available in this container.
-    (Uncompressed PNM decodes for real: :func:`parse_ppm` /
-    :func:`decode_image_stats` / :func:`resize_image_real`.)"""
+    """JPEG decode is not available in this container. (PNM decodes for
+    real via :func:`parse_ppm`; baseline PNG decodes for real via
+    :func:`parse_png` — stdlib zlib + numpy, all 5 scanline filters —
+    both through :func:`decode_image_stats` / :func:`parse_image`.)"""
     raise NotImplementedError(
-        "jpeg/png decode requires PIL/opencv; wire it into the same "
-        "mapInPandas adapters parse_ppm already flows through — the "
+        "jpeg decode requires PIL/opencv; wire it into the same "
+        "mapInPandas adapters parse_image already flows through — the "
         "Spark-side plumbing is in place and gate-tested"
     )
 
@@ -327,6 +328,164 @@ def write_ppm(arr) -> bytes:
     return magic + b"\n%d %d\n255\n" % (w, h) + a.tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type -> channel count (8-bit depth only; palette excluded)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def parse_png(payload: bytes):
+    """Parse a baseline PNG (8-bit, non-interlaced, grayscale / RGB /
+    gray+alpha / RGBA) with ONLY the stdlib (zlib) + numpy: chunk walk
+    with CRC verification, IDAT concatenation, zlib inflate, and full
+    unfiltering of all 5 scanline filter types (None/Sub/Up/Average/
+    Paeth). Returns (width, height, channels, uint8 array (h, w, c)).
+    Raises ValueError on malformed input — including CRC mismatches,
+    so a corrupt payload quarantines instead of decoding garbage.
+    Palette (type 3), 16-bit, and interlaced PNGs are rejected (the
+    honest remaining gate is JPEG/MP4, which need real codec libs)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload is None or len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, saw_iend = 8, None, [], False
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length or pos + 12 + length > len(payload):
+            raise ValueError(f"truncated {ctype!r} chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC on {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            saw_iend = True
+            break
+        pos += 12 + length
+    if ihdr is None or len(ihdr) != 13 or not idat or not saw_iend:
+        raise ValueError("missing IHDR/IDAT/IEND")
+    width, height, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or color not in _PNG_CHANNELS or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color}, "
+            f"interlace={interlace})"
+        )
+    c = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * c
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(f"inflated size {len(raw)}, expected {(stride + 1) * height}")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up — fully vectorized
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth: left-dependency scan
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - c] if x >= c else 0
+                b = prev[x]
+                if ftype == 1:
+                    cur[x] = (cur[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    cc = prev[x - c] if x >= c else 0
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                    cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return width, height, c, out.reshape(height, width, c)
+
+
+def write_png(arr, filter_type: int | None = None) -> bytes:
+    """Inverse of :func:`parse_png`: uint8 (h, w) / (h, w, c) -> baseline
+    8-bit PNG. ``filter_type`` fixes one scanline filter for every row;
+    None picks ``row % 5`` so a round-trip exercises all five filter
+    paths (the encoder's job here is gate fidelity, not compression)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[c]
+    flat = a.reshape(h, w * c).astype(np.int32)
+    stride = w * c
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = (y % 5) if filter_type is None else filter_type
+        cur = flat[y]
+        if ftype == 0:
+            enc = cur
+        elif ftype == 2:
+            enc = (cur - prev) & 0xFF
+        else:
+            enc = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                va = int(cur[x - c]) if x >= c else 0
+                vb = int(prev[x])
+                if ftype == 1:
+                    enc[x] = (cur[x] - va) & 0xFF
+                elif ftype == 3:
+                    enc[x] = (cur[x] - ((va + vb) >> 1)) & 0xFF
+                else:
+                    vc = int(prev[x - c]) if x >= c else 0
+                    p = va + vb - vc
+                    pa, pb, pc = abs(p - va), abs(p - vb), abs(p - vc)
+                    pred = va if (pa <= pb and pa <= pc) else (vb if pb <= pc else vc)
+                    enc[x] = (cur[x] - pred) & 0xFF
+        lines.append(ftype)
+        lines.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def parse_image(payload: bytes):
+    """Dispatch on magic bytes: PNM (P5/P6) or baseline PNG. Returns
+    (width, height, channels, uint8 (h, w, c)); ValueError otherwise."""
+    if payload is not None and payload[:8] == _PNG_SIG:
+        return parse_png(payload)
+    return parse_ppm(payload)
+
+
 def parse_wav(payload: bytes):
     """Parse a PCM WAV (RIFF/WAVE) container: returns (sample_rate,
     n_channels, numpy int16 array of shape (n_frames, n_channels)).
@@ -393,20 +552,23 @@ IMAGE_STATS_SCHEMA = T.StructType(
 
 
 def decode_image_stats(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
-    """REAL image decode over PNM payloads: parse -> pixel array ->
-    per-channel means (grayscale repeats its single channel). Arrow-
-    batched mapInPandas; payload projected away before any shuffle.
-    Rows whose payload fails to parse are dropped (corrupt-input
-    posture: quarantine, don't poison the batch)."""
+    """REAL image decode over PNM or baseline-PNG payloads (magic-byte
+    dispatch): parse -> pixel array -> per-channel means (grayscale
+    repeats its single channel; alpha channels are dropped from the
+    mean). Arrow-batched mapInPandas; payload projected away before any
+    shuffle. Rows whose payload fails to parse are dropped
+    (corrupt-input posture: quarantine, don't poison the batch)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows: dict[str, list] = {k.name: [] for k in IMAGE_STATS_SCHEMA}
         for pdf in batches:
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    w, h, c, arr = parse_ppm(bytes(payload) if payload is not None else None)
+                    w, h, c, arr = parse_image(bytes(payload) if payload is not None else None)
                 except ValueError:
                     continue
+                if c in (2, 4):  # gray+alpha / RGBA: stats over color planes
+                    arr, c = arr[:, :, : c - 1], c - 1
                 means = arr.reshape(-1, c).mean(axis=0)
                 r, g, b = (means if c == 3 else [means[0]] * 3)
                 rows["doc_id"].append(int(doc_id))

@@ -356,6 +356,53 @@ def vendored_transformer_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "vendored_transformer_search",
+    oracle=None,  # real-model retrieval: the ranking depends on the
+    # numpy transformer's embeddings, so it is genuinely
+    # non-SQL-expressible — the third rows-only driver-lane gate,
+    # composed entirely from already-gated lineages (the rows-only
+    # vendored embedder + the oracle-gated cosine-top-k shape).
+    doc="End-to-end real-model retrieval: embed the corpus AND the "
+    "query document with the vendored 384-d numpy transformer "
+    "(deterministic seeded weights), then broadcast-cosine top-5 — "
+    "the R4 retrieval shape over genuine model vectors instead of "
+    "the TF fallback. Deterministic: fixed query doc (doc_id 0), "
+    "seeded model, 6dp-rounded similarities, rank tie-break on id.",
+)
+def vendored_transformer_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..enrich.embedding import embed_with, vendored_transformer_embedder
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    # Embed the query doc SEPARATELY: a filter cannot push through the
+    # opaque mapInPandas node, so filtering emb would re-embed the whole
+    # corpus for one row. The model is batch-shape invariant (property-
+    # tested), so embedding doc 0 alone yields the identical vector.
+    q = embed_with(
+        docs.filter(F.col("doc_id") == 0),
+        "doc_id", "text", vendored_transformer_embedder(), batch_size=32,
+    ).select(F.col("embedding").alias("_qv"))
+    emb = embed_with(
+        docs.filter(F.col("doc_id") != 0),
+        "doc_id", "text", vendored_transformer_embedder(), batch_size=32,
+    )
+    scored = (
+        emb
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.round(
+                vector.cosine_similarity(F.col("embedding"), F.col("_qv")), 6
+            ).alias("sim"),
+        )
+    )
+    top = scored.orderBy(F.col("sim").desc(), F.col("doc_id").asc()).limit(5)
+    w = Window.orderBy(F.col("sim").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "doc_id", "rank", "sim"
+    )
+
+
+@register(
     "streaming_embed_on_ingest",
     oracle=None,  # streaming composition over the numpy model — the
     # second rows-only driver-lane gate (r6 verdict #5): exercises the

@@ -1510,6 +1510,65 @@ def ppm_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "png_image_decode_stats",
+    doc="REAL compressed-image decode: per-doc 16x16 RGB baseline PNG "
+    "payload built from a closed-form pixel formula and encoded with "
+    "a DIFFERENT scanline filter per row (row % 5 — None/Sub/Up/"
+    "Average/Paeth all exercised in every payload), decoded by the "
+    "stdlib-zlib + numpy PNG parser (chunk walk, CRC verify, inflate, "
+    "unfilter), per-channel means compared against the formula's "
+    "expectation computed independently in SQL. Closes the PNG half "
+    "of the compressed-format gate; JPEG/MP4 stay honestly env-gated.",
+    oracle=f"""
+SELECT doc_id, 16 AS width, 16 AS height, 3 AS channels,
+       {rounding.stable_round_sql('''list_avg(list_transform(range(0, 256),
+             _i -> (doc_id * 47 + _i * _i * 7 + 0) % 256))''', 4)} AS mean_r,
+       {rounding.stable_round_sql('''list_avg(list_transform(range(0, 256),
+             _i -> (doc_id * 47 + _i * _i * 7 + 13) % 256))''', 4)} AS mean_g,
+       {rounding.stable_round_sql('''list_avg(list_transform(range(0, 256),
+             _i -> (doc_id * 47 + _i * _i * 7 + 26) % 256))''', 4)} AS mean_b
+FROM documents WHERE doc_id % 7 = 1
+""",
+)
+def png_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators import multimodal
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 7 == 1
+    ).select("doc_id")
+
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            i = np.arange(256, dtype=np.int64)
+            base = (i * i * 7) % 256
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id) * 47
+                chans = [
+                    ((k + base + c * 13) % 256).astype(np.uint8) for c in range(3)
+                ]
+                arr = np.stack(chans, axis=-1).reshape(16, 16, 3)
+                ids.append(int(doc_id))
+                payloads.append(multimodal.write_png(arr))  # row % 5 filters
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = docs.mapInPandas(synth, synth_schema)
+    return multimodal.decode_image_stats(payloads, "doc_id", "payload")
+
+
+@register(
     "wav_audio_decode_stats",
     doc="REAL audio decode: per-doc 1024-frame 16-bit PCM WAV payload "
     "built from a closed-form sample formula, parsed by the pure-"

@@ -288,3 +288,123 @@ def test_sample_frames_real_stride_rule(spark):
     assert sorted(k[1] for k in got if k[0] == 2) == [0, 1]
     assert got[(2, 0)] == 7.0
     assert not any(k[0] == 3 for k in got)
+
+
+def test_png_codec_golden_bytes_and_roundtrip():
+    """parse_png against a HAND-ASSEMBLED container (explicit chunks,
+    literal filter bytes — so a writer bug cannot cancel a parser bug),
+    every filter type round-tripped, every color type, CRC and
+    truncation contracts."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # golden: 2x2 RGB, row 0 filter None [red, green], row 1 filter
+    # Sub [blue, blue] (second pixel's Sub delta is 0 against the first)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    raw = bytes([0, 255, 0, 0, 0, 255, 0]) + bytes([1, 0, 0, 255, 0, 0, 0])
+    golden = (
+        sig
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    w, h, c, arr = multimodal.parse_png(golden)
+    assert (w, h, c) == (2, 2, 3)
+    assert arr.tolist() == [
+        [[255, 0, 0], [0, 255, 0]],
+        [[0, 0, 255], [0, 0, 255]],
+    ]
+    # parse_image dispatches on magic for both families
+    assert multimodal.parse_image(golden)[3].tolist() == arr.tolist()
+
+    # multiple IDAT chunks concatenate
+    split = (
+        sig
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)[:5])
+        + chunk(b"IDAT", zlib.compress(raw)[5:])
+        + chunk(b"IEND", b"")
+    )
+    assert multimodal.parse_png(split)[3].tolist() == arr.tolist()
+
+    # every filter type, every supported color type, odd sizes
+    rng = np.random.default_rng(7)
+    for channels in (1, 2, 3, 4):
+        img = rng.integers(0, 256, (5, 7, channels), dtype=np.uint8)
+        for ftype in (0, 1, 2, 3, 4, None):  # None = row % 5 mix
+            w, h, c, back = multimodal.parse_png(
+                multimodal.write_png(img, filter_type=ftype)
+            )
+            assert (w, h, c) == (7, 5, channels) and (back == img).all(), (
+                channels,
+                ftype,
+            )
+    # 2-D input means grayscale
+    gray = rng.integers(0, 256, (3, 4), dtype=np.uint8)
+    assert (multimodal.parse_png(multimodal.write_png(gray))[3][:, :, 0] == gray).all()
+
+    # a flipped payload byte fails the CRC — corrupt inputs quarantine,
+    # never decode to garbage
+    good = multimodal.write_png(np.full((2, 2, 3), 9, np.uint8))
+    corrupt = bytearray(good)
+    corrupt[len(sig) + 8 + 2] ^= 0xFF  # inside IHDR body
+    with pytest.raises(ValueError):
+        multimodal.parse_png(bytes(corrupt))
+
+    # unsupported variants and malformed containers raise
+    interlaced = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    bads = [
+        None,
+        b"",
+        b"\x89PNG\r\n\x1a\n",  # no chunks
+        sig + chunk(b"IHDR", interlaced) + chunk(b"IDAT", zlib.compress(raw)),
+        sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw)),  # 16-bit
+        sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw)),  # palette
+        sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw[:-3])),
+        good[:-6],  # truncated IEND
+    ]
+    for bad in bads:
+        with pytest.raises(ValueError):
+            multimodal.parse_png(bad)
+
+
+def test_decode_stats_png_and_alpha_planes(spark):
+    """decode_image_stats handles PNG payloads through the same lane as
+    PNM (magic dispatch), drops alpha planes from the channel means,
+    and quarantines CRC-corrupt PNGs."""
+    import numpy as np
+
+    rgb = np.zeros((2, 2, 3), np.uint8)
+    rgb[:, :, 0] = 200  # pure red plane
+    rgba = np.dstack([rgb, np.full((2, 2), 7, np.uint8)])
+    corrupt = bytearray(multimodal.write_png(rgb))
+    corrupt[-5] ^= 0xFF
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, payload=bytearray(multimodal.write_png(rgb))),
+            Row(doc_id=2, payload=bytearray(multimodal.write_png(rgba))),
+            Row(doc_id=3, payload=corrupt),
+            Row(doc_id=4, payload=bytearray(multimodal.write_ppm(rgb))),
+        ]
+    )
+    out = {
+        r.doc_id: r
+        for r in multimodal.decode_image_stats(df, "doc_id", "payload").collect()
+    }
+    assert set(out) == {1, 2, 4}
+    for i in (1, 2, 4):
+        assert out[i].channels == 3
+        assert (out[i].mean_r, out[i].mean_g, out[i].mean_b) == (200.0, 0.0, 0.0)

@@ -181,6 +181,8 @@ QUADRATIC_BY_DESIGN = {
     "events_dau_wau_stickiness",  # broadcast 1-row day-bounds frame
     "customer_rfm_segments_approx",  # broadcast 1-row quartile-boundary
                               # frame (the scale-safe ntile twin)
+    "vendored_transformer_search",  # R4 broadcast 1-row query-vector
+                              # frame over the real-model embeddings
 }
 
 
@@ -367,8 +369,11 @@ PYTHON_EVAL_BY_DESIGN = {
     "vendored_transformer_embeddings",  # R2 real-model lane: the numpy
     # transformer runs through the embed_with mapInPandas adapter
     # (Arrow) — Python IS the point, as with the LLM adapters
+    "vendored_transformer_search",  # same model lane feeding the R4
+    # broadcast cosine top-k retrieval shape
     "ppm_image_decode_stats",  # real-codec lane: PNM synth + parse in
     # numpy through mapInPandas (Arrow) — media decode IS Python work
+    "png_image_decode_stats",  # same, stdlib-zlib baseline PNG codec
     "wav_audio_decode_stats",  # same, PCM WAV RIFF walker
     "y4m_frame_sample_stats",  # same, YUV4MPEG2 container walker
 }
