@@ -919,11 +919,19 @@ def dedup_components_keep_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # atypical member of each duplicate group, per the paper).
 
 
-def _semdedup_sql(k: int = 8, iters: int = 2, tau: float = 0.35) -> str:
+def _semdedup_sql(
+    k: int | str = 8,
+    iters: int = 2,
+    tau: float = 0.35,
+    relation: str = "embeddings",
+    pre_ctes: str = "",
+) -> str:
     from ..operators import vector
     from .vector_q import _cos_sql, _kmeans_ctes
 
-    ctes = ",".join(_kmeans_ctes(k=k, iters=iters, dim=64))
+    ctes = ",".join(_kmeans_ctes(k=k, iters=iters, dim=64, relation=relation))
+    if pre_ctes:
+        ctes = pre_ctes + "," + ctes
     return f"""
 WITH {ctes},
 af AS (
@@ -940,7 +948,7 @@ dq AS (
 base AS (
   SELECT em.vec_id, a.cid AS cluster, em.embedding AS v,
          round({_cos_sql('em.embedding', 'd.centroid')}, 6) AS centroid_sim
-  FROM embeddings em
+  FROM {relation} em
   JOIN af a ON a.vec_id = em.vec_id
   JOIN dq d ON d.ckey = a.cid),
 dropped AS (
@@ -1178,6 +1186,45 @@ def near_dup_pairs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def semdedup_prune_autok(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
+    return dedup.semdedup_survivors(
+        emb, "vec_id", "embedding", k=None, iters=2, tau=0.35,
+        target_cluster_size=64,
+    )
+
+
+# Sampled-slice twin predicate for the embeddings table: the ~10% md5
+# slice PLUS the seed block vec_id < 8 — Lloyd's seeding takes the
+# vectors with vec_id < k, and auto-k never exceeds 8 below 512 slice
+# rows (sf0.1's slice is ~232), so keeping the seed block makes the
+# seeding rule total on the slice at every sweep scale.
+_S10E_PRED_SQL = (
+    "(vec_id < 8 OR substring(md5(vec_id::VARCHAR), 1, 2) < '1a')"
+)
+
+
+@register(
+    "semdedup_prune_sampled",
+    doc="SemDeDup through the auto-k lane over the deterministic "
+    "embeddings slice (~10% md5 sample + the vec_id<8 seed block) — "
+    "the sf0.1-sweep twin of the bench-headlining semdedup gates, "
+    "whose full oracles are sf0.01-only. The k-derivation is pinned "
+    "to the SLICE size on both sides: Spark derives "
+    "k = max(1, ceil(n_slice/64)) from a count of the sliced frame, "
+    "and the oracle computes the identical k as a scalar subquery, so "
+    "the twin stays hash-comparable at any scale factor.",
+    oracle=_semdedup_sql(
+        k="(SELECT _k FROM _kk)",
+        relation="s10e",
+        pre_ctes=f"""
+s10e AS (SELECT * FROM embeddings WHERE {_S10E_PRED_SQL}),
+_kk AS (SELECT greatest(1, ceil(count(*) / 64.0))::INT AS _k FROM s10e)""",
+    ),
+)
+def semdedup_prune_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).filter(
+        (F.col("vec_id") < 8)
+        | (F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2) < "1a")
+    )
     return dedup.semdedup_survivors(
         emb, "vec_id", "embedding", k=None, iters=2, tau=0.35,
         target_cluster_size=64,

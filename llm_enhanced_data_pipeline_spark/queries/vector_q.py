@@ -276,18 +276,20 @@ def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_ctes(
-    k: int = 8,
+    k: int | str = 8,
     iters: int = 3,
     dim: int = 64,
     vec: str = "embedding",
     sfx: str = "",
+    relation: str = "embeddings",
 ) -> list[str]:
     """The shared Lloyd's-iteration CTE chain: e (quantized vectors),
     c0..c{iters} (centroid frames). Reused by the training gate, the
-    trained-serving gate, and (per-subspace, via ``vec``/``sfx``) the
-    product-quantization gates."""
+    trained-serving gate, (per-subspace, via ``vec``/``sfx``) the
+    product-quantization gates, and (via ``relation`` + a scalar-
+    subquery ``k``) the sampled-slice semdedup twin."""
     parts = [
-        f"e{sfx} AS (SELECT vec_id, {vector.quantize_vec_sql(vec)} AS q FROM embeddings)",
+        f"e{sfx} AS (SELECT vec_id, {vector.quantize_vec_sql(vec)} AS q FROM {relation})",
         f"c0{sfx} AS (SELECT vec_id::INT AS cid, q AS cent FROM e{sfx} WHERE vec_id < {k})",
     ]
     for i in range(iters):

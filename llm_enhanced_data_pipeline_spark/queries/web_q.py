@@ -204,6 +204,10 @@ def blocklist_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_build_v5",
+    bench=True,  # the PSL-keyed production build: times the vendored
+    # public-suffix when-chain (claimed zero-shuffle projection) inside
+    # a real composite lineage — r7 verdict asked for the PSL path to
+    # carry a bench slot with spread
     doc="Composite web-corpus build: canonical-URL dedup (recrawl "
     "variants collapse, keep lowest doc_id) -> token-blocklist gate -> "
     "exact content dedup (first surviving occurrence) -> quality-score "

@@ -7,7 +7,9 @@
 # covered at sf0.1 through their *_sampled twins (deterministic ~10%
 # md5 slice), which run IN this sweep. semdedup_prune_autok is
 # deselected because its oracle pins k=8 (= the auto-k derivation
-# at sf0.01's 500 vectors); at sf0.1 auto-k derives k=32 by design.
+# at sf0.01's 500 vectors); at sf0.1 auto-k derives k=32 by design —
+# its sf0.1 coverage is semdedup_prune_sampled (slice-pinned auto-k,
+# oracle derives the same k as a scalar subquery), which runs here.
 set -u
 Q=tests/test_queries_oracle.py::test_query_matches_oracle
 DESELECT=(

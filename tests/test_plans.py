@@ -116,6 +116,8 @@ QUADRATIC_BY_DESIGN = {
     "semdedup_prune",         # same Lloyd's chain; the prune itself is
                               # an equi-join on the cluster key
     "semdedup_prune_autok",   # identical chain through the auto-k lane
+    "semdedup_prune_sampled", # same auto-k chain over the md5 slice
+                              # (the sf0.1-sweep twin)
     "mmr_rerank",             # broadcast 1-row query + per-round 1-row
                               # argmax frames (greedy MMR selection)
     "pq_adc_knn",             # per-subspace Lloyd's chains (broadcast
