@@ -914,6 +914,68 @@ def supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "supplier_pareto_approx",
+    doc="Scale-safe Pareto twin: decile assignment by comparing each "
+    "supplier's revenue to mergeable-sketch percentile boundaries "
+    "(percentile_approx, exact below 1e5 suppliers and element-"
+    "identical to DuckDB quantile_disc there) instead of ntile(10)'s "
+    "global sort — the same boundary-ladder trade as "
+    "customer_rfm_segments_approx: values equal to a boundary land in "
+    "the lower decile, bucket sizes only approximately equal, one "
+    "1-row broadcast and zero global windows at any supplier count.",
+    oracle="""
+WITH srev AS (
+  SELECT l_suppkey,
+         sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+             * floor((1 - l_discount) * 100 + 0.5)::BIGINT) AS units
+  FROM lineitem GROUP BY l_suppkey
+),
+b AS (
+  SELECT quantile_disc(units, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS db,
+         sum(units) AS _t
+  FROM srev
+)
+SELECT decile, count(*)::BIGINT AS n_suppliers,
+       (sum(units) * 1000 // max(_t))::BIGINT AS revenue_share_permille
+FROM (
+  SELECT units, _t,
+         (1 + (units <= db[9])::INT + (units <= db[8])::INT
+            + (units <= db[7])::INT + (units <= db[6])::INT
+            + (units <= db[5])::INT + (units <= db[4])::INT
+            + (units <= db[3])::INT + (units <= db[2])::INT
+            + (units <= db[1])::INT)::BIGINT AS decile
+  FROM srev CROSS JOIN b
+) GROUP BY decile
+""",
+)
+def supplier_pareto_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    units = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long") * F.floor(
+        (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    srev = li.groupBy("l_suppkey").agg(F.sum(units).alias("units"))
+    pcts = F.array(*[F.lit(p / 10.0) for p in range(1, 10)])
+    b = srev.agg(
+        F.percentile_approx("units", pcts, F.lit(100_000)).alias("db"),
+        F.sum("units").alias("_t"),
+    )
+    decile = F.lit(1)
+    for i in range(8, -1, -1):
+        decile = decile + (F.col("units") <= F.col("db")[i]).cast("int")
+    return (
+        srev.crossJoin(F.broadcast(b))
+        .select("units", "_t", decile.cast("bigint").alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.expr("cast(sum(units) * 1000 div max(_t) as bigint)").alias(
+                "revenue_share_permille"
+            ),
+        )
+    )
+
+
+@register(
     "brand_price_dispersion",
     doc="Retail-price dispersion per brand: mean, sample stddev, and "
     "the coefficient of variation — the catalog-consistency check "

@@ -185,6 +185,8 @@ QUADRATIC_BY_DESIGN = {
                               # frame (the scale-safe ntile twin)
     "vendored_transformer_search",  # R4 broadcast 1-row query-vector
                               # frame over the real-model embeddings
+    "supplier_pareto_approx", # broadcast 1-row decile-boundary frame
+                              # (the scale-safe ntile(10) twin)
 }
 
 
@@ -244,10 +246,10 @@ GLOBAL_WINDOW_BY_DESIGN = {
                               # (percentile-boundary ladder, 1-row
                               # broadcast, no global window)
     "supplier_pareto",        # exact ntile(10) over the supplier frame
-                              # (dim-sized, 1e4x smaller than lineitem;
-                              # at 1e9 suppliers swap in the same
-                              # percentile-boundary ladder as the RFM
-                              # approx twin)
+                              # (dim-sized, 1e4x smaller than lineitem);
+                              # the scale path is supplier_pareto_approx
+                              # (percentile-boundary ladder, 1-row
+                              # broadcast, no global window)
 }
 
 _WINDOW_LIMITERS = (
