@@ -456,30 +456,59 @@ def ruler_score_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_authors = F.when(F.col("doc_id") % 17 == 0, F.lit(0)).otherwise(
         1 + F.col("doc_id") % 3
     )
-    comp = R.completeness(
-        title, abstract, n_authors,
-        F.col("doc_id") % 3 == 0, F.col("doc_id") % 4 == 0,
-        F.lit(True), F.col("doc_id") % 2 == 0,
+    # Stage title/abstract/tech_count as ATTRIBUTES before the component
+    # ladders: every ruler component probes the abstract dozens of times
+    # (contains() per indicator term), so passing the marker-concat
+    # Column in directly inlines it at each probe — measured as an
+    # 821 KB plan node before this split. Two more stages keep comp and
+    # the per-component scores single-evaluation too (CollapseProject
+    # won't re-inline multiply-referenced non-cheap aliases).
+    base = docs.select(
+        "doc_id",
+        days_ago.cast("int").alias("_days_ago"),
+        title.alias("_title"),
+        abstract.alias("_abstract"),
+        tech_count.alias("_tech"),
+        n_authors.alias("_nauth"),
+    )
+    t, a = F.col("_title"), F.col("_abstract")
+    staged = base.select(
+        "doc_id",
+        "_days_ago",
+        "_abstract",
+        "_tech",
+        R.completeness(
+            t, a, F.col("_nauth"),
+            F.col("doc_id") % 3 == 0, F.col("doc_id") % 4 == 0,
+            F.lit(True), F.col("doc_id") % 2 == 0,
+        ).alias("_comp"),
+        R.recency(F.col("_days_ago")).alias("_rec"),
+        R.substance(a, F.col("_tech")).alias("_sub"),
+        R.rigor(a).alias("_rig"),
+        R.impact(a).alias("_imp"),
+        R.domain_relevance(
+            t, a, F.col("doc_id") % 6 == 0, _RULER_TOPIC_TERMS
+        ).alias("_rel"),
+        R.penalty(t, a, F.col("doc_id") % 50 == 0).alias("_pen"),
     )
     # weighted sum in the reference's dict-insertion order
     weighted = (
-        (comp * 0.15)
-        + (R.recency(days_ago) * 0.20)
-        + (R.substance(abstract, tech_count) * 0.30)
-        + (R.rigor(abstract) * 0.25)
-        + (R.impact(abstract) * 0.10)
-        + (R.domain_relevance(title, abstract, F.col("doc_id") % 6 == 0, _RULER_TOPIC_TERMS) * 0.15)
+        (F.col("_comp") * 0.15)
+        + (F.col("_rec") * 0.20)
+        + (F.col("_sub") * 0.30)
+        + (F.col("_rig") * 0.25)
+        + (F.col("_imp") * 0.10)
+        + (F.col("_rel") * 0.15)
     )
-    pen = R.penalty(title, abstract, F.col("doc_id") % 50 == 0)
-    total = F.greatest(weighted - pen, F.lit(0.0))
-    conf = R.confidence(comp, abstract, tech_count)
-    return docs.select(
+    total = F.greatest(weighted - F.col("_pen"), F.lit(0.0))
+    conf = R.confidence(F.col("_comp"), F.col("_abstract"), F.col("_tech"))
+    return staged.select(
         "doc_id",
-        days_ago.cast("long").alias("days_ago"),
-        rounding.stable_round(comp, 4).alias("completeness"),
+        F.col("_days_ago").cast("long").alias("days_ago"),
+        rounding.stable_round(F.col("_comp"), 4).alias("completeness"),
         rounding.stable_round(total, 3).alias("total_score"),
         rounding.stable_round(conf, 3).alias("confidence"),
-        rounding.stable_round(pen, 4).alias("penalty_applied"),
+        rounding.stable_round(F.col("_pen"), 4).alias("penalty_applied"),
         quality.tier(total).alias("tier"),
     )
 

@@ -149,20 +149,33 @@ FROM rk GROUP BY domain
 )
 def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
+    # canonicalize staged as an attribute — see corpus_build_v5's note
     d = docs.select(
+        "doc_id", web.canonicalize_url(_messy_url()).alias("curl")
+    ).select(
         "doc_id",
-        web.registered_domain_psl(web.canonicalize_url(_messy_url())).alias("domain"),
+        web.registered_domain_psl(F.col("curl")).alias("domain"),
     )
-    kept = web.cap_per_domain(d, "domain", [F.col("doc_id")], cap=20)
-    totals = d.groupBy("domain").agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
-    kepts = kept.groupBy("domain").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_kept")
-    )
-    return totals.join(kepts, "domain").select(
-        "domain",
-        "n_total",
-        "n_kept",
-        F.expr("cast(1000 * n_kept div n_total as bigint)").alias("kept_permille"),
+    # ONE rank window + ONE aggregation (the oracle's own shape) — the
+    # earlier totals-join-kepts form equi-joined on the DERIVED domain
+    # column, and Catalyst pushed the join's isnotnull(domain) below
+    # both projections, inlining the full PSL+canonicalize expression
+    # into a Filter on each side (measured: a 744 KB plan with the
+    # domain expr expanded ~134x). Never join on an expensive derived
+    # key when a window + conditional aggregate gives the same frame.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("domain").orderBy("doc_id")
+    rk = d.withColumn("_rk", F.row_number().over(w))
+    return rk.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("_rk") <= 20, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.expr(
+            "cast(1000 * sum(CASE WHEN _rk <= 20 THEN 1 ELSE 0 END)"
+            " div count(*) as bigint)"
+        ).alias("kept_permille"),
     )
 
 
@@ -263,14 +276,23 @@ def corpus_build_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup, text_analysis
 
     docs = load_table(spark, "documents", sf_dir)
-    url = _messy_url()
-    curl = web.canonicalize_url(url)
-    c = docs.select(
+    # Stage curl as an ATTRIBUTE before deriving the domain: passing the
+    # canonicalize_url Column straight into registered_domain_psl would
+    # inline its ~10-step regexp chain into every one of the PSL
+    # lookup's span extracts (~15 copies per row — measured as a 360 KB
+    # physical plan and a 9x slot slowdown before this split). Catalyst
+    # keeps the two projections separate because curl is non-cheap and
+    # multiply-referenced (CollapseProject's duplication guard).
+    staged = docs.select(
+        "doc_id", "lang", "text",
+        web.canonicalize_url(_messy_url()).alias("curl"),
+    )
+    c = staged.select(
         "doc_id",
         "lang",
         "text",
-        curl.alias("curl"),
-        web.registered_domain_psl(curl).alias("domain"),
+        "curl",
+        web.registered_domain_psl(F.col("curl")).alias("domain"),
         (
             ~F.arrays_overlap(
                 cleaning.tokens(F.col("text")),
@@ -547,13 +569,15 @@ def domain_cap_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, "documents", sf_dir)
-    url = _cctld_url()
+    # url staged as an attribute — see corpus_build_v5's note
     d = docs.select(
+        "doc_id", "source", _cctld_url().alias("url")
+    ).select(
         "doc_id",
         "source",
-        url.alias("url"),
-        web.registered_domain_psl(url).alias("domain"),
-        web.registered_domain(url).alias("two_label"),
+        "url",
+        web.registered_domain_psl(F.col("url")).alias("domain"),
+        web.registered_domain(F.col("url")).alias("two_label"),
     )
     w = Window.partitionBy("domain").orderBy("doc_id")
     rk = d.withColumn("_rk", F.row_number().over(w))

@@ -335,6 +335,26 @@ def test_tf_vocab_builds_use_limit_pushdown(spark, sf_dir):
         assert not _unbounded_global_windows(df), name
 
 
+def test_no_expression_blowup_in_any_plan(spark, sf_dir):
+    """Expression-tree blow-up sweep (r8): passing a non-trivial Column
+    into a helper that references it many times inlines the whole tree
+    at every reference at DSL-construction time, and a join/filter
+    pushed below a projection inlines derived columns again. Both
+    produced 300-800 KB single plan nodes (ruler_score_full,
+    corpus_build_v5, domain_cap_sample) that fall out of whole-stage
+    codegen and run multiples slower. Guard: no single physical-plan
+    node may print longer than 64 KB — stage the offending column as an
+    attribute (a .select() boundary) instead."""
+    offenders = {}
+    for name, spec in sorted(REGISTRY.items()):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        fattest = max((len(line) for line in plan.splitlines()), default=0)
+        if fattest > 65536:
+            offenders[name] = fattest
+    assert not offenders, f"plan nodes over 64 KB: {offenders}"
+
+
 def test_compliance_report_single_scan(spark, sf_dir):
     # pct comes from a window over the tiny aggregated frame, not a
     # second driver-side count() job re-running the scan
