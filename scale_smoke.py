@@ -21,6 +21,7 @@ Prints one JSON line with per-operator seconds at each scale + ratios.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -115,36 +116,58 @@ def _heuristic_funnel(toked: DataFrame) -> DataFrame:
     )
 
 
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_SMOKE_REPS", "3")))
+
+
 def time_op(fn) -> float:
-    t0 = time.perf_counter()
-    fn()
-    return round(time.perf_counter() - t0, 2)
+    """MIN of REPS runs. The gate tests a COST LAW (linearity), and
+    wall-clock noise on this box is one-sided — a GC pause / host
+    hiccup only ever ADDS time (observed: three single-shot runs, three
+    different 4-20x single-slot outliers, each slot normal in the other
+    runs). The min is the estimator of intrinsic cost that such stalls
+    cannot inflate; medians would still let one calm rep + two stalled
+    reps fake a violation. Per-rep cache release keeps reps cold (ops
+    that localCheckpoint internally would otherwise warm reps 2+)."""
+    best = float("inf")
+    for _ in range(REPS):
+        mark = dedup.cache_mark()
+        try:
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        finally:
+            dedup.release_caches_since(mark)
+    return round(best, 2)
 
 
-def run_at(spark: SparkSession, r: int) -> dict[str, float]:
+def build_slots(spark: SparkSession, r: int):
+    """Materialize the replicated inputs for scale factor ``r`` and
+    return (meta, slots, cleanup): per-scale row counts, an ORDERED
+    name -> thunk map of every timed operation, and a cleanup thunk.
+
+    Slots are built for BOTH scales before anything is timed so main()
+    can interleave low/high timing per slot — the two measurements of a
+    ratio run seconds apart under near-identical session state. The
+    earlier sequential design (full low pass, then full high pass) put
+    ~5 minutes of JIT/GC/cache drift between a slot's numerator and
+    denominator, and single slots randomly read 4-20x hot across runs
+    while honest in isolation."""
     docs = replicated_docs(spark, r).persist()
     n_docs = docs.count()
     toked = docs.withColumn("toks", dedup.tokens(F.col("text")))
-    out: dict[str, float] = {"n_docs": n_docs}
+    slots: dict[str, object] = {}
 
-    out["minhash_pairs"] = time_op(
-        lambda: dedup.near_dup_pairs_minhash(
-            toked, "doc_id", "toks", num_hashes=16, shingle_n=3
-        ).count()
-    )
-    dedup.release_caches()  # isolate measurements: no cross-op cache/GC bleed
-    out["simhash_pairs"] = time_op(
-        lambda: dedup.near_dup_pairs_simhash(toked, "doc_id", "toks").count()
-    )
-    dedup.release_caches()
+    slots["minhash_pairs"] = lambda: dedup.near_dup_pairs_minhash(
+        toked, "doc_id", "toks", num_hashes=16, shingle_n=3
+    ).count()
+    slots["simhash_pairs"] = lambda: dedup.near_dup_pairs_simhash(
+        toked, "doc_id", "toks"
+    ).count()
     # containment join: prefix-filtered candidates (rarest shingles
     # only) — must track corpus size, not shingle-frequency skew
-    out["containment_pairs"] = time_op(
-        lambda: dedup.containment_pairs(
-            toked, "doc_id", "toks", threshold=0.8, shingle_n=3
-        ).count()
-    )
-    dedup.release_caches()
+    slots["containment_pairs"] = lambda: dedup.containment_pairs(
+        toked, "doc_id", "toks", threshold=0.8, shingle_n=3
+    ).count()
 
     # connected components over the engineered near-dup pair graph: the
     # iterative star-contraction loop localCheckpoints each round, so
@@ -154,39 +177,33 @@ def run_at(spark: SparkSession, r: int) -> dict[str, float]:
         .select(F.col("id_a"), F.col("id_b"))
         .localCheckpoint(eager=True)
     )
-    out["components"] = time_op(
-        lambda: dedup.connected_components_star(
-            docs.select("doc_id"), pairs, "doc_id"
-        ).count()
-    )
-    pairs.rdd.unpersist()  # free the eager localCheckpoint blocks
-    dedup.release_caches()
+    slots["components"] = lambda: dedup.connected_components_star(
+        docs.select("doc_id"), pairs, "doc_id"
+    ).count()
 
     # corpus-construction scale paths: decontamination's gram equi-join,
     # chunk explosion, Gopher repetition aggs — all should track data size
     is_eval = corpus.split_bucket(F.col("doc_id").cast("string")) >= 950
-    out["decontamination"] = time_op(
-        lambda: corpus.contamination_scores(
-            toked.filter(~is_eval), toked.filter(is_eval), "doc_id", "toks", n=3
-        ).count()
-    )
-    out["chunking"] = time_op(
-        lambda: corpus.chunk_documents(toked, "doc_id", "toks", 32, 24).count()
-    )
-    out["repetition"] = time_op(
-        lambda: corpus.repetition_stats(toked, "doc_id", "toks", n=2).count()
-    )
+    slots["decontamination"] = lambda: corpus.contamination_scores(
+        toked.filter(~is_eval), toked.filter(is_eval), "doc_id", "toks", n=3
+    ).count()
+    slots["chunking"] = lambda: corpus.chunk_documents(
+        toked, "doc_id", "toks", 32, 24
+    ).count()
+    slots["repetition"] = lambda: corpus.repetition_stats(
+        toked, "doc_id", "toks", n=2
+    ).count()
     # unaligned exact-substring dedup: gram explode + gram-text window +
     # per-doc island merge — replica salting keeps grams replica-local,
     # so the gram groups stay constant-size and cost must track tokens
-    out["substring_spans"] = time_op(
-        lambda: corpus.duplicated_spans(toked, "doc_id", "toks", k=8).count()
-    )
+    slots["substring_spans"] = lambda: corpus.duplicated_spans(
+        toked, "doc_id", "toks", k=8
+    ).count()
     # APPLY side: island aggregation + per-row array-slice excision.
     # count() would prune the clean_text assembly, so force it through
     # a row-hash reduction (same device as bench.py's force()).
-    out["substring_apply"] = time_op(
-        lambda: corpus.remove_duplicated_spans(toked, "doc_id", "toks", k=8)
+    slots["substring_apply"] = lambda: (
+        corpus.remove_duplicated_spans(toked, "doc_id", "toks", k=8)
         .select(
             F.bit_xor(
                 F.xxhash64("doc_id", "n_tokens", "n_kept", "clean_text")
@@ -195,62 +212,47 @@ def run_at(spark: SparkSession, r: int) -> dict[str, float]:
         .collect()
     )
     # DoReMi reweighting: token shuffle + vocab-keyed join + D-row tail
-    out["doremi"] = time_op(
-        lambda: corpus.doremi_domain_weights(
-            toked.withColumn("dom", (F.col("doc_id") % 7).cast("string")),
-            "dom",
-            "toks",
-        ).count()
-    )
+    slots["doremi"] = lambda: corpus.doremi_domain_weights(
+        toked.withColumn("dom", (F.col("doc_id") % 7).cast("string")),
+        "dom",
+        "toks",
+    ).count()
 
     ev = replicated_events(spark, r).persist()
-    out["n_events"] = ev.count()
+    n_events = ev.count()
     views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "value", "event_id"
     )
-    out["asof_join"] = time_op(
-        lambda: joins.asof_join(
-            views, purchases, "user_id", "ts", "ts", ["value"], right_tiebreak="event_id"
-        ).count()
-    )
+    slots["asof_join"] = lambda: joins.asof_join(
+        views, purchases, "user_id", "ts", "ts", ["value"], right_tiebreak="event_id"
+    ).count()
     win = 30 * 60 * 1_000_000_000
     intervals = purchases.select(
         "user_id", F.col("ts").alias("_s"), (F.col("ts") + win).alias("_e")
     )
-    out["range_join"] = time_op(
-        lambda: joins.range_join_bucketed(
-            views, intervals, "user_id", "ts", "_s", "_e", win
-        ).count()
-    )
+    slots["range_join"] = lambda: joins.range_join_bucketed(
+        views, intervals, "user_id", "ts", "_s", "_e", win
+    ).count()
 
     # heuristic-filter funnel: pure column algebra + two keyed windows —
     # must track data size exactly
-    out["heuristic_funnel"] = time_op(
-        lambda: _heuristic_funnel(toked).count()
-    )
+    slots["heuristic_funnel"] = lambda: _heuristic_funnel(toked).count()
 
     # incremental ingest: anti equi-join against the snapshot hash index
     snap = docs.filter(F.col("doc_id") % 10 < 8)
     batch = docs.filter(F.col("doc_id") % 10 >= 8)
-    out["incremental_dedup"] = time_op(
-        lambda: dedup.dedup_against_index(
-            batch, dedup.content_index(snap, "text"), "text", ["doc_id"]
-        ).count()
-    )
+    slots["incremental_dedup"] = lambda: dedup.dedup_against_index(
+        batch, dedup.content_index(snap, "text"), "text", ["doc_id"]
+    ).count()
 
     # DSIR selection: feature explode + <=B-row model joins + per-doc agg
-    out["dsir"] = time_op(
-        lambda: corpus.dsir_scores(
-            toked, "doc_id", "toks", F.col("doc_id") % 5 == 0, num_buckets=1024
-        ).count()
-    )
+    slots["dsir"] = lambda: corpus.dsir_scores(
+        toked, "doc_id", "toks", F.col("doc_id") % 5 == 0, num_buckets=1024
+    ).count()
     # BPE training: 4 merge rounds over the word-type table (replica
     # salting grows the vocab linearly, the production-relevant axis)
-    out["bpe_train"] = time_op(
-        lambda: bpe.bpe_train(bpe.word_freqs(toked, "toks"), iters=4)
-    )
-    dedup.release_caches()
+    slots["bpe_train"] = lambda: bpe.bpe_train(bpe.word_freqs(toked, "toks"), iters=4)
     # snapshot diff: full-outer equi-join of id+fp projections
     from llm_enhanced_data_pipeline_spark.functions import hashing as _h
 
@@ -258,33 +260,36 @@ def run_at(spark: SparkSession, r: int) -> dict[str, float]:
     new_fp = docs.filter(F.col("doc_id") % 17 != 3).select(
         "doc_id", _h.md5_hex(F.concat(F.col("text"), F.lit("v"))).alias("fp")
     )
-    out["snapshot_diff"] = time_op(
-        lambda: corpus.snapshot_diff(old_fp, new_fp, "doc_id", "fp").count()
-    )
+    slots["snapshot_diff"] = lambda: corpus.snapshot_diff(
+        old_fp, new_fp, "doc_id", "fp"
+    ).count()
 
     emb = replicated_embeddings(spark, r).persist()
-    out["n_vecs"] = emb.count()
+    n_vecs = emb.count()
     cents = vector.centroids_by_key(emb, "label", "embedding")
     queries = emb.filter(F.col("vec_id") < 8)
-    out["ivf_knn"] = time_op(
-        lambda: vector.ivf_knn_join(
-            queries, emb, cents, "vec_id", "vec_id", "embedding", "embedding", k=5
-        ).count()
-    )
+    slots["ivf_knn"] = lambda: vector.ivf_knn_join(
+        queries, emb, cents, "vec_id", "vec_id", "embedding", "embedding", k=5
+    ).count()
     # k-means training: per-iteration cost = broadcast K-row scoring +
     # (cid, pos) agg — linear in rows, independent of K's data share
-    out["kmeans_train"] = time_op(
-        lambda: vector.kmeans_train_quantized(emb, "vec_id", "embedding", k=8, iters=3)[
-            0
-        ].count()
-    )
+    slots["kmeans_train"] = lambda: vector.kmeans_train_quantized(
+        emb, "vec_id", "embedding", k=8, iters=3
+    )[0].count()
     # SemDeDup prune under the production invariant — the auto-k regime
     # (dedup.semdedup_auto_k): cluster COUNT grows with the corpus,
     # cluster SIZE stays at the constant target, so the in-cluster
     # quadratic side is n * target = linear. The synthetic assignment
     # hash-shards vectors into exactly that many clusters (the trainer
     # itself is timed separately in the kmeans_train slot).
-    n_clusters = dedup.semdedup_auto_k(out["n_vecs"])
+    # target=256 (not the production default 64) so the pair work term
+    # DOMINATES the slot's wall time: at target 64 the slot is
+    # scheduler-overhead-bound and its ratio wobbles 1.2-1.7 with
+    # ambient noise, while a genuinely broken invariant also hides in
+    # overhead (r6's break read only 2.41). Calibrated 2026-08-15 at
+    # target 256, min-of-3, interleaved: honest (k tracks n) = 1.29;
+    # broken (k stuck at the low-scale value -> 16x pairs) = 4.13.
+    n_clusters = dedup.semdedup_auto_k(n_vecs, 256)
     sd_base = emb.select(
         "vec_id",
         F.pmod(_h.stable_hash32(F.col("vec_id").cast("string")), F.lit(n_clusters))
@@ -293,28 +298,45 @@ def run_at(spark: SparkSession, r: int) -> dict[str, float]:
         F.col("embedding").alias("_v"),
         ((F.col("vec_id") % 997) / 997.0).alias("centroid_sim"),
     )
-    out["semdedup_prune"] = time_op(
-        lambda: dedup.semdedup_prune_within(sd_base, "vec_id", 0.35).count()
-    )
+    slots["semdedup_prune"] = lambda: dedup.semdedup_prune_within(
+        sd_base, "vec_id", 0.35
+    ).count()
     # MMR: k greedy rounds, each one corpus scan + a 1-row broadcast
     mq = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    out["mmr"] = time_op(
-        lambda: vector.mmr_topk(
-            emb.filter(F.col("vec_id") != 0), mq, "vec_id", "embedding", k=5
-        ).count()
-    )
-    docs.unpersist()
-    ev.unpersist()
-    emb.unpersist()
-    dedup.release_caches()
-    return out
+    slots["mmr"] = lambda: vector.mmr_topk(
+        emb.filter(F.col("vec_id") != 0), mq, "vec_id", "embedding", k=5
+    ).count()
+
+    def cleanup() -> None:
+        docs.unpersist()
+        ev.unpersist()
+        emb.unpersist()
+        pairs.rdd.unpersist()  # free the eager localCheckpoint blocks
+        dedup.release_caches()
+
+    meta = {"n_docs": n_docs, "n_events": n_events, "n_vecs": n_vecs}
+    return meta, slots, cleanup
 
 
 def main() -> None:
     lo, hi = (int(sys.argv[1]), int(sys.argv[2])) if len(sys.argv) > 2 else (2, 8)
     spark = get_spark("scale_smoke")
-    run_at(spark, 1)  # throwaway pass: JIT/codegen warmup out of the numbers
-    low, high = run_at(spark, lo), run_at(spark, hi)
+    # throwaway warm-up: every plan shape compiled outside the numbers
+    wm, ws, wc = build_slots(spark, 1)
+    for fn in ws.values():
+        fn()
+    wc()
+    lo_meta, lo_slots, lo_cleanup = build_slots(spark, lo)
+    hi_meta, hi_slots, hi_cleanup = build_slots(spark, hi)
+    low: dict[str, float] = dict(lo_meta)
+    high: dict[str, float] = dict(hi_meta)
+    # interleave: a slot's low and high run back-to-back so the ratio
+    # compares like session states (see build_slots docstring)
+    for name in lo_slots:
+        low[name] = time_op(lo_slots[name])
+        high[name] = time_op(hi_slots[name])
+    lo_cleanup()
+    hi_cleanup()
     data_ratio = hi / lo
     report = {
         "data_ratio": data_ratio,
@@ -330,10 +352,18 @@ def main() -> None:
     }
     # Invariant gates: every slot must stay under the data ratio, and
     # semdedup — the one op whose cost law DEPENDS on the auto-k
-    # invariant — must stay in line with its linear siblings (r6
-    # verdict bound). A violation means a quadratic side regressed.
+    # invariant — carries a tighter tripwire (r6 verdict), recalibrated
+    # 2026-08-15 for the work-dominated slot (target 256) against
+    # MEASURED failure modes: a deliberately broken invariant (k stuck
+    # at the low-scale value -> 16x pairs) reads 4.13, an all-pairs
+    # prune regression reads >= 12x, while the honest invariant reads
+    # 1.29-2.46 across session states (min-of-3, interleaved). Bound
+    # 3.0 splits honest from broken with real margin each way; the old
+    # 1.6 bound sat inside the overhead-noise band of the old tiny
+    # slot and tripped on ambient stalls (1.62-1.71 across 2026-08-15
+    # runs with the op proven unchanged and honest in isolation, 1.17).
     bounds = {k: data_ratio for k in report["wall_ratios"]}
-    bounds["semdedup_prune"] = min(1.6, data_ratio)
+    bounds["semdedup_prune"] = min(3.0, data_ratio)
     report["ratio_violations"] = {
         k: {"ratio": report["wall_ratios"][k], "bound": round(b, 2)}
         for k, b in bounds.items()
