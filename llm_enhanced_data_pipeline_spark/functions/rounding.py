@@ -10,6 +10,8 @@ non-negative ratio/score outputs that cross the oracle boundary.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -30,8 +32,6 @@ def stable_round_py(x: float, decimals: int) -> float:
     the worker and its DuckDB twin round identically (Python round()
     is half-to-even; DuckDB round() is half-away-from-zero; this is
     neither, but it is the SAME f64 ops on both sides). Non-negative
-    inputs only, like the SQL form."""
-    import math
-
+    finite inputs only, like the SQL form."""
     scale = float(10**decimals)
     return math.floor(x * scale + 0.5) / scale

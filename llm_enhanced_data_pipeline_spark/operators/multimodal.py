@@ -304,6 +304,8 @@ def parse_ppm(payload: bytes):
             raise ValueError("truncated PNM header")
         tokens.append(int(payload[start:pos]))
     width, height, maxval = tokens
+    if width <= 0 or height <= 0:
+        raise ValueError(f"degenerate PNM dimensions {width}x{height}")
     if not (0 < maxval < 256):
         raise ValueError(f"unsupported maxval {maxval}")
     pos += 1  # exactly one whitespace byte after maxval, per spec
@@ -378,8 +380,14 @@ def parse_png(payload: bytes):
             f"unsupported PNG variant (depth={depth}, color={color}, "
             f"interlace={interlace})"
         )
+    if width <= 0 or height <= 0:
+        raise ValueError(f"degenerate PNG dimensions {width}x{height}")
     c = _PNG_CHANNELS[color]
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:  # CRC-consistent chunks, broken stream:
+        # still malformed INPUT — keep the quarantine contract
+        raise ValueError(f"bad IDAT zlib stream: {exc}") from exc
     stride = width * c
     if len(raw) != (stride + 1) * height:
         raise ValueError(f"inflated size {len(raw)}, expected {(stride + 1) * height}")
@@ -611,6 +619,8 @@ def decode_audio_stats(df: DataFrame, id_col: str, payload_col: str) -> DataFram
                     )
                 except ValueError:
                     continue
+                if samples.shape[0] == 0:
+                    continue  # zero-frame stream: no stats, quarantine
                 x = samples.astype(np.float64) / 32768.0
                 rows["doc_id"].append(int(doc_id))
                 rows["sample_rate"].append(rate)
@@ -667,8 +677,8 @@ def parse_y4m(payload: bytes):
             fps_num, fps_den = int(num), int(den)
         elif tag == b"C":
             colorspace = val.decode("ascii")
-    if not width or not height:
-        raise ValueError("stream header missing W/H")
+    if width is None or height is None or width <= 0 or height <= 0:
+        raise ValueError("stream header missing or degenerate W/H")
     if colorspace.startswith("420"):
         frame_bytes = width * height + 2 * ((width // 2) * (height // 2))
     elif colorspace.startswith("444"):

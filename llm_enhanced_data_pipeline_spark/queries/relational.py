@@ -900,15 +900,20 @@ def supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("decile"),
     )
-    tot = srev.agg(F.sum("units").alias("_t"))
+    # corpus-wide sums promote to decimal(38,0): a long `sum(units) *
+    # 1000` wraps (non-ANSI) or throws (ANSI) past ~sf40 while DuckDB's
+    # BIGINT sum promotes to HUGEINT; Spark decimal `div` matches
+    # hugeint `//` exactly (probed beyond int64)
+    tot = srev.agg(F.sum(F.col("units").cast("decimal(38,0)")).alias("_t"))
     return (
         ranked.crossJoin(F.broadcast(tot))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
-            F.expr("cast(sum(units) * 1000 div max(_t) as bigint)").alias(
-                "revenue_share_permille"
-            ),
+            F.expr(
+                "cast(sum(cast(units as decimal(38,0))) * 1000"
+                " div max(_t) as bigint)"
+            ).alias("revenue_share_permille"),
         )
     )
 
@@ -957,7 +962,8 @@ def supplier_pareto_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     pcts = F.array(*[F.lit(p / 10.0) for p in range(1, 10)])
     b = srev.agg(
         F.percentile_approx("units", pcts, F.lit(100_000)).alias("db"),
-        F.sum("units").alias("_t"),
+        # decimal(38,0): see supplier_pareto's overflow note
+        F.sum(F.col("units").cast("decimal(38,0)")).alias("_t"),
     )
     decile = F.lit(1)
     for i in range(8, -1, -1):
@@ -968,9 +974,10 @@ def supplier_pareto_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
-            F.expr("cast(sum(units) * 1000 div max(_t) as bigint)").alias(
-                "revenue_share_permille"
-            ),
+            F.expr(
+                "cast(sum(cast(units as decimal(38,0))) * 1000"
+                " div max(_t) as bigint)"
+            ).alias("revenue_share_permille"),
         )
     )
 
@@ -1042,7 +1049,9 @@ def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_regionkey", F.col("n_name").alias("nation"))
-        .agg(F.sum(units).alias("units"))
+        # decimal(38,0): per-nation sums are corpus-scale (total/25) and
+        # the share multiplies by 1000 — see supplier_pareto's note
+        .agg(F.sum(units.cast("decimal(38,0)")).alias("units"))
     )
     w = Window.partitionBy("n_regionkey")
     return (

@@ -408,3 +408,63 @@ def test_decode_stats_png_and_alpha_planes(spark):
     for i in (1, 2, 4):
         assert out[i].channels == 3
         assert (out[i].mean_r, out[i].mean_g, out[i].mean_b) == (200.0, 0.0, 0.0)
+
+
+def test_codec_quarantine_covers_stream_and_degenerate_inputs(spark):
+    """The review-found crash classes stay quarantined, never job-fatal:
+    a CRC-consistent PNG with a broken zlib stream raises ValueError
+    (zlib.error must not escape), zero-dimension images are rejected by
+    both parsers, and a zero-frame WAV is dropped by the stats lane
+    instead of producing a NaN that crashes stable rounding."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    # valid CRCs everywhere, but IDAT bytes are not a zlib stream
+    bad_stream = (
+        sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"\x00garbage") + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        multimodal.parse_png(bad_stream)
+
+    # zero-dimension containers are malformed, not empty-but-ok
+    zero_ihdr = struct.pack(">IIBBBBB", 0, 5, 8, 2, 0, 0, 0)
+    zero_png = (
+        sig + chunk(b"IHDR", zero_ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+        + chunk(b"IEND", b"")
+    )
+    for bad in (zero_png, b"P6\n0 5\n255\n", b"P5\n3 0\n255\n"):
+        with pytest.raises(ValueError):
+            multimodal.parse_image(bad)
+
+    # zero-frame WAV parses (valid container) but the stats lane drops
+    # it — RMS of an empty signal is undefined, not 0
+    empty_wav = multimodal.write_wav(np.zeros((0,), dtype="<i2"), sample_rate=8000)
+    rate, nch, samples = multimodal.parse_wav(empty_wav)
+    assert samples.shape[0] == 0
+    good_wav = multimodal.write_wav(
+        np.full((4,), 16384, dtype="<i2"), sample_rate=8000
+    )
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, payload=bytearray(empty_wav)),
+            Row(doc_id=2, payload=bytearray(good_wav)),
+        ]
+    )
+    out = {
+        r.doc_id: r
+        for r in multimodal.decode_audio_stats(df, "doc_id", "payload").collect()
+    }
+    assert set(out) == {2} and out[2].rms == 0.5

@@ -245,6 +245,9 @@ GLOBAL_WINDOW_BY_DESIGN = {
                               # customer_rfm_segments_approx
                               # (percentile-boundary ladder, 1-row
                               # broadcast, no global window)
+    "ivf_bucket_stats",       # sum-over-() share window on the
+                              # per-centroid stats frame (≤ K rows by
+                              # construction — one row per IVF bucket)
     "supplier_pareto",        # exact ntile(10) over the supplier frame
                               # (dim-sized, 1e4x smaller than lineitem);
                               # the scale path is supplier_pareto_approx
@@ -252,12 +255,28 @@ GLOBAL_WINDOW_BY_DESIGN = {
                               # broadcast, no global window)
 }
 
-_WINDOW_LIMITERS = (
-    "TakeOrderedAndProject",
-    "WindowGroupLimit",
-    "GlobalLimit",
-    "CollectLimit",
-)
+#: plan nodes that BOUND the row count flowing into a window
+_WINDOW_LIMITERS = {
+    "TakeOrderedAndProjectExec",
+    "WindowGroupLimitExec",
+    "GlobalLimitExec",
+    "LocalLimitExec",
+    "CollectLimitExec",
+}
+#: row-preserving unary nodes a window's input legitimately flows
+#: through on its way from a limiter (sort/exchange/projection plumbing)
+_WINDOW_PASSTHROUGH = {
+    "SortExec",
+    "ShuffleExchangeExec",
+    "ProjectExec",
+    "FilterExec",
+    "InputAdapter",
+    "WholeStageCodegenExec",
+    "AQEShuffleReadExec",
+    "ShuffleQueryStageExec",
+    "CoalesceExec",
+    "ColumnarToRowExec",
+}
 
 
 def _iter_exec_nodes(node):
@@ -271,15 +290,33 @@ def _iter_exec_nodes(node):
         yield from _iter_exec_nodes(cs.apply(i))
 
 
+def _window_input_limited(window_node) -> bool:
+    """True iff the window's INPUT CHAIN (descending only through
+    row-preserving unary plumbing) hits a limit node. A grep over the
+    whole subtree string would be fooled by a limiter sitting in an
+    unrelated join branch far below the window."""
+    node = window_node
+    while True:
+        cs = node.children()
+        if cs.size() != 1:
+            return False  # join/leaf/union: the input is not limited
+        node = cs.apply(0)
+        name = node.getClass().getSimpleName()
+        if name in _WINDOW_LIMITERS:
+            return True
+        if name not in _WINDOW_PASSTHROUGH:
+            return False
+
+
 def _unbounded_global_windows(df) -> list[str]:
-    """WindowExecs with an empty partition spec whose subtree has no
+    """WindowExecs with an empty partition spec whose input chain has no
     limit node — each is a single-partition sort of its whole input."""
     hits = []
     for n in _iter_exec_nodes(df._jdf.queryExecution().executedPlan()):
         if (
             n.getClass().getSimpleName() == "WindowExec"
             and n.partitionSpec().isEmpty()
-            and not any(m in n.toString() for m in _WINDOW_LIMITERS)
+            and not _window_input_limited(n)
         ):
             hits.append(str(n.windowExpression().mkString("; "))[:120])
     return hits
