@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import hashing, rounding
-from ..operators import cleaning, corpus, dedup, joins, text_analysis
+from ..operators import cleaning, corpus, dedup, joins, ranking, text_analysis
 from ..operators.cleaning import tokens_sql
 from ..tables import load_table
 from .dedup_q import _DOCS_WITH_NEAR_DUPS_SQL, VARIANT_OFFSET, _docs_with_near_dups
@@ -1371,3 +1371,81 @@ surv AS (
 )
 def corpus_build_v4_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _corpus_build_v4_from(_sampled_docs(spark, sf_dir))
+
+
+# --- scale-safe global ranking / shard packing (operators/ranking.py) --
+# The anti-pattern the plan sweep bans (row_number over an empty
+# partition spec) is sometimes the SEMANTICS a pipeline needs — exact
+# global order for curriculum/sharding. These gates prove the bucketed
+# distributed construction (range-bucket -> triangle offsets ->
+# partitioned rank) reproduces the single-partition window's answer
+# bit-for-bit while planning only keyed shuffles and broadcasts.
+
+
+@register(
+    "global_rank_by_tokens",
+    doc="Exact global rank of every document by token count (asc, "
+    "doc_id tie-break) via the DISTRIBUTED rank construction: "
+    "quantile range-buckets (boundaries broadcast, correctness "
+    "independent of sketch accuracy), B-row triangle offset "
+    "aggregation, partitioned within-bucket row_number. The oracle is "
+    "the plain single-partition window — equality IS the theorem.",
+    oracle=f"""
+WITH d AS (SELECT doc_id, len({_TOKS})::BIGINT AS n_toks FROM documents)
+SELECT doc_id, n_toks,
+       {ranking.global_rank_sql("n_toks", "doc_id")} AS rank
+FROM d
+""",
+)
+def global_rank_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "doc_id",
+        F.size(cleaning.tokens(F.col("text"))).cast("bigint").alias("n_toks"),
+    )
+    return ranking.global_rank(d, "n_toks", "doc_id").select(
+        "doc_id", "n_toks", "rank"
+    )
+
+
+@register(
+    "shard_pack_balanced",
+    doc="Balanced dataloader shards: round-robin LPT packing (rank by "
+    "token count DESC, deal rank r to shard (r-1) mod 16) over the "
+    "distributed global rank — biggest documents spread first, tail "
+    "fills evenly. Per-shard doc/token totals and per-mille token "
+    "share; a flat share column is the balance evidence.",
+    oracle=f"""
+WITH d AS (SELECT doc_id, len({_TOKS})::BIGINT AS n_toks FROM documents),
+r AS (
+  SELECT doc_id, n_toks,
+         {ranking.global_rank_sql("n_toks", "doc_id", descending=True)} AS rk
+  FROM d
+),
+t AS (SELECT sum(n_toks) AS _t FROM d)
+SELECT ((rk - 1) % 16)::BIGINT AS shard,
+       count(*)::BIGINT AS n_docs,
+       sum(n_toks)::BIGINT AS n_tokens,
+       (sum(n_toks) * 1000 // max(_t))::BIGINT AS share_permille
+FROM r CROSS JOIN t GROUP BY shard
+""",
+)
+def shard_pack_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "doc_id",
+        F.size(cleaning.tokens(F.col("text"))).cast("bigint").alias("n_toks"),
+    )
+    packed = ranking.pack_shards_lpt(d, "n_toks", "doc_id", n_shards=16)
+    tot = d.agg(F.sum("n_toks").alias("_t"))
+    return (
+        packed.crossJoin(F.broadcast(tot))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.expr("cast(sum(n_toks) * 1000 div max(_t) as bigint)").alias(
+                "share_permille"
+            ),
+        )
+    )

@@ -1,0 +1,54 @@
+"""Operator-level unit tests (frames built inline, no oracle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+
+
+def test_global_rank_matches_window_and_handles_edges(spark):
+    """ranking.global_rank == single-partition row_number on heavy-tie
+    and tiny frames, ascending and descending, extreme bucket counts
+    (1 bucket = degenerate all-in-one; 64 buckets over 10 rows = most
+    buckets empty). pack_shards_lpt deals ranks round-robin."""
+    from pyspark.sql import Row, Window
+
+    from llm_enhanced_data_pipeline_spark.operators import ranking
+
+    rows = [Row(id=i, m=[5, 1, 5, 3, 1, 5, 2, 3, 5, 1][i]) for i in range(10)]
+    df = spark.createDataFrame(rows)
+
+    for desc in (False, True):
+        w = Window.orderBy(
+            F.col("m").desc() if desc else F.col("m").asc(), F.col("id").asc()
+        )
+        want = {
+            (r.id, r.rank)
+            for r in df.select("id", F.row_number().over(w).alias("rank")).collect()
+        }
+        for buckets in (1, 4, 64):
+            got = {
+                (r.id, r.rank)
+                for r in ranking.global_rank(
+                    df, "m", "id", descending=desc, buckets=buckets
+                ).collect()
+            }
+            assert got == want, (desc, buckets)
+
+    packed = ranking.pack_shards_lpt(df, "m", "id", n_shards=3)
+    by_id = {r.id: r.shard for r in packed.collect()}
+    # rank desc by (m desc, id asc): ids 0,2,5,8 (m=5), 3,7 (m=3), 6
+    # (m=2), 1,4,9 (m=1) -> shards cycle 0,1,2,...
+    order = [0, 2, 5, 8, 3, 7, 6, 1, 4, 9]
+    for pos, i in enumerate(order):
+        assert by_id[i] == pos % 3, (i, by_id[i])
+
+    # the construction must not plan an unpartitioned window
+    plan = (
+        ranking.global_rank(df, "m", "id")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition(m" not in plan  # partitioned by bucket only
