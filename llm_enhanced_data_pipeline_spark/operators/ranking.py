@@ -9,12 +9,15 @@ module provides the scale-safe construction:
 
 1. **Range-bucket** rows by a pure function of the order metric —
    approximate quantile boundaries (any boundary set works; accuracy
-   affects only balance, never correctness) broadcast as one row.
+   affects only balance, never correctness), collected once to the
+   driver (B-1 scalars) and inlined as a literal so every lineage
+   sees the SAME bucketing.
 2. **Offset** each bucket by the total count of rows in all lower
-   buckets — a B-row triangle aggregation (B is a constant), no
-   window, no single-partition sort.
+   buckets — a B-row keyed count aggregate whose prefix sums are
+   folded on the driver and inlined as a literal map; no window, no
+   single-partition sort, no shared nondeterministic subplan.
 3. **Rank within buckets** with a PARTITIONED row_number window, and
-   add the broadcast offset.
+   add the literal offset.
 
 The result is bit-identical to the single-partition
 ``row_number() OVER (ORDER BY metric, id)`` (ties share a bucket
@@ -46,57 +49,94 @@ def global_rank(
     descending: bool = False,
     buckets: int = DEFAULT_BUCKETS,
 ) -> DataFrame:
-    """``df`` + ``rank_col`` = exact dense 1-based global rank by
-    ``(metric, id)`` (id ascending as the deterministic tie-break),
-    without an unpartitioned window.
+    """``df`` + ``rank_col`` = exact 1-based global rank with
+    **row_number semantics** by ``(metric, id)`` — ties receive
+    DISTINCT consecutive ranks via the id ascending tie-break (this is
+    NOT dense_rank) — without an unpartitioned window.
+
+    ``metric_col`` must be **non-null**: a NULL probe buckets to 0 and
+    Spark's window sorts NULLS FIRST, whereas ANSI engines (and the
+    :func:`global_rank_sql` oracle) default to NULLS LAST on ASC —
+    filter or coalesce nulls before calling.
 
     Correctness does not depend on the quantile sketch: boundaries
     only choose WHERE the bucket seams fall. Rows with equal metric
     values always land in the same bucket (the bucket index is a pure
     function of the metric), so within-bucket ranks + lower-bucket
-    counts reproduce the global order exactly.
+    counts reproduce the global order exactly. The boundary array and
+    the bucket-count prefix sums are collected to the driver and
+    inlined as literals — one pinned evaluation each — so every
+    downstream lineage sees the SAME bucketing (a lazily shared
+    percentile_approx frame would not guarantee that: GK-sketch merge
+    follows shuffle-fetch order and can differ across re-evaluations).
     """
     m = F.col(metric_col)
     probed = df.withColumn("_gr_probe", (-m) if descending else m)
-    # 1) boundary row: B-1 approximate quantiles of the probe metric
+    # 1) boundary set: B-1 approximate quantiles of the probe metric,
+    #    PINNED to one evaluation by collecting to the driver and
+    #    inlining as a literal array. percentile_approx is a GK sketch
+    #    whose merge order follows nondeterministic shuffle-fetch
+    #    order: a lazily shared boundary frame feeding several
+    #    lineages (offsets AND the rank branch) could be re-evaluated
+    #    per lineage and — past the accuracy budget — return
+    #    DIFFERENT arrays, so offsets would be computed against a
+    #    different bucketing than the within-bucket ranks. The frame
+    #    is tiny by construction (B-1 scalars), so the collect is a
+    #    driver-side constant fold, not a driver-side loop.
     qs = [i / buckets for i in range(1, buckets)]
-    b = probed.agg(
-        F.percentile_approx(
-            "_gr_probe", F.array(*[F.lit(q) for q in qs]), F.lit(10_000)
-        ).alias("_gr_bounds")
+    bounds = (
+        probed.agg(
+            F.percentile_approx(
+                "_gr_probe", F.array(*[F.lit(q) for q in qs]), F.lit(10_000)
+            ).alias("b")
+        ).first()["b"]
+        or []
     )
+    if not bounds:  # empty input: rank the nothing (or 1 bucket)
+        w0 = Window.partitionBy(F.lit(0)).orderBy(
+            F.col("_gr_probe").asc(), F.col(id_col).asc()
+        )
+        return probed.withColumn(
+            rank_col, F.row_number().over(w0).cast("bigint")
+        ).drop("_gr_probe")
+    blit = F.array(*[F.lit(x) for x in bounds])
     # 2) bucket index = #boundaries strictly below the probe (pure
     #    function of the metric -> ties can never straddle a seam)
-    with_bkt = probed.crossJoin(F.broadcast(b)).withColumn(
-        "_gr_bkt",
-        F.size(F.filter(F.col("_gr_bounds"), lambda x: x < F.col("_gr_probe"))),
+    with_bkt = probed.withColumn(
+        "_gr_bkt", F.size(F.filter(blit, lambda x: x < F.col("_gr_probe")))
     )
-    # 3) lower-bucket offsets via a B-row triangle aggregation — no
-    #    window over the (tiny but technically unpartitioned) frame
-    counts = with_bkt.groupBy("_gr_bkt").agg(F.count(F.lit(1)).alias("_gr_n"))
-    lower = counts.alias("lo").join(
-        counts.alias("hi"),
-        F.col("lo._gr_bkt") < F.col("hi._gr_bkt"),
-        "inner",
+    # 3) lower-bucket offsets: with the boundaries now literal, the
+    #    bucket counts are a deterministic B-row aggregate — fold them
+    #    on the driver too (one keyed-shuffle pass) and inline the
+    #    prefix sums as a literal map; this also removes the former
+    #    counts⋈counts triangle join (two extra corpus scans).
+    cnt_rows = with_bkt.groupBy("_gr_bkt").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()
+    cnts = {r["_gr_bkt"]: r["n"] for r in cnt_rows}
+    offs: dict[int, int] = {}
+    running = 0
+    for bkt in sorted(cnts):
+        offs[bkt] = running
+        running += cnts[bkt]
+    off_map = F.create_map(
+        *[F.lit(v) for kv in sorted(offs.items()) for v in kv]
     )
-    offsets = (
-        lower.groupBy(F.col("hi._gr_bkt").alias("_gr_bkt"))
-        .agg(F.sum(F.col("lo._gr_n")).alias("_gr_off"))
-    )
-    # 4) partitioned rank + broadcast offset
+    # 4) partitioned rank + literal offset
     w = Window.partitionBy("_gr_bkt").orderBy(
         F.col("_gr_probe").asc(), F.col(id_col).asc()
     )
     return (
-        with_bkt.join(F.broadcast(offsets), "_gr_bkt", "left")
-        .withColumn(
+        with_bkt.withColumn(
             rank_col,
             (
-                F.coalesce(F.col("_gr_off"), F.lit(0))
+                F.coalesce(
+                    F.element_at(off_map, F.col("_gr_bkt")), F.lit(0)
+                )
                 + F.row_number().over(w)
             ).cast("bigint"),
         )
-        .drop("_gr_probe", "_gr_bounds", "_gr_bkt", "_gr_off")
+        .drop("_gr_probe", "_gr_bkt")
     )
 
 

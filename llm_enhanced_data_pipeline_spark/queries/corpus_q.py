@@ -1410,6 +1410,11 @@ def global_rank_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "shard_pack_balanced",
+    bench=True,  # the heaviest new r8 operator shape — a full-corpus
+    # global rank (boundary fold + keyed count fold + partitioned
+    # window) — was invisible to BENCH; a plan regression here (e.g.
+    # the rank collapsing back to a single-partition window) must show
+    # up as a timing slot, not only in the plan sweeps.
     doc="Balanced dataloader shards: round-robin LPT packing (rank by "
     "token count DESC, deal rank r to shard (r-1) mod 16) over the "
     "distributed global rank — biggest documents spread first, tail "
@@ -1437,15 +1442,21 @@ def shard_pack_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(cleaning.tokens(F.col("text"))).cast("bigint").alias("n_toks"),
     )
     packed = ranking.pack_shards_lpt(d, "n_toks", "doc_id", n_shards=16)
-    tot = d.agg(F.sum("n_toks").alias("_t"))
+    # corpus-wide token sums promote to decimal(38,0) — same overflow
+    # class as supplier_pareto/nation_share_of_region: a long
+    # `sum(n_toks) * 1000` wraps (non-ANSI) or throws (ANSI) once
+    # totals approach 2^63/1000 while DuckDB's BIGINT sum promotes to
+    # HUGEINT; Spark decimal `div` matches hugeint `//` exactly.
+    tot = d.agg(F.sum(F.col("n_toks").cast("decimal(38,0)")).alias("_t"))
     return (
         packed.crossJoin(F.broadcast(tot))
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_toks").cast("bigint").alias("n_tokens"),
-            F.expr("cast(sum(n_toks) * 1000 div max(_t) as bigint)").alias(
-                "share_permille"
-            ),
+            F.expr(
+                "cast(sum(cast(n_toks as decimal(38,0))) * 1000"
+                " div max(_t) as bigint)"
+            ).alias("share_permille"),
         )
     )

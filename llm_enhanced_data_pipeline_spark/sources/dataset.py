@@ -35,23 +35,49 @@ def write_sharded(
     n_shards: int,
     id_col: str,
     mode: str = "overwrite",
+    balance_by: str | None = None,
 ) -> None:
-    """Write ``df`` as exactly ``n_shards`` size-balanced parquet files.
-
-    Sharding key is the md5 of the id — uniform regardless of input
-    skew or arrival order, so range partitioning yields near-equal
-    shards even when ids are clustered (sequential ids, hot sources).
-    Deterministic: the same rows land in the same shard on rerun
-    (modulo Spark's range-boundary sampling, which is seeded by the
-    data itself).
-
-    This is the training-data handoff layout: downstream loaders map
+    """Write ``df`` as exactly ``n_shards`` size-balanced parquet
+    shards — the training-data handoff layout: downstream loaders map
     one worker per shard, so balanced shards ARE the load balance of
-    the training job's input pipeline. One range shuffle; no driver
-    collect.
+    the training job's input pipeline.
+
+    Two balancing modes:
+
+    - ``balance_by=None`` (default): balance by ROW COUNT. Sharding
+      key is the md5 of the id — uniform regardless of input skew or
+      arrival order, so range partitioning yields near-equal flat
+      files even when ids are clustered (sequential ids, hot
+      sources). One range shuffle; no driver collect. Deterministic
+      modulo Spark's range-boundary sampling.
+
+    - ``balance_by=<size column>`` (e.g. ``"n_toks"``): balance by the
+      SUM of that column via round-robin LPT packing
+      (:func:`..operators.ranking.pack_shards_lpt` — rank by size
+      descending, deal rank r to shard (r-1) mod n): per-shard totals
+      are within one maximal item of each other even under heavy
+      document-length skew, where count-balanced shards can differ by
+      the skew itself. Written hive-partitioned on ``_shard`` (0..n-1)
+      with exactly ONE file per shard: rows are hash-repartitioned on
+      the shard id first, so every shard's rows land in a single task
+      regardless of hash collisions. Fully deterministic (rank
+      tie-break on ``id_col``).
     """
     from pyspark.sql import functions as F
 
+    if balance_by is not None:
+        from ..operators.ranking import pack_shards_lpt
+
+        (
+            pack_shards_lpt(
+                df, balance_by, id_col, n_shards=n_shards, shard_col="_shard"
+            )
+            .repartition(n_shards, F.col("_shard"))
+            .write.mode(mode)
+            .partitionBy("_shard")
+            .parquet(path)
+        )
+        return
     (
         df.withColumn("_shard_key", F.md5(F.col(id_col).cast("string")))
         .repartitionByRange(n_shards, F.col("_shard_key"))

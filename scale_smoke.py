@@ -28,7 +28,14 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from llm_enhanced_data_pipeline_spark.operators import bpe, corpus, dedup, joins, vector
+from llm_enhanced_data_pipeline_spark.operators import (
+    bpe,
+    corpus,
+    dedup,
+    joins,
+    ranking,
+    vector,
+)
 from llm_enhanced_data_pipeline_spark.queries.dedup_q import _docs_with_near_dups
 from llm_enhanced_data_pipeline_spark.session import get_spark
 from llm_enhanced_data_pipeline_spark.tables import load_table
@@ -238,6 +245,24 @@ def build_slots(spark: SparkSession, r: int):
     # heuristic-filter funnel: pure column algebra + two keyed windows —
     # must track data size exactly
     slots["heuristic_funnel"] = lambda: _heuristic_funnel(toked).count()
+
+    # distributed global rank / LPT shard packing: by construction two
+    # corpus-scan aggregate folds (quantile boundaries, bucket counts —
+    # both driver-inlined literals) + one partitioned window pass, so
+    # wall time must track rows ~R-linearly; a regression back to a
+    # single-partition sort shows up as a superlinear ratio (the sort
+    # buffer AND the lost parallelism both scale with R). groupBy(shard)
+    # forces the window (a bare count() could let the optimizer drop
+    # the unreferenced rank column).
+    sized = docs.select(
+        "doc_id", F.length(F.col("text")).cast("bigint").alias("n_bytes")
+    )
+    slots["shard_pack"] = lambda: (
+        ranking.pack_shards_lpt(sized, "n_bytes", "doc_id", n_shards=16)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_bytes").alias("b"))
+        .count()
+    )
 
     # incremental ingest: anti equi-join against the snapshot hash index
     snap = docs.filter(F.col("doc_id") % 10 < 8)

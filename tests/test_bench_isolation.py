@@ -79,6 +79,90 @@ def test_all_queries_broken_exits_nonzero(spark, monkeypatch, capsys):
     assert "only_broken" in payload["errors"]
 
 
+def test_stalled_slot_gets_recovery_reps_and_recovers(spark, monkeypatch, capsys):
+    """An ambient stall inflating early reps (the BENCH_r08 poisoning:
+    median/min > 2 on two slots) must trigger extra recovery reps; calm
+    recovery reps pull the median back to intrinsic cost, so the record
+    is NOT flagged contaminated."""
+    import time as _time
+
+    calls = {"n": 0}
+
+    def stall_then_calm(s, sf_dir):
+        calls["n"] += 1
+        # call 1 is bench's untimed warm-up pass; timed reps start at 2.
+        # Timed reps 1-2 stalled, everything after calm. The 0.3s calm
+        # floor dominates Spark's own collect jitter so the ratio
+        # assertions can't flake on a loaded test box.
+        _time.sleep(1.2 if 2 <= calls["n"] <= 3 else 0.3)
+        return s.range(5)
+
+    fake_registry = {
+        "stall": QuerySpec(name="stall", fn=stall_then_calm, oracle=None, bench=True)
+    }
+    monkeypatch.setattr(bench, "REGISTRY", fake_registry)
+    monkeypatch.setattr(bench, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    bench.main()
+
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    spread = payload["query_spreads"]["stall"]
+    assert spread["n"] == bench.REPS + bench.MAX_EXTRA_REPS  # extras granted
+    # median over [s, s, f, f, f] is a calm rep -> recovered, not flagged
+    assert spread["median"] / spread["min"] <= bench.STALL_RATIO
+    assert payload["contaminated"] is False
+    assert payload["contaminated_slots"] == []
+    assert payload["loadavg_before"] is not None  # /proc/loadavg on linux
+    assert payload["loadavg_after"] is not None
+
+
+def test_persistent_stall_marks_record_contaminated(spark, monkeypatch, capsys):
+    """When the spread stays pathological after every recovery rep, the
+    payload must say so — a poisoned record that doesn't declare itself
+    is exactly how BENCH_r08 shipped."""
+    import time as _time
+
+    calls = {"n": 0}
+
+    def alternating(s, sf_dir):
+        calls["n"] += 1
+        # call 1 = warm-up. Even calls stalled -> timed sequence
+        # s,f,s then recovery f,s: the median never escapes the stall
+        # band, so the flag must fire.
+        _time.sleep(1.2 if calls["n"] % 2 == 0 else 0.3)
+        return s.range(5)
+
+    fake_registry = {
+        "flaky": QuerySpec(name="flaky", fn=alternating, oracle=None, bench=True)
+    }
+    monkeypatch.setattr(bench, "REGISTRY", fake_registry)
+    monkeypatch.setattr(bench, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    bench.main()
+
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["contaminated"] is True
+    assert payload["contaminated_slots"] == ["flaky"]
+    spread = payload["query_spreads"]["flaky"]
+    assert spread["median"] / spread["min"] > bench.STALL_RATIO
+
+
+def test_run_slot_no_extra_reps_when_spread_is_clean():
+    """A clean slot must not pay for recovery reps it doesn't need."""
+    calls = {"n": 0}
+
+    def calm_rep(i):
+        calls["n"] += 1
+        return 1.0 + 0.01 * i
+
+    secs = bench.run_slot(calm_rep)
+    assert calls["n"] == bench.REPS
+    assert len(secs) == bench.REPS
+    assert not bench.slot_is_contaminated(secs)
+
+
 def test_shared_minhash_consumer_list_is_tight():
     """The explicit index-build slot is gated on this list; a renamed
     consumer must fail here, not silently re-attach the build cost to

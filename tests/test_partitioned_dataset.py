@@ -62,3 +62,59 @@ def test_write_sharded_balances_file_sizes(spark, sf_dir, tmp_path):
     back = dataset.read_dataset(spark, out)
     assert back.count() == total
     assert set(back.columns) == set(docs.columns)
+
+
+def test_write_sharded_balance_by_tokens_lpt_bound(spark, sf_dir, tmp_path):
+    """balance_by=<size col> must route through LPT packing: per-shard
+    TOKEN totals within the round-robin-LPT bound (max - min <= one
+    maximal item), exactly one parquet file per shard directory, and a
+    lossless roundtrip. Count-balanced shards can't promise this under
+    document-length skew; token-balanced shards are what equalizes the
+    actual training-loader work."""
+    import duckdb
+
+    n_shards = 8
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias(
+            "n_toks"
+        ),
+        "lang",
+    )
+    out = str(tmp_path / "sharded_lpt")
+    dataset.write_sharded(
+        docs, out, n_shards=n_shards, id_col="doc_id", balance_by="n_toks"
+    )
+
+    shard_dirs = sorted(
+        d for d in os.listdir(out) if d.startswith("_shard=")
+    )
+    assert len(shard_dirs) == n_shards
+    for d in shard_dirs:  # exactly ONE file per shard
+        parquets = [
+            f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")
+        ]
+        assert len(parquets) == 1, (d, parquets)
+
+    back = dataset.read_dataset(spark, out)
+    total_rows = docs.count()
+    assert back.count() == total_rows  # nothing lost or duplicated
+    assert set(back.columns) == {"doc_id", "n_toks", "lang", "_shard"}
+    assert back.select("doc_id").distinct().count() == total_rows
+
+    con = duckdb.connect()
+    totals = dict(
+        con.execute(
+            "select _shard, sum(n_toks) from read_parquet(?, hive_partitioning=1) "
+            "group by _shard",
+            [out + "/*/*.parquet"],
+        ).fetchall()
+    )
+    max_item = con.execute(
+        "select max(n_toks) from read_parquet(?, hive_partitioning=1)",
+        [out + "/*/*.parquet"],
+    ).fetchone()[0]
+    con.close()
+    assert len(totals) == n_shards
+    spread = max(totals.values()) - min(totals.values())
+    assert spread <= max_item, (totals, max_item)

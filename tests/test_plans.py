@@ -187,11 +187,10 @@ QUADRATIC_BY_DESIGN = {
                               # frame over the real-model embeddings
     "supplier_pareto_approx", # broadcast 1-row decile-boundary frame
                               # (the scale-safe ntile(10) twin)
-    "global_rank_by_tokens",  # broadcast 1-row quantile-boundary frame
-                              # (the distributed-rank construction) +
-                              # B-row triangle offset join
-    "shard_pack_balanced",    # same construction + a broadcast 1-row
-                              # token-total frame
+    "shard_pack_balanced",    # broadcast 1-row token-total frame (the
+                              # rank construction itself now inlines
+                              # boundaries/offsets as driver literals
+                              # — no joins at all)
 }
 
 
