@@ -103,14 +103,17 @@ def extract_features(
 
 
 def decode_image(payload: Column) -> Column:  # pragma: no cover - stub
-    """JPEG decode is not available in this container. (PNM decodes for
-    real via :func:`parse_ppm`; baseline PNG decodes for real via
-    :func:`parse_png` — stdlib zlib + numpy, all 5 scanline filters —
-    both through :func:`decode_image_stats` / :func:`parse_image`.)"""
+    """Codec-library image decode is not available in this container.
+    (PNM decodes for real via :func:`parse_ppm`; baseline PNG via
+    :func:`parse_png`; baseline sequential JPEG via :func:`parse_jpeg`
+    — all pure stdlib + numpy, all through :func:`decode_image_stats`
+    / :func:`parse_image`. The honest remaining gate is progressive/
+    arithmetic JPEG and video containers.)"""
     raise NotImplementedError(
-        "jpeg decode requires PIL/opencv; wire it into the same "
-        "mapInPandas adapters parse_image already flows through — the "
-        "Spark-side plumbing is in place and gate-tested"
+        "progressive-JPEG/video decode requires PIL/opencv/ffmpeg; wire "
+        "it into the same mapInPandas adapters parse_image already "
+        "flows through — the Spark-side plumbing is in place and "
+        "gate-tested"
     )
 
 
@@ -511,11 +514,586 @@ def write_png(arr, filter_type: int | None = None) -> bytes:
     )
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81, public spec) — pure stdlib + numpy. Closes
+# the last image env-gate the way PNG did in r8: sequential DCT, 8-bit,
+# Huffman (SOF0) JFIF decodes for REAL — marker walk, DQT/DHT/SOF0/SOS/
+# DRI parse, entropy decode with byte unstuffing + restart markers,
+# dequant, dezigzag, vectorized IDCT, box chroma upsampling, BT.601
+# YCbCr->RGB. Progressive (SOF2), arithmetic, 12-bit, and >2x sampling
+# factors are rejected with ValueError (quarantine posture). The
+# Huffman/quant constants below are the spec's own Annex K example
+# tables — parity data from the public standard, like the PSL snapshot.
+
+#: zigzag sequence: position k in the entropy stream -> raster index
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# ITU T.81 Annex K.3 "typical" Huffman tables: (BITS[1..16], HUFFVAL)
+_JPEG_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+        0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+        0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+        0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+        0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+        0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+        0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+        0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+        0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+        0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_JPEG_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06,
+        0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81,
+        0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+        0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56,
+        0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+        0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92,
+        0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+        0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+        0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+# Annex K.1/K.2 example quantization tables (raster order)
+_JPEG_Q_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_Q_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+
+def _jpeg_dct_matrix():
+    """Orthonormal 8-point DCT-II matrix T: F = T @ block @ T.T is the
+    spec's (1/4)C(u)C(v) double sum; the inverse is T.T @ F @ T."""
+    import numpy as np
+
+    x = np.arange(8, dtype=np.float64)
+    u = x.reshape(8, 1)
+    t = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    t[0] *= 1 / np.sqrt(2)
+    return t
+
+
+def _jpeg_huff_encode_table(bits, vals):
+    """Canonical Huffman assignment: symbol -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_huff_decode_table(bits, vals):
+    """Canonical Huffman assignment: (length, code) -> symbol."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self._emit(self.acc)
+                self.acc = self.n = 0
+
+    def _emit(self, b: int) -> None:
+        self.buf.append(b)
+        if b == 0xFF:
+            self.buf.append(0x00)  # stuff
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self._emit((self.acc << pad) | ((1 << pad) - 1))  # pad 1s
+            self.acc = self.n = 0
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment: unstuffs
+    0xFF00, stops (raises) on any real marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy stream truncated")
+            b = self.data[self.pos]
+            if b == 0xFF:
+                if self.pos + 1 >= len(self.data):
+                    raise ValueError("entropy stream truncated at 0xFF")
+                nxt = self.data[self.pos + 1]
+                if nxt != 0x00:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} in entropy stream"
+                    )
+                self.pos += 2
+            else:
+                self.pos += 1
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def sync_restart(self, expected: int) -> None:
+        """Byte-align and consume the RSTn marker (DRI intervals)."""
+        self.n = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + (expected & 7)
+        ):
+            raise ValueError("missing/misnumbered RST marker")
+        self.pos += 2
+
+
+def _jpeg_size_cat(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _jpeg_encode_block(zz, dc_pred, dc_tab, ac_tab, bw) -> int:
+    """Huffman-encode one quantized block (zigzag order). Returns the
+    new DC predictor."""
+    diff = int(zz[0]) - dc_pred
+    s = _jpeg_size_cat(diff)
+    code, length = dc_tab[s]
+    bw.write(code, length)
+    if s:
+        amp = diff if diff > 0 else diff + (1 << s) - 1
+        bw.write(amp & ((1 << s) - 1), s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tab[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s = _jpeg_size_cat(v)
+        code, length = ac_tab[(run << 4) | s]
+        bw.write(code, length)
+        amp = v if v > 0 else v + (1 << s) - 1
+        bw.write(amp & ((1 << s) - 1), s)
+        run = 0
+    if run:
+        code, length = ac_tab[0x00]  # EOB
+        bw.write(code, length)
+    return int(zz[0])
+
+
+def _jpeg_plane_to_blocks(plane, bh: int, bw_: int):
+    """(H, W) plane -> (bh*bw_, 8, 8) block tensor, edge-replicated to
+    the block grid (the spec's recommended pad)."""
+    import numpy as np
+
+    h, w = plane.shape
+    padded = np.empty((bh * 8, bw_ * 8), dtype=np.float64)
+    padded[:h, :w] = plane
+    padded[h:, :w] = plane[h - 1 : h, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+    return (
+        padded.reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def write_jpeg(y, cb=None, cr=None, q_luma=None, q_chroma=None,
+               subsampling: str = "444") -> bytes:
+    """Real baseline JFIF encoder: uint8 luma plane (h, w) [+ full-size
+    Cb/Cr planes for color] -> sequential-DCT 8-bit Huffman JPEG using
+    the Annex K example Huffman tables. ``subsampling``: "444" (no
+    chroma decimation) or "420" (2x2 box-mean). Custom quant tables
+    (64 ints, raster order) mainly serve the decode gates: a flat
+    table whose DC step divides the block DC makes per-block-constant
+    images round-trip EXACTLY (DC = 8*(v-128); every AC is 0), so the
+    gate's closed-form oracle needs no tolerance."""
+    import struct
+
+    import numpy as np
+
+    y = np.asarray(y, dtype=np.float64)
+    h, w = y.shape
+    if not (0 < h <= 0xFFFF and 0 < w <= 0xFFFF):
+        raise ValueError(f"bad JPEG dimensions {w}x{h}")
+    color = cb is not None
+    if color and (cb.shape != y.shape or cr.shape != y.shape):
+        raise ValueError("Cb/Cr planes must match the luma plane")
+    qy = np.asarray(q_luma if q_luma is not None else _JPEG_Q_LUMA,
+                    dtype=np.int32).reshape(8, 8)
+    qc = np.asarray(q_chroma if q_chroma is not None else _JPEG_Q_CHROMA,
+                    dtype=np.int32).reshape(8, 8)
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    sub = 2 if (color and subsampling == "420") else 1
+
+    t = _jpeg_dct_matrix()
+    zz = np.asarray(_JPEG_ZIGZAG)
+
+    def quantized_blocks(plane, q, bh, bw_):
+        blocks = _jpeg_plane_to_blocks(plane - 128.0, bh, bw_)
+        coef = np.einsum("ij,njk,lk->nil", t, blocks, t)  # T B T'
+        return np.round(coef / q).astype(np.int64)
+
+    # luma MCU grid: with 4:2:0 an MCU is 2x2 luma blocks
+    mcu_h = ((h + 8 * sub - 1) // (8 * sub))
+    mcu_w = ((w + 8 * sub - 1) // (8 * sub))
+    yb = quantized_blocks(y, qy, mcu_h * sub, mcu_w * sub)
+    if color:
+        if sub == 2:
+            ph = mcu_h * 16
+            pw = mcu_w * 16
+            def ds(p):
+                full = np.empty((ph, pw), dtype=np.float64)
+                full[:h, :w] = p
+                full[h:, :w] = p[h - 1 : h, :]
+                full[:, w:] = full[:, w - 1 : w]
+                m = full.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+                return np.floor(m + 0.5)
+            cbb = quantized_blocks(ds(np.asarray(cb, dtype=np.float64)), qc, mcu_h, mcu_w)
+            crb = quantized_blocks(ds(np.asarray(cr, dtype=np.float64)), qc, mcu_h, mcu_w)
+        else:
+            cbb = quantized_blocks(np.asarray(cb, dtype=np.float64), qc, mcu_h, mcu_w)
+            crb = quantized_blocks(np.asarray(cr, dtype=np.float64), qc, mcu_h, mcu_w)
+
+    enc_dc_y = _jpeg_huff_encode_table(*_JPEG_DC_LUMA)
+    enc_ac_y = _jpeg_huff_encode_table(*_JPEG_AC_LUMA)
+    enc_dc_c = _jpeg_huff_encode_table(*_JPEG_DC_CHROMA)
+    enc_ac_c = _jpeg_huff_encode_table(*_JPEG_AC_CHROMA)
+
+    bw = _JpegBitWriter()
+    preds = [0, 0, 0]
+    ybw = mcu_w * sub  # luma block-grid width
+    for my in range(mcu_h):
+        for mx in range(mcu_w):
+            for v in range(sub):
+                for u in range(sub):
+                    blk = yb[(my * sub + v) * ybw + (mx * sub + u)]
+                    preds[0] = _jpeg_encode_block(
+                        blk.reshape(64)[zz], preds[0], enc_dc_y, enc_ac_y, bw
+                    )
+            if color:
+                ci = my * mcu_w + mx
+                preds[1] = _jpeg_encode_block(
+                    cbb[ci].reshape(64)[zz], preds[1], enc_dc_c, enc_ac_c, bw
+                )
+                preds[2] = _jpeg_encode_block(
+                    crb[ci].reshape(64)[zz], preds[2], enc_dc_c, enc_ac_c, bw
+                )
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(tc: int, th: int, bits, vals) -> bytes:
+        return bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(qy.reshape(64)[zz].astype(np.uint8)))
+    ncomp = 3 if color else 1
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    sof += bytes([1, (sub << 4) | sub, 0])
+    if color:
+        out += seg(0xFFDB, b"\x01" + bytes(qc.reshape(64)[zz].astype(np.uint8)))
+        sof += bytes([2, 0x11, 1, 3, 0x11, 1])
+    out += seg(0xFFC0, sof)  # SOF0: baseline sequential DCT
+    dht_body = dht(0, 0, *_JPEG_DC_LUMA) + dht(1, 0, *_JPEG_AC_LUMA)
+    if color:
+        dht_body += dht(0, 1, *_JPEG_DC_CHROMA) + dht(1, 1, *_JPEG_AC_CHROMA)
+    out += seg(0xFFC4, dht_body)
+    sos = bytes([ncomp, 1, 0x00]) + (bytes([2, 0x11, 3, 0x11]) if color else b"")
+    out += seg(0xFFDA, sos + bytes([0, 63, 0]))
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def parse_jpeg(payload: bytes):
+    """Parse a baseline JPEG (SOF0: sequential DCT, 8-bit, Huffman):
+    full marker walk, DQT/DHT/SOS/DRI parse, entropy decode (bit reader
+    with 0xFF00 unstuffing + RST handling), dequant, dezigzag,
+    vectorized IDCT, box chroma upsampling, BT.601 YCbCr->RGB with
+    floor(x+0.5) rounding. Returns (width, height, channels,
+    uint8 (h, w, c)) like the PNG/PPM parsers. Raises ValueError on
+    anything malformed or unsupported (progressive SOF2, arithmetic
+    coding, 12-bit, sampling factors > 2) — quarantine, never garbage.
+
+    Per-bit Python Huffman decode is fine for the gate payloads and
+    metadata-scale thumbnails; a real-corpus lane swaps the codec
+    behind the same mapInPandas adapters (like every codec here)."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    data = bytes(payload)
+    pos = 2
+    qt: dict[int, object] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
+    frame = None
+    restart_interval = 0
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("truncated before EOI")
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        while pos < len(data) and data[pos] == 0xFF and data[pos + 1 : pos + 2] == b"\xff":
+            pos += 1  # fill bytes
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("EOI before SOS")
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported SOF marker 0xFF{marker:02X} "
+                             "(baseline sequential Huffman only)")
+        if pos + 2 > len(data):
+            raise ValueError("truncated segment header")
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2 : pos + seglen]
+        if seglen < 2 or len(body) != seglen - 2:
+            raise ValueError("truncated segment body")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                if p + 65 > len(body):
+                    raise ValueError("truncated DQT")
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[_JPEG_ZIGZAG] = np.frombuffer(
+                    body[p + 1 : p + 65], dtype=np.uint8
+                ).astype(np.int32)
+                qt[tq] = tbl.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 15
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17 : p + 17 + n])
+                if len(bits) != 16 or len(vals) != n:
+                    raise ValueError("truncated DHT")
+                huff[(tc, th)] = _jpeg_huff_decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported precision {prec}")
+            if fh == 0 or fw == 0 or nc not in (1, 3):
+                raise ValueError(f"bad frame {fw}x{fh} ncomp={nc}")
+            comps = []
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated SOF0")
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                ch, cv = hv >> 4, hv & 15
+                if not (1 <= ch <= 2 and 1 <= cv <= 2):
+                    raise ValueError(f"unsupported sampling {ch}x{cv}")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = body[0]
+            if ns != len(frame["comps"]):
+                raise ValueError("partial scans unsupported")
+            sel = {}
+            for i in range(ns):
+                cs, tdta = body[1 + 2 * i : 3 + 2 * i]
+                sel[cs] = (tdta >> 4, tdta & 15)
+            pos = pos + seglen
+            break
+        pos += seglen
+
+    comps = frame["comps"]
+    fh, fw = frame["h"], frame["w"]
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    mcu_w = -(-fw // (8 * max_h))
+    mcu_h = -(-fh // (8 * max_v))
+    for c in comps:
+        c["bw"] = mcu_w * c["h"]
+        c["bh"] = mcu_h * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+        if c["tq"] not in qt:
+            raise ValueError(f"missing quant table {c['tq']}")
+        td, ta = sel[c["id"]]
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("missing huffman table")
+        c["dc_tab"], c["ac_tab"] = huff[(0, td)], huff[(1, ta)]
+        c["pred"] = 0
+
+    def decode_sym(br, table):
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code")
+
+    def receive_extend(br, s):
+        if s == 0:
+            return 0
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | br.read_bit()
+        return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+    br = _JpegBitReader(data, pos)
+    n_rst = 0
+    mcus_done = 0
+    for my in range(mcu_h):
+        for mx in range(mcu_w):
+            if restart_interval and mcus_done and mcus_done % restart_interval == 0:
+                br.sync_restart(n_rst)
+                n_rst = (n_rst + 1) & 7
+                for c in comps:
+                    c["pred"] = 0
+            for c in comps:
+                for v in range(c["v"]):
+                    for u in range(c["h"]):
+                        zzv = np.zeros(64, dtype=np.int64)
+                        s = decode_sym(br, c["dc_tab"])
+                        c["pred"] += receive_extend(br, s)
+                        zzv[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = decode_sym(br, c["ac_tab"])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC coefficient overflow")
+                            zzv[k] = receive_extend(br, s)
+                            k += 1
+                        bi = (my * c["v"] + v) * c["bw"] + (mx * c["h"] + u)
+                        c["coef"][bi] = zzv
+            mcus_done += 1
+
+    t = _jpeg_dct_matrix()
+    planes = []
+    for c in comps:
+        raster = np.zeros((len(c["coef"]), 64), dtype=np.float64)
+        raster[:, _JPEG_ZIGZAG] = c["coef"].astype(np.float64)
+        coef = raster.reshape(-1, 8, 8) * qt[c["tq"]]
+        blocks = np.einsum("ji,njk,kl->nil", t, coef, t)  # T' F T
+        plane = (
+            blocks.reshape(c["bh"], c["bw"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["bh"] * 8, c["bw"] * 8)
+        )
+        plane = np.clip(np.floor(plane + 128.0 + 0.5), 0, 255)
+        # crop to the component's own raster, then replicate up
+        cw = -(-fw * c["h"] // max_h)
+        ch = -(-fh * c["v"] // max_v)
+        plane = plane[:ch, :cw]
+        plane = np.repeat(
+            np.repeat(plane, max_v // c["v"], axis=0), max_h // c["h"], axis=1
+        )[:fh, :fw]
+        planes.append(plane)
+
+    if len(planes) == 1:
+        return fw, fh, 1, planes[0].astype(np.uint8)[:, :, None]
+    yv, cbv, crv = planes
+    r = yv + 1.402 * (crv - 128.0)
+    g = yv - 0.344136 * (cbv - 128.0) - 0.714136 * (crv - 128.0)
+    b = yv + 1.772 * (cbv - 128.0)
+    rgb = np.stack(
+        [np.clip(np.floor(ch_ + 0.5), 0, 255) for ch_ in (r, g, b)], axis=-1
+    ).astype(np.uint8)
+    return fw, fh, 3, rgb
+
+
 def parse_image(payload: bytes):
-    """Dispatch on magic bytes: PNM (P5/P6) or baseline PNG. Returns
-    (width, height, channels, uint8 (h, w, c)); ValueError otherwise."""
+    """Dispatch on magic bytes: PNM (P5/P6), baseline PNG, or baseline
+    JPEG. Returns (width, height, channels, uint8 (h, w, c));
+    ValueError otherwise."""
     if payload is not None and payload[:8] == _PNG_SIG:
         return parse_png(payload)
+    if payload is not None and payload[:2] == b"\xff\xd8":
+        return parse_jpeg(payload)
     return parse_ppm(payload)
 
 

@@ -1568,6 +1568,102 @@ def png_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_stats(payloads, "doc_id", "payload")
 
 
+# JPEG gate exactness: a per-8x8-block-CONSTANT image has exactly one
+# nonzero DCT coefficient per block — DC = 8*(v-128) — so with a flat
+# quant table whose DC step (8) divides it, quantize/dequantize/IDCT
+# reproduce the block bit-exactly (every AC rounds to 0 from ~1e-13
+# float dust). Constant Cb/Cr survive the 4:2:0 box downsample exactly
+# too. The ENTIRE lossy pipeline is still exercised for real — FDCT,
+# quantization, zigzag, DC-delta + EOB Huffman coding, byte stuffing,
+# interleaved 4:2:0 MCU walk, dequant, IDCT, upsample, YCbCr->RGB —
+# the payload is just constructed on the lattice the roundtrip maps
+# 1:1, which is what lets DuckDB state the expected means in closed
+# form without tolerance. Both engines compute the SAME double
+# expression floor(Y + a*(C-128) + 0.5) on exact-integer inputs, so
+# value parity is bit-for-bit.
+_JPEG_R = "greatest(0.0, least(255.0, floor(({y}) + 1.402 * (({cr}) - 128) + 0.5)))"
+_JPEG_G = (
+    "greatest(0.0, least(255.0, floor(({y}) - 0.344136 * (({cb}) - 128) "
+    "- 0.714136 * (({cr}) - 128) + 0.5)))"
+)
+_JPEG_B = "greatest(0.0, least(255.0, floor(({y}) + 1.772 * (({cb}) - 128) + 0.5)))"
+_JPEG_Y = "(doc_id * 29 + _b * 37) % 256"
+_JPEG_CB = "(doc_id * 13 + 40) % 256"
+_JPEG_CR = "(doc_id * 11 + 80) % 256"
+
+
+def _jpeg_mean_sql(chan_tpl: str) -> str:
+    expr = chan_tpl.format(y=_JPEG_Y, cb=_JPEG_CB, cr=_JPEG_CR)
+    return rounding.stable_round_sql(
+        f"list_avg(list_transform(range(0, 4), _b -> {expr}))", 4
+    )
+
+
+@register(
+    "jpeg_image_decode_stats",
+    doc="REAL lossy-format decode: per-doc 16x16 baseline JPEG (SOF0, "
+    "4:2:0, Annex-K Huffman tables, flat q=8 quant) with four "
+    "distinct constant luma blocks + constant chroma, synthesized on "
+    "the DC-only lattice where the DCT roundtrip is exact, decoded by "
+    "the pure-numpy T.81 decoder (marker walk, Huffman entropy decode "
+    "with DC prediction + byte unstuffing, dequant, dezigzag, IDCT, "
+    "box upsample, BT.601 conversion), per-channel means compared "
+    "against the closed-form expectation computed independently in "
+    "SQL. Closes the JPEG half of the r8 image gate; progressive/"
+    "arithmetic JPEG and MP4 stay honestly env-gated.",
+    oracle=f"""
+SELECT doc_id, 16 AS width, 16 AS height, 3 AS channels,
+       {_jpeg_mean_sql(_JPEG_R)} AS mean_r,
+       {_jpeg_mean_sql(_JPEG_G)} AS mean_g,
+       {_jpeg_mean_sql(_JPEG_B)} AS mean_b
+FROM documents WHERE doc_id % 7 = 2
+""",
+)
+def jpeg_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators import multimodal
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 7 == 2
+    ).select("doc_id")
+
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        flat8 = [8] * 64
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                y = np.zeros((16, 16), dtype=np.uint8)
+                for b, (by, bx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+                    y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        d * 29 + b * 37
+                    ) % 256
+                cb = np.full((16, 16), (d * 13 + 40) % 256, dtype=np.uint8)
+                cr = np.full((16, 16), (d * 11 + 80) % 256, dtype=np.uint8)
+                ids.append(d)
+                payloads.append(
+                    multimodal.write_jpeg(
+                        y, cb, cr, q_luma=flat8, q_chroma=flat8,
+                        subsampling="420",
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = docs.mapInPandas(synth, synth_schema)
+    return multimodal.decode_image_stats(payloads, "doc_id", "payload")
+
+
 @register(
     "wav_audio_decode_stats",
     doc="REAL audio decode: per-doc 1024-frame 16-bit PCM WAV payload "

@@ -381,6 +381,155 @@ def test_png_codec_golden_bytes_and_roundtrip():
             multimodal.parse_png(bad)
 
 
+def test_jpeg_codec_golden_bytes_and_roundtrip():
+    """parse_jpeg against a HAND-ASSEMBLED baseline JFIF stream (the
+    entropy bits written out by hand from the Annex K canonical codes,
+    so an encoder bug cannot cancel a decoder bug), exact block-
+    constant roundtrips in every mode, near-lossless q=1 roundtrip on
+    random data, and the quarantine contract."""
+    import struct
+
+    import numpy as np
+
+    from llm_enhanced_data_pipeline_spark.operators.multimodal import (
+        _JPEG_AC_LUMA,
+        _JPEG_DC_LUMA,
+    )
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    # golden: 8x8 grayscale, flat q=8, single DC-only block of value
+    # 144 (level-shifted 16 -> DC 128 -> quantized 16 -> diff 16).
+    # Canonical Annex K codes, derived by hand: DC size-5 code = 110;
+    # amplitude 16 = 10000; AC EOB = 1010. 12 bits + 1111 padding ->
+    # bytes 0xD0 0xAF.
+    golden = (
+        b"\xff\xd8"
+        + seg(0xFFDB, b"\x00" + bytes([8] * 64))
+        + seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + seg(
+            0xFFC4,
+            bytes([0x00]) + bytes(_JPEG_DC_LUMA[0]) + bytes(_JPEG_DC_LUMA[1])
+            + bytes([0x10]) + bytes(_JPEG_AC_LUMA[0]) + bytes(_JPEG_AC_LUMA[1]),
+        )
+        + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes([0xD0, 0xAF])
+        + b"\xff\xd9"
+    )
+    w, h, c, arr = multimodal.parse_jpeg(golden)
+    assert (w, h, c) == (8, 8, 1)
+    assert (arr[:, :, 0] == 144).all()
+    # parse_image dispatches on the SOI magic
+    assert multimodal.parse_image(golden)[3].tolist() == arr.tolist()
+
+    # exact roundtrips on the DC-only lattice (flat q=8 divides the
+    # block DC): grayscale, 4:4:4 color, 4:2:0 color
+    flat8 = [8] * 64
+    y = np.zeros((16, 16), dtype=np.uint8)
+    for b, (by, bx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = [30, 99, 180, 255][b]
+    w, h, c, back = multimodal.parse_jpeg(multimodal.write_jpeg(y, q_luma=flat8))
+    assert (w, h, c) == (16, 16, 1) and (back[:, :, 0] == y).all()
+
+    cb = np.full((16, 16), 77, dtype=np.uint8)
+    cr = np.full((16, 16), 200, dtype=np.uint8)
+    yf = y.astype(np.float64)
+    exp = np.stack(
+        [
+            np.clip(np.floor(yf + 1.402 * (200.0 - 128) + 0.5), 0, 255),
+            np.clip(
+                np.floor(
+                    yf - 0.344136 * (77.0 - 128) - 0.714136 * (200.0 - 128) + 0.5
+                ),
+                0,
+                255,
+            ),
+            np.clip(np.floor(yf + 1.772 * (77.0 - 128) + 0.5), 0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    for sub in ("444", "420"):
+        w, h, c, back = multimodal.parse_jpeg(
+            multimodal.write_jpeg(
+                y, cb, cr, q_luma=flat8, q_chroma=flat8, subsampling=sub
+            )
+        )
+        assert (w, h, c) == (16, 16, 3) and (back == exp).all(), sub
+
+    # near-lossless q=1 roundtrip on random data, non-multiple-of-8
+    # dims (edge-replicated pad + crop): |err| <= 2 per pixel bounds
+    # the whole Huffman/zigzag/DCT pipeline at once
+    rng = np.random.default_rng(7)
+    y2 = rng.integers(0, 256, (24, 31), dtype=np.uint8)
+    w, h, c, back = multimodal.parse_jpeg(
+        multimodal.write_jpeg(y2, q_luma=[1] * 64)
+    )
+    assert (w, h, c) == (31, 24, 1)
+    assert np.abs(back[:, :, 0].astype(int) - y2.astype(int)).max() <= 2
+
+    # default Annex K tables: decodes with the right shape (lossy)
+    y3 = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    cb3 = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    cr3 = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    good = multimodal.write_jpeg(y3, cb3, cr3, subsampling="420")
+    assert multimodal.parse_jpeg(good)[:3] == (16, 16, 3)
+
+    # quarantine: malformed, truncated, and unsupported variants raise
+    progressive = (
+        b"\xff\xd8"
+        + seg(0xFFC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    )
+    bads = [
+        None,
+        b"",
+        b"\xff\xd8",                       # SOI only
+        b"\xff\xd8\xff\xe0tr",             # truncated APP0
+        good[: len(good) // 2],            # truncated entropy stream
+        good[:-2],                         # missing EOI mid-scan is fine —
+        progressive,                       # but SOF2 must be rejected
+        b"\x89PNG\r\n\x1a\n",              # wrong magic
+        golden[:-4],                       # truncated before EOI
+    ]
+    bads.remove(good[:-2])  # scan completes before EOI; keep honest
+    for bad in bads:
+        with pytest.raises(ValueError):
+            multimodal.parse_jpeg(bad)
+    # a missing EOI after a COMPLETE scan decodes (the scan is the
+    # contract; trailing garbage tolerance matches real decoders)
+    assert multimodal.parse_jpeg(good[:-2])[:3] == (16, 16, 3)
+
+
+def test_decode_stats_jpeg_payloads(spark):
+    """decode_image_stats over a mixed batch of JPEG payloads: good
+    block-constant color images decode to closed-form means; corrupt
+    and unsupported payloads quarantine silently."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    flat8 = [8] * 64
+    y = np.full((8, 8), 100, dtype=np.uint8)
+    cb = np.full((8, 8), 128, dtype=np.uint8)  # neutral chroma -> gray RGB
+    cr = np.full((8, 8), 128, dtype=np.uint8)
+    good = multimodal.write_jpeg(y, cb, cr, q_luma=flat8, q_chroma=flat8)
+    rows = [
+        Row(doc_id=1, payload=good),
+        Row(doc_id=2, payload=good[: len(good) // 2]),  # truncated
+        Row(doc_id=3, payload=b"\xff\xd8junk"),
+        Row(doc_id=4, payload=None),
+    ]
+    out = {
+        r.doc_id: r
+        for r in multimodal.decode_image_stats(
+            spark.createDataFrame(rows), "doc_id", "payload"
+        ).collect()
+    }
+    assert set(out) == {1}
+    r = out[1]
+    assert (r.width, r.height, r.channels) == (8, 8, 3)
+    assert (r.mean_r, r.mean_g, r.mean_b) == (100.0, 100.0, 100.0)
+
+
 def test_decode_stats_png_and_alpha_planes(spark):
     """decode_image_stats handles PNG payloads through the same lane as
     PNM (magic dispatch), drops alpha planes from the channel means,
