@@ -54,7 +54,9 @@ def global_rank(
     DISTINCT consecutive ranks via the id ascending tie-break (this is
     NOT dense_rank) — without an unpartitioned window.
 
-    ``metric_col`` must be **non-null**: a NULL probe buckets to 0 and
+    ``metric_col`` must be **numeric** (the boundary probe is a
+    percentile_approx sketch, and ``descending`` negates the metric)
+    and **non-null**: a NULL probe buckets to 0 and
     Spark's window sorts NULLS FIRST, whereas ANSI engines (and the
     :func:`global_rank_sql` oracle) default to NULLS LAST on ASC —
     filter or coalesce nulls before calling.
