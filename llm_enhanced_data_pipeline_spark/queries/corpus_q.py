@@ -1399,9 +1399,14 @@ FROM d
 )
 def global_rank_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    d = docs.select(
-        "doc_id",
-        F.size(cleaning.tokens(F.col("text"))).cast("bigint").alias("n_toks"),
+    # tracked persist: global_rank scans its input three times
+    # (boundary fold, count fold, rank pass) — without this each pass
+    # re-tokenizes the corpus; the persisted frame is two bigints/row
+    d = dedup.persist_tracked(
+        docs.select(
+            "doc_id",
+            F.size(cleaning.tokens(F.col("text"))).cast("bigint").alias("n_toks"),
+        )
     )
     return ranking.global_rank(d, "n_toks", "doc_id").select(
         "doc_id", "n_toks", "rank"
@@ -1437,9 +1442,13 @@ FROM r CROSS JOIN t GROUP BY shard
 )
 def shard_pack_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    d = docs.select(
-        "doc_id",
-        F.size(cleaning.tokens(F.col("text"))).cast("bigint").alias("n_toks"),
+    # tracked persist: see global_rank_by_tokens — tokenize once, not
+    # once per rank pass (+ once more for the total below)
+    d = dedup.persist_tracked(
+        docs.select(
+            "doc_id",
+            F.size(cleaning.tokens(F.col("text"))).cast("bigint").alias("n_toks"),
+        )
     )
     packed = ranking.pack_shards_lpt(d, "n_toks", "doc_id", n_shards=16)
     # corpus-wide token sums promote to decimal(38,0) — same overflow

@@ -79,22 +79,33 @@ def test_all_queries_broken_exits_nonzero(spark, monkeypatch, capsys):
     assert "only_broken" in payload["errors"]
 
 
+class _FakeClock:
+    """Deterministic stand-in for time.perf_counter: real wall time
+    contributes ZERO (the clock only moves when a query fn advances
+    it), so these tests cannot flake under exactly the ambient load
+    they are about."""
+
+    def __init__(self) -> None:
+        self.t = 0.0
+
+    def perf_counter(self) -> float:
+        return self.t
+
+
 def test_stalled_slot_gets_recovery_reps_and_recovers(spark, monkeypatch, capsys):
     """An ambient stall inflating early reps (the BENCH_r08 poisoning:
     median/min > 2 on two slots) must trigger extra recovery reps; calm
     recovery reps pull the median back to intrinsic cost, so the record
     is NOT flagged contaminated."""
-    import time as _time
-
+    clock = _FakeClock()
+    monkeypatch.setattr(bench.time, "perf_counter", clock.perf_counter)
     calls = {"n": 0}
 
     def stall_then_calm(s, sf_dir):
         calls["n"] += 1
         # call 1 is bench's untimed warm-up pass; timed reps start at 2.
-        # Timed reps 1-2 stalled, everything after calm. The 0.3s calm
-        # floor dominates Spark's own collect jitter so the ratio
-        # assertions can't flake on a loaded test box.
-        _time.sleep(1.2 if 2 <= calls["n"] <= 3 else 0.3)
+        # Timed reps 1-2 stalled (1.2 virtual s), everything after calm.
+        clock.t += 1.2 if 2 <= calls["n"] <= 3 else 0.3
         return s.range(5)
 
     fake_registry = {
@@ -121,8 +132,8 @@ def test_persistent_stall_marks_record_contaminated(spark, monkeypatch, capsys):
     """When the spread stays pathological after every recovery rep, the
     payload must say so — a poisoned record that doesn't declare itself
     is exactly how BENCH_r08 shipped."""
-    import time as _time
-
+    clock = _FakeClock()
+    monkeypatch.setattr(bench.time, "perf_counter", clock.perf_counter)
     calls = {"n": 0}
 
     def alternating(s, sf_dir):
@@ -130,7 +141,7 @@ def test_persistent_stall_marks_record_contaminated(spark, monkeypatch, capsys):
         # call 1 = warm-up. Even calls stalled -> timed sequence
         # s,f,s then recovery f,s: the median never escapes the stall
         # band, so the flag must fire.
-        _time.sleep(1.2 if calls["n"] % 2 == 0 else 0.3)
+        clock.t += 1.2 if calls["n"] % 2 == 0 else 0.3
         return s.range(5)
 
     fake_registry = {
@@ -161,6 +172,29 @@ def test_run_slot_no_extra_reps_when_spread_is_clean():
     assert calls["n"] == bench.REPS
     assert len(secs) == bench.REPS
     assert not bench.slot_is_contaminated(secs)
+
+
+def test_bench_baseline_pin_matches_the_bench_slot_set():
+    """bench_baseline.json is the mechanical resolution target for the
+    'within 2x of baseline' criterion — its slot set must track the
+    actual bench set (every bench=True query + the explicit shared
+    index-build slot) or the pin rots into archaeology again."""
+    import os
+
+    from llm_enhanced_data_pipeline_spark.queries import REGISTRY
+
+    path = os.path.join(os.path.dirname(bench.__file__), "bench_baseline.json")
+    baseline = json.load(open(path))
+    expected = {n for n, s in REGISTRY.items() if s.bench}
+    expected.add("shared_minhash_index_build")
+    assert set(baseline["slots_sec"]) == expected, (
+        f"pin drift: missing={expected - set(baseline['slots_sec'])}, "
+        f"stale={set(baseline['slots_sec']) - expected}"
+    )
+    assert all(v > 0 for v in baseline["slots_sec"].values())
+    assert baseline["legacy_13slot_subtotal_band"][0] <= baseline[
+        "legacy_13slot_subtotal_band"
+    ][1]
 
 
 def test_shared_minhash_consumer_list_is_tight():
