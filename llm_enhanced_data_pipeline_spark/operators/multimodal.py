@@ -769,7 +769,7 @@ def _jpeg_plane_to_blocks(plane, bh: int, bw_: int):
 
 
 def write_jpeg(y, cb=None, cr=None, q_luma=None, q_chroma=None,
-               subsampling: str = "444") -> bytes:
+               subsampling: str = "444", restart_interval: int = 0) -> bytes:
     """Real baseline JFIF encoder: uint8 luma plane (h, w) [+ full-size
     Cb/Cr planes for color] -> sequential-DCT 8-bit Huffman JPEG using
     the Annex K example Huffman tables. ``subsampling``: "444" (no
@@ -777,7 +777,10 @@ def write_jpeg(y, cb=None, cr=None, q_luma=None, q_chroma=None,
     (64 ints, raster order) mainly serve the decode gates: a flat
     table whose DC step divides the block DC makes per-block-constant
     images round-trip EXACTLY (DC = 8*(v-128); every AC is 0), so the
-    gate's closed-form oracle needs no tolerance."""
+    gate's closed-form oracle needs no tolerance. ``restart_interval``
+    > 0 emits a DRI segment and RSTn markers every N MCUs (DC
+    predictors reset) — the error-resilience feature streaming
+    encoders use; the decoder resynchronizes on them."""
     import struct
 
     import numpy as np
@@ -834,8 +837,16 @@ def write_jpeg(y, cb=None, cr=None, q_luma=None, q_chroma=None,
     bw = _JpegBitWriter()
     preds = [0, 0, 0]
     ybw = mcu_w * sub  # luma block-grid width
+    mcus_done = 0
+    n_rst = 0
     for my in range(mcu_h):
         for mx in range(mcu_w):
+            if restart_interval and mcus_done and mcus_done % restart_interval == 0:
+                bw.flush()  # byte-align, pad 1s
+                bw.buf += bytes([0xFF, 0xD0 + n_rst])  # marker: no stuffing
+                n_rst = (n_rst + 1) & 7
+                preds = [0, 0, 0]
+            mcus_done += 1
             for v in range(sub):
                 for u in range(sub):
                     blk = yb[(my * sub + v) * ybw + (mx * sub + u)]
@@ -872,6 +883,8 @@ def write_jpeg(y, cb=None, cr=None, q_luma=None, q_chroma=None,
     if color:
         dht_body += dht(0, 1, *_JPEG_DC_CHROMA) + dht(1, 1, *_JPEG_AC_CHROMA)
     out += seg(0xFFC4, dht_body)
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp, 1, 0x00]) + (bytes([2, 0x11, 3, 0x11]) if color else b"")
     out += seg(0xFFDA, sos + bytes([0, 63, 0]))
     out += bw.buf

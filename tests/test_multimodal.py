@@ -475,6 +475,29 @@ def test_jpeg_codec_golden_bytes_and_roundtrip():
     good = multimodal.write_jpeg(y3, cb3, cr3, subsampling="420")
     assert multimodal.parse_jpeg(good)[:3] == (16, 16, 3)
 
+    # restart markers: DRI + RSTn every N MCUs, DC predictors reset —
+    # exact roundtrip must survive resynchronization at every interval
+    for ri in (1, 2, 3):
+        for kwargs in (
+            {"q_luma": flat8},
+            {"cb": cb, "cr": cr, "q_luma": flat8, "q_chroma": flat8,
+             "subsampling": "420"},
+        ):
+            w, h, c, back = multimodal.parse_jpeg(
+                multimodal.write_jpeg(y, restart_interval=ri, **kwargs)
+            )
+            if c == 1:
+                assert (back[:, :, 0] == y).all(), ri
+            else:
+                assert (back == exp).all(), ri
+    # a misnumbered RST marker is a resync failure, not garbage output
+    with_rst = multimodal.write_jpeg(y, q_luma=flat8, restart_interval=1)
+    k = with_rst.find(b"\xff\xd0")
+    assert k > 0  # the interval-1 stream really contains RST0
+    broken = with_rst[:k] + b"\xff\xd4" + with_rst[k + 2 :]
+    with pytest.raises(ValueError):
+        multimodal.parse_jpeg(broken)
+
     # quarantine: malformed, truncated, and unsupported variants raise
     progressive = (
         b"\xff\xd8"
