@@ -52,3 +52,11 @@ def test_global_rank_matches_window_and_handles_edges(spark):
         .toString()
     )
     assert "windowspecdefinition(m" not in plan  # partitioned by bucket only
+    # r8 ADVICE-high regression pin: the boundary sketch and the offset
+    # counts must be DRIVER-FOLDED LITERALS in the returned plan — a
+    # lazily shared percentile_approx frame feeding multiple lineages
+    # can be re-evaluated with different GK merge orders past the
+    # accuracy budget, silently forking the bucketing between offsets
+    # and ranks. No sketch and no join may survive into the plan.
+    assert "percentile_approx" not in plan
+    assert "Join" not in plan
