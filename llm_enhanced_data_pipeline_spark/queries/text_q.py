@@ -1595,16 +1595,18 @@ _JPEG_CR = "(doc_id * 11 + 80) % 256"
 def _jpeg_mean_sql(chan_tpl: str) -> str:
     expr = chan_tpl.format(y=_JPEG_Y, cb=_JPEG_CB, cr=_JPEG_CR)
     return rounding.stable_round_sql(
-        f"list_avg(list_transform(range(0, 4), _b -> {expr}))", 4
+        f"list_avg(list_transform(range(0, 8), _b -> {expr}))", 4
     )
 
 
 @register(
     "jpeg_image_decode_stats",
-    doc="REAL lossy-format decode: per-doc 16x16 baseline JPEG (SOF0, "
-    "4:2:0, Annex-K Huffman tables, flat q=8 quant) with four "
-    "distinct constant luma blocks + constant chroma, synthesized on "
-    "the DC-only lattice where the DCT roundtrip is exact, decoded by "
+    doc="REAL lossy-format decode: per-doc 32x16 baseline JPEG (SOF0, "
+    "4:2:0 so the stream is TWO interleaved MCUs, restart_interval=1 "
+    "so a real RSTn resync + DC-predictor reset sits between them, "
+    "Annex-K Huffman tables, flat q=8 quant) with eight distinct "
+    "constant luma blocks + constant chroma, synthesized on the "
+    "DC-only lattice where the DCT roundtrip is exact, decoded by "
     "the pure-numpy T.81 decoder (marker walk, Huffman entropy decode "
     "with DC prediction + byte unstuffing, dequant, dezigzag, IDCT, "
     "box upsample, BT.601 conversion), per-channel means compared "
@@ -1612,7 +1614,7 @@ def _jpeg_mean_sql(chan_tpl: str) -> str:
     "SQL. Closes the JPEG half of the r8 image gate; progressive/"
     "arithmetic JPEG and MP4 stay honestly env-gated.",
     oracle=f"""
-SELECT doc_id, 16 AS width, 16 AS height, 3 AS channels,
+SELECT doc_id, 32 AS width, 16 AS height, 3 AS channels,
        {_jpeg_mean_sql(_JPEG_R)} AS mean_r,
        {_jpeg_mean_sql(_JPEG_G)} AS mean_g,
        {_jpeg_mean_sql(_JPEG_B)} AS mean_b
@@ -1644,18 +1646,27 @@ def jpeg_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids, payloads = [], []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                y = np.zeros((16, 16), dtype=np.uint8)
-                for b, (by, bx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+                # 32x16: two side-by-side 4:2:0 MCUs, 8 luma blocks
+                # (b = by*4 + bx), so restart_interval=1 places a real
+                # RST0 between the MCUs
+                y = np.zeros((16, 32), dtype=np.uint8)
+                for b in range(8):
+                    by, bx = divmod(b, 4)
                     y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                         d * 29 + b * 37
                     ) % 256
-                cb = np.full((16, 16), (d * 13 + 40) % 256, dtype=np.uint8)
-                cr = np.full((16, 16), (d * 11 + 80) % 256, dtype=np.uint8)
+                cb = np.full((16, 32), (d * 13 + 40) % 256, dtype=np.uint8)
+                cr = np.full((16, 32), (d * 11 + 80) % 256, dtype=np.uint8)
                 ids.append(d)
                 payloads.append(
                     multimodal.write_jpeg(
                         y, cb, cr, q_luma=flat8, q_chroma=flat8,
                         subsampling="420",
+                        # one RST between the two MCUs: the gate also
+                        # exercises DRI parse + resync + DC-predictor
+                        # reset (exactness unaffected — resync is
+                        # byte alignment, not value change)
+                        restart_interval=1,
                     )
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
