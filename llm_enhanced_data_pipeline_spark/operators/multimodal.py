@@ -43,6 +43,7 @@ def binary_metadata(payload: Column) -> dict[str, Column]:
         .when(F.hex(F.substring(payload, 1, 4)) == "52494646", F.lit("riff"))
         .when(F.hex(F.substring(payload, 1, 2)) == "5036", F.lit("ppm"))
         .when(F.hex(F.substring(payload, 1, 2)) == "5035", F.lit("pgm"))
+        .when(F.hex(F.substring(payload, 1, 4)) == "47494638", F.lit("gif"))
         .otherwise(F.lit("unknown"))
     )
     return {
@@ -1099,14 +1100,286 @@ def parse_jpeg(payload: bytes):
     return fw, fh, 3, rgb
 
 
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/89a, public spec + Welch LZW) — pure stdlib. The other
+# ubiquitous web-corpus image container: palette-indexed, LOSSLESS, so
+# the decode gate gets an exact closed-form oracle with no lattice
+# tricks. Decoder: header + logical-screen descriptor, global/local
+# color tables, extension skip, sub-block walk, variable-width LSB-first
+# LZW with CLEAR/EOI + 12-bit cap + deferred width growth, interlace
+# passes. Animated GIFs decode their FIRST frame (the stats lane's
+# contract); transparency indices resolve to their palette color.
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, expected: int) -> list:
+    """Variable-width LZW (GIF flavor): LSB-first bit packing, CLEAR
+    resets the dictionary, width grows when the next code would not
+    fit, capped at 12 bits (dictionary freezes until CLEAR)."""
+    if not (2 <= min_code_size <= 11):
+        raise ValueError(f"bad LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    big = int.from_bytes(data, "little")
+    nbits = len(data) * 8
+    pos = 0
+    out: list[int] = []
+    table: list[tuple] = []
+    width = next_code = 0
+
+    def reset() -> None:
+        nonlocal table, width, next_code
+        table = [(i,) for i in range(clear)] + [(), ()]
+        width = min_code_size + 1
+        next_code = eoi + 1
+
+    reset()
+    prev: tuple | None = None
+    while len(out) < expected:
+        if pos + width > nbits:
+            raise ValueError("truncated LZW stream")
+        code = (big >> pos) & ((1 << width) - 1)
+        pos += width
+        if code == clear:
+            reset()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("LZW stream must start with a literal")
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + (prev[0],)  # the KwKwK case
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        if prev is not None and next_code < 4096:
+            table.append(prev + (entry[0],))
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        out.extend(entry)
+        prev = entry
+    if len(out) < expected:
+        raise ValueError(f"LZW underrun: {len(out)} of {expected} pixels")
+    return out[:expected]
+
+
+def _gif_lzw_encode(min_code_size: int, indices) -> bytes:
+    """Real LZW encoder. Width bookkeeping SIMULATES the decoder
+    (which lags the encoder's dictionary by one entry), so the emitted
+    widths are correct by construction rather than by off-by-one
+    folklore; the dictionary resets via CLEAR before the 12-bit cap."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pairs: list[tuple[int, int]] = []
+    acc = accn = 0
+    out = bytearray()
+
+    enc: dict[tuple, int] = {}
+    enc_next = 0
+    dec_next = eoi + 1
+    dec_width = min_code_size + 1
+    since_clear = 0
+
+    def emit(code: int) -> None:
+        nonlocal dec_next, dec_width, since_clear
+        pairs.append((code, dec_width))
+        if code == clear:
+            dec_width = min_code_size + 1
+            dec_next = eoi + 1
+            since_clear = 0
+            return
+        since_clear += 1
+        if since_clear >= 2 and dec_next < 4096:
+            dec_next += 1
+            if dec_next == (1 << dec_width) and dec_width < 12:
+                dec_width += 1
+
+    def reset_enc() -> None:
+        nonlocal enc, enc_next
+        enc = {(i,): i for i in range(clear)}
+        enc_next = eoi + 1
+
+    emit(clear)
+    reset_enc()
+    w: tuple = ()
+    for k in indices:
+        k = int(k)
+        wk = w + (k,)
+        if wk in enc:
+            w = wk
+            continue
+        emit(enc[w])
+        if enc_next < 4095:
+            enc[wk] = enc_next
+            enc_next += 1
+        else:  # dictionary full: flush + CLEAR keeps both sides in sync
+            emit(clear)
+            reset_enc()
+        w = (k,)
+    if w:
+        emit(enc[w])
+    emit(eoi)
+    for code, width in pairs:
+        acc |= code << accn
+        accn += width
+        while accn >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            accn -= 8
+    if accn:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+#: GIF interlace passes: (first row, stride)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def parse_gif(payload: bytes):
+    """Parse a GIF87a/GIF89a image: returns (width, height, 3,
+    uint8 (h, w, 3)) for the FIRST frame (its own dimensions).
+    Raises ValueError on malformed input."""
+    import numpy as np
+
+    if payload is None or len(payload) < 13 or payload[:4] != b"GIF8" \
+            or payload[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF payload")
+    data = bytes(payload)
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8)
+        if gct.size < 3 * n:
+            raise ValueError("truncated global color table")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    while True:
+        if pos >= len(data):
+            raise ValueError("missing trailer")
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("no image data")
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(data):
+                    raise ValueError("truncated extension")
+                n = data[pos]
+                pos += 1 + n
+                if n == 0:
+                    break
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected block 0x{block:02X}")
+        # image descriptor
+        if pos + 9 > len(data):
+            raise ValueError("truncated image descriptor")
+        fw = data[pos + 4] | (data[pos + 5] << 8)
+        fh = data[pos + 6] | (data[pos + 7] << 8)
+        iflags = data[pos + 8]
+        pos += 9
+        if fw == 0 or fh == 0:
+            raise ValueError(f"degenerate GIF frame {fw}x{fh}")
+        pal = gct
+        if iflags & 0x80:  # local color table
+            n = 2 << (iflags & 7)
+            pal = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8)
+            if pal.size < 3 * n:
+                raise ValueError("truncated local color table")
+            pal = pal.reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("no color table")
+        if pos >= len(data):
+            raise ValueError("truncated before LZW data")
+        min_code = data[pos]
+        pos += 1
+        chunks = []
+        while True:
+            if pos >= len(data):
+                raise ValueError("truncated LZW sub-blocks")
+            n = data[pos]
+            pos += 1
+            if n == 0:
+                break
+            chunks.append(data[pos : pos + n])
+            if len(chunks[-1]) < n:
+                raise ValueError("truncated LZW sub-block")
+            pos += n
+        idx = _gif_lzw_decode(min_code, b"".join(chunks), fw * fh)
+        idx = np.asarray(idx, dtype=np.int32)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of range")
+        rows = idx.reshape(fh, fw)
+        if iflags & 0x40:  # interlaced: reorder passes
+            ordered = np.empty_like(rows)
+            src = 0
+            for first, stride in _GIF_INTERLACE:
+                for y in range(first, fh, stride):
+                    ordered[y] = rows[src]
+                    src += 1
+            rows = ordered
+        return fw, fh, 3, pal[rows]
+
+
+def write_gif(arr, interlace: bool = False) -> bytes:
+    """Inverse of :func:`parse_gif`: uint8 (h, w, 3) or (h, w) ->
+    single-frame GIF89a with a minimal global color table built from
+    the image's distinct colors (<= 256, or ValueError — this is the
+    format's own constraint, not a shortcut)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = np.stack([a, a, a], axis=-1)
+    h, w, c = a.shape
+    if c != 3:
+        raise ValueError("write_gif takes RGB or grayscale")
+    flat = a.reshape(-1, 3)
+    pal, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError(f"{len(pal)} distinct colors; GIF caps at 256")
+    bits = max(2, int(len(pal) - 1).bit_length())
+    table = np.zeros((1 << bits, 3), dtype=np.uint8)
+    table[: len(pal)] = pal
+    rows = idx.reshape(h, w)
+    if interlace:
+        order = [
+            y for first, stride in _GIF_INTERLACE for y in range(first, h, stride)
+        ]
+        rows = rows[order]
+    lzw = _gif_lzw_encode(bits, rows.reshape(-1))
+    out = bytearray(b"GIF89a")
+    out += bytes([w & 0xFF, w >> 8, h & 0xFF, h >> 8,
+                  0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0])
+    out += table.tobytes()
+    out += bytes([0x2C, 0, 0, 0, 0, w & 0xFF, w >> 8, h & 0xFF, h >> 8,
+                  0x40 if interlace else 0])
+    out += bytes([bits])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0, 0x3B])
+    return bytes(out)
+
+
 def parse_image(payload: bytes):
-    """Dispatch on magic bytes: PNM (P5/P6), baseline PNG, or baseline
-    JPEG. Returns (width, height, channels, uint8 (h, w, c));
+    """Dispatch on magic bytes: PNM (P5/P6), baseline PNG, baseline
+    JPEG, or GIF. Returns (width, height, channels, uint8 (h, w, c));
     ValueError otherwise."""
     if payload is not None and payload[:8] == _PNG_SIG:
         return parse_png(payload)
     if payload is not None and payload[:2] == b"\xff\xd8":
         return parse_jpeg(payload)
+    if payload is not None and payload[:4] == b"GIF8":
+        return parse_gif(payload)
     return parse_ppm(payload)
 
 

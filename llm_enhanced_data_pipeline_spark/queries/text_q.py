@@ -1675,6 +1675,79 @@ def jpeg_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_stats(payloads, "doc_id", "payload")
 
 
+# GIF gate: palette-indexed and LOSSLESS, so no lattice construction is
+# needed — any pixel formula round-trips bit-exactly; the payloads are
+# written INTERLACED so the gate also exercises the 4-pass row
+# reordering. idx(i) = (doc_id*19 + i*3) % 16 over 256 pixels; channel
+# values are pure functions of idx.
+_GIF_IDX = "(doc_id * 19 + _i * 3) % 16"
+
+
+def _gif_mean_sql(offset: int) -> str:
+    return rounding.stable_round_sql(
+        f"list_avg(list_transform(range(0, 256), _i -> "
+        f"(doc_id * 7 + ({_GIF_IDX}) * 13 + {offset}) % 256))",
+        4,
+    )
+
+
+@register(
+    "gif_image_decode_stats",
+    doc="REAL palette-format decode: per-doc 16x16 INTERLACED GIF89a "
+    "(16-color global table, real variable-width LZW with CLEAR/EOI) "
+    "built from a closed-form index formula, decoded by the pure-"
+    "stdlib GIF parser (header/descriptor walk, sub-block "
+    "reassembly, LZW decode, 4-pass deinterlace, palette resolve), "
+    "per-channel means compared against the formula's expectation "
+    "computed independently in SQL — GIF is lossless, so equality is "
+    "exact by the format's nature, not by lattice construction.",
+    oracle=f"""
+SELECT doc_id, 16 AS width, 16 AS height, 3 AS channels,
+       {_gif_mean_sql(0)} AS mean_r,
+       {_gif_mean_sql(29)} AS mean_g,
+       {_gif_mean_sql(58)} AS mean_b
+FROM documents WHERE doc_id % 7 = 4
+""",
+)
+def gif_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators import multimodal
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 7 == 4
+    ).select("doc_id")
+
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        i = np.arange(256, dtype=np.int64)
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                idx = (d * 19 + i * 3) % 16
+                chans = [
+                    ((d * 7 + idx * 13 + off) % 256).astype(np.uint8)
+                    for off in (0, 29, 58)
+                ]
+                arr = np.stack(chans, axis=-1).reshape(16, 16, 3)
+                ids.append(d)
+                payloads.append(multimodal.write_gif(arr, interlace=True))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = docs.mapInPandas(synth, synth_schema)
+    return multimodal.decode_image_stats(payloads, "doc_id", "payload")
+
+
 @register(
     "wav_audio_decode_stats",
     doc="REAL audio decode: per-doc 1024-frame 16-bit PCM WAV payload "

@@ -523,6 +523,78 @@ def test_jpeg_codec_golden_bytes_and_roundtrip():
     assert multimodal.parse_jpeg(good[:-2])[:3] == (16, 16, 3)
 
 
+def test_gif_codec_golden_bytes_and_roundtrip():
+    """parse_gif against a HAND-ASSEMBLED GIF89a (LZW bitstream packed
+    by hand from the spec's variable-width rules — decoder verified
+    without the encoder), lossless roundtrips incl. interlace and the
+    dictionary-overflow CLEAR path, extension/second-frame handling,
+    and the quarantine contract."""
+    import numpy as np
+
+    # golden: 2x2, 4-color GCT, indices [0,1,2,3]. Hand-packed LZW
+    # (min code 2): CLEAR@3,0@3,1@3,2@3 — the decoder's dict hits
+    # 2^3 after the third literal, so 3@4 and EOI@4 — LSB-first:
+    # 4 + 0<<3 + 1<<6 + 2<<9 + 3<<12 + 5<<16 = 0x053444.
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 0])
+    golden = (
+        b"GIF89a"
+        + bytes([2, 0, 2, 0, 0x81, 0, 0])
+        + palette
+        + bytes([0x2C, 0, 0, 0, 0, 2, 0, 2, 0, 0])
+        + bytes([2, 3, 0x44, 0x34, 0x05, 0])
+        + bytes([0x3B])
+    )
+    w, h, c, arr = multimodal.parse_gif(golden)
+    assert (w, h, c) == (2, 2, 3)
+    assert arr.tolist() == [
+        [[255, 0, 0], [0, 255, 0]],
+        [[0, 0, 255], [255, 255, 0]],
+    ]
+    assert multimodal.parse_image(golden)[3].tolist() == arr.tolist()
+
+    # extensions are skipped; only the FIRST frame decodes
+    frame = golden[25:-1]  # descriptor + LZW blocks (header 6+7, GCT 12)
+    gce = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])  # graphic control ext
+    with_ext = golden[:25] + gce + frame + bytes([0x3B])
+    assert multimodal.parse_gif(with_ext)[3].tolist() == arr.tolist()
+    two_frames = golden[:-1] + frame + bytes([0x3B])
+    assert multimodal.parse_gif(two_frames)[3].tolist() == arr.tolist()
+
+    # lossless roundtrips: palette sizes 2..256, interlaced and not,
+    # odd dims, grayscale input
+    rng = np.random.default_rng(3)
+    for shape, colors in [((16, 16), 4), ((24, 31), 256), ((5, 7), 2)]:
+        pal = np.unique(
+            rng.integers(0, 256, (colors, 3), dtype=np.uint8), axis=0
+        )
+        img = pal[rng.integers(0, len(pal), shape)]
+        for inter in (False, True):
+            w, h, c, back = multimodal.parse_gif(
+                multimodal.write_gif(img, interlace=inter)
+            )
+            assert (w, h, c) == (shape[1], shape[0], 3)
+            assert (back == img).all(), (shape, colors, inter)
+    g = rng.integers(0, 256, (8, 9), dtype=np.uint8)
+    assert (multimodal.parse_gif(multimodal.write_gif(g))[3][:, :, 0] == g).all()
+
+    # dictionary-overflow path: a 128x128 noise image forces LZW past
+    # the 12-bit cap, so the encoder must emit mid-stream CLEARs and
+    # the decoder must resynchronize — still bit-lossless
+    pal250 = np.unique(rng.integers(0, 256, (250, 3), dtype=np.uint8), axis=0)
+    big = pal250[rng.integers(0, len(pal250), (128, 128))]
+    assert (multimodal.parse_gif(multimodal.write_gif(big))[3] == big).all()
+
+    # the format's own constraint is enforced, not silently quantized
+    with pytest.raises(ValueError):
+        multimodal.write_gif(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
+
+    good = multimodal.write_gif(g)
+    for bad in [None, b"", b"GIF89a", good[:20], good[:-3],
+                b"NOTGIF", b"GIF8za" + bytes(20)]:
+        with pytest.raises(ValueError):
+            multimodal.parse_gif(bad)
+
+
 def test_decode_stats_jpeg_payloads(spark):
     """decode_image_stats over a mixed batch of JPEG payloads: good
     block-constant color images decode to closed-form means; corrupt
