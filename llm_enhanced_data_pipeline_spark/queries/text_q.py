@@ -1451,7 +1451,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # formula, never seeing the container bytes. A wrong header walk, a
 # wrong stride, a channel swap, or an endianness bug all surface as a
 # value mismatch. (Compressed formats — jpeg/png/mp4 — remain
-# env-gated; these two prove the decode LANE end-to-end.)
+# env-gated; these gates prove the decode LANE end-to-end.)
 
 
 @register(
@@ -1518,7 +1518,7 @@ def ppm_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stdlib-zlib + numpy PNG parser (chunk walk, CRC verify, inflate, "
     "unfilter), per-channel means compared against the formula's "
     "expectation computed independently in SQL. Closes the PNG half "
-    "of the compressed-format gate; JPEG/MP4 stay honestly env-gated.",
+    "of the compressed-format story.",
     oracle=f"""
 SELECT doc_id, 16 AS width, 16 AS height, 3 AS channels,
        {rounding.stable_round_sql('''list_avg(list_transform(range(0, 256),
@@ -1611,8 +1611,7 @@ def _jpeg_mean_sql(chan_tpl: str) -> str:
     "with DC prediction + byte unstuffing, dequant, dezigzag, IDCT, "
     "box upsample, BT.601 conversion), per-channel means compared "
     "against the closed-form expectation computed independently in "
-    "SQL. Closes the JPEG half of the r8 image gate; progressive/"
-    "arithmetic JPEG and MP4 stay honestly env-gated.",
+    "SQL. Closes the JPEG half of the r8 image gate.",
     oracle=f"""
 SELECT doc_id, 32 AS width, 16 AS height, 3 AS channels,
        {_jpeg_mean_sql(_JPEG_R)} AS mean_r,
@@ -1667,6 +1666,84 @@ def jpeg_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         # reset (exactness unaffected — resync is
                         # byte alignment, not value change)
                         restart_interval=1,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = docs.mapInPandas(synth, synth_schema)
+    return multimodal.decode_image_stats(payloads, "doc_id", "payload")
+
+
+_JPEG_P_Y = "(doc_id * 37 + _b * 41) % 256"
+_JPEG_P_CB = "(doc_id * 17 + 60) % 256"
+_JPEG_P_CR = "(doc_id * 23 + 90) % 256"
+
+
+def _jpeg_prog_mean_sql(chan_tpl: str) -> str:
+    expr = chan_tpl.format(y=_JPEG_P_Y, cb=_JPEG_P_CB, cr=_JPEG_P_CR)
+    return rounding.stable_round_sql(
+        f"list_avg(list_transform(range(0, 8), _b -> {expr}))", 4
+    )
+
+
+@register(
+    "jpeg_progressive_decode_stats",
+    doc="REAL progressive-JPEG decode (SOF2): the same exact DC-only "
+    "lattice as the baseline gate, but encoded with the full "
+    "successive-approximation scan chain — interleaved DC first at "
+    "Al=1, per-component AC first, DC refinement (raw bits), "
+    "per-component AC refinement with EOB-run coding — and decoded "
+    "through the Annex G progressive path (spectral-band scans, "
+    "DC/AC refinement, EOB-run sweeps, correction-bit interleave). "
+    "Same closed-form oracle discipline: quantized coefficients are "
+    "mode-independent, so the lattice roundtrip stays bit-exact. "
+    "The image env-gate is now video containers only.",
+    oracle=f"""
+SELECT doc_id, 32 AS width, 16 AS height, 3 AS channels,
+       {_jpeg_prog_mean_sql(_JPEG_R)} AS mean_r,
+       {_jpeg_prog_mean_sql(_JPEG_G)} AS mean_g,
+       {_jpeg_prog_mean_sql(_JPEG_B)} AS mean_b
+FROM documents WHERE doc_id % 7 = 6
+""",
+)
+def jpeg_progressive_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators import multimodal
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 7 == 6
+    ).select("doc_id")
+
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        flat8 = [8] * 64
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                y = np.zeros((16, 32), dtype=np.uint8)
+                for b in range(8):
+                    by, bx = divmod(b, 4)
+                    y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        d * 37 + b * 41
+                    ) % 256
+                cb = np.full((16, 32), (d * 17 + 60) % 256, dtype=np.uint8)
+                cr = np.full((16, 32), (d * 23 + 90) % 256, dtype=np.uint8)
+                ids.append(d)
+                payloads.append(
+                    multimodal.write_jpeg(
+                        y, cb, cr, q_luma=flat8, q_chroma=flat8,
+                        subsampling="420", progressive=True,
                     )
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})

@@ -523,6 +523,83 @@ def test_jpeg_codec_golden_bytes_and_roundtrip():
     assert multimodal.parse_jpeg(good[:-2])[:3] == (16, 16, 3)
 
 
+def test_jpeg_progressive_equivalence_and_contracts():
+    """Progressive (SOF2) decode: the equivalence oracle is baseline
+    itself — both modes encode the SAME quantized coefficients, so
+    baseline and progressive streams of one image must decode
+    BIT-IDENTICALLY (any drift in the scan algebra — DC successive
+    approximation, AC first/refine interleave, EOB runs, ZRL
+    correction-bit ordering — breaks exact equality). Plus the exact
+    DC-lattice roundtrip and the unsupported-variant contracts."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    flat8 = [8] * 64
+
+    # equivalence across content kinds that stress different scan
+    # paths: noise (dense coefficients), gradients (many small ACs ->
+    # heavy refinement traffic), coarse-quantized blocks (long zero
+    # runs and EOBs), at non-multiple-of-8/16 dims
+    for i in range(24):
+        hh = int(rng.integers(8, 49))
+        ww = int(rng.integers(8, 49))
+        kind = i % 3
+        if kind == 0:
+            y = rng.integers(0, 256, (hh, ww), dtype=np.uint8)
+        elif kind == 1:
+            y = (
+                (np.arange(hh)[:, None] * 3 + np.arange(ww)[None, :] * 7) % 256
+            ).astype(np.uint8)
+        else:
+            y = (rng.integers(0, 32, (hh, ww)) * 8).astype(np.uint8)
+        kw = {"q_luma": [1] * 64} if i % 2 else {}
+        b = multimodal.parse_jpeg(multimodal.write_jpeg(y, **kw))
+        p = multimodal.parse_jpeg(
+            multimodal.write_jpeg(y, progressive=True, **kw)
+        )
+        assert b[:3] == p[:3] and (b[3] == p[3]).all(), (i, kind)
+
+    # color, both subsamplings
+    y = rng.integers(0, 256, (24, 31), dtype=np.uint8)
+    cb = rng.integers(0, 256, (24, 31), dtype=np.uint8)
+    cr = rng.integers(0, 256, (24, 31), dtype=np.uint8)
+    for sub in ("444", "420"):
+        b = multimodal.parse_jpeg(multimodal.write_jpeg(y, cb, cr, subsampling=sub))
+        p = multimodal.parse_jpeg(
+            multimodal.write_jpeg(y, cb, cr, subsampling=sub, progressive=True)
+        )
+        assert (b[3] == p[3]).all(), sub
+
+    # exact DC-lattice roundtrip through the progressive scan chain
+    y = np.zeros((16, 32), dtype=np.uint8)
+    for b_ in range(8):
+        by, bx = divmod(b_, 4)
+        y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (b_ * 37 + 11) % 256
+    cbc = np.full((16, 32), 77, dtype=np.uint8)
+    crc = np.full((16, 32), 200, dtype=np.uint8)
+    base = multimodal.parse_jpeg(
+        multimodal.write_jpeg(
+            y, cbc, crc, q_luma=flat8, q_chroma=flat8, subsampling="420"
+        )
+    )
+    prog = multimodal.parse_jpeg(
+        multimodal.write_jpeg(
+            y, cbc, crc, q_luma=flat8, q_chroma=flat8, subsampling="420",
+            progressive=True,
+        )
+    )
+    assert (base[3] == prog[3]).all()
+
+    # contracts: DRI+progressive unsupported in the encoder; truncated
+    # progressive streams quarantine
+    with pytest.raises(ValueError):
+        multimodal.write_jpeg(y, progressive=True, restart_interval=2)
+    good = multimodal.write_jpeg(y, q_luma=flat8, progressive=True)
+    for cut in (30, len(good) // 3, len(good) // 2):
+        with pytest.raises(ValueError):
+            multimodal.parse_jpeg(good[:cut])
+
+
 def test_gif_codec_golden_bytes_and_roundtrip():
     """parse_gif against a HAND-ASSEMBLED GIF89a (LZW bitstream packed
     by hand from the spec's variable-width rules — decoder verified

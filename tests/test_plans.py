@@ -440,6 +440,7 @@ PYTHON_EVAL_BY_DESIGN = {
     # numpy through mapInPandas (Arrow) — media decode IS Python work
     "png_image_decode_stats",  # same, stdlib-zlib baseline PNG codec
     "jpeg_image_decode_stats",  # same, pure-numpy T.81 baseline JPEG
+    "jpeg_progressive_decode_stats",  # same, the SOF2 scan chain
     "gif_image_decode_stats",  # same, pure-stdlib GIF LZW codec
     "wav_audio_decode_stats",  # same, PCM WAV RIFF walker
     "y4m_frame_sample_stats",  # same, YUV4MPEG2 container walker
