@@ -1740,10 +1740,36 @@ def parse_image(payload: bytes):
     return parse_ppm(payload)
 
 
+def ulaw_decode_table():
+    """ITU-T G.711 mu-law -> linear 16-bit, all 256 codes (the classic
+    public-reference algorithm: complement, (mantissa<<3)+BIAS shifted
+    by the segment, bias re-subtracted, sign applied)."""
+    import numpy as np
+
+    u = 255 - np.arange(256, dtype=np.int64)  # ~code & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def alaw_decode_table():
+    """ITU-T G.711 A-law -> linear 16-bit, all 256 codes (toggle 0x55,
+    segment 0 adds the half-step, higher segments shift the biased
+    mantissa; sign bit SET means positive in A-law)."""
+    import numpy as np
+
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
 def parse_wav(payload: bytes):
-    """Parse a PCM WAV (RIFF/WAVE) container: returns (sample_rate,
+    """Parse a WAV (RIFF/WAVE) container: returns (sample_rate,
     n_channels, numpy int16 array of shape (n_frames, n_channels)).
-    16-bit PCM only; walks the chunk list (handles extra chunks and
+    Supports 16-bit PCM (format 1) and 8-bit G.711 A-law / mu-law
+    (formats 6 / 7 — telephony corpora), decoded to linear int16 via
+    the spec tables. Walks the chunk list (handles extra chunks and
     odd-size padding). Raises ValueError on malformed input."""
     import struct
 
@@ -1766,11 +1792,40 @@ def parse_wav(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _, _, bits = fmt
-    if audio_format != 1 or bits != 16:
+    if n_channels < 1:
+        raise ValueError("zero-channel WAV")
+    if audio_format == 1 and bits == 16:
+        samples = np.frombuffer(
+            data[: len(data) // (2 * n_channels) * 2 * n_channels],
+            dtype="<i2",
+        ).reshape(-1, n_channels)
+    elif audio_format in (6, 7) and bits == 8:
+        table = alaw_decode_table() if audio_format == 6 else ulaw_decode_table()
+        codes = np.frombuffer(
+            data[: len(data) // n_channels * n_channels], dtype=np.uint8
+        )
+        samples = table[codes].reshape(-1, n_channels)
+    else:
         raise ValueError(f"unsupported WAV encoding (format={audio_format}, bits={bits})")
-    samples = np.frombuffer(data[: len(data) // (2 * n_channels) * 2 * n_channels],
-                            dtype="<i2").reshape(-1, n_channels)
     return sample_rate, n_channels, samples
+
+
+def write_wav_g711(codes: bytes, sample_rate: int = 8000, law: str = "ulaw",
+                   n_channels: int = 1) -> bytes:
+    """Wrap raw G.711 companded bytes in a RIFF/WAVE container
+    (format 7 = mu-law, 6 = A-law, 8 bits/sample)."""
+    import struct
+
+    audio_format = 7 if law == "ulaw" else 6
+    fmt = struct.pack(
+        "<HHIIHH", audio_format, n_channels, sample_rate,
+        sample_rate * n_channels, n_channels, 8,
+    )
+    chunks = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(codes)) + bytes(codes)
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
 def write_wav(samples, sample_rate: int = 16000) -> bytes:

@@ -1874,6 +1874,75 @@ def wav_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_audio_stats(payloads, "doc_id", "payload")
 
 
+# G.711 mu-law gate: the telephony-audio WAV variant (format 7, 8-bit
+# companded). The oracle replicates the ITU expansion formula itself —
+# complement, (mantissa<<3)+132 shifted by the segment, bias
+# re-subtracted, sign — so a wrong table, wrong bias, or wrong segment
+# shift all surface as a value mismatch. Codes are synthesized from a
+# closed-form byte formula; both engines expand with exact integer
+# arithmetic before the double RMS.
+_G711_CODE = "(doc_id * 89 + _i * 13) % 256"
+_G711_SAMPLE = f"""(
+  CASE WHEN (255 - ({_G711_CODE})) >= 128
+       THEN 132 - (((255 - ({_G711_CODE})) % 16) * 8 + 132)
+                * (1 << (((255 - ({_G711_CODE})) // 16) % 8))
+       ELSE (((255 - ({_G711_CODE})) % 16) * 8 + 132)
+                * (1 << (((255 - ({_G711_CODE})) // 16) % 8)) - 132
+  END)"""
+
+
+@register(
+    "g711_audio_decode_stats",
+    doc="REAL companded-audio decode: per-doc 512-sample G.711 mu-law "
+    "WAV payload (format 7, 8-bit) built from a closed-form code-byte "
+    "formula, expanded to linear int16 by the spec table "
+    "(complement, biased-mantissa segment shift), full-signal RMS "
+    "compared against the expansion formula replicated independently "
+    "in SQL.",
+    oracle=f"""
+SELECT doc_id, 8000 AS sample_rate, 1 AS n_channels, 512::BIGINT AS n_frames,
+       {rounding.stable_round_sql(f'''sqrt(list_avg(list_transform(range(0, 512),
+             _i -> pow({_G711_SAMPLE} / 32768.0, 2))))''', 4)} AS rms
+FROM documents WHERE doc_id % 9 = 4
+""",
+)
+def g711_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators import multimodal
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 9 == 4
+    ).select("doc_id")
+
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        i = np.arange(512, dtype=np.int64)
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                codes = ((int(doc_id) * 89 + i * 13) % 256).astype(np.uint8)
+                ids.append(int(doc_id))
+                payloads.append(
+                    multimodal.write_wav_g711(
+                        codes.tobytes(), sample_rate=8000, law="ulaw"
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = docs.mapInPandas(synth, synth_schema)
+    return multimodal.decode_audio_stats(payloads, "doc_id", "payload")
+
+
 @register(
     "y4m_frame_sample_stats",
     doc="REAL video decode: per-doc 10-frame 8x8 mono YUV4MPEG2 stream "

@@ -672,6 +672,45 @@ def test_gif_codec_golden_bytes_and_roundtrip():
             multimodal.parse_gif(bad)
 
 
+def test_g711_tables_and_wav_decode():
+    """G.711 expansion tables against the published reference values
+    (mu-law ±0 at 0xFF/0x7F, extremes ±32124; A-law ±8 at 0x55/0xD5,
+    extremes ±32256), segment monotonicity, container decode for both
+    laws, and the unsupported-encoding quarantine."""
+    import struct
+
+    import numpy as np
+
+    ut = multimodal.ulaw_decode_table()
+    at = multimodal.alaw_decode_table()
+    assert ut[0xFF] == 0 and ut[0x7F] == 0
+    assert ut[0x00] == -32124 and ut[0x80] == 32124
+    assert at[0x55] == -8 and at[0xD5] == 8
+    assert int(at.min()) == -32256 and int(at.max()) == 32256
+    # positive mu-law magnitudes decrease as the code increases
+    pos = ut[0x80:0x100]
+    assert all(int(pos[i]) >= int(pos[i + 1]) for i in range(127))
+
+    codes = bytes(range(256))
+    rate, nch, samp = multimodal.parse_wav(
+        multimodal.write_wav_g711(codes, 8000, "ulaw")
+    )
+    assert (rate, nch) == (8000, 1)
+    assert (samp[:, 0] == ut[np.frombuffer(codes, np.uint8)]).all()
+    rate, nch, samp = multimodal.parse_wav(
+        multimodal.write_wav_g711(codes, 16000, "alaw", n_channels=2)
+    )
+    assert samp.shape == (128, 2)
+    assert (samp.reshape(-1) == at[np.frombuffer(codes, np.uint8)]).all()
+
+    # IEEE-float WAV (format 3) still quarantines
+    bad = multimodal.write_wav_g711(codes, 8000, "ulaw").replace(
+        struct.pack("<HH", 7, 1), struct.pack("<HH", 3, 1), 1
+    )
+    with pytest.raises(ValueError):
+        multimodal.parse_wav(bad)
+
+
 def test_decode_stats_jpeg_payloads(spark):
     """decode_image_stats over a mixed batch of JPEG payloads: good
     block-constant color images decode to closed-form means; corrupt

@@ -443,6 +443,7 @@ PYTHON_EVAL_BY_DESIGN = {
     "jpeg_progressive_decode_stats",  # same, the SOF2 scan chain
     "gif_image_decode_stats",  # same, pure-stdlib GIF LZW codec
     "wav_audio_decode_stats",  # same, PCM WAV RIFF walker
+    "g711_audio_decode_stats",  # same, mu-law expansion
     "y4m_frame_sample_stats",  # same, YUV4MPEG2 container walker
 }
 
