@@ -1943,6 +1943,74 @@ def g711_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_audio_stats(payloads, "doc_id", "payload")
 
 
+# WARC ingestion gate: the container web crawls actually arrive in
+# (Common Crawl layout: one gzip member per record). The payloads are
+# synthesized WARCs whose record headers AND content strings follow
+# closed-form formulas, so the oracle reconstructs every column —
+# type, URI, length, and the full content text — without seeing a
+# byte of the container; a wrong header walk, member split, or
+# Content-Length slice all surface as value mismatches.
+@register(
+    "warc_ingest_stats",
+    doc="REAL web-archive ingestion: per-doc 3-record WARC/1.0 stream "
+    "in the Common Crawl gzip-member-per-record layout, parsed by the "
+    "pure-stdlib WARC reader (multistream inflate, version line, "
+    "header block, Content-Length slice, record separators), expanded "
+    "1->N into typed record rows; every column — record type, target "
+    "URI, content length, and the decoded content text itself — is "
+    "recomputed independently in SQL from the synthesis formulas.",
+    oracle="""
+SELECT doc_id, j::INT AS rec_idx,
+       CASE WHEN j % 2 = 0 THEN 'response' ELSE 'request' END AS warc_type,
+       'http://ex.com/' || doc_id || '/' || j AS target_uri,
+       (11 + length(doc_id::VARCHAR) + (doc_id * 3 + j * 11) % 64)::BIGINT
+         AS content_length,
+       'doc ' || doc_id || ' rec ' || j || ' '
+         || repeat('x', (doc_id * 3 + j * 11) % 64) AS content_text
+FROM documents CROSS JOIN (VALUES (0),(1),(2)) t(j)
+WHERE doc_id % 9 = 5
+""",
+)
+def warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..sources import warc
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 9 == 5
+    ).select("doc_id")
+
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                recs = []
+                for j in range(3):
+                    text = f"doc {d} rec {j} " + "x" * ((d * 3 + j * 11) % 64)
+                    recs.append({
+                        "headers": {
+                            "WARC-Type": "response" if j % 2 == 0 else "request",
+                            "WARC-Target-URI": f"http://ex.com/{d}/{j}",
+                        },
+                        "content": text.encode(),
+                    })
+                ids.append(d)
+                payloads.append(warc.write_warc(recs, gzip_members=True))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = docs.mapInPandas(synth, synth_schema)
+    return warc.read_warc_records(payloads, "doc_id", "payload")
+
+
 @register(
     "y4m_frame_sample_stats",
     doc="REAL video decode: per-doc 10-frame 8x8 mono YUV4MPEG2 stream "

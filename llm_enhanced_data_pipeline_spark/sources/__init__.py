@@ -1,1 +1,1 @@
-from . import checkpoint, inverted_index, jsonl  # noqa: F401
+from . import checkpoint, inverted_index, jsonl, warc  # noqa: F401

@@ -444,6 +444,7 @@ PYTHON_EVAL_BY_DESIGN = {
     "gif_image_decode_stats",  # same, pure-stdlib GIF LZW codec
     "wav_audio_decode_stats",  # same, PCM WAV RIFF walker
     "g711_audio_decode_stats",  # same, mu-law expansion
+    "warc_ingest_stats",  # same lane, pure-stdlib WARC container walk
     "y4m_frame_sample_stats",  # same, YUV4MPEG2 container walker
 }
 

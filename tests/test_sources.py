@@ -209,3 +209,52 @@ def test_inverted_index_roundtrip_preserves_duplicates(spark):
     rebuilt = inverted_index.reconstruct_text(idx)
     out = df.select(rebuilt.alias("r")).collect()[0].r
     assert out == "the cat and the hat and more"
+
+
+def test_warc_roundtrip_gzip_members_and_quarantine(spark):
+    """WARC reader: plain + gzip-member-per-record (Common Crawl
+    layout) roundtrips incl. binary content, 1->N Spark expansion with
+    corrupt-payload quarantine, and the malformed-container contract."""
+    from llm_enhanced_data_pipeline_spark.sources import warc
+
+    recs = [
+        {"headers": {"WARC-Type": "response",
+                     "WARC-Target-URI": "http://a.example/1"},
+         "content": b"<html>hello</html>"},
+        {"headers": {"WARC-Type": "request",
+                     "WARC-Target-URI": "http://a.example/1"},
+         "content": b"GET / HTTP/1.1"},
+        {"headers": {"WARC-Type": "response",
+                     "WARC-Target-URI": "http://b.example/2"},
+         "content": bytes(range(256))},  # binary payload survives
+    ]
+    for gz in (False, True):
+        back = warc.parse_warc_records(warc.write_warc(recs, gzip_members=gz))
+        assert len(back) == 3, gz
+        assert back[0]["headers"]["warc-type"] == "response"
+        assert back[0]["content"] == b"<html>hello</html>"
+        assert back[2]["content"] == bytes(range(256))
+        assert back[1]["headers"]["warc-target-uri"] == "http://a.example/1"
+
+    blob = warc.write_warc(recs, gzip_members=True)
+    rows = [
+        Row(doc_id=1, payload=blob),
+        Row(doc_id=2, payload=blob[: len(blob) // 2]),  # truncated member
+        Row(doc_id=3, payload=b"HTTP/1.1 200 OK\r\n\r\n"),  # not WARC
+        Row(doc_id=4, payload=None),
+    ]
+    out = warc.read_warc_records(
+        spark.createDataFrame(rows), "doc_id", "payload"
+    ).collect()
+    assert {r.doc_id for r in out} == {1}  # corrupt docs quarantined
+    assert len(out) == 3  # 1 -> N expansion
+    by_idx = {r.rec_idx: r for r in out}
+    assert by_idx[0].warc_type == "response"
+    assert by_idx[0].content_text == "<html>hello</html>"
+    assert by_idx[2].content_length == 256
+
+    plain = warc.write_warc(recs)
+    for bad in [None, b"", b"WARC/1.0", plain[: len(plain) // 2], plain[:-2],
+                b"WARC/1.0\r\nWARC-Type: x\r\n\r\nabc\r\n\r\n"]:  # no CL
+        with pytest.raises(ValueError):
+            warc.parse_warc_records(bad)
