@@ -2012,6 +2012,81 @@ def warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "warc_http_responses",
+    doc="WARC + HTTP envelope split: response records carry full HTTP "
+    "envelopes (status line, headers, body) the way Common Crawl "
+    "ships them; read_warc_records(parse_http=True) splits status / "
+    "Content-Type / body while request records flow through with a "
+    "null status and their content as the body. Every column is "
+    "reconstructed independently in SQL from the synthesis formulas, "
+    "including the envelope text with its CRLFs.",
+    oracle="""
+SELECT doc_id, j::INT AS rec_idx,
+       CASE WHEN j = 0 THEN 'response' ELSE 'request' END AS warc_type,
+       'http://ex.com/' || doc_id || '/' || j AS target_uri,
+       (CASE WHEN j = 0 THEN 60 + length(doc_id::VARCHAR) ELSE 15 END)::BIGINT
+         AS content_length,
+       CASE WHEN j = 0
+            THEN 'HTTP/1.1 ' || (CASE WHEN doc_id % 3 = 0 THEN 404 ELSE 200 END)
+                 || ' X' || chr(13) || chr(10) || 'Content-Type: text/html'
+                 || chr(13) || chr(10) || chr(13) || chr(10)
+                 || '<p>doc ' || doc_id || ' rec 0</p>'
+            ELSE 'GET /x HTTP/1.1' END AS content_text,
+       (CASE WHEN j = 0
+             THEN CASE WHEN doc_id % 3 = 0 THEN 404 ELSE 200 END END)::INT
+         AS http_status,
+       CASE WHEN j = 0 THEN 'text/html' END AS http_content_type,
+       CASE WHEN j = 0 THEN '<p>doc ' || doc_id || ' rec 0</p>'
+            ELSE 'GET /x HTTP/1.1' END AS body_text
+FROM documents CROSS JOIN (VALUES (0),(1)) t(j)
+WHERE doc_id % 9 = 7
+""",
+)
+def warc_http_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..sources import warc
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 9 == 7
+    ).select("doc_id")
+
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                status = 404 if d % 3 == 0 else 200
+                body = f"<p>doc {d} rec 0</p>"
+                envelope = (
+                    f"HTTP/1.1 {status} X\r\nContent-Type: text/html\r\n\r\n"
+                    + body
+                )
+                recs = [
+                    {"headers": {"WARC-Type": "response",
+                                 "WARC-Target-URI": f"http://ex.com/{d}/0"},
+                     "content": envelope.encode()},
+                    {"headers": {"WARC-Type": "request",
+                                 "WARC-Target-URI": f"http://ex.com/{d}/1"},
+                     "content": b"GET /x HTTP/1.1"},
+                ]
+                ids.append(d)
+                payloads.append(warc.write_warc(recs, gzip_members=True))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = docs.mapInPandas(synth, synth_schema)
+    return warc.read_warc_records(payloads, "doc_id", "payload", parse_http=True)
+
+
+@register(
     "y4m_frame_sample_stats",
     doc="REAL video decode: per-doc 10-frame 8x8 mono YUV4MPEG2 stream "
     "built from a closed-form luma formula, parsed by the pure-numpy "

@@ -142,6 +142,31 @@ def write_warc(records: list[dict], gzip_members: bool = False) -> bytes:
     return bytes(out)
 
 
+def split_http_response(content: bytes):
+    """Split the HTTP envelope a Common Crawl ``response`` record
+    carries: returns (status_code, headers dict lower-cased, body
+    bytes). Returns (None, {}, content) when the content is not an
+    HTTP response — WARC metadata/request records flow through
+    unsplit rather than erroring."""
+    if not content.startswith(b"HTTP/"):
+        return None, {}, content
+    head, sep, body = content.partition(b"\r\n\r\n")
+    if not sep:
+        return None, {}, content
+    lines = head.split(b"\r\n")
+    parts = lines[0].split(None, 2)
+    if len(parts) < 2 or not parts[1].isdigit():
+        return None, {}, content
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        name, hsep, value = line.partition(b":")
+        if hsep:
+            headers[name.strip().decode("ascii", "replace").lower()] = (
+                value.strip().decode("utf-8", "replace")
+            )
+    return int(parts[1]), headers, body
+
+
 WARC_RECORDS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -153,18 +178,33 @@ WARC_RECORDS_SCHEMA = T.StructType(
     ]
 )
 
+WARC_HTTP_SCHEMA = T.StructType(
+    list(WARC_RECORDS_SCHEMA)
+    + [
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("http_content_type", T.StringType()),
+        T.StructField("body_text", T.StringType()),
+    ]
+)
 
-def read_warc_records(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+
+def read_warc_records(
+    df: DataFrame, id_col: str, payload_col: str, parse_http: bool = False
+) -> DataFrame:
     """1->N record expansion over WARC payload columns: each input row
     becomes one output row per WARC record (type, target URI, length,
-    UTF-8-decoded content). Arrow-batched mapInPandas; payload bytes
-    are projected away before any shuffle; rows whose payload fails to
-    parse are dropped (corrupt-crawl posture: quarantine the document,
-    keep the batch)."""
+    UTF-8-decoded content). With ``parse_http=True`` the HTTP envelope
+    inside ``response`` records is split too (status, Content-Type,
+    body) — the form the HTML-strip / quality lanes consume; non-HTTP
+    records carry a null status and their content as the body.
+    Arrow-batched mapInPandas; payload bytes are projected away before
+    any shuffle; rows whose payload fails to parse are dropped
+    (corrupt-crawl posture: quarantine the document, keep the batch)."""
+    schema = WARC_HTTP_SCHEMA if parse_http else WARC_RECORDS_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows: dict[str, list] = {f.name: [] for f in WARC_RECORDS_SCHEMA}
+            rows: dict[str, list] = {f.name: [] for f in schema}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     records = parse_warc_records(
@@ -183,6 +223,16 @@ def read_warc_records(df: DataFrame, id_col: str, payload_col: str) -> DataFrame
                     rows["content_text"].append(
                         rec["content"].decode("utf-8", "replace")
                     )
-            yield pd.DataFrame(rows)
+                    if parse_http:
+                        status, hdrs, body = split_http_response(rec["content"])
+                        rows["http_status"].append(status)
+                        rows["http_content_type"].append(
+                            hdrs.get("content-type")
+                        )
+                        rows["body_text"].append(body.decode("utf-8", "replace"))
+            pdf_out = pd.DataFrame(rows)
+            if parse_http and len(pdf_out):
+                pdf_out["http_status"] = pdf_out["http_status"].astype("Int32")
+            yield pdf_out
 
-    return df.select(id_col, payload_col).mapInPandas(run, WARC_RECORDS_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

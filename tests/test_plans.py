@@ -445,6 +445,7 @@ PYTHON_EVAL_BY_DESIGN = {
     "wav_audio_decode_stats",  # same, PCM WAV RIFF walker
     "g711_audio_decode_stats",  # same, mu-law expansion
     "warc_ingest_stats",  # same lane, pure-stdlib WARC container walk
+    "warc_http_responses",  # same + the HTTP envelope split
     "y4m_frame_sample_stats",  # same, YUV4MPEG2 container walker
 }
 

@@ -258,3 +258,39 @@ def test_warc_roundtrip_gzip_members_and_quarantine(spark):
                 b"WARC/1.0\r\nWARC-Type: x\r\n\r\nabc\r\n\r\n"]:  # no CL
         with pytest.raises(ValueError):
             warc.parse_warc_records(bad)
+
+
+def test_warc_http_envelope_split(spark):
+    """parse_http=True splits the HTTP envelope inside response
+    records (status, Content-Type, body) and passes non-HTTP records
+    through with a null status."""
+    from llm_enhanced_data_pipeline_spark.sources import warc
+
+    status, headers, body = warc.split_http_response(
+        b"HTTP/1.1 301 Moved\r\nLocation: /x\r\nContent-Type: a/b\r\n\r\nBODY"
+    )
+    assert (status, body) == (301, b"BODY")
+    assert headers == {"location": "/x", "content-type": "a/b"}
+    # non-HTTP content flows through unsplit
+    assert warc.split_http_response(b"GET / HTTP/1.1") == (None, {}, b"GET / HTTP/1.1")
+    # headerless/malformed status lines flow through too, never raise
+    assert warc.split_http_response(b"HTTP/1.1 weird\r\n\r\nx")[0] is None
+
+    recs = [
+        {"headers": {"WARC-Type": "response", "WARC-Target-URI": "u0"},
+         "content": b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>hi</p>"},
+        {"headers": {"WARC-Type": "request", "WARC-Target-URI": "u1"},
+         "content": b"GET / HTTP/1.1"},
+    ]
+    rows = [Row(doc_id=1, payload=warc.write_warc(recs, gzip_members=True))]
+    out = {
+        r.rec_idx: r
+        for r in warc.read_warc_records(
+            spark.createDataFrame(rows), "doc_id", "payload", parse_http=True
+        ).collect()
+    }
+    assert out[0].http_status == 200
+    assert out[0].http_content_type == "text/html"
+    assert out[0].body_text == "<p>hi</p>"
+    assert out[1].http_status is None
+    assert out[1].body_text == "GET / HTTP/1.1"
