@@ -591,3 +591,98 @@ def domain_cap_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_kept"),
     )
+
+
+# --- crawl-to-corpus capstone: the WARC ingestion lane feeding the ---
+# hygiene operators. A crawl dump (Common Crawl layout: gzip member
+# per record, HTTP envelopes inside response records) flows through
+# read_warc_records(parse_http=True) -> status/content-type gates ->
+# html_strip -> token-count quality floor -> content fingerprint — the
+# full "crawl file in, training text out" chain in ONE lazy lineage.
+# The oracle rebuilds the page markup from the same formula, applies
+# the identical html_strip regex chain, and re-derives every output
+# column without seeing a container byte.
+@register(
+    "corpus_build_v6",
+    doc="Crawl-to-corpus build: per-doc 2-record WARC (a 200 text/html "
+    "page wrapping the document's text in real markup incl. a script "
+    "block, plus a 404 page that the status gate must drop), parsed "
+    "by the pure-stdlib WARC reader with HTTP-envelope split, then "
+    "html_strip -> tokens -> quality floor (>= 3 tokens) -> md5 "
+    "fingerprint. End-to-end: container walk, envelope split, markup "
+    "removal, and hygiene gates all verified in one hash-compared "
+    "lineage.",
+    oracle=f"""
+WITH stripped AS (
+  SELECT doc_id,
+         {cleaning.html_strip_sql(
+             "'<html><body><h1>Doc</h1><p>' || text || "
+             "'</p><script>track();</script></body></html>'"
+         )} AS clean
+  FROM documents WHERE doc_id % 9 = 8
+)
+SELECT doc_id,
+       len({tokens_sql("clean")})::BIGINT AS n_toks,
+       md5(clean) AS fp
+FROM stripped
+WHERE len({tokens_sql("clean")}) >= 3
+""",
+)
+def corpus_build_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..functions import hashing
+    from ..sources import warc
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 9 == 8
+    ).select("doc_id", "text")
+
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                page = (
+                    "<html><body><h1>Doc</h1><p>" + (text or "")
+                    + "</p><script>track();</script></body></html>"
+                )
+                ok_env = (
+                    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + page
+                )
+                gone_env = (
+                    "HTTP/1.1 404 NF\r\nContent-Type: text/html\r\n\r\n"
+                    "<html><body><p>gone away entirely</p></body></html>"
+                )
+                recs = [
+                    {"headers": {"WARC-Type": "response",
+                                 "WARC-Target-URI": f"http://ex.com/{d}"},
+                     "content": ok_env.encode()},
+                    {"headers": {"WARC-Type": "response",
+                                 "WARC-Target-URI": f"http://ex.com/{d}/old"},
+                     "content": gone_env.encode()},
+                ]
+                ids.append(d)
+                payloads.append(warc.write_warc(recs, gzip_members=True))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = docs.mapInPandas(synth, synth_schema)
+    recs = warc.read_warc_records(payloads, "doc_id", "payload", parse_http=True)
+    return (
+        recs.filter(
+            (F.col("http_status") == 200)
+            & (F.col("http_content_type") == "text/html")
+        )
+        .withColumn("clean", cleaning.html_strip(F.col("body_text")))
+        .withColumn("n_toks", F.size(cleaning.tokens(F.col("clean"))).cast("bigint"))
+        .filter(F.col("n_toks") >= 3)
+        .select("doc_id", "n_toks", hashing.md5_hex(F.col("clean")).alias("fp"))
+    )

@@ -446,6 +446,8 @@ PYTHON_EVAL_BY_DESIGN = {
     "g711_audio_decode_stats",  # same, mu-law expansion
     "warc_ingest_stats",  # same lane, pure-stdlib WARC container walk
     "warc_http_responses",  # same + the HTTP envelope split
+    "corpus_build_v6",  # crawl-to-corpus: WARC ingest feeding the
+    # hygiene lanes — the mapInPandas is the container walk itself
     "y4m_frame_sample_stats",  # same, YUV4MPEG2 container walker
 }
 
