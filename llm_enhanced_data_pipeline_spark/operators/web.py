@@ -143,3 +143,162 @@ def cap_per_domain(
         .filter(F.col("_rk") <= cap)
         .drop("_rk")
     )
+
+
+# --- robots.txt / crawl politeness (RFC 9309) ------------------------
+# A compliant corpus builder must honor the Robots Exclusion Protocol:
+# crawls land with per-domain robots.txt payloads, and every candidate
+# URL needs an allow/deny verdict before its content may enter the
+# corpus. Two pieces: a pure-Python parser (grammar work, runs in the
+# same Arrow mapInPandas lane as the codecs) and a DECLARATIVE
+# admission operator (billions of URLs x millions of domains is a
+# domain-equi join + a per-URL window — never a Python loop).
+
+
+def parse_robots(text: str):
+    """Parse robots.txt per RFC 9309: returns (rules, sitemaps) where
+    rules is a list of (user_agent lowercased, allow bool, pattern)
+    and sitemaps a list of URLs. Grammar handled: comments, blank
+    lines, case-insensitive field names, consecutive user-agent lines
+    sharing one group, a user-agent line after rules starting a NEW
+    group, empty Disallow (= no restriction, dropped), unknown fields
+    ignored. Pattern semantics ('*', trailing '$') are the MATCHER's
+    job — patterns pass through verbatim."""
+    if text is None:
+        raise ValueError("robots.txt payload is None")
+    rules: list[tuple[str, bool, str]] = []
+    sitemaps: list[str] = []
+    group_uas: list[str] = []
+    group_open = False  # collecting consecutive user-agent lines
+    for raw in str(text).splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        field, sep, value = line.partition(":")
+        if not sep:
+            continue  # malformed line: RFC says ignore
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not group_open:
+                group_uas = []
+                group_open = True
+            group_uas.append(value.lower())
+        elif field in ("allow", "disallow"):
+            group_open = False
+            if not group_uas:
+                continue  # rule before any group: ignored per RFC
+            if not value:
+                continue  # empty (dis)allow: no restriction
+            for ua in group_uas:
+                rules.append((ua, field == "allow", value))
+        elif field == "sitemap":
+            if value:
+                sitemaps.append(value)
+        else:
+            group_open = False  # unknown field ends the UA run
+    return rules, sitemaps
+
+
+ROBOTS_RULES_SCHEMA = None  # built lazily to avoid a types import cycle
+
+
+def read_robots_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """1->N rule expansion over robots.txt text columns: one row per
+    (user-agent, rule), rule_idx preserving file order within the
+    document. Unparseable payloads are dropped (same quarantine
+    posture as the codec lanes)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("rule_idx", T.IntegerType()),
+            T.StructField("user_agent", T.StringType()),
+            T.StructField("allow", T.BooleanType()),
+            T.StructField("pattern", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in schema}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                try:
+                    rules, _ = parse_robots(text)
+                except ValueError:
+                    continue
+                for j, (ua, allow, pattern) in enumerate(rules):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["rule_idx"].append(j)
+                    rows["user_agent"].append(ua)
+                    rows["allow"].append(bool(allow))
+                    rows["pattern"].append(pattern)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def robots_like_pattern(pattern: Column) -> Column:
+    """RFC 9309 path pattern -> SQL LIKE pattern (ESCAPE '\\\\'):
+    literal \\ % _ are escaped, '*' becomes '%', a trailing '$'
+    anchors the match, otherwise a trailing '%' keeps prefix
+    semantics. LIKE is whole-stage-codegen-friendly on the JVM and
+    has the identical algebra in DuckDB, so the admission operator
+    and its oracle share one translation."""
+    esc = F.regexp_replace(pattern, r"([\\%_])", r"\\$1")
+    esc = F.regexp_replace(esc, r"\*", "%")
+    return F.when(
+        esc.endswith("$"), F.regexp_replace(esc, r"\$$", "")
+    ).otherwise(F.concat(esc, F.lit("%")))
+
+
+def robots_admission(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_id_col: str = "url_id",
+    domain_col: str = "domain",
+    path_col: str = "path",
+) -> DataFrame:
+    """Allow/deny verdict per URL against per-domain robots rules —
+    DECLARATIVE longest-match: a domain-equi join (rule sets per
+    domain are tiny, URLs are the big side), LIKE-translated pattern
+    match, and a per-URL window ordered by RFC 9309 precedence
+    (longest matching pattern wins; tie -> allow). URLs whose domain
+    has no matching rule are allowed (the protocol's default).
+    Returns urls + ``allowed`` (+ ``matched_pattern`` for audit)."""
+    from pyspark.sql import Window
+
+    r = rules.select(
+        F.col(domain_col),
+        F.col("pattern"),
+        F.col("allow"),
+        F.length("pattern").alias("_plen"),
+        robots_like_pattern(F.col("pattern")).alias("_lp"),
+    )
+    j = urls.join(r, domain_col, "left").withColumn(
+        "_m",
+        F.col("_lp").isNotNull()
+        & F.expr(f"{path_col} LIKE _lp ESCAPE '\\\\'"),
+    )
+    w = Window.partitionBy(url_id_col).orderBy(
+        F.when(F.col("_m"), F.col("_plen")).otherwise(F.lit(-1)).desc(),
+        F.col("allow").desc_nulls_last(),
+        F.col("pattern").asc_nulls_last(),  # total order for determinism
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            url_id_col,
+            domain_col,
+            path_col,
+            F.when(F.col("_m"), F.col("allow")).otherwise(F.lit(True)).alias(
+                "allowed"
+            ),
+            F.when(F.col("_m"), F.col("pattern")).alias("matched_pattern"),
+        )
+    )

@@ -686,3 +686,120 @@ def corpus_build_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_toks") >= 3)
         .select("doc_id", "n_toks", hashing.md5_hex(F.col("clean")).alias("fp"))
     )
+
+
+# --- robots.txt / crawl politeness gates (operators/web.py) ----------
+@register(
+    "robots_rules_parse",
+    doc="Robots Exclusion Protocol (RFC 9309) parse: per-doc robots.txt "
+    "text synthesized from closed-form formulas — two groups ('*' and "
+    "trainbot), comments, a blank-line group break, an empty Disallow "
+    "that must be dropped, a Crawl-delay the grammar must skip — "
+    "expanded 1->N into (user_agent, allow, pattern) rule rows; the "
+    "oracle rebuilds every row independently in SQL.",
+    oracle="""
+SELECT doc_id, j::INT AS rule_idx,
+       CASE WHEN j < 2 THEN '*' ELSE 'trainbot' END AS user_agent,
+       (j IN (1, 3)) AS allow,
+       CASE j WHEN 0 THEN '/private' || (doc_id % 5) || '/'
+              WHEN 1 THEN '/private' || (doc_id % 5) || '/pub'
+              WHEN 2 THEN '/tmp' || (doc_id % 3) || '*'
+              ELSE '/data' || (doc_id % 7) || '$' END AS pattern
+FROM documents CROSS JOIN (VALUES (0),(1),(2),(3)) t(j)
+WHERE doc_id % 11 = 3
+""",
+)
+def robots_rules_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 11 == 3
+    ).select("doc_id")
+    d = F.col("doc_id")
+    text = F.concat(
+        F.lit("# corpus politeness\nUser-agent: *\nDisallow: /private"),
+        (d % 5).cast("string"),
+        F.lit("/\nAllow: /private"),
+        (d % 5).cast("string"),
+        F.lit("/pub\nCrawl-delay: 5\n\nUser-agent: trainbot\nDisallow: /tmp"),
+        (d % 3).cast("string"),
+        F.lit("*\nDisallow:\nAllow: /data"),
+        (d % 7).cast("string"),
+        F.lit("$\n"),
+    )
+    return web.read_robots_rules(
+        docs.withColumn("robots_txt", text), "doc_id", "robots_txt"
+    )
+
+
+@register(
+    "robots_url_admission",
+    doc="RFC 9309 URL admission at corpus scale: per-domain rule "
+    "frames joined domain-equi against candidate URLs, LIKE-translated "
+    "pattern match ('*' wildcard, '$' anchor, metachars escaped), "
+    "longest-matching-pattern precedence with allow winning ties, "
+    "default-allow for unmatched URLs — all declarative (window over "
+    "the URL id, no Python in the match path). The oracle states the "
+    "expected verdict and matched pattern for each engineered URL "
+    "shape: prefix deny, longer-allow override, '$'-anchored exact "
+    "deny, and the no-rule default.",
+    oracle="""
+SELECT (doc_id * 10 + u)::BIGINT AS url_id,
+       'd' || doc_id || '.com' AS domain,
+       CASE u WHEN 0 THEN '/a/x'
+              WHEN 1 THEN '/a/b' || (doc_id % 3) || '/page'
+              WHEN 2 THEN '/c' || (doc_id % 2)
+              ELSE '/free' END AS path,
+       (u IN (1, 3)) AS allowed,
+       CASE u WHEN 0 THEN '/a'
+              WHEN 1 THEN '/a/b' || (doc_id % 3)
+              WHEN 2 THEN '/c' || (doc_id % 2) || '$' END AS matched_pattern
+FROM documents CROSS JOIN (VALUES (0),(1),(2),(3)) t(u)
+WHERE doc_id % 11 = 5
+""",
+)
+def robots_url_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 11 == 5
+    ).select("doc_id")
+    d = F.col("doc_id")
+    domain = F.concat(F.lit("d"), d.cast("string"), F.lit(".com"))
+    rules = docs.select(
+        domain.alias("domain"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("/a").alias("pattern"), F.lit(False).alias("allow")),
+                F.struct(
+                    F.concat(F.lit("/a/b"), (d % 3).cast("string")).alias("pattern"),
+                    F.lit(True).alias("allow"),
+                ),
+                F.struct(
+                    F.concat(F.lit("/c"), (d % 2).cast("string"), F.lit("$")).alias(
+                        "pattern"
+                    ),
+                    F.lit(False).alias("allow"),
+                ),
+            )
+        ).alias("r"),
+    ).select("domain", F.col("r.pattern"), F.col("r.allow"))
+    urls = docs.select(
+        d.alias("doc_id"),
+        domain.alias("domain"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("u"), F.lit("/a/x").alias("path")),
+                F.struct(
+                    F.lit(1).alias("u"),
+                    F.concat(F.lit("/a/b"), (d % 3).cast("string"), F.lit("/page")).alias("path"),
+                ),
+                F.struct(
+                    F.lit(2).alias("u"),
+                    F.concat(F.lit("/c"), (d % 2).cast("string")).alias("path"),
+                ),
+                F.struct(F.lit(3).alias("u"), F.lit("/free").alias("path")),
+            )
+        ).alias("q"),
+    ).select(
+        (F.col("doc_id") * 10 + F.col("q.u")).cast("bigint").alias("url_id"),
+        "domain",
+        F.col("q.path"),
+    )
+    return web.robots_admission(urls, rules)

@@ -448,6 +448,8 @@ PYTHON_EVAL_BY_DESIGN = {
     "warc_http_responses",  # same + the HTTP envelope split
     "corpus_build_v6",  # crawl-to-corpus: WARC ingest feeding the
     # hygiene lanes — the mapInPandas is the container walk itself
+    "robots_rules_parse",  # robots.txt grammar walk (the admission
+    # operator itself is declarative and is NOT allowlisted)
     "y4m_frame_sample_stats",  # same, YUV4MPEG2 container walker
 }
 

@@ -391,3 +391,90 @@ def test_psl_max_labels_derived_from_passed_rules(spark):
         assert got[i] == want, (host, got[i], want)
         sql = psl.registered_domain_psl_sql(f"'{host}'", normal, wildcard, exception)
         assert con.execute(f"SELECT {sql}").fetchone()[0] == want, host
+
+
+def test_parse_robots_grammar():
+    """RFC 9309 grammar: comments, blank-line breaks, consecutive UA
+    lines sharing a group, a UA line after rules starting a NEW group,
+    empty Disallow dropped, unknown fields skipped without ending the
+    group's rules, rules before any group ignored, sitemaps global."""
+    text = (
+        "Disallow: /before-any-group\n"   # ignored per RFC
+        "# politeness\n"
+        "User-agent: *\n"
+        "Disallow: /private/   # trailing comment\n"
+        "Crawl-delay: 5\n"                 # unknown field: skipped
+        "Allow: /private/ok\n"             # still the '*' group
+        "\n"
+        "User-agent: TrainBot\n"           # case-insensitive UA
+        "User-agent: evalbot\n"            # consecutive UAs share rules
+        "Disallow: /tmp*\n"
+        "Disallow:\n"                      # empty: no restriction
+        "Allow: /tmp/keep$\n"
+        "Sitemap: http://ex.com/s.xml\n"
+    )
+    rules, sitemaps = web.parse_robots(text)
+    assert rules == [
+        ("*", False, "/private/"),
+        ("*", True, "/private/ok"),
+        ("trainbot", False, "/tmp*"),
+        ("evalbot", False, "/tmp*"),
+        ("trainbot", True, "/tmp/keep$"),
+        ("evalbot", True, "/tmp/keep$"),
+    ]
+    assert sitemaps == ["http://ex.com/s.xml"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        web.parse_robots(None)
+
+
+def test_robots_admission_precedence(spark):
+    """RFC 9309 precedence on the declarative matcher: longest pattern
+    wins, allow wins ties, '$' anchors exactly, '*' wildcards, LIKE
+    metachars in patterns are literal, unmatched domains/paths default
+    to allowed."""
+    rules = spark.createDataFrame(
+        [
+            Row(domain="a.com", pattern="/private/", allow=False),
+            Row(domain="a.com", pattern="/private/ok", allow=True),
+            Row(domain="a.com", pattern="/tmp*", allow=False),
+            Row(domain="a.com", pattern="/tmp/keep$", allow=True),
+            Row(domain="a.com", pattern="/x_y%z\\w", allow=False),
+            Row(domain="a.com", pattern="/t", allow=True),   # tie length
+            Row(domain="a.com", pattern="/t", allow=False),  # -> allow wins
+            Row(domain="b.com", pattern="/", allow=False),
+        ]
+    )
+    urls = spark.createDataFrame(
+        [
+            Row(url_id=1, domain="a.com", path="/public/page"),
+            Row(url_id=2, domain="a.com", path="/private/secret"),
+            Row(url_id=3, domain="a.com", path="/private/okay"),
+            Row(url_id=4, domain="a.com", path="/tmp/file"),
+            Row(url_id=5, domain="a.com", path="/tmp/keep"),
+            Row(url_id=6, domain="a.com", path="/tmp/keepX"),
+            Row(url_id=7, domain="a.com", path="/x_y%z\\w-more"),
+            Row(url_id=8, domain="a.com", path="/t-tie"),
+            Row(url_id=9, domain="b.com", path="/anything"),
+            Row(url_id=10, domain="c.com", path="/no-rules"),
+        ]
+    )
+    out = {
+        r.url_id: (r.allowed, r.matched_pattern)
+        for r in web.robots_admission(urls, rules).collect()
+    }
+    assert out == {
+        1: (True, None),
+        2: (False, "/private/"),
+        3: (True, "/private/ok"),
+        4: (False, "/tmp*"),
+        5: (True, "/tmp/keep$"),
+        6: (False, "/tmp*"),
+        7: (False, "/x_y%z\\w"),
+        8: (True, "/t"),
+        9: (False, "/"),
+        10: (True, None),
+    }
+    # one row per URL regardless of how many rules matched
+    assert web.robots_admission(urls, rules).count() == 10
