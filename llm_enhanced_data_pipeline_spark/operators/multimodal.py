@@ -792,13 +792,13 @@ def _jpeg_flush_eobrun(bw, ac_tab, st) -> None:
         st["br"] = []
 
 
-def _jpeg_enc_ac_first_block(bw, ac_tab, blk_zz, al, st) -> None:
-    """Progressive AC first scan (Ah=0) for one block: magnitudes
-    shifted by Al (sign reapplied — AC SA shifts magnitudes, unlike
-    DC's arithmetic shift), zero runs + ZRL, EOB runs accumulated
-    across blocks in ``st``."""
+def _jpeg_enc_ac_first_block(bw, ac_tab, blk_zz, al, st, ss=1, se=63) -> None:
+    """Progressive AC first scan (Ah=0) for one block over the
+    spectral band [ss, se]: magnitudes shifted by Al (sign reapplied —
+    AC SA shifts magnitudes, unlike DC's arithmetic shift), zero runs
+    + ZRL, EOB runs accumulated across blocks in ``st``."""
     vals = []
-    for k in range(1, 64):
+    for k in range(ss, se + 1):
         v = int(blk_zz[k])
         av = abs(v) >> al
         vals.append(av if v >= 0 else -av)
@@ -827,20 +827,21 @@ def _jpeg_enc_ac_first_block(bw, ac_tab, blk_zz, al, st) -> None:
         amp = v if v > 0 else v + (1 << s) - 1
         bw.write(amp & ((1 << s) - 1), s)
         r = 0
-    if last < 62:
+    if last < se - ss:
         st["eobrun"] += 1
         _jpeg_flush_eobrun(bw, ac_tab, st)  # run-of-1: see helper note
 
 
-def _jpeg_enc_ac_refine_block(bw, ac_tab, blk_zz, al, st) -> None:
-    """Progressive AC refinement scan (Ah=Al+1) for one block — the
-    T.81 G.7 shape: already-nonzero coefficients contribute one
-    correction bit each (buffered, emitted after the symbol they
-    ride with); |coef|>>Al == 1 coefficients are newly nonzero and
-    get a (run, 1) symbol + sign; trailing content folds into the
-    cross-block EOB run with its correction bits buffered under it."""
-    absv = [abs(int(blk_zz[k])) >> al for k in range(1, 64)]
-    signs = [1 if int(blk_zz[k]) >= 0 else 0 for k in range(1, 64)]
+def _jpeg_enc_ac_refine_block(bw, ac_tab, blk_zz, al, st, ss=1, se=63) -> None:
+    """Progressive AC refinement scan (Ah=Al+1) for one block over the
+    spectral band [ss, se] — the T.81 G.7 shape: already-nonzero
+    coefficients contribute one correction bit each (buffered, emitted
+    after the symbol they ride with); |coef|>>Al == 1 coefficients are
+    newly nonzero and get a (run, 1) symbol + sign; trailing content
+    folds into the cross-block EOB run with its correction bits
+    buffered under it."""
+    absv = [abs(int(blk_zz[k])) >> al for k in range(ss, se + 1)]
+    signs = [1 if int(blk_zz[k]) >= 0 else 0 for k in range(ss, se + 1)]
     eob = -1
     for i, v in enumerate(absv):
         if v == 1:
@@ -885,7 +886,8 @@ def _jpeg_enc_ac_refine_block(bw, ac_tab, blk_zz, al, st) -> None:
 
 def write_jpeg(y, cb=None, cr=None, q_luma=None, q_chroma=None,
                subsampling: str = "444", restart_interval: int = 0,
-               progressive: bool = False) -> bytes:
+               progressive: bool = False,
+               ac_bands: tuple = ((1, 63),)) -> bytes:
     """Real baseline JFIF encoder: uint8 luma plane (h, w) [+ full-size
     Cb/Cr planes for color] -> sequential-DCT 8-bit Huffman JPEG using
     the Annex K example Huffman tables. ``subsampling``: "444" (no
@@ -1040,7 +1042,7 @@ def write_jpeg(y, cb=None, cr=None, q_luma=None, q_chroma=None,
             bw.flush()
             return bytes(bw.buf)
 
-        def ac_scan(c, refine: bool) -> bytes:
+        def ac_scan(c, refine: bool, ss: int, se: int) -> bytes:
             bw = _JpegBitWriter()
             st = {"eobrun": 0, "br": []}
             uy_n, ux_n = units(c)
@@ -1051,18 +1053,29 @@ def write_jpeg(y, cb=None, cr=None, q_luma=None, q_chroma=None,
             al = 0 if refine else 1
             for uy in range(uy_n):
                 for ux in range(ux_n):
-                    enc(bw, c["ac"], c["blocks"][uy * c["bw"] + ux], al, st)
+                    enc(bw, c["ac"], c["blocks"][uy * c["bw"] + ux], al, st,
+                        ss, se)
             _jpeg_flush_eobrun(bw, c["ac"], st)
             bw.flush()
             return bytes(bw.buf)
 
+        prev_end = 0
+        for ss_, se_ in ac_bands:  # bands must tile 1..63 in order
+            if ss_ != prev_end + 1 or se_ < ss_ or se_ > 63:
+                raise ValueError(f"ac_bands must tile 1..63, got {ac_bands}")
+            prev_end = se_
+        if prev_end != 63:
+            raise ValueError(f"ac_bands must tile 1..63, got {ac_bands}")
+
         out = bytearray(head)
         out += sos(comps_e, 0, 0, 0, 1) + dc_scan(refine=False)
         for c in comps_e:
-            out += sos([c], 1, 63, 0, 1) + ac_scan(c, refine=False)
+            for ss_, se_ in ac_bands:
+                out += sos([c], ss_, se_, 0, 1) + ac_scan(c, False, ss_, se_)
         out += sos(comps_e, 0, 0, 1, 0) + dc_scan(refine=True)
         for c in comps_e:
-            out += sos([c], 1, 63, 1, 0) + ac_scan(c, refine=True)
+            for ss_, se_ in ac_bands:
+                out += sos([c], ss_, se_, 1, 0) + ac_scan(c, True, ss_, se_)
         out += b"\xff\xd9"  # EOI
         return bytes(out)
 

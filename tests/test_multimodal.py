@@ -590,6 +590,23 @@ def test_jpeg_progressive_equivalence_and_contracts():
     )
     assert (base[3] == prog[3]).all()
 
+    # banded spectral selection (what real libjpeg scan scripts emit:
+    # AC split across several [Ss, Se] scans) must stay bit-identical
+    # to baseline too — this drives the decoder's per-band EOB-run and
+    # refinement bookkeeping, which full-band scans never exercise
+    y4 = rng.integers(0, 256, (24, 31), dtype=np.uint8)
+    bb = multimodal.parse_jpeg(multimodal.write_jpeg(y4, q_luma=[1] * 64))
+    for bands in [((1, 5), (6, 63)), ((1, 1), (2, 9), (10, 63))]:
+        pp = multimodal.parse_jpeg(
+            multimodal.write_jpeg(
+                y4, q_luma=[1] * 64, progressive=True, ac_bands=bands
+            )
+        )
+        assert (bb[3] == pp[3]).all(), bands
+    for bad_bands in [((2, 63),), ((1, 5), (7, 63)), ((1, 40),)]:
+        with pytest.raises(ValueError):
+            multimodal.write_jpeg(y4, progressive=True, ac_bands=bad_bands)
+
     # contracts: DRI+progressive unsupported in the encoder; truncated
     # progressive streams quarantine
     with pytest.raises(ValueError):
