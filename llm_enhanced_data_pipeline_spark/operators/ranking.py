@@ -86,15 +86,28 @@ def global_rank(
     #    is tiny by construction (B-1 scalars), so the collect is a
     #    driver-side constant fold, not a driver-side loop.
     qs = [i / buckets for i in range(1, buckets)]
-    bounds = (
-        probed.agg(
-            F.percentile_approx(
-                "_gr_probe", F.array(*[F.lit(q) for q in qs]), F.lit(10_000)
-            ).alias("b")
-        ).first()["b"]
-        or []
-    )
-    if not bounds:  # empty input: rank the nothing (or 1 bucket)
+    fold = probed.agg(
+        F.percentile_approx(
+            "_gr_probe", F.array(*[F.lit(q) for q in qs]), F.lit(10_000)
+        ).alias("b"),
+        F.count(F.lit(1)).alias("n"),
+        F.count("_gr_probe").alias("n_nonnull"),
+    ).first()
+    bounds = fold["b"] or []
+    # percentile_approx returns NULL both for an empty frame and for a
+    # non-empty frame whose metric is ALL NULL. The second case must
+    # not fall through to the single-partition window this module
+    # exists to avoid (and its NULLS-FIRST order diverges from the
+    # NULLS-LAST oracle) — the non-null contract is the caller's to
+    # meet, so violating it raises.
+    if fold["n"] > 0 and fold["n_nonnull"] == 0:
+        raise ValueError(
+            f"global_rank: metric column {metric_col!r} is NULL in "
+            f"all {fold['n']} rows; filter or coalesce nulls first"
+        )
+    if not bounds:
+        # truly empty input (or buckets=1, the degenerate all-in-one
+        # bucket): rank the nothing / the one bucket (schema-stable)
         w0 = Window.partitionBy(F.lit(0)).orderBy(
             F.col("_gr_probe").asc(), F.col(id_col).asc()
         )

@@ -256,12 +256,58 @@ def robots_like_pattern(pattern: Column) -> Column:
     ).otherwise(F.concat(esc, F.lit("%")))
 
 
+def select_ua_group(
+    rules: DataFrame,
+    user_agent: str,
+    domain_col: str = "domain",
+    ua_col: str = "user_agent",
+) -> DataFrame:
+    """RFC 9309 §2.2.1 group selection, per domain: keep exactly ONE
+    user-agent group's rules — the most specific group whose token is
+    a case-insensitive prefix of the crawler's product token, else the
+    ``*`` group, else nothing. Groups are NEVER merged: a domain with
+    a ``trainbot`` group must not also apply its ``*`` rules to
+    trainbot (merging silently flips verdicts — the '*' group often
+    disallows what a bot-specific group permits, or vice versa).
+
+    Tie between equally specific matching tokens (not defined by the
+    RFC) resolves to the lexicographically smallest token for
+    determinism. Declarative: two tiny aggregates over the RULES side
+    only — the URL side never joins more than one group.
+    """
+    ua = str(user_agent).lower()
+    matched = rules.filter(
+        (F.lower(F.col(ua_col)) == "*")
+        | F.lit(ua).startswith(F.lower(F.col(ua_col)))
+    ).withColumn(
+        "_spec",
+        F.when(F.lower(F.col(ua_col)) == "*", F.lit(0)).otherwise(
+            F.length(ua_col)
+        ),
+    )
+    best = matched.groupBy(domain_col).agg(
+        F.max("_spec").alias("_best_spec")
+    )
+    at_spec = matched.join(F.broadcast(best), domain_col).filter(
+        F.col("_spec") == F.col("_best_spec")
+    )
+    pick = at_spec.groupBy(domain_col).agg(
+        F.min(F.lower(F.col(ua_col))).alias("_best_ua")
+    )
+    return (
+        at_spec.join(F.broadcast(pick), domain_col)
+        .filter(F.lower(F.col(ua_col)) == F.col("_best_ua"))
+        .drop("_spec", "_best_spec", "_best_ua")
+    )
+
+
 def robots_admission(
     urls: DataFrame,
     rules: DataFrame,
     url_id_col: str = "url_id",
     domain_col: str = "domain",
     path_col: str = "path",
+    user_agent: str | None = None,
 ) -> DataFrame:
     """Allow/deny verdict per URL against per-domain robots rules —
     DECLARATIVE longest-match: a domain-equi join (rule sets per
@@ -269,8 +315,21 @@ def robots_admission(
     match, and a per-URL window ordered by RFC 9309 precedence
     (longest matching pattern wins; tie -> allow). URLs whose domain
     has no matching rule are allowed (the protocol's default).
-    Returns urls + ``allowed`` (+ ``matched_pattern`` for audit)."""
+    Returns urls + ``allowed`` (+ ``matched_pattern`` for audit).
+
+    **User-agent contract (RFC 9309 §2.2.1)**: a robots file's groups
+    are selected, never merged — a crawler obeys its most specific
+    matching group, else the ``*`` group. Pass ``user_agent`` (the
+    crawler's product token) when ``rules`` still carries a
+    ``user_agent`` column (e.g. raw :func:`read_robots_rules` output)
+    and this operator applies :func:`select_ua_group` first. With
+    ``user_agent=None`` the caller MUST have pre-selected a single
+    group per domain already; feeding multi-group rules unselected
+    merges groups and produces wrong verdicts."""
     from pyspark.sql import Window
+
+    if user_agent is not None:
+        rules = select_ua_group(rules, user_agent, domain_col=domain_col)
 
     r = rules.select(
         F.col(domain_col),

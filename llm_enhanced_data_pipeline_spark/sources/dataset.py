@@ -66,17 +66,31 @@ def write_sharded(
     from pyspark.sql import functions as F
 
     if balance_by is not None:
+        from ..operators import dedup as _cache
         from ..operators.ranking import pack_shards_lpt
 
-        (
-            pack_shards_lpt(
-                df, balance_by, id_col, n_shards=n_shards, shard_col="_shard"
+        # global_rank scans its input three times (boundary fold,
+        # count fold, rank pass); feeding it the full ``df`` re-runs
+        # an arbitrarily expensive upstream lineage per pass. Persist
+        # a NARROW (id, size) projection for the multi-pass packing,
+        # then join the tiny assignment back — the wide lineage is
+        # computed exactly once, at write time.
+        mark = _cache.cache_mark()
+        narrow = _cache.persist_tracked(df.select(id_col, balance_by))
+        try:
+            assignment = pack_shards_lpt(
+                narrow, balance_by, id_col,
+                n_shards=n_shards, shard_col="_shard",
+            ).select(id_col, "_shard")
+            (
+                df.join(assignment, id_col)
+                .repartition(n_shards, F.col("_shard"))
+                .write.mode(mode)
+                .partitionBy("_shard")
+                .parquet(path)
             )
-            .repartition(n_shards, F.col("_shard"))
-            .write.mode(mode)
-            .partitionBy("_shard")
-            .parquet(path)
-        )
+        finally:
+            _cache.release_caches_since(mark)
         return
     (
         df.withColumn("_shard_key", F.md5(F.col(id_col).cast("string")))

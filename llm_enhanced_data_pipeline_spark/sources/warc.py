@@ -118,20 +118,59 @@ def parse_warc_records(payload: bytes) -> list[dict]:
     return records
 
 
+#: ISO 28500 §5 mandatory named fields (besides Content-Length, which
+#: is always recomputed) and the deterministic fill used when a caller
+#: omits one. WARC-Record-ID is derived per record below (uuid5 of the
+#: content + index, so re-writing the same records is reproducible);
+#: WARC-Date uses the epoch placeholder — an honest "unknown capture
+#: time" marker, never a fabricated crawl timestamp.
+_MANDATORY_FILLS = {
+    "warc-type": "resource",
+    "warc-date": "1970-01-01T00:00:00Z",
+}
+
+
 def write_warc(records: list[dict], gzip_members: bool = False) -> bytes:
     """Inverse of :func:`parse_warc_records`: each record needs
     ``headers`` (dict; Content-Length is (re)computed) and ``content``
     (bytes). ``gzip_members=True`` writes the Common Crawl layout —
-    one gzip member per record."""
+    one gzip member per record.
+
+    Header hygiene (ISO 28500): names/values containing CR or LF are
+    REJECTED with ValueError — a CRLF smuggled in an untrusted crawl
+    header would silently corrupt record framing — as are empty names
+    and names containing ``:``. The mandatory named fields WARC-Type,
+    WARC-Date and WARC-Record-ID are auto-filled deterministically
+    when absent (type ``resource``, the epoch-placeholder date, and a
+    uuid5 of the record content + index), so every stream this writer
+    emits is schema-complete per the spec."""
     import gzip
+    import uuid
 
     out = bytearray()
-    for rec in records:
+    for i, rec in enumerate(records):
         body = bytearray(b"WARC/1.0\r\n")
         headers = {k: v for k, v in rec.get("headers", {}).items()
                    if k.lower() != "content-length"}
         content = bytes(rec["content"])
+        present = {k.lower() for k in headers}
+        for lower, fill in _MANDATORY_FILLS.items():
+            if lower not in present:
+                headers["-".join(p.upper() if p == "warc" else p.capitalize()
+                                 for p in lower.split("-"))] = fill
+        if "warc-record-id" not in present:
+            rid = uuid.uuid5(uuid.NAMESPACE_URL,
+                             f"warc-record/{i}/{len(content)}/"
+                             + content[:64].hex())
+            headers["WARC-Record-ID"] = f"<urn:uuid:{rid}>"
         for name, value in headers.items():
+            name, value = str(name), str(value)
+            if not name or ":" in name or any(c in "\r\n" for c in name):
+                raise ValueError(f"bad WARC header name {name!r}")
+            if any(c in "\r\n" for c in value):
+                raise ValueError(
+                    f"CR/LF in WARC header value for {name!r}"
+                )
             body += f"{name}: {value}\r\n".encode()
         body += f"Content-Length: {len(content)}\r\n\r\n".encode()
         body += content + _CRLF + _CRLF
@@ -147,13 +186,24 @@ def split_http_response(content: bytes):
     carries: returns (status_code, headers dict lower-cased, body
     bytes). Returns (None, {}, content) when the content is not an
     HTTP response — WARC metadata/request records flow through
-    unsplit rather than erroring."""
+    unsplit rather than erroring.
+
+    Both CRLF-CRLF and bare-LF-LF head/body separators are accepted
+    (real crawls carry servers that terminate headers with ``\\n\\n``;
+    treating those as "not HTTP" leaked raw header text into the
+    document-body lanes), and header lines split on ``\\r?\\n``."""
     if not content.startswith(b"HTTP/"):
         return None, {}, content
-    head, sep, body = content.partition(b"\r\n\r\n")
-    if not sep:
+    i_crlf = content.find(b"\r\n\r\n")
+    i_lf = content.find(b"\n\n")
+    if i_crlf < 0 and i_lf < 0:
         return None, {}, content
-    lines = head.split(b"\r\n")
+    if i_crlf >= 0 and (i_lf < 0 or i_crlf <= i_lf):
+        head, body = content[:i_crlf], content[i_crlf + 4:]
+    else:
+        head, body = content[:i_lf], content[i_lf + 2:]
+    lines = [ln[:-1] if ln.endswith(b"\r") else ln
+             for ln in head.split(b"\n")]
     parts = lines[0].split(None, 2)
     if len(parts) < 2 or not parts[1].isdigit():
         return None, {}, content

@@ -60,3 +60,28 @@ def test_global_rank_matches_window_and_handles_edges(spark):
     # and ranks. No sketch and no join may survive into the plan.
     assert "percentile_approx" not in plan
     assert "Join" not in plan
+
+
+def test_global_rank_all_null_metric_raises(spark):
+    """r9 ADVICE: a non-empty frame whose metric is ALL NULL must raise
+    (percentile_approx returns NULL there too, and silently falling
+    back to the single-partition lit(0) window both defeats the module
+    and diverges from the oracle's NULLS-LAST order). Empty input and
+    the degenerate buckets=1 path still return schema-stable frames."""
+    import pytest
+    from pyspark.sql import Row
+
+    from llm_enhanced_data_pipeline_spark.operators import ranking
+
+    all_null = spark.createDataFrame(
+        [Row(id=i, m=None) for i in range(4)], "id int, m double"
+    )
+    with pytest.raises(ValueError, match="NULL in all 4 rows"):
+        ranking.global_rank(all_null, "m", "id")
+    # all-NULL raises for ANY bucket count, including the degenerate 1
+    with pytest.raises(ValueError, match="NULL"):
+        ranking.global_rank(all_null, "m", "id", buckets=1)
+    # truly empty input: no raise, schema-stable empty result
+    empty = all_null.filter("id < 0")
+    out = ranking.global_rank(empty, "m", "id")
+    assert out.count() == 0 and "rank" in out.columns

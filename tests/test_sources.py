@@ -294,3 +294,61 @@ def test_warc_http_envelope_split(spark):
     assert out[0].body_text == "<p>hi</p>"
     assert out[1].http_status is None
     assert out[1].body_text == "GET / HTTP/1.1"
+
+
+def test_warc_writer_header_hygiene_and_mandatory_fields():
+    """r9 ADVICE: write_warc must reject CR/LF in header names/values
+    (framing corruption / header smuggling from untrusted crawl
+    headers) and auto-fill the ISO 28500 mandatory named fields
+    (WARC-Type, WARC-Date, WARC-Record-ID) deterministically."""
+    from llm_enhanced_data_pipeline_spark.sources import warc
+
+    back = warc.parse_warc_records(
+        warc.write_warc([{"headers": {}, "content": b"x"}])
+    )
+    assert back[0]["headers"]["warc-type"] == "resource"
+    assert back[0]["headers"]["warc-date"] == "1970-01-01T00:00:00Z"
+    assert back[0]["headers"]["warc-record-id"].startswith("<urn:uuid:")
+    # deterministic: same records -> byte-identical stream
+    recs = [{"headers": {"WARC-Type": "response"}, "content": b"abc"}]
+    assert warc.write_warc(recs) == warc.write_warc(recs)
+    # caller-supplied mandatory fields are preserved, not overwritten
+    keep = warc.parse_warc_records(
+        warc.write_warc(
+            [{"headers": {"WARC-Date": "2020-01-02T03:04:05Z"},
+              "content": b"y"}]
+        )
+    )
+    assert keep[0]["headers"]["warc-date"] == "2020-01-02T03:04:05Z"
+    for bad in [
+        {"headers": {"X-Evil": "a\r\nWARC-Type: smuggled"}, "content": b""},
+        {"headers": {"X\nY": "v"}, "content": b""},
+        {"headers": {"A:B": "v"}, "content": b""},
+        {"headers": {"": "v"}, "content": b""},
+    ]:
+        with pytest.raises(ValueError):
+            warc.write_warc([bad])
+
+
+def test_split_http_response_bare_lf_envelope():
+    """r9 ADVICE: real crawl records terminate headers with bare LF
+    too; CRLF-only splitting leaked raw HTTP headers into body_text."""
+    from llm_enhanced_data_pipeline_spark.sources import warc
+
+    status, headers, body = warc.split_http_response(
+        b"HTTP/1.1 200 OK\nContent-Type: text/html\nX: y\n\n<p>hi</p>"
+    )
+    assert (status, body) == (200, b"<p>hi</p>")
+    assert headers == {"content-type": "text/html", "x": "y"}
+    # mixed: CRLF status line, LF-terminated header block
+    status2, headers2, body2 = warc.split_http_response(
+        b"HTTP/1.1 404 NF\r\nA: b\n\nBODY"
+    )
+    assert (status2, body2) == (404, b"BODY")
+    assert headers2 == {"a": "b"}
+    # CRLF envelope still splits on the CRLF boundary (no regression)
+    s3, h3, b3 = warc.split_http_response(b"HTTP/1.1 200 OK\r\nA: b\r\n\r\nX")
+    assert (s3, h3, b3) == (200, {"a": "b"}, b"X")
+    # body containing \n\n after a CRLF separator is untouched
+    s4, _, b4 = warc.split_http_response(b"HTTP/1.0 200 OK\r\n\r\na\n\nb")
+    assert (s4, b4) == (200, b"a\n\nb")

@@ -478,3 +478,66 @@ def test_robots_admission_precedence(spark):
     }
     # one row per URL regardless of how many rules matched
     assert web.robots_admission(urls, rules).count() == 10
+
+
+def test_robots_ua_group_selection(spark):
+    """RFC 9309 §2.2.1: groups are SELECTED, never merged — the most
+    specific group whose token prefixes the crawler's product token
+    wins, else '*', else no rules (default allow). A naive compose of
+    read_robots_rules output into robots_admission would merge every
+    UA group; the user_agent parameter applies the selection rule."""
+    rules = spark.createDataFrame(
+        [
+            # a.com: trainbot group DISALLOWS /data; the '*' group has a
+            # LONGER Allow for the same subtree — merging the groups
+            # would flip /data/secret to allowed (longest-match), the
+            # RFC selection keeps only the trainbot group
+            Row(domain="a.com", user_agent="trainbot", pattern="/data",
+                allow=False),
+            Row(domain="a.com", user_agent="*", pattern="/data/secret",
+                allow=True),
+            # b.com: only '*' — selected when no specific group matches
+            Row(domain="b.com", user_agent="*", pattern="/private",
+                allow=False),
+            # c.com: only a FOREIGN bot group — no group for us: allow
+            Row(domain="c.com", user_agent="otherbot", pattern="/",
+                allow=False),
+            # d.com: longer token beats shorter ("train" vs "trainbot")
+            Row(domain="d.com", user_agent="train", pattern="/",
+                allow=False),
+            Row(domain="d.com", user_agent="trainbot", pattern="/",
+                allow=True),
+        ]
+    )
+    urls = spark.createDataFrame(
+        [
+            Row(url_id=1, domain="a.com", path="/data/secret"),
+            Row(url_id=2, domain="a.com", path="/other"),
+            Row(url_id=3, domain="b.com", path="/private/x"),
+            Row(url_id=4, domain="b.com", path="/public"),
+            Row(url_id=5, domain="c.com", path="/anything"),
+            Row(url_id=6, domain="d.com", path="/page"),
+        ]
+    )
+    out = {
+        r.url_id: r.allowed
+        for r in web.robots_admission(
+            urls, rules, user_agent="trainbot"
+        ).collect()
+    }
+    assert out == {1: False, 2: True, 3: False, 4: True, 5: True, 6: True}
+    # the merge defect this guards against: composing ALL groups flips
+    # url 1 to allowed via the foreign group's longer pattern
+    merged = {
+        r.url_id: r.allowed
+        for r in web.robots_admission(urls, rules.drop("user_agent")).collect()
+    }
+    assert merged[1] is True
+    # group selection happens per-domain on the rules side alone
+    sel = web.select_ua_group(rules, "TrainBot")  # case-insensitive
+    got = {(r.domain, r.user_agent) for r in sel.collect()}
+    assert got == {
+        ("a.com", "trainbot"),
+        ("b.com", "*"),
+        ("d.com", "trainbot"),
+    }
