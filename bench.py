@@ -26,6 +26,15 @@ Methodology (settled round 7):
   used for round-over-round claims. `/proc/loadavg` is sampled before
   and after the run (`loadavg_before`/`loadavg_after`) so a loaded
   machine is visible in the record itself.
+- Uniform-ambient-load gate (settled round 10 — two r9 judge runs
+  passed the one-sided stall check while 15-40% inflated by
+  post-suite residual load): the record is stamped
+  `"ambient_load": true` + `ambient_load_reasons` when the 5-min
+  loadavg at start exceeds SPARK_GRAFT_BENCH_MAX_LOADAVG (default
+  0.3) or when the legacy-comparable subtotal lands outside the
+  pinned quiet-machine band in bench_baseline.json. An ambient-loaded
+  record is emitted (the driver still gets data) but is NOT usable
+  for round-over-round claims.
 """
 
 from __future__ import annotations
@@ -48,6 +57,69 @@ REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 STALL_RATIO = float(os.environ.get("SPARK_GRAFT_BENCH_STALL_RATIO", "2.0"))
 #: extra recovery reps granted to a stall-suspect slot
 MAX_EXTRA_REPS = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_REPS", "2")))
+#: 5-minute loadavg at start above which the record is stamped
+#: ambient-loaded. The per-slot median/min stall check is one-sided:
+#: UNIFORM background load (e.g. the test suite's residual JVMs)
+#: shifts median and min together, so two r9 judge runs passed
+#: contaminated=false while 15-40% inflated — with loadavg_before
+#: 0.62/0.91 sitting unused in their own payloads. This closes that
+#: hole: the signal gates the record, not just decorates it.
+AMBIENT_LOAD_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOADAVG", "0.3"))
+
+#: the round-over-round comparable slot set (see main(): rounds 1-5
+#: benched these 13 queries plus the split-out shared index build)
+LEGACY_SLOT_NAMES = frozenset({
+    "cosine_topk", "decontamination_report", "enrichment_join_5way",
+    "events_asof_join", "events_hourly_rollup", "flagship_pipeline",
+    "ivf_knn", "near_dup_pairs_minhash", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_region_revenue", "text_clean_chain",
+    "training_data_pipeline", "shared_minhash_index_build",
+})
+
+
+def ambient_load_reasons(
+    loadavg_before: list[float] | None,
+    timings: dict[str, float],
+    errors: dict[str, str],
+    legacy_names: set[str],
+) -> list[str]:
+    """Why this record must not back round-over-round claims (empty =
+    usable). Two independent detectors for uniform ambient load the
+    one-sided stall check cannot see:
+
+    1. the 5-min loadavg sampled BEFORE the run exceeds
+       ``AMBIENT_LOAD_MAX`` — work was already running on the box;
+    2. the legacy-comparable subtotal lands OUTSIDE the pinned
+       quiet-machine band in ``bench_baseline.json`` (checked only
+       when every legacy slot actually ran — partial/synthetic slot
+       sets have no meaningful subtotal). A BELOW-band subtotal is
+       flagged too: it means either a real plan improvement (re-pin
+       the band) or a measurement artifact — either way not a number
+       to quote silently against the old band.
+    """
+    reasons: list[str] = []
+    if loadavg_before is not None and len(loadavg_before) >= 2:
+        if loadavg_before[1] > AMBIENT_LOAD_MAX:
+            reasons.append(
+                f"5-min loadavg at start {loadavg_before[1]:.2f} > "
+                f"{AMBIENT_LOAD_MAX} (machine not quiet)"
+            )
+    if not errors and legacy_names <= set(timings):
+        try:
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+            ) as fh:
+                lo, hi = json.load(fh)["legacy_13slot_subtotal_band"]
+        except (OSError, KeyError, ValueError):
+            return reasons
+        subtotal = sum(v for k, v in timings.items() if k in legacy_names)
+        if not lo <= subtotal <= hi:
+            reasons.append(
+                f"legacy subtotal {subtotal:.2f}s outside the pinned "
+                f"quiet-machine band [{lo}, {hi}]"
+            )
+    return reasons
 
 
 def read_loadavg() -> list[float] | None:
@@ -217,18 +289,15 @@ def main() -> None:
     # substring_dedup_apply; this subtotal (legacy 13 + the split-out
     # build) diffs against BENCH_r06's value (r1-r5 used count()
     # forcing — see module docstring — so they are NOT like-for-like).
-    legacy_names = {
-        "cosine_topk", "decontamination_report", "enrichment_join_5way",
-        "events_asof_join", "events_hourly_rollup", "flagship_pipeline",
-        "ivf_knn", "near_dup_pairs_minhash", "q1_pricing_summary",
-        "q3_shipping_priority", "q5_region_revenue", "text_clean_chain",
-        "training_data_pipeline", "shared_minhash_index_build",
-    }
+    legacy_names = LEGACY_SLOT_NAMES
     legacy_total = round(
         sum(v for k, v in timings.items() if k in legacy_names), 4
     )
     contaminated_slots = sorted(
         k for k, v in reps.items() if slot_is_contaminated(v)
+    )
+    load_reasons = ambient_load_reasons(
+        loadavg_before, timings, errors, legacy_names
     )
     payload = {
         "metric": "headline_queries_total_wall",
@@ -239,6 +308,9 @@ def main() -> None:
         "stall_ratio": STALL_RATIO,
         "contaminated": bool(contaminated_slots),
         "contaminated_slots": contaminated_slots,
+        "ambient_load": bool(load_reasons),
+        "ambient_load_reasons": load_reasons,
+        "ambient_load_max": AMBIENT_LOAD_MAX,
         "loadavg_before": loadavg_before,
         "loadavg_after": read_loadavg(),
         "forcing": "bit_xor(xxhash64(*cols)) since r6; r1-r5 count() "
@@ -265,6 +337,15 @@ def main() -> None:
             f"reps on {contaminated_slots} (median/min > {STALL_RATIO}); "
             "this record must NOT be used for round-over-round claims — "
             "re-run on a quiet machine.",
+            file=sys.stderr,
+        )
+    if load_reasons:
+        print(
+            "# WARNING: ambient load detected — "
+            + "; ".join(load_reasons)
+            + ". The per-slot stall check cannot see UNIFORM load; this "
+            "record must NOT back round-over-round claims — re-run on a "
+            "quiet machine.",
             file=sys.stderr,
         )
     print(json.dumps(payload))

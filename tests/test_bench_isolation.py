@@ -251,3 +251,93 @@ def test_bench_force_actually_computes_all_columns(spark):
         df.select(F.bit_xor(F.xxhash64("id", "expensive")).alias("h"))
     )
     assert "xxhash64" in kept and "sha2" in kept  # real work retained
+
+
+def test_ambient_load_flag_on_high_start_loadavg(spark, monkeypatch, capsys):
+    """r9 judge finding: two runs passed contaminated=false while
+    15-40% inflated by UNIFORM post-suite residual load (median and
+    min shift together, so the one-sided ratio check is blind). The
+    5-min start loadavg must gate the record."""
+    monkeypatch.setattr(bench, "read_loadavg", lambda: [0.9, 0.62, 0.5])
+
+    def good(s, sf_dir):
+        return s.range(10)
+
+    fake_registry = {
+        "g": QuerySpec(name="g", fn=good, oracle=None, bench=True)
+    }
+    monkeypatch.setattr(bench, "REGISTRY", fake_registry)
+    monkeypatch.setattr(bench, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    bench.main()
+
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["ambient_load"] is True
+    assert any("loadavg" in r for r in payload["ambient_load_reasons"])
+    assert payload["ambient_load_max"] == bench.AMBIENT_LOAD_MAX
+    # the flag is orthogonal to per-slot stall contamination
+    assert payload["contaminated"] is False
+
+
+def test_quiet_machine_run_is_not_flagged(spark, monkeypatch, capsys):
+    monkeypatch.setattr(bench, "read_loadavg", lambda: [0.0, 0.0, 0.0])
+
+    def good(s, sf_dir):
+        return s.range(10)
+
+    fake_registry = {
+        "g": QuerySpec(name="g", fn=good, oracle=None, bench=True)
+    }
+    monkeypatch.setattr(bench, "REGISTRY", fake_registry)
+    monkeypatch.setattr(bench, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    bench.main()
+
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["ambient_load"] is False
+    assert payload["ambient_load_reasons"] == []
+
+
+def test_subtotal_outside_pinned_band_flags_the_record():
+    """Second uniform-load detector: a full legacy slot set whose
+    subtotal lands outside bench_baseline.json's quiet-machine band is
+    flagged in BOTH directions (above = load/regression; below =
+    re-pin or artifact). Partial slot sets (unit-test registries,
+    failed slots) are exempt — their subtotal is meaningless."""
+    baseline = json.load(open("bench_baseline.json"))
+    lo, hi = baseline["legacy_13slot_subtotal_band"]
+    n = len(bench.LEGACY_SLOT_NAMES)
+
+    def timings_summing_to(total):
+        return {k: total / n for k in bench.LEGACY_SLOT_NAMES}
+
+    quiet = [0.0, 0.0, 0.0]
+    inside = bench.ambient_load_reasons(
+        quiet, timings_summing_to((lo + hi) / 2), {}, bench.LEGACY_SLOT_NAMES
+    )
+    assert inside == []
+    above = bench.ambient_load_reasons(
+        quiet, timings_summing_to(hi * 1.5), {}, bench.LEGACY_SLOT_NAMES
+    )
+    assert any("outside the pinned" in r for r in above)
+    below = bench.ambient_load_reasons(
+        quiet, timings_summing_to(lo * 0.5), {}, bench.LEGACY_SLOT_NAMES
+    )
+    assert any("outside the pinned" in r for r in below)
+    # partial slot set: band check skipped, loadavg check still live
+    partial = bench.ambient_load_reasons(
+        quiet, {"cosine_topk": 99.0}, {}, bench.LEGACY_SLOT_NAMES
+    )
+    assert partial == []
+    loaded = bench.ambient_load_reasons(
+        [2.0, 1.5, 1.0], {"cosine_topk": 99.0}, {}, bench.LEGACY_SLOT_NAMES
+    )
+    assert any("loadavg" in r for r in loaded)
+    # errors present: subtotal covers fewer slots -> band check skipped
+    with_err = bench.ambient_load_reasons(
+        quiet, timings_summing_to(hi * 1.5), {"x": "boom"},
+        bench.LEGACY_SLOT_NAMES,
+    )
+    assert with_err == []
