@@ -2143,3 +2143,69 @@ def y4m_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payloads = docs.mapInPandas(synth, synth_schema)
     return multimodal.sample_frames_real(payloads, "doc_id", "payload", max_frames=4)
+
+
+@register(
+    "avi_frame_sample_stats",
+    doc="REAL compressed-video decode — the last media env gate, "
+    "retired: per-doc 6-frame 16x16 grayscale Motion-JPEG AVI (RIFF "
+    "container with the full header chain: avih, vids/MJPG strh, "
+    "BITMAPINFOHEADER strf, movi 00dc chunks, idx1 keyframe index; "
+    "every frame an independent baseline JPEG on the DC-only lattice "
+    "with a flat q=8 quant table, so the lossy roundtrip is bit-exact "
+    "— see the jpeg_image_decode_stats lattice note), parsed by the "
+    "pure-stdlib RIFF walker + the real T.81 Huffman/IDCT decoder, 4 "
+    "uniformly-strided frames sampled per stream with per-frame mean "
+    "luma compared against the closed-form expectation computed "
+    "independently in SQL.",
+    oracle=f"""
+SELECT doc_id,
+       ((j * 6) // 4)::INT AS frame_idx,
+       16 AS width, 16 AS height,
+       {rounding.stable_round_sql('''list_avg(list_transform(range(0, 4),
+             _b -> (doc_id * 19 + ((j * 6) // 4) * 31 + _b * 53) % 256))''', 4)}
+         AS mean_luma
+FROM documents CROSS JOIN (VALUES (0),(1),(2),(3)) t(j)
+WHERE doc_id % 11 = 7
+""",
+)
+def avi_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators import multimodal
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 11 == 7
+    ).select("doc_id")
+
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        flat8 = [8] * 64
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                jpegs = []
+                for f in range(6):
+                    y = np.zeros((16, 16), dtype=np.uint8)
+                    for b in range(4):
+                        by, bx = divmod(b, 2)
+                        y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            d * 19 + f * 31 + b * 53
+                        ) % 256
+                    jpegs.append(multimodal.write_jpeg(y, q_luma=flat8))
+                ids.append(d)
+                payloads.append(multimodal.write_avi_mjpeg(jpegs, 16, 16, 24, 1))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = docs.mapInPandas(synth, synth_schema)
+    return multimodal.sample_frames_real(payloads, "doc_id", "payload", max_frames=4)

@@ -40,9 +40,13 @@ def test_binary_metadata_format_sniff(spark):
     assert out[3].n == len(b"plain bytes")
 
 
-def test_decode_image_is_explicitly_stubbed():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(F.lit(b""))
+def test_no_notimplemented_media_gates_remain():
+    """r10: the last media env gate (video) is retired — MJPEG-in-AVI
+    decodes for real through parse_jpeg. No NotImplementedError may
+    survive anywhere in the module."""
+    import inspect
+
+    assert "NotImplementedError" not in inspect.getsource(multimodal)
 
 
 def test_resize_thumbnails_fixed_size(spark):
@@ -845,3 +849,136 @@ def test_codec_quarantine_covers_stream_and_degenerate_inputs(spark):
         for r in multimodal.decode_audio_stats(df, "doc_id", "payload").collect()
     }
     assert set(out) == {2} and out[2].rms == 0.5
+
+
+def test_avi_mjpeg_roundtrip_and_quarantine(spark):
+    """RIFF AVI / Motion-JPEG: container roundtrip on the DC-only
+    lattice is bit-exact per frame (each 00dc chunk a real baseline
+    JPEG through parse_jpeg), header chain validated, malformed
+    containers raise, and the Spark frame-sampling lane dispatches
+    AVI next to Y4M with corrupt-payload quarantine."""
+    import numpy as np
+
+    flat8 = [8] * 64
+
+    def luma_frame(d, f):
+        y = np.zeros((16, 16), dtype=np.uint8)
+        for b in range(4):
+            by, bx = divmod(b, 2)
+            y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                d * 19 + f * 31 + b * 53
+            ) % 256
+        return y
+
+    jpegs = [
+        multimodal.write_jpeg(luma_frame(3, f), q_luma=flat8) for f in range(6)
+    ]
+    avi = multimodal.write_avi_mjpeg(jpegs, 16, 16, 24, 1)
+    w, h, fn, fd, frames = multimodal.parse_avi_mjpeg(avi)
+    assert (w, h, fn, fd, len(frames)) == (16, 16, 24, 1, 6)
+    for f in range(6):
+        assert np.array_equal(frames[f][:, :, 0], luma_frame(3, f)), f
+
+    # color MJPEG frames decode through the same path (RGB, 3 ch)
+    y = np.full((16, 16), 100, dtype=np.uint8)
+    cb = np.full((16, 16), 120, dtype=np.uint8)
+    cr = np.full((16, 16), 140, dtype=np.uint8)
+    cavi = multimodal.write_avi_mjpeg(
+        [multimodal.write_jpeg(y, cb, cr, q_luma=flat8, q_chroma=flat8)],
+        16, 16,
+    )
+    _, _, _, _, cframes = multimodal.parse_avi_mjpeg(cavi)
+    assert cframes[0].shape == (16, 16, 3)
+
+    # malformed-container contract: quarantine, never garbage
+    import struct
+    not_mjpg = avi.replace(b"MJPG", b"H264")
+    for bad in [None, b"", b"RIFF\x08\x00\x00\x00WAVE", avi[:60], avi[:-6],
+                not_mjpg]:
+        with pytest.raises(ValueError):
+            multimodal.parse_avi_mjpeg(bad)
+    # a frame whose dimensions disagree with the container header
+    wrong_dims = multimodal.write_avi_mjpeg(jpegs, 32, 32, 24, 1)
+    with pytest.raises(ValueError):
+        multimodal.parse_avi_mjpeg(wrong_dims)
+
+    # Spark lane: 1->N expansion, uniform stride, corrupt quarantine
+    rows = [
+        Row(doc_id=1, payload=avi),
+        Row(doc_id=2, payload=avi[: len(avi) // 2]),  # truncated
+        Row(doc_id=3, payload=None),
+    ]
+    out = {
+        (r.doc_id, r.frame_idx): r
+        for r in multimodal.sample_frames_real(
+            spark.createDataFrame(rows), "doc_id", "payload", max_frames=4
+        ).collect()
+    }
+    assert {k[0] for k in out} == {1}
+    assert sorted(k[1] for k in out) == [0, 1, 3, 4]  # int(j*6/4)
+    got = out[(1, 3)]
+    assert (got.width, got.height) == (16, 16)
+    assert got.mean_luma == float(luma_frame(3, 3).mean())
+
+
+def test_frame_luma_grayscale_and_rgb():
+    import numpy as np
+
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    assert multimodal._frame_luma(g) == g.astype(np.float64).mean()
+    assert multimodal._frame_luma(g[..., None]) == g.astype(np.float64).mean()
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    rgb[..., 0] = 100  # pure red
+    assert abs(multimodal._frame_luma(rgb) - 29.9) < 1e-12
+
+
+def test_jpeg_entropy_decode_throughput_is_pinned():
+    """r9 verdict: the entropy decode must not be per-bit Python. With
+    the 16-bit-prefix Huffman LUT + buffered bit reader, 20 random
+    NOISE 64x64 4:2:0 color images (worst-case symbol density — every
+    coefficient nonzero) decode in ~0.1s on this box; the bound leaves
+    ~20x headroom for loaded machines while still failing decisively
+    if a regression reintroduces per-bit tree walks (measured ~10x+
+    slower). Also pins the LUT itself against the hand-walked
+    canonical assignment."""
+    import time
+
+    import numpy as np
+
+    from llm_enhanced_data_pipeline_spark.operators.multimodal import (
+        _JPEG_AC_LUMA,
+        _jpeg_huff_decode_table,
+    )
+
+    # LUT correctness vs a reference per-bit canonical walk
+    bits, vals = _JPEG_AC_LUMA
+    lut = _jpeg_huff_decode_table(bits, vals)
+    ref, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            ref[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    for (length, code), sym in ref.items():
+        prefix = code << (16 - length)
+        entry = lut[prefix]
+        assert entry == (sym << 5) | length, (length, code)
+        # the whole prefix span maps to the same entry
+        assert lut[prefix + (1 << (16 - length)) - 1] == entry
+
+    rng = np.random.default_rng(11)
+    imgs = [
+        multimodal.write_jpeg(
+            rng.integers(0, 256, (64, 64)).astype(np.uint8),
+            rng.integers(0, 256, (64, 64)).astype(np.uint8),
+            rng.integers(0, 256, (64, 64)).astype(np.uint8),
+            subsampling="420",
+        )
+        for _ in range(20)
+    ]
+    t0 = time.perf_counter()
+    for blob in imgs:
+        w, h, c, _ = multimodal.parse_jpeg(blob)
+        assert (w, h, c) == (64, 64, 3)
+    assert time.perf_counter() - t0 < 2.0
