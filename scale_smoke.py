@@ -246,6 +246,79 @@ def build_slots(spark: SparkSession, r: int):
     # must track data size exactly
     slots["heuristic_funnel"] = lambda: _heuristic_funnel(toked).count()
 
+    # WARC ingestion lane (the newest heavy Python-per-record family):
+    # gzip-member inflate + 1->N record expansion + HTTP envelope split
+    # inside mapInPandas, then the declarative html-strip/token-floor
+    # gates. Payloads are pre-materialized OUTSIDE the timed thunk (the
+    # lane under test is ingestion, not fixture synthesis); per-record
+    # Python cost must track record count R-linearly.
+    from pyspark.sql import types as T
+
+    from llm_enhanced_data_pipeline_spark.functions import hashing as _wh
+    from llm_enhanced_data_pipeline_spark.operators import cleaning as _wc
+    from llm_enhanced_data_pipeline_spark.sources import warc as _warc
+
+    warc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _warc_synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                page = (
+                    "<html><body><h1>Doc</h1><p>" + (text or "")
+                    + "</p><script>track();</script></body></html>"
+                )
+                ok = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                recs = [
+                    {"headers": {"WARC-Type": "response",
+                                 "WARC-Target-URI": f"http://ex.com/{d}"},
+                     "content": (ok + page).encode()},
+                    {"headers": {"WARC-Type": "response",
+                                 "WARC-Target-URI": f"http://ex.com/{d}/old"},
+                     "content": b"HTTP/1.1 404 NF\r\n\r\n<p>gone</p>"},
+                ]
+                ids.append(d)
+                payloads.append(_warc.write_warc(recs, gzip_members=True))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    warc_payloads = docs.select("doc_id", "text").mapInPandas(
+        _warc_synth, warc_schema
+    ).localCheckpoint(eager=True)
+
+    def _warc_ingest():
+        recs = _warc.read_warc_records(
+            warc_payloads, "doc_id", "payload", parse_http=True
+        )
+        return (
+            recs.filter(
+                (F.col("http_status") == 200)
+                & (F.col("http_content_type") == "text/html")
+            )
+            .withColumn("clean", _wc.html_strip(F.col("body_text")))
+            .withColumn(
+                "n_toks", F.size(_wc.tokens(F.col("clean"))).cast("bigint")
+            )
+            .filter(F.col("n_toks") >= 3)
+            .select(
+                F.bit_xor(
+                    F.xxhash64(
+                        "doc_id", "n_toks", _wh.md5_hex(F.col("clean"))
+                    )
+                ).alias("h")
+            )
+            .collect()
+        )
+
+    slots["warc_ingest"] = _warc_ingest
+
     # distributed global rank / LPT shard packing: by construction two
     # corpus-scan aggregate folds (quantile boundaries, bucket counts —
     # both driver-inlined literals) + one partitioned window pass, so
@@ -337,6 +410,7 @@ def build_slots(spark: SparkSession, r: int):
         ev.unpersist()
         emb.unpersist()
         pairs.rdd.unpersist()  # free the eager localCheckpoint blocks
+        warc_payloads.rdd.unpersist()
         dedup.release_caches()
 
     meta = {"n_docs": n_docs, "n_events": n_events, "n_vecs": n_vecs}

@@ -451,6 +451,10 @@ PYTHON_EVAL_BY_DESIGN = {
     "robots_rules_parse",  # robots.txt grammar walk (the admission
     # operator itself is declarative and is NOT allowlisted)
     "y4m_frame_sample_stats",  # same, YUV4MPEG2 container walker
+    "avi_frame_sample_stats",  # same, RIFF AVI walker + MJPEG frames
+    # through the real T.81 decoder
+    "corpus_build_v7",  # v6's container walk + the robots grammar walk
+    # (the admission join itself stays declarative)
 }
 
 
