@@ -507,3 +507,58 @@ def test_vector_family_float32_storage_end_to_end(spark, sf_dir):
         return s.count("Exchange")
 
     assert n_exchanges(f32) == n_exchanges(d64)
+
+
+def test_bench_slot_plan_shape_goldens(spark, sf_dir):
+    """r9 verdict item 6: the top bench slots' load-bearing plan shapes
+    must be pinned structurally, not inferred from timing (timing on
+    this host is noisy — the r9 judge runs were ambient-inflated while
+    self-certifying clean). Counts are UPPER bounds measured 2026-08-15
+    at the test-session conditions (sf0.01, shuffle_partitions=8,
+    AQE plans counted via formatted explain, which lists reused
+    subtrees); a regression that adds a shuffle or drops a persist
+    must fail here and be re-pinned deliberately."""
+    from llm_enhanced_data_pipeline_spark.operators import dedup
+    from llm_enhanced_data_pipeline_spark.queries import dedup_q
+
+    try:
+        # corpus_build_v4: the survivor frame must stay PERSISTED ahead
+        # of DoReMi's multi-branch stats (without the pin the substring
+        # excision lineage re-runs per branch — the r8 regression), and
+        # the only nested-loop joins are the two broadcast 1-row
+        # crossJoins (corpus stats), never a real cartesian.
+        p4 = _plan(spark, sf_dir, "corpus_build_v4")
+        assert "InMemoryTableScan" in p4, "v4 lost its survivor persist"
+        assert p4.count("CartesianProduct") == 0
+        assert p4.count("BroadcastNestedLoopJoin") <= 2
+        assert p4.count("Exchange") <= 110, p4.count("Exchange")
+
+        # shared MinHash index build: candidate pairs MUST come from the
+        # banded equi-join (shuffle on _band keys), never a cross
+        # product, and the result is eagerly persisted for consumers.
+        pi = (
+            dedup_q.build_shared_minhash_index(spark, sf_dir)
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")
+            )
+        )
+        assert "_band" in pi, "index build lost the banded equi-join"
+        assert "InMemoryTableScan" in pi
+        assert pi.count("CartesianProduct") == 0
+        assert pi.count("BroadcastNestedLoopJoin") == 0
+        assert pi.count("Exchange") <= 48, pi.count("Exchange")
+
+        # training_data_pipeline: one lineage with semi-joins against
+        # the banded pair index; no nested-loop joins, and the shuffle
+        # count must not creep (every Exchange here is a full-corpus
+        # shuffle at production scale).
+        pt = _plan(spark, sf_dir, "training_data_pipeline")
+        assert "_band" in pt, "pipeline lost the banded pair index"
+        assert pt.count("CartesianProduct") == 0
+        assert pt.count("BroadcastNestedLoopJoin") == 0
+        assert pt.count("Exchange") <= 74, pt.count("Exchange")
+    finally:
+        dedup_q.invalidate_shared_minhash_index(spark, sf_dir)
+        dedup.release_caches()
