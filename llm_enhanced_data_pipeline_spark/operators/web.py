@@ -155,10 +155,13 @@ def cap_per_domain(
 # domain-equi join + a per-URL window — never a Python loop).
 
 
-def parse_robots(text: str):
-    """Parse robots.txt per RFC 9309: returns (rules, sitemaps) where
-    rules is a list of (user_agent lowercased, allow bool, pattern)
-    and sitemaps a list of URLs. Grammar handled: comments, blank
+def parse_robots_full(text: str) -> dict:
+    """Parse robots.txt per RFC 9309: returns a dict with ``rules``
+    (list of (user_agent lowercased, allow bool, pattern)),
+    ``sitemaps`` (list of URLs), and ``delays`` (list of
+    (user_agent lowercased, seconds float) from the de-facto
+    Crawl-delay extension — group-scoped exactly like Allow/Disallow,
+    non-numeric values dropped). Grammar handled: comments, blank
     lines, case-insensitive field names, consecutive user-agent lines
     sharing one group, a user-agent line after rules starting a NEW
     group, empty Disallow (= no restriction, dropped), unknown fields
@@ -168,6 +171,7 @@ def parse_robots(text: str):
         raise ValueError("robots.txt payload is None")
     rules: list[tuple[str, bool, str]] = []
     sitemaps: list[str] = []
+    delays: list[tuple[str, float]] = []
     group_uas: list[str] = []
     group_open = False  # collecting consecutive user-agent lines
     for raw in str(text).splitlines():
@@ -192,12 +196,29 @@ def parse_robots(text: str):
                 continue  # empty (dis)allow: no restriction
             for ua in group_uas:
                 rules.append((ua, field == "allow", value))
+        elif field == "crawl-delay":
+            group_open = False
+            if not group_uas:
+                continue  # delay before any group: ignored
+            try:
+                seconds = float(value)
+            except ValueError:
+                continue  # non-numeric delay: dropped
+            for ua in group_uas:
+                delays.append((ua, seconds))
         elif field == "sitemap":
             if value:
                 sitemaps.append(value)
         else:
             group_open = False  # unknown field ends the UA run
-    return rules, sitemaps
+    return {"rules": rules, "sitemaps": sitemaps, "delays": delays}
+
+
+def parse_robots(text: str):
+    """Back-compat view of :func:`parse_robots_full`: (rules,
+    sitemaps)."""
+    parsed = parse_robots_full(text)
+    return parsed["rules"], parsed["sitemaps"]
 
 
 ROBOTS_RULES_SCHEMA = None  # built lazily to avoid a types import cycle
@@ -240,6 +261,130 @@ def read_robots_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def read_robots_delays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """1->N Crawl-delay expansion over robots.txt text columns: one
+    row per (user-agent, delay). Same quarantine posture as
+    :func:`read_robots_rules`. Feed the output (after
+    :func:`select_ua_group`) into :func:`schedule_fetches`."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("user_agent", T.StringType()),
+            T.StructField("crawl_delay", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in schema}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                try:
+                    delays = parse_robots_full(text)["delays"]
+                except ValueError:
+                    continue
+                for ua, seconds in delays:
+                    rows["doc_id"].append(int(doc_id))
+                    rows["user_agent"].append(ua)
+                    rows["crawl_delay"].append(float(seconds))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def xml_unescape(c: Column) -> Column:
+    """The five XML predefined entities, ``&amp;`` last (standard
+    unescape order — unescaping it first would re-interpret payload
+    text like ``&amp;lt;`` as an entity). Pure column expression."""
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def xml_unescape_sql(expr: str) -> str:
+    out = expr
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "''"),
+        ("&amp;", "&"),
+    ):
+        out = f"replace({out}, '{ent}', '{ch}')"
+    return out
+
+
+def sitemap_urls(df: DataFrame, id_col: str, xml_col: str) -> DataFrame:
+    """Declarative sitemap (sitemaps.org protocol) URL extraction —
+    the crawl-frontier feed robots.txt ``Sitemap:`` lines point at:
+    ``<url>`` entries from a urlset and ``<sitemap>`` entries from a
+    sitemapindex, each with its ``<loc>`` (XML-unescaped) and optional
+    ``<lastmod>``. ZERO Python: block extraction is
+    ``regexp_extract_all`` + ``posexplode``, per-block fields are
+    ``regexp_extract`` — one scan-projection, codegen-friendly at any
+    corpus size (XML namespaces/attributes are out of scope for the
+    frontier's loc/lastmod harvest; a full XML parser belongs in the
+    quarantining Python lane if ever needed)."""
+    out = []
+    for kind in ("url", "sitemap"):
+        blocks = F.regexp_extract_all(
+            F.col(xml_col), F.lit(rf"(?s)<{kind}>(.*?)</{kind}>"), F.lit(1)
+        )
+        b = df.select(
+            F.col(id_col),
+            F.posexplode(blocks).alias("entry_idx", "_blk"),
+        )
+        loc = F.regexp_extract(F.col("_blk"), r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+        lastmod = F.regexp_extract(
+            F.col("_blk"), r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1
+        )
+        out.append(
+            b.select(
+                id_col,
+                F.lit(kind).alias("kind"),
+                F.col("entry_idx").cast("int").alias("entry_idx"),
+                xml_unescape(loc).alias("loc"),
+                F.when(F.length(lastmod) > 0, lastmod).alias("lastmod"),
+            ).filter(F.length("loc") > 0)
+        )
+    return out[0].unionByName(out[1])
+
+
+def schedule_fetches(
+    urls: DataFrame,
+    delays: DataFrame,
+    url_id_col: str = "url_id",
+    domain_col: str = "domain",
+    delay_col: str = "crawl_delay",
+    default_delay: float = 1.0,
+) -> DataFrame:
+    """Per-domain politeness schedule: the k-th URL of a domain
+    (deterministic: ordered by ``url_id``) fetches at offset
+    ``(k-1) * crawl_delay`` seconds, so no domain is hit faster than
+    its robots.txt asks. ``delays`` is one row per domain (pre-select
+    a UA group via :func:`select_ua_group` first); domains without a
+    delay row use ``default_delay``. One keyed window + a broadcast
+    join of the tiny per-domain frame — the fetch schedule for a
+    billion-URL frontier is a single shuffle on domain."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain_col).orderBy(url_id_col)
+    j = urls.join(
+        F.broadcast(delays.select(domain_col, delay_col)), domain_col, "left"
+    )
+    return j.withColumn(
+        "fetch_offset_s",
+        (
+            (F.row_number().over(w) - 1)
+            * F.coalesce(F.col(delay_col), F.lit(float(default_delay)))
+        ).cast("double"),
+    ).drop(delay_col)
 
 
 def robots_like_pattern(pattern: Column) -> Column:

@@ -961,3 +961,181 @@ def corpus_build_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
             hashing.md5_hex(F.col("clean")).alias("fp"),
         )
     )
+
+
+# --- crawl frontier: sitemap harvest + politeness scheduling ---------
+@register(
+    "sitemap_url_extraction",
+    doc="Declarative sitemap-protocol URL harvest (the crawl-frontier "
+    "feed robots.txt Sitemap: lines point at): per-doc XML with a "
+    "urlset (one loc carrying an XML entity that must unescape, one "
+    "with a lastmod) plus a sitemapindex entry, extracted with ZERO "
+    "Python — regexp_extract_all block split + posexplode + per-block "
+    "regexp_extract — and compared against the closed-form expected "
+    "rows.",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN e < 2 THEN 'url' ELSE 'sitemap' END AS kind,
+       (CASE WHEN e < 2 THEN e ELSE 0 END)::INT AS entry_idx,
+       CASE e WHEN 0 THEN 'https://s' || (doc_id % 7) || '.com/p?a=1&b=' || (doc_id % 9)
+              WHEN 1 THEN 'https://s' || (doc_id % 7) || '.com/q/' || doc_id
+              ELSE 'https://s' || (doc_id % 7) || '.com/sitemap' || (doc_id % 3) || '.xml'
+       END AS loc,
+       CASE WHEN e = 1 THEN '2024-0' || ((doc_id % 9) + 1) || '-01' END AS lastmod
+FROM documents CROSS JOIN (VALUES (0),(1),(2)) t(e)
+WHERE doc_id % 11 = 4
+""",
+)
+def sitemap_url_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 11 == 4
+    ).select("doc_id")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("https://s"), (d % 7).cast("string"), F.lit(".com"))
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?>\n<urlset>\n  <url>\n    <loc> '),
+        host, F.lit("/p?a=1&amp;b="), (d % 9).cast("string"),
+        F.lit(" </loc>\n  </url>\n  <url>\n    <loc>"),
+        host, F.lit("/q/"), d.cast("string"),
+        F.lit("</loc>\n    <lastmod>2024-0"),
+        ((d % 9) + 1).cast("string"),
+        F.lit("-01</lastmod>\n  </url>\n</urlset>\n<sitemapindex>\n"
+              "  <sitemap><loc>"),
+        host, F.lit("/sitemap"), (d % 3).cast("string"),
+        F.lit(".xml</loc></sitemap>\n</sitemapindex>"),
+    )
+    return web.sitemap_urls(
+        docs.withColumn("xml", xml), "doc_id", "xml"
+    )
+
+
+@register(
+    "crawl_fetch_schedule",
+    doc="Per-domain politeness scheduling: Crawl-delay parsed out of "
+    "robots.txt (group-scoped like Allow/Disallow; odd docs carry a "
+    "trainbot delay of (doc%4)+1s, even docs none), UA group selected "
+    "for trainbot, then every domain's URLs are assigned fetch "
+    "offsets (k-1)*delay by one keyed window (default 1s where the "
+    "file sets no delay) — the declarative frontier scheduler that "
+    "keeps a billion-URL crawl under each site's requested rate.",
+    oracle="""
+SELECT (doc_id * 10 + u)::BIGINT AS url_id,
+       'd' || doc_id || '.com' AS domain,
+       (u * CASE WHEN doc_id % 2 = 1 THEN (doc_id % 4) + 1 ELSE 1 END)::DOUBLE
+         AS fetch_offset_s
+FROM documents CROSS JOIN (VALUES (0),(1),(2)) t(u)
+WHERE doc_id % 11 = 6
+""",
+)
+def crawl_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 11 == 6
+    ).select("doc_id")
+    d = F.col("doc_id")
+    domain = F.concat(F.lit("d"), d.cast("string"), F.lit(".com"))
+    robots_txt = F.when(
+        d % 2 == 1,
+        F.concat(
+            F.lit("User-agent: trainbot\nCrawl-delay: "),
+            ((d % 4) + 1).cast("string"),
+            F.lit("\nDisallow: /x\n"),
+        ),
+    ).otherwise(F.lit("User-agent: trainbot\nDisallow: /x\n"))
+    delays = web.select_ua_group(
+        web.read_robots_delays(
+            docs.withColumn("robots_txt", robots_txt), "doc_id", "robots_txt"
+        ).withColumn(
+            "domain", F.concat(F.lit("d"), F.col("doc_id").cast("string"),
+                               F.lit(".com"))
+        ),
+        "trainbot",
+    )
+    urls = docs.select(
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("u"),
+        domain.alias("domain"),
+        d.alias("doc_id"),
+    ).select(
+        (F.col("doc_id") * 10 + F.col("u")).cast("bigint").alias("url_id"),
+        "domain",
+    )
+    return web.schedule_fetches(urls, delays).select(
+        "url_id", "domain", "fetch_offset_s"
+    )
+
+
+@register(
+    "crawl_frontier_build",
+    doc="Frontier capstone, one lineage: per-domain sitemap XML "
+    "harvested declaratively (one loc case-shifted + fragmented, one "
+    "robots-denied /private path, one with utm params + trailing "
+    "slash that must collapse under canonicalization), URL "
+    "canonicalize -> domain/path split -> RFC 9309 admission with "
+    "trainbot group selection (the '*' group disallows /keep — "
+    "merging would empty the frontier) -> per-domain Crawl-delay "
+    "fetch schedule ((k-1)*delay over the admitted URLs). The oracle "
+    "states the full expected frontier (ids, canonical paths, "
+    "offsets) in closed form.",
+    oracle="""
+SELECT (doc_id * 10 + e)::BIGINT AS url_id,
+       'd' || doc_id || '.com' AS domain,
+       CASE e WHEN 0 THEN '/keep/' || doc_id ELSE '/keep/dup' END AS path,
+       (CASE e WHEN 0 THEN 0 ELSE (doc_id % 3) + 1 END)::DOUBLE
+         AS fetch_offset_s
+FROM documents CROSS JOIN (VALUES (0),(2)) t(e)
+WHERE doc_id % 9 = 2
+""",
+)
+def crawl_frontier_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 9 == 2
+    ).select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    xml = F.concat(
+        F.lit("<urlset><url><loc>http://D"), ds, F.lit(".COM/keep/"), ds,
+        F.lit("#sec</loc></url><url><loc>http://d"), ds,
+        F.lit(".com/private"), (d % 5).cast("string"),
+        F.lit("/a</loc></url><url><loc>http://d"), ds,
+        F.lit(".com/keep/dup/?utm_source=feed</loc></url></urlset>"),
+    )
+    urls = web.sitemap_urls(
+        docs.withColumn("xml", xml), "doc_id", "xml"
+    ).filter(F.col("kind") == "url").select(
+        (F.col("doc_id") * 10 + F.col("entry_idx")).cast("bigint").alias(
+            "url_id"
+        ),
+        web.canonicalize_url(F.col("loc")).alias("curl"),
+    ).select(
+        "url_id",
+        F.regexp_extract("curl", r"://([^/?#]+)", 1).alias("domain"),
+        F.regexp_extract("curl", r"://[^/?#]+(/[^?#]*)", 1).alias("path"),
+    )
+    robots_txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /keep\n\n"
+              "User-agent: trainbot\nDisallow: /private"),
+        (d % 5).cast("string"),
+        F.lit("\nCrawl-delay: "),
+        ((d % 3) + 1).cast("string"),
+        F.lit("\n"),
+    )
+    meta = docs.withColumn("robots_txt", robots_txt)
+    domain_of = F.concat(
+        F.lit("d"), F.col("doc_id").cast("string"), F.lit(".com")
+    )
+    rules = web.read_robots_rules(meta, "doc_id", "robots_txt").withColumn(
+        "domain", domain_of
+    )
+    delays = web.select_ua_group(
+        web.read_robots_delays(meta, "doc_id", "robots_txt").withColumn(
+            "domain", domain_of
+        ),
+        "trainbot",
+    )
+    admitted = web.robots_admission(
+        urls, rules.select("domain", "user_agent", "pattern", "allow"),
+        user_agent="trainbot",
+    ).filter(F.col("allowed")).select("url_id")
+    frontier = urls.join(admitted, "url_id")
+    return web.schedule_fetches(frontier, delays).select(
+        "url_id", "domain", "path", "fetch_offset_s"
+    )

@@ -455,6 +455,13 @@ PYTHON_EVAL_BY_DESIGN = {
     # through the real T.81 decoder
     "corpus_build_v7",  # v6's container walk + the robots grammar walk
     # (the admission join itself stays declarative)
+    "crawl_fetch_schedule",  # Crawl-delay comes out of the robots
+    # grammar walk; the scheduler itself is one declarative keyed
+    # window (and sitemap_url_extraction is pure regexp algebra — it
+    # is deliberately NOT allowlisted)
+    "crawl_frontier_build",  # the frontier capstone: robots grammar
+    # walk again; sitemap harvest, canonicalize, admission and the
+    # schedule window are all declarative
 }
 
 

@@ -541,3 +541,65 @@ def test_robots_ua_group_selection(spark):
         ("b.com", "*"),
         ("d.com", "trainbot"),
     }
+
+
+def test_parse_robots_full_crawl_delay_and_grammar():
+    """Crawl-delay is group-scoped exactly like Allow/Disallow: shared
+    by consecutive UA lines, ignored before any group, non-numeric
+    dropped; the legacy parse_robots view is unchanged."""
+    txt = (
+        "Crawl-delay: 9\n"            # before any group: ignored
+        "User-agent: a\nUser-agent: b\nCrawl-delay: 2.5\n"
+        "Disallow: /x\n"
+        "User-agent: c\nCrawl-delay: soon\n"   # non-numeric: dropped
+        "Crawl-delay: 4\n"
+        "Sitemap: http://e.com/s.xml\n"
+    )
+    parsed = web.parse_robots_full(txt)
+    assert parsed["delays"] == [("a", 2.5), ("b", 2.5), ("c", 4.0)]
+    assert parsed["sitemaps"] == ["http://e.com/s.xml"]
+    rules, sitemaps = web.parse_robots(txt)  # back-compat view
+    assert rules == [("a", False, "/x"), ("b", False, "/x")]
+    assert sitemaps == ["http://e.com/s.xml"]
+
+
+def test_sitemap_urls_entities_kinds_and_quarantine(spark):
+    """Declarative sitemap harvest: urlset + sitemapindex blocks,
+    XML entities unescaped (&amp; last), whitespace-trimmed locs,
+    lastmod nullable, locless entries dropped, non-XML rows yield
+    nothing (regexp finds no blocks)."""
+    xml = (
+        "<urlset><url><loc> http://a.com/?x=1&amp;y=2&amp;lt; </loc>"
+        "<lastmod>2023-01-02</lastmod></url>"
+        "<url><loc>http://a.com/plain</loc></url>"
+        "<url><lastmod>2023-09-09</lastmod></url></urlset>"  # no loc
+        "<sitemapindex><sitemap><loc>http://a.com/s1.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    rows = [Row(doc_id=1, xml=xml), Row(doc_id=2, xml="not xml at all")]
+    out = {
+        (r.doc_id, r.kind, r.entry_idx): (r.loc, r.lastmod)
+        for r in web.sitemap_urls(
+            spark.createDataFrame(rows), "doc_id", "xml"
+        ).collect()
+    }
+    # &amp; unescapes LAST: '&amp;lt;' is '&lt;' as text, not '<'
+    assert out[(1, "url", 0)] == ("http://a.com/?x=1&y=2&lt;", "2023-01-02")
+    assert out[(1, "url", 1)] == ("http://a.com/plain", None)
+    assert (1, "url", 2) not in out  # locless entry dropped
+    assert out[(1, "sitemap", 0)] == ("http://a.com/s1.xml", None)
+    assert not any(k[0] == 2 for k in out)
+
+
+def test_schedule_fetches_per_domain_offsets(spark):
+    urls = spark.createDataFrame(
+        [Row(url_id=i, domain="a.com") for i in range(4)]
+        + [Row(url_id=10, domain="b.com"), Row(url_id=11, domain="b.com")]
+    )
+    delays = spark.createDataFrame([Row(domain="a.com", crawl_delay=2.5)])
+    out = {
+        r.url_id: r.fetch_offset_s
+        for r in web.schedule_fetches(urls, delays).collect()
+    }
+    # a.com: k-th URL at (k-1)*2.5; b.com: no delay row -> default 1.0
+    assert out == {0: 0.0, 1: 2.5, 2: 5.0, 3: 7.5, 10: 0.0, 11: 1.0}
