@@ -46,10 +46,23 @@ def binary_metadata(payload: Column) -> dict[str, Column]:
             & (F.hex(F.substring(payload, 9, 4)) == "57415645"),
             F.lit("wav"),
         )
+        .when(
+            (F.hex(F.substring(payload, 1, 4)) == "52494646")
+            & (F.hex(F.substring(payload, 9, 4)) == "41564920"),
+            F.lit("avi"),
+        )
         .when(F.hex(F.substring(payload, 1, 4)) == "52494646", F.lit("riff"))
         .when(F.hex(F.substring(payload, 1, 2)) == "5036", F.lit("ppm"))
         .when(F.hex(F.substring(payload, 1, 2)) == "5035", F.lit("pgm"))
         .when(F.hex(F.substring(payload, 1, 4)) == "47494638", F.lit("gif"))
+        # YUV4MPEG2 stream header
+        .when(
+            F.hex(F.substring(payload, 1, 9)) == "595556344D50454732",
+            F.lit("y4m"),
+        )
+        # WARC version line / gzip member (the Common Crawl layout)
+        .when(F.hex(F.substring(payload, 1, 5)) == "574152432F", F.lit("warc"))
+        .when(F.hex(F.substring(payload, 1, 2)) == "1F8B", F.lit("gzip"))
         .otherwise(F.lit("unknown"))
     )
     return {

@@ -327,33 +327,49 @@ def sitemap_urls(df: DataFrame, id_col: str, xml_col: str) -> DataFrame:
     sitemapindex, each with its ``<loc>`` (XML-unescaped) and optional
     ``<lastmod>``. ZERO Python: block extraction is
     ``regexp_extract_all`` + ``posexplode``, per-block fields are
-    ``regexp_extract`` — one scan-projection, codegen-friendly at any
-    corpus size (XML namespaces/attributes are out of scope for the
-    frontier's loc/lastmod harvest; a full XML parser belongs in the
-    quarantining Python lane if ever needed)."""
-    out = []
-    for kind in ("url", "sitemap"):
-        blocks = F.regexp_extract_all(
+    ``regexp_extract`` — ONE scan of the XML payload (both kinds'
+    block arrays are built in the same projection, then stacked with
+    an explode — a union of two lineages would read the payload
+    column twice), codegen-friendly at any corpus size (XML
+    namespaces/attributes are out of scope for the frontier's
+    loc/lastmod harvest; a full XML parser belongs in the quarantining
+    Python lane if ever needed)."""
+
+    def blocks_of(kind: str) -> Column:
+        return F.regexp_extract_all(
             F.col(xml_col), F.lit(rf"(?s)<{kind}>(.*?)</{kind}>"), F.lit(1)
         )
-        b = df.select(
-            F.col(id_col),
-            F.posexplode(blocks).alias("entry_idx", "_blk"),
-        )
-        loc = F.regexp_extract(F.col("_blk"), r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
-        lastmod = F.regexp_extract(
-            F.col("_blk"), r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1
-        )
-        out.append(
-            b.select(
-                id_col,
-                F.lit(kind).alias("kind"),
-                F.col("entry_idx").cast("int").alias("entry_idx"),
-                xml_unescape(loc).alias("loc"),
-                F.when(F.length(lastmod) > 0, lastmod).alias("lastmod"),
-            ).filter(F.length("loc") > 0)
-        )
-    return out[0].unionByName(out[1])
+
+    stacked = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("url").alias("kind"),
+                    blocks_of("url").alias("blocks"),
+                ),
+                F.struct(
+                    F.lit("sitemap").alias("kind"),
+                    blocks_of("sitemap").alias("blocks"),
+                ),
+            )
+        ).alias("_g"),
+    ).select(
+        id_col,
+        F.col("_g.kind").alias("kind"),
+        F.posexplode(F.col("_g.blocks")).alias("entry_idx", "_blk"),
+    )
+    loc = F.regexp_extract(F.col("_blk"), r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+    lastmod = F.regexp_extract(
+        F.col("_blk"), r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1
+    )
+    return stacked.select(
+        id_col,
+        "kind",
+        F.col("entry_idx").cast("int").alias("entry_idx"),
+        xml_unescape(loc).alias("loc"),
+        F.when(F.length(lastmod) > 0, lastmod).alias("lastmod"),
+    ).filter(F.length("loc") > 0)
 
 
 def schedule_fetches(
@@ -369,15 +385,16 @@ def schedule_fetches(
     ``(k-1) * crawl_delay`` seconds, so no domain is hit faster than
     its robots.txt asks. ``delays`` is one row per domain (pre-select
     a UA group via :func:`select_ua_group` first); domains without a
-    delay row use ``default_delay``. One keyed window + a broadcast
-    join of the tiny per-domain frame — the fetch schedule for a
-    billion-URL frontier is a single shuffle on domain."""
+    delay row use ``default_delay``. One keyed window + a domain-equi
+    join that shares the window's domain shuffle — the fetch schedule
+    for a billion-URL frontier is one shuffle of the URL side. NO
+    broadcast hint: the per-domain delay frame has one row per crawled
+    domain (millions at corpus scale); AQE still broadcasts it when it
+    is actually small."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(domain_col).orderBy(url_id_col)
-    j = urls.join(
-        F.broadcast(delays.select(domain_col, delay_col)), domain_col, "left"
-    )
+    j = urls.join(delays.select(domain_col, delay_col), domain_col, "left")
     return j.withColumn(
         "fetch_offset_s",
         (
@@ -417,9 +434,14 @@ def select_ua_group(
 
     Tie between equally specific matching tokens (not defined by the
     RFC) resolves to the lexicographically smallest token for
-    determinism. Declarative: two tiny aggregates over the RULES side
-    only — the URL side never joins more than one group.
+    determinism. Declarative and rules-side only: one shuffle on the
+    domain key (two window functions share it) — NO broadcast of the
+    per-domain frame, which has one row per crawled domain and is
+    millions of rows at corpus scale, and the URL side never joins
+    more than one group.
     """
+    from pyspark.sql import Window
+
     ua = str(user_agent).lower()
     matched = rules.filter(
         (F.lower(F.col(ua_col)) == "*")
@@ -430,17 +452,11 @@ def select_ua_group(
             F.length(ua_col)
         ),
     )
-    best = matched.groupBy(domain_col).agg(
-        F.max("_spec").alias("_best_spec")
-    )
-    at_spec = matched.join(F.broadcast(best), domain_col).filter(
-        F.col("_spec") == F.col("_best_spec")
-    )
-    pick = at_spec.groupBy(domain_col).agg(
-        F.min(F.lower(F.col(ua_col))).alias("_best_ua")
-    )
+    w = Window.partitionBy(domain_col)
     return (
-        at_spec.join(F.broadcast(pick), domain_col)
+        matched.withColumn("_best_spec", F.max("_spec").over(w))
+        .filter(F.col("_spec") == F.col("_best_spec"))
+        .withColumn("_best_ua", F.min(F.lower(F.col(ua_col))).over(w))
         .filter(F.lower(F.col(ua_col)) == F.col("_best_ua"))
         .drop("_spec", "_best_spec", "_best_ua")
     )

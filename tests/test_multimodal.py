@@ -25,18 +25,26 @@ def test_extract_features_shapes_and_determinism(spark):
 
 
 def test_binary_metadata_format_sniff(spark):
-    df = spark.createDataFrame(
-        [
-            Row(i=1, p=bytes.fromhex("FFD8FFE0") + b"rest"),
-            Row(i=2, p=bytes.fromhex("89504E47") + b"rest"),
-            Row(i=3, p=b"plain bytes"),
-        ]
-    )
+    rows = [
+        Row(i=1, p=bytes.fromhex("FFD8FFE0") + b"rest"),
+        Row(i=2, p=bytes.fromhex("89504E47") + b"rest"),
+        Row(i=3, p=b"plain bytes"),
+        Row(i=4, p=b"RIFF\x00\x00\x00\x00WAVEx"),
+        Row(i=5, p=b"RIFF\x00\x00\x00\x00AVI x"),
+        Row(i=6, p=b"RIFF\x00\x00\x00\x00XXXXx"),
+        Row(i=7, p=b"GIF89a-rest"),
+        Row(i=8, p=b"YUV4MPEG2 W8 H8\n"),
+        Row(i=9, p=b"WARC/1.0\r\n"),
+        Row(i=10, p=bytes.fromhex("1F8B08") + b"rest"),
+        Row(i=11, p=b"P6\n1 1\n255\nabc"),
+    ]
+    df = spark.createDataFrame(rows)
     meta = multimodal.binary_metadata(F.col("p"))
     out = {r.i: r for r in df.select("i", meta["format"].alias("fmt"), meta["n_bytes"].alias("n")).collect()}
-    assert out[1].fmt == "jpeg"
-    assert out[2].fmt == "png"
-    assert out[3].fmt == "unknown"
+    want = {1: "jpeg", 2: "png", 3: "unknown", 4: "wav", 5: "avi",
+            6: "riff", 7: "gif", 8: "y4m", 9: "warc", 10: "gzip", 11: "ppm"}
+    for i, fmt in want.items():
+        assert out[i].fmt == fmt, (i, out[i].fmt)
     assert out[3].n == len(b"plain bytes")
 
 
