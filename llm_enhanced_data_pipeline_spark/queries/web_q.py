@@ -1139,3 +1139,101 @@ def crawl_frontier_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return web.schedule_fetches(frontier, delays).select(
         "url_id", "domain", "path", "fetch_offset_s"
     )
+
+
+@register(
+    "streaming_warc_ingest",
+    doc="Streaming twin of corpus_build_v6 with a FULL hash-compared "
+    "oracle (the composition is deterministic, so unlike the model-"
+    "backed streaming gates it needs no rows-only weakening): binary "
+    "WARC payload files drain through foreachBatch (availableNow, 2 "
+    "files per micro-batch so the run really crosses micro-batch "
+    "boundaries) — per batch: container walk + HTTP envelope split, "
+    "status/content-type gates, html-strip, token floor, then an "
+    "exactly-once append keyed on md5(doc ':' clean_text) so "
+    "re-delivered files re-skip. The store's final content must equal "
+    "the one-shot batch build row for row.",
+    oracle=f"""
+WITH stripped AS (
+  SELECT doc_id,
+         {cleaning.html_strip_sql(
+             "'<html><body><h1>Doc</h1><p>' || text || "
+             "'</p><script>track();</script></body></html>'"
+         )} AS clean
+  FROM documents WHERE doc_id % 9 = 6
+)
+SELECT doc_id,
+       len({tokens_sql("clean")})::BIGINT AS n_toks,
+       md5(clean) AS fp
+FROM stripped
+WHERE len({tokens_sql("clean")}) >= 3
+""",
+)
+def streaming_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..sources import warc
+    from ..streaming.ingest import warc_corpus_store, warc_corpus_stream
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 9 == 6
+    ).select("doc_id", "text")
+
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                page = (
+                    "<html><body><h1>Doc</h1><p>" + (text or "")
+                    + "</p><script>track();</script></body></html>"
+                )
+                ok_env = (
+                    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + page
+                )
+                gone_env = (
+                    "HTTP/1.1 404 NF\r\nContent-Type: text/html\r\n\r\n"
+                    "<html><body><p>gone away entirely</p></body></html>"
+                )
+                recs = [
+                    {"headers": {"WARC-Type": "response",
+                                 "WARC-Target-URI": f"http://ex.com/{d}"},
+                     "content": ok_env.encode()},
+                    {"headers": {"WARC-Type": "response",
+                                 "WARC-Target-URI": f"http://ex.com/{d}/old"},
+                     "content": gone_env.encode()},
+                ]
+                ids.append(d)
+                payloads.append(warc.write_warc(recs, gzip_members=True))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = docs.mapInPandas(synth, synth_schema)
+    # per-invocation scratch (input parquet, store, stream checkpoint):
+    # materialize the result OUT of it, then remove — see
+    # streaming_embed_on_ingest for the leak rationale
+    base = tempfile.mkdtemp(prefix="warc_ingest_")
+    try:
+        payloads.coalesce(4).write.mode("overwrite").parquet(f"{base}/in")
+        store = warc_corpus_store(spark, f"{base}/store")
+        warc_corpus_stream(
+            spark,
+            f"{base}/in",
+            store,
+            stream_checkpoint_dir=f"{base}/ckpt",
+            max_files_per_trigger=2,
+        )
+        out = store.load().select("doc_id", "n_toks", "fp")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

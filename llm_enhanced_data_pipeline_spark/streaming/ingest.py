@@ -195,6 +195,109 @@ def make_near_dup_ingest_batch_fn(
     return process
 
 
+# ---------------------------------------------------------------------------
+# Crawl-archive ingest: the streaming twin of corpus_build_v6. Crawl
+# dumps land continuously as binary WARC payload columns; each
+# micro-batch runs the container walk + HTTP gates + html-strip +
+# token floor and appends the surviving page rows to a keyed store.
+# Exactly-once at the PAGE level: the store key is
+# md5(doc_id ':' clean_text) — re-delivered files (stream-checkpoint
+# loss, recrawl of identical content) re-skip, while the same clean
+# text under a DIFFERENT doc is its own row (cross-doc dedup is a
+# separate, deliberate stage — see the content-dedup ingest above).
+
+
+def warc_corpus_store(spark: SparkSession, path: str) -> ParquetCheckpoint:
+    """Accepted-page store for the WARC ingest, keyed per (doc, text)."""
+    return ParquetCheckpoint(spark, path, key="rec_key")
+
+
+def make_warc_corpus_batch_fn(store: ParquetCheckpoint):
+    """foreachBatch body (exposed for direct replay testing): WARC
+    1->N record expansion with HTTP split, v6's status/content-type/
+    html-strip/token-floor gates, then the keyed exactly-once append.
+    Calling it twice with the same batch appends nothing the second
+    time."""
+    from ..functions import hashing
+    from ..operators import cleaning
+    from ..sources import warc
+    from pyspark.sql import Window
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        recs = warc.read_warc_records(
+            batch_df, "doc_id", "payload", parse_http=True
+        )
+        pages = (
+            recs.filter(
+                (F.col("http_status") == 200)
+                & (F.col("http_content_type") == "text/html")
+            )
+            .withColumn("clean", cleaning.html_strip(F.col("body_text")))
+            .withColumn(
+                "n_toks", F.size(cleaning.tokens(F.col("clean"))).cast("bigint")
+            )
+            .filter(F.col("n_toks") >= 3)
+            .select(
+                "doc_id",
+                "n_toks",
+                hashing.md5_hex(F.col("clean")).alias("fp"),
+                hashing.md5_hex(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(":"),
+                        F.col("clean"),
+                    )
+                ).alias("rec_key"),
+            )
+        )
+        fresh = store.remaining(pages)
+        # within-batch first-wins on the store key (a replayed file in
+        # the same micro-batch must not append twice)
+        w = Window.partitionBy("rec_key").orderBy("doc_id", "n_toks")
+        first = (
+            fresh.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        store.append(first)
+
+    return process
+
+
+def warc_corpus_stream(
+    spark: SparkSession,
+    input_path: str,
+    store: ParquetCheckpoint,
+    stream_checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 10,
+    timeout_s: int = 120,
+) -> StreamingQuery:
+    """availableNow drain of parquet files carrying (doc_id, payload)
+    binary WARC columns through the crawl-archive ingest; restart with
+    the same checkpoint dir to resume from recorded offsets."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    writer = stream.writeStream.foreachBatch(
+        make_warc_corpus_batch_fn(store)
+    ).trigger(availableNow=True)
+    if stream_checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", stream_checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination(timeout_s)
+    q.stop()
+    return q
+
+
 def near_dup_ingest_stream(
     spark: SparkSession,
     input_path: str,

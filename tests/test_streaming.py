@@ -609,3 +609,69 @@ def test_embed_on_ingest_stream_exactly_once_real_model(spark, tmp_path):
         for j in range(i + 1, len(vs)):
             dot = math.fsum(a * b for a, b in zip(vs[i], vs[j]))
             assert dot < 0.999
+
+
+def test_warc_corpus_stream_exactly_once_and_resume(spark, tmp_path):
+    """Crawl-archive streaming ingest (streaming/ingest.py): binary
+    WARC payload files drain through the v6 gate chain into the
+    rec_key-keyed store. Checks: the 404 page is gated out, the token
+    floor drops short pages, stop/restart with the same stream
+    checkpoint processes only NEW files, engine replay of an accepted
+    batch appends nothing, and the same clean text under a DIFFERENT
+    doc id is its own row (cross-doc dedup is a separate stage)."""
+    from pyspark.sql import Row
+
+    from llm_enhanced_data_pipeline_spark.sources import warc
+    from llm_enhanced_data_pipeline_spark.streaming import ingest as ig
+
+    indir = tmp_path / "warc_in"
+    indir.mkdir()
+
+    def payload(doc_id, text):
+        page = f"<html><body><p>{text}</p></body></html>"
+        ok = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + page
+        gone = "HTTP/1.1 404 NF\r\nContent-Type: text/html\r\n\r\n<p>gone</p>"
+        return warc.write_warc(
+            [{"headers": {"WARC-Type": "response",
+                          "WARC-Target-URI": f"http://e.com/{doc_id}"},
+              "content": ok.encode()},
+             {"headers": {"WARC-Type": "response",
+                          "WARC-Target-URI": f"http://e.com/{doc_id}/old"},
+              "content": gone.encode()}],
+            gzip_members=True,
+        )
+
+    def write(name, rows):
+        spark.createDataFrame(
+            [Row(doc_id=i, payload=payload(i, t)) for i, t in rows]
+        ).coalesce(1).write.mode("overwrite").parquet(str(indir / name))
+
+    store = ig.warc_corpus_store(spark, str(tmp_path / "store"))
+    ckpt = str(tmp_path / "stream_ckpt")
+
+    def run():
+        ig.warc_corpus_stream(
+            spark, str(indir) + "/*", store,
+            stream_checkpoint_dir=ckpt, max_files_per_trigger=1,
+        )
+
+    # run 1: doc 2 is under the 3-token floor; docs 1/3 share text
+    write("a.parquet", [(1, "shared page text here"), (2, "too short")])
+    write("b.parquet", [(3, "shared page text here")])
+    run()
+    rows = {r.doc_id: r for r in store.load().collect()}
+    assert set(rows) == {1, 3}  # 404s gated, short page floored
+    assert rows[1].fp == rows[3].fp  # same content fp...
+    assert rows[1].rec_key != rows[3].rec_key  # ...but per-doc rows
+    assert rows[1].n_toks == 4
+
+    # restart with a NEW file only: old files are not reprocessed
+    write("c.parquet", [(9, "a brand new page")])
+    run()
+    assert {r.doc_id for r in store.load().collect()} == {1, 3, 9}
+
+    # engine-replay simulation: same batch through the body twice
+    batch = spark.read.parquet(str(indir / "c.parquet"))
+    n_before = store.load().count()
+    ig.make_warc_corpus_batch_fn(store)(batch, 99)
+    assert store.load().count() == n_before
