@@ -164,3 +164,119 @@ def test_y4m_roundtrip_is_identity(n_frames, h, w, seed):
     w2, h2, _, _, cs, back = mm.parse_y4m(mm.write_y4m(vid))
     assert (w2, h2, cs) == (w, h, "mono")
     assert back.shape == (n_frames, h, w) and (back == vid).all()
+
+
+# --- r10 crawl/codec parsers -------------------------------------------
+
+_HDR_NAME = st.from_regex(r"[A-Za-z][A-Za-z0-9-]{0,15}", fullmatch=True).filter(
+    lambda n: n.lower() != "content-length"
+)
+_HDR_VALUE = st.text(
+    alphabet=st.characters(blacklist_characters="\r\n", min_codepoint=32,
+                           max_codepoint=126),
+    max_size=30,
+)
+
+
+@given(
+    st.lists(
+        st.tuples(st.dictionaries(_HDR_NAME, _HDR_VALUE, max_size=4),
+                  st.binary(max_size=200)),
+        min_size=1, max_size=4,
+    ),
+    st.booleans(),
+)
+@settings(max_examples=80, deadline=None)
+def test_warc_roundtrip_property(recs, gz):
+    """write_warc -> parse_warc_records roundtrips arbitrary sane
+    headers and ARBITRARY binary content (incl. 0xFF / CRLF bytes in
+    the payload), gzip-member layout or plain, with the mandatory
+    fields auto-filled."""
+    from llm_enhanced_data_pipeline_spark.sources import warc
+
+    # parsed header names are lower-cased: collapse case-colliding
+    # names up front so the roundtrip comparison is well-defined
+    recs = [({k.lower(): v for k, v in h.items()}, c) for h, c in recs]
+    records = [{"headers": h, "content": c} for h, c in recs]
+    back = warc.parse_warc_records(warc.write_warc(records, gzip_members=gz))
+    assert len(back) == len(records)
+    for rec, (headers, content) in zip(back, recs):
+        assert rec["content"] == content
+        for name, value in headers.items():
+            assert rec["headers"][name.lower()] == value.strip()
+        for mandatory in ("warc-type", "warc-date", "warc-record-id"):
+            assert mandatory in rec["headers"]
+
+
+@given(
+    st.dictionaries(_HDR_NAME, _HDR_VALUE, max_size=4),
+    st.binary(max_size=100),
+    st.integers(100, 599),
+    st.booleans(),
+)
+@settings(max_examples=80, deadline=None)
+def test_split_http_response_property(headers, body, status, crlf):
+    """The envelope split recovers status/headers/body for both CRLF
+    and bare-LF header termination."""
+    from llm_enhanced_data_pipeline_spark.sources import warc
+
+    headers = {k.lower(): v for k, v in headers.items()}  # see WARC note
+    nl = "\r\n" if crlf else "\n"
+    head = f"HTTP/1.1 {status} X" + "".join(
+        f"{nl}{k}: {v}" for k, v in headers.items()
+    )
+    blob = head.encode() + (nl + nl).encode() + body
+    got_status, got_headers, got_body = warc.split_http_response(blob)
+    assert got_status == status
+    assert got_body == body
+    for k, v in headers.items():
+        assert got_headers[k.lower()] == v.strip()
+
+
+@given(
+    st.integers(1, 3),             # frames
+    st.integers(1, 3),             # block cols
+    st.integers(1, 2),             # block rows
+    st.integers(0, 2 ** 31 - 1),   # seed for block constants
+)
+@settings(max_examples=25, deadline=None)
+def test_avi_mjpeg_lattice_roundtrip_property(n_frames, bw, bh, seed):
+    """Any DC-only-lattice MJPEG AVI (block-constant grayscale frames,
+    flat q=8) roundtrips BIT-exactly through write_avi_mjpeg ->
+    parse_avi_mjpeg, for arbitrary frame counts and block grids."""
+    import numpy as np
+
+    from llm_enhanced_data_pipeline_spark.operators import multimodal
+
+    flat8 = [8] * 64
+    w, h = bw * 8, bh * 8
+    frames = []
+    for f in range(n_frames):
+        y = np.zeros((h, w), dtype=np.uint8)
+        for b in range(bw * bh):
+            by, bx = divmod(b, bw)
+            y[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                seed + f * 31 + b * 53
+            ) % 256
+        frames.append(y)
+    avi = multimodal.write_avi_mjpeg(
+        [multimodal.write_jpeg(fr, q_luma=flat8) for fr in frames], w, h
+    )
+    pw, ph, _, _, decoded = multimodal.parse_avi_mjpeg(avi)
+    assert (pw, ph, len(decoded)) == (w, h, n_frames)
+    for fr, dec in zip(frames, decoded):
+        assert np.array_equal(dec[:, :, 0], fr)
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=150, deadline=None)
+def test_parse_robots_full_never_raises_on_text(text):
+    """Any text parses (quarantine is only for None): outputs are
+    well-typed, rules/delays carry lowercased UA tokens."""
+    from llm_enhanced_data_pipeline_spark.operators import web
+
+    parsed = web.parse_robots_full(text)
+    for ua, allow, pattern in parsed["rules"]:
+        assert ua == ua.lower() and isinstance(allow, bool) and pattern
+    for ua, seconds in parsed["delays"]:
+        assert ua == ua.lower() and isinstance(seconds, float)
