@@ -1150,3 +1150,135 @@ SELECT domain, n_rows,
 FROM ranked
 """
 
+
+
+# ---------------------------------------------------------------------------
+# Epoch allocation under a token budget (data-recipe planning)
+# ---------------------------------------------------------------------------
+
+
+def epoch_waterfill(
+    per_source: DataFrame,
+    budget_tokens: int,
+    max_epochs: int,
+    source_col: str = "source",
+    tok_col: str = "n_toks",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Allocate a training token budget across sources, weighted, with
+    a per-source repetition cap — the Gopher/Llama-style "repeat good
+    sources up to E epochs" recipe, solved exactly in closed form.
+
+    Maximizes weight-proportional allocation: ``alloc_s =
+    min(cap_s, lam * w_s)`` with ``cap_s = n_toks_s * max_epochs`` and
+    the water level ``lam`` chosen so allocations sum to the budget
+    (clamped to the total cap — a budget beyond every cap just fills
+    everything). The level has a CLOSED FORM, no iteration: order
+    sources by ``r_s = cap_s / w_s`` ascending; the first row j whose
+    candidate ``lam_j = (B - prefix_cap_j) / suffix_w_j`` satisfies
+    ``lam_j <= r_j`` gives the level. (Candidates at later rows are
+    both smaller and still "valid", so it must be the FIRST such row,
+    not the min — picked via an ordered window, valid rows first.)
+
+    ``per_source`` is the per-source stats frame — one row per source
+    (D rows, dimension-sized), so the unbounded windows here sweep a
+    tiny frame, never the corpus. Integer token counts and integer
+    weights keep every sum exact in double, so the division algebra is
+    bit-identical across engines. Returns one row per source:
+    (source, n_toks, weight, cap_toks, alloc_toks, epochs).
+    """
+    e = float(max_epochs)
+    base = per_source.select(
+        F.col(source_col).alias("source"),
+        F.col(tok_col).cast("double").alias("_t"),
+        F.col(weight_col).cast("double").alias("_w"),
+    ).withColumn("_cap", F.col("_t") * F.lit(e)).withColumn(
+        "_r", F.col("_cap") / F.col("_w")
+    )
+    order = [F.col("_r").asc(), F.col("source").asc()]
+    w_pre = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_full = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    x = (
+        base.withColumn("_pc", F.coalesce(F.sum("_cap").over(w_pre), F.lit(0.0)))
+        .withColumn("_pw", F.coalesce(F.sum("_w").over(w_pre), F.lit(0.0)))
+        .withColumn("_tw", F.sum("_w").over(w_full))
+        .withColumn("_tc", F.sum("_cap").over(w_full))
+    )
+    b = F.least(F.lit(float(budget_tokens)), F.col("_tc"))
+    x = x.withColumn(
+        "_lam_cand", (b - F.col("_pc")) / (F.col("_tw") - F.col("_pw"))
+    ).withColumn("_valid", F.col("_lam_cand") <= F.col("_r"))
+    # first valid row in (r, source) order carries the level; with the
+    # budget clamped to total cap the last row is always valid, so the
+    # window never comes up empty
+    w_pick = Window.orderBy(
+        F.col("_valid").desc(), F.col("_r").asc(), F.col("source").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    x = x.withColumn("_lam", F.first("_lam_cand").over(w_pick))
+    alloc = F.least(F.col("_cap"), F.col("_lam") * F.col("_w"))
+    return x.select(
+        "source",
+        F.col("_t").cast("bigint").alias(tok_col),
+        F.col("_w").alias(weight_col),
+        F.col("_cap").cast("bigint").alias("cap_toks"),
+        alloc.alias("alloc_toks"),
+        (alloc / F.col("_t")).alias("epochs"),
+    )
+
+
+def epoch_waterfill_sql(
+    per_source_sql: str,
+    budget_expr: str,
+    max_epochs: int,
+    tok_col: str = "n_toks",
+    weight_col: str = "weight",
+) -> str:
+    """DuckDB twin of :func:`epoch_waterfill` — identical window
+    algebra over the same (r, source) order, so the double arithmetic
+    is bit-identical. ``per_source_sql`` must yield
+    (source, n_toks, weight); ``budget_expr`` is a scalar SQL
+    expression."""
+    e = float(max_epochs)
+    return f"""
+WITH ps AS ({per_source_sql}),
+base AS (
+  SELECT source, {tok_col}::DOUBLE AS _t, {weight_col}::DOUBLE AS _w,
+         {tok_col}::DOUBLE * {e} AS _cap,
+         ({tok_col}::DOUBLE * {e}) / {weight_col}::DOUBLE AS _r
+  FROM ps
+),
+x AS (
+  SELECT *,
+         coalesce(sum(_cap) OVER (ORDER BY _r, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS _pc,
+         coalesce(sum(_w) OVER (ORDER BY _r, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS _pw,
+         sum(_w) OVER () AS _tw,
+         sum(_cap) OVER () AS _tc
+  FROM base
+),
+lamx AS (
+  SELECT *,
+         (least(({budget_expr})::DOUBLE, _tc) - _pc) / (_tw - _pw) AS _lam_cand,
+         ((least(({budget_expr})::DOUBLE, _tc) - _pc) / (_tw - _pw)) <= _r
+           AS _valid
+  FROM x
+),
+picked AS (
+  SELECT *,
+         first_value(_lam_cand) OVER (ORDER BY _valid DESC, _r, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS _lam
+  FROM lamx
+)
+SELECT source,
+       _t::BIGINT AS {tok_col},
+       _w AS {weight_col},
+       _cap::BIGINT AS cap_toks,
+       least(_cap, _lam * _w) AS alloc_toks,
+       least(_cap, _lam * _w) / _t AS epochs
+FROM picked
+"""

@@ -1469,3 +1469,56 @@ def shard_pack_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_permille"),
         )
     )
+
+
+_EPOCH_PS_SQL = f"""SELECT source,
+       sum(len({_TOKS}))::BIGINT AS n_toks,
+       (1 + length(source) % 3)::DOUBLE AS weight
+FROM documents GROUP BY source"""
+
+
+@register(
+    "epoch_allocation_plan",
+    doc="Data-recipe epoch allocation (Gopher/Llama practice: repeat "
+    "good sources up to E epochs under a global token budget), solved "
+    "in CLOSED FORM — no iteration: weight-proportional waterfilling "
+    "with per-source caps n_toks*E, the level picked by the "
+    "first-valid-candidate rule over the (cap/weight)-ordered source "
+    "frame (operators/corpus.epoch_waterfill; the windows sweep the "
+    "D-row per-source frame, never the corpus). Budget = 2x the "
+    "corpus tokens, E=3, integer weights from a source-name formula, "
+    "so every double is exact and the twin algebra hash-compares "
+    "bit-for-bit.",
+    oracle=f"""
+WITH plan AS ({corpus.epoch_waterfill_sql(
+        _EPOCH_PS_SQL, "(SELECT 2 * sum(n_toks) FROM ps)", 3)})
+SELECT source, n_toks, weight, cap_toks,
+       {rounding.stable_round_sql("alloc_toks", 4)} AS alloc_toks,
+       {rounding.stable_round_sql("epochs", 6)} AS epochs
+FROM plan
+""",
+)
+def epoch_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.size(cleaning.tokens(F.col("text"))))
+        .cast("bigint")
+        .alias("n_toks")
+    ).withColumn(
+        "weight", (F.lit(1) + F.length("source") % 3).cast("double")
+    )
+    # budget fold: the per-source frame is D rows, so this is a
+    # driver-side constant fold (the global_rank precedent), and the
+    # oracle computes the same scalar as a subquery
+    total = per_source.agg(F.sum("n_toks").alias("t")).first()["t"]
+    plan = corpus.epoch_waterfill(
+        per_source, budget_tokens=2 * int(total), max_epochs=3
+    )
+    return plan.select(
+        "source",
+        "n_toks",
+        "weight",
+        "cap_toks",
+        rounding.stable_round(F.col("alloc_toks"), 4).alias("alloc_toks"),
+        rounding.stable_round(F.col("epochs"), 6).alias("epochs"),
+    )

@@ -881,3 +881,46 @@ def test_count_min_sketch_guarantee_and_mergeability(spark):
     ca, cb, cu = cells(a), cells(b), cells(u)
     merged = {k: ca.get(k, 0) + cb.get(k, 0) for k in set(ca) | set(cb)}
     assert merged == cu
+
+
+def test_epoch_waterfill_exact_solution(spark):
+    """epoch_waterfill against a hand-solved instance: budget
+    conservation, per-source caps, weight-proportionality of the
+    uncapped sources, the all-capped clamp, and the single-source
+    degenerate case."""
+    from pyspark.sql import Row
+
+    from llm_enhanced_data_pipeline_spark.operators import corpus
+
+    # caps: a=30, b=300, c=300; r = cap/w: a:10, b:300, c:100.
+    # budget 250: candidate at a (r=10): lam = 250/7 ≈ 35.7 > 10 -> a
+    # caps. Next (c, r=100): lam = (250-30)/4 = 55 <= 100 -> level 55.
+    # alloc: a=30 (cap), c=165, b=55. Sum = 250 ✓.
+    ps = spark.createDataFrame(
+        [Row(source="a", n_toks=10, weight=3.0),
+         Row(source="b", n_toks=100, weight=1.0),
+         Row(source="c", n_toks=100, weight=3.0)]
+    )
+    out = {r.source: r for r in corpus.epoch_waterfill(
+        ps, budget_tokens=250, max_epochs=3
+    ).collect()}
+    assert out["a"].alloc_toks == 30.0 and out["a"].epochs == 3.0
+    assert out["b"].alloc_toks == 55.0
+    assert out["c"].alloc_toks == 165.0
+    assert sum(r.alloc_toks for r in out.values()) == 250.0
+    # uncapped sources sit at the same level lam = alloc/weight
+    assert out["b"].alloc_toks / 1.0 == out["c"].alloc_toks / 3.0
+
+    # budget beyond every cap: clamp -> everything fully capped
+    full = {r.source: r for r in corpus.epoch_waterfill(
+        ps, budget_tokens=10_000, max_epochs=3
+    ).collect()}
+    assert all(r.alloc_toks == r.cap_toks for r in full.values())
+    assert all(r.epochs == 3.0 for r in full.values())
+
+    # single source: min(budget, cap), epochs bounded by E
+    one = corpus.epoch_waterfill(
+        spark.createDataFrame([Row(source="x", n_toks=50, weight=2.0)]),
+        budget_tokens=80, max_epochs=3,
+    ).collect()[0]
+    assert one.alloc_toks == 80.0 and one.epochs == 1.6

@@ -252,6 +252,9 @@ GLOBAL_WINDOW_BY_DESIGN = {
     "ivf_bucket_stats",       # sum-over-() share window on the
                               # per-centroid stats frame (≤ K rows by
                               # construction — one row per IVF bucket)
+    "epoch_allocation_plan",  # waterfill prefix/suffix sums + level
+                              # pick over the per-SOURCE frame (D rows
+                              # by construction, never the corpus)
     "supplier_pareto",        # exact ntile(10) over the supplier frame
                               # (dim-sized, 1e4x smaller than lineitem);
                               # the scale path is supplier_pareto_approx
