@@ -1282,3 +1282,63 @@ SELECT source,
        least(_cap, _lam * _w) / _t AS epochs
 FROM picked
 """
+
+
+def epoch_plan_copies(
+    docs: DataFrame,
+    plan: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tok_col: str = "n_toks",
+    seed: int = 23,
+) -> DataFrame:
+    """Apply an :func:`epoch_waterfill` plan to the corpus: each
+    document of a source with allocation ``epochs`` appears
+    ``floor(epochs)`` times, plus one more for the deterministic
+    per-mille slice of documents selected by a stable hash gate on
+    the fractional part — so each source's REALIZED token count tracks
+    its allocation without any randomness (re-runs reproduce the same
+    multiset). Returns docs + ``n_copies`` (0 allowed: a sub-1-epoch
+    source keeps only its sampled slice).
+
+    One broadcast-sized join (the plan is D rows) + pure column
+    algebra; the fractional permille is derived as
+    ``floor(epochs * 1000) - 1000 * floor(epochs)`` — exact in double
+    for the exact-algebra plans this module produces."""
+    p = plan.select(
+        F.col(source_col),
+        F.floor(F.col("epochs")).cast("bigint").alias("_full"),
+        (
+            F.floor(F.col("epochs") * 1000)
+            - 1000 * F.floor(F.col("epochs"))
+        ).cast("bigint").alias("_frac_permille"),
+    )
+    j = docs.join(F.broadcast(p), source_col)
+    extra = F.when(
+        split_bucket(F.col(id_col).cast("string"), seed=seed)
+        < F.col("_frac_permille"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return j.withColumn(
+        "n_copies", (F.col("_full") + extra).cast("bigint")
+    ).drop("_full", "_frac_permille")
+
+
+def epoch_plan_copies_sql(
+    docs_sql: str,
+    plan_sql: str,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 23,
+) -> str:
+    """DuckDB twin of :func:`epoch_plan_copies` (same hash gate, same
+    exact permille algebra)."""
+    gate = split_bucket_sql(f"{id_col}::VARCHAR", seed)
+    return f"""
+SELECT d.*,
+       (floor(p.epochs)::BIGINT
+        + CASE WHEN {gate} < (floor(p.epochs * 1000)
+                              - 1000 * floor(p.epochs))::BIGINT
+               THEN 1 ELSE 0 END)::BIGINT AS n_copies
+FROM ({docs_sql}) d JOIN ({plan_sql}) p USING ({source_col})
+"""

@@ -1522,3 +1522,70 @@ def epoch_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         rounding.stable_round(F.col("alloc_toks"), 4).alias("alloc_toks"),
         rounding.stable_round(F.col("epochs"), 6).alias("epochs"),
     )
+
+
+@register(
+    "epoch_allocation_apply",
+    doc="The epoch plan APPLIED: every document appears floor(epochs) "
+    "times plus once more for the stable-hash permille slice matching "
+    "the fractional part (operators/corpus.epoch_plan_copies — "
+    "deterministic, re-runs reproduce the same multiset; no "
+    "randomness). Per-source summary proves the realized token counts "
+    "track the waterfill allocation: docs, total copies, realized "
+    "tokens, and realized/alloc permille, all exact-integer or "
+    "bit-identical double algebra.",
+    oracle=f"""
+WITH plan AS ({corpus.epoch_waterfill_sql(
+        _EPOCH_PS_SQL, "(SELECT 2 * sum(n_toks) FROM ps)", 3)}),
+copies AS ({corpus.epoch_plan_copies_sql(
+        f"SELECT doc_id, source, len({_TOKS})::BIGINT AS n_toks"
+        " FROM documents",
+        "SELECT source, epochs FROM plan")})
+SELECT c.source,
+       count(*)::BIGINT AS n_docs,
+       sum(c.n_copies)::BIGINT AS n_copies_total,
+       sum(c.n_copies * c.n_toks)::BIGINT AS toks_out,
+       {rounding.stable_round_sql("any_value(p.alloc_toks)", 4)} AS alloc_toks,
+       floor(1000 * sum(c.n_copies * c.n_toks) / any_value(p.alloc_toks))::BIGINT
+         AS realized_permille
+FROM copies c JOIN plan p USING (source)
+GROUP BY c.source
+""",
+)
+def epoch_allocation_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(cleaning.tokens(F.col("text"))).cast("bigint").alias("n_toks"),
+    )
+    per_source = docs.groupBy("source").agg(
+        F.sum("n_toks").cast("bigint").alias("n_toks")
+    ).withColumn(
+        "weight", (F.lit(1) + F.length("source") % 3).cast("double")
+    )
+    total = per_source.agg(F.sum("n_toks").alias("t")).first()["t"]
+    plan = corpus.epoch_waterfill(
+        per_source, budget_tokens=2 * int(total), max_epochs=3
+    )
+    copies = corpus.epoch_plan_copies(docs, plan)
+    return (
+        copies.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_copies").cast("bigint").alias("n_copies_total"),
+            F.sum(F.col("n_copies") * F.col("n_toks"))
+            .cast("bigint")
+            .alias("toks_out"),
+        )
+        .join(plan.select("source", "alloc_toks"), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_copies_total",
+            "toks_out",
+            rounding.stable_round(F.col("alloc_toks"), 4).alias("alloc_toks"),
+            F.floor(1000 * F.col("toks_out") / F.col("alloc_toks"))
+            .cast("bigint")
+            .alias("realized_permille"),
+        )
+    )

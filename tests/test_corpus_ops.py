@@ -924,3 +924,32 @@ def test_epoch_waterfill_exact_solution(spark):
         budget_tokens=80, max_epochs=3,
     ).collect()[0]
     assert one.alloc_toks == 80.0 and one.epochs == 1.6
+
+
+def test_epoch_plan_copies_determinism_and_tracking(spark):
+    """epoch_plan_copies: floor(epochs) copies + the stable-hash
+    fractional slice — deterministic across invocations, counts track
+    the fractional part, zero copies allowed below one epoch."""
+    from pyspark.sql import Row
+
+    from llm_enhanced_data_pipeline_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s" if i < 1000 else "t", n_toks=10)
+         for i in range(1500)]
+    )
+    plan = spark.createDataFrame(
+        [Row(source="s", epochs=2.25), Row(source="t", epochs=0.4)]
+    )
+    out = corpus.epoch_plan_copies(docs, plan)
+    rows = {r.doc_id: r.n_copies for r in out.collect()}
+    s_copies = [rows[i] for i in range(1000)]
+    t_copies = [rows[i] for i in range(1000, 1500)]
+    assert set(s_copies) == {2, 3} and set(t_copies) <= {0, 1}
+    # the fractional slice tracks the permille within hash noise
+    assert abs(sum(s_copies) - 2250) < 100
+    assert abs(sum(t_copies) - 200) < 80
+    # deterministic: a second invocation reproduces the multiset
+    again = {r.doc_id: r.n_copies for r in
+             corpus.epoch_plan_copies(docs, plan).collect()}
+    assert again == rows

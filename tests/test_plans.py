@@ -255,6 +255,9 @@ GLOBAL_WINDOW_BY_DESIGN = {
     "epoch_allocation_plan",  # waterfill prefix/suffix sums + level
                               # pick over the per-SOURCE frame (D rows
                               # by construction, never the corpus)
+    "epoch_allocation_apply", # inherits the same D-row waterfill plan
+                              # lineage (the apply itself is a
+                              # broadcast join + column algebra)
     "supplier_pareto",        # exact ntile(10) over the supplier frame
                               # (dim-sized, 1e4x smaller than lineitem);
                               # the scale path is supplier_pareto_approx
