@@ -1589,3 +1589,108 @@ def epoch_allocation_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("realized_permille"),
         )
     )
+
+
+@register(
+    "epoch_pack_report",
+    doc="The full data-recipe chain in one lineage: waterfill plan -> "
+    "deterministic per-doc copies -> copy expansion (1->n_copies via "
+    "the ascending index helper; sub-1-epoch leftovers drop) -> "
+    "stable-hash sharding of copies across 8 shards -> concat-and-"
+    "chunk packing into 512-token training sequences per shard "
+    "(operators/corpus.pack_sequences: per-shard windows, no global "
+    "order). Per-shard report: rows, sequences, boundary-spanning "
+    "docs, total tokens — the numbers a dataloader budget review "
+    "needs, engine-reproducible bit-for-bit.",
+    oracle=f"""
+WITH plan AS ({corpus.epoch_waterfill_sql(
+        _EPOCH_PS_SQL, "(SELECT 2 * sum(n_toks) FROM ps)", 3)}),
+copies AS ({corpus.epoch_plan_copies_sql(
+        f"SELECT doc_id, source, len({_TOKS})::BIGINT AS n_toks"
+        " FROM documents",
+        "SELECT source, epochs FROM plan")}),
+expanded AS (
+  SELECT doc_id, n_toks, unnest(range(1, n_copies + 1))::INT AS copy_idx
+  FROM copies WHERE n_copies > 0
+),
+sharded AS (
+  SELECT *, ({hashing.stable_hash32_sql(
+        "doc_id::VARCHAR || ':' || copy_idx::VARCHAR", 31)} % 8)::BIGINT
+         AS shard
+  FROM expanded
+),
+packed AS (
+  SELECT shard, n_toks,
+         sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id, copy_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks
+           AS start_offset
+  FROM sharded
+)
+SELECT shard,
+       count(*)::BIGINT AS n_rows,
+       (max((start_offset + n_toks - 1) // 512) + 1)::BIGINT AS n_seqs,
+       sum(CASE WHEN (start_offset + n_toks - 1) // 512
+                   > start_offset // 512 THEN 1 ELSE 0 END)::BIGINT
+         AS n_spanning,
+       sum(n_toks)::BIGINT AS total_toks
+FROM packed GROUP BY shard
+""",
+)
+def epoch_pack_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import arrays
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(cleaning.tokens(F.col("text"))).cast("bigint").alias("n_toks"),
+    )
+    per_source = docs.groupBy("source").agg(
+        F.sum("n_toks").cast("bigint").alias("n_toks")
+    ).withColumn(
+        "weight", (F.lit(1) + F.length("source") % 3).cast("double")
+    )
+    total = per_source.agg(F.sum("n_toks").alias("t")).first()["t"]
+    plan = corpus.epoch_waterfill(
+        per_source, budget_tokens=2 * int(total), max_epochs=3
+    )
+    expanded = (
+        corpus.epoch_plan_copies(docs, plan)
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "n_toks",
+            F.explode(arrays.index_1_to(F.col("n_copies"))).alias("copy_idx"),
+        )
+    )
+    sharded = expanded.withColumn(
+        "shard",
+        (
+            hashing.stable_hash32(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"),
+                    F.col("copy_idx").cast("string"),
+                ),
+                seed=31,
+            )
+            % 8
+        ).cast("bigint"),
+    )
+    packed = corpus.pack_sequences(
+        sharded, "shard", [F.col("doc_id").asc(), F.col("copy_idx").asc()],
+        "n_toks", 512,
+    )
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (
+            F.max(
+                F.floor(
+                    (F.col("start_offset") + F.col("n_toks") - 1) / 512
+                )
+            )
+            + 1
+        ).cast("bigint").alias("n_seqs"),
+        F.sum(F.col("spans_boundary").cast("bigint"))
+        .cast("bigint")
+        .alias("n_spanning"),
+        F.sum("n_toks").cast("bigint").alias("total_toks"),
+    )

@@ -258,6 +258,8 @@ GLOBAL_WINDOW_BY_DESIGN = {
     "epoch_allocation_apply", # inherits the same D-row waterfill plan
                               # lineage (the apply itself is a
                               # broadcast join + column algebra)
+    "epoch_pack_report",      # same inherited plan lineage; packing
+                              # itself windows per SHARD (keyed)
     "supplier_pareto",        # exact ntile(10) over the supplier frame
                               # (dim-sized, 1e4x smaller than lineitem);
                               # the scale path is supplier_pareto_approx
