@@ -1182,8 +1182,10 @@ def epoch_waterfill(
 
     ``per_source`` is the per-source stats frame — one row per source
     (D rows, dimension-sized), so the unbounded windows here sweep a
-    tiny frame, never the corpus. Integer token counts and integer
-    weights keep every sum exact in double, so the division algebra is
+    tiny frame, never the corpus. Weights must be strictly POSITIVE
+    (a zero weight makes cap/weight undefined; drop no-weight sources
+    before planning). Integer token counts and integer weights keep
+    every sum exact in double, so the division algebra is
     bit-identical across engines. Returns one row per source:
     (source, n_toks, weight, cap_toks, alloc_toks, epochs).
     """
