@@ -1344,3 +1344,66 @@ SELECT d.*,
                THEN 1 ELSE 0 END)::BIGINT AS n_copies
 FROM ({docs_sql}) d JOIN ({plan_sql}) p USING ({source_col})
 """
+
+
+def padding_waste(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[Column],
+    tok_col: str,
+    batch_size: int,
+) -> DataFrame:
+    """Per-batch padding accounting for fixed-size training batches:
+    rows batch up ``batch_size`` at a time in ``order_cols`` order
+    within each ``part_cols`` partition; every batch pads its rows to
+    the batch max, so ``padded_toks = n_rows * max - sum``. Returns
+    one row per (partition, batch): n_rows, max_toks, sum_toks,
+    padded_toks — all exact integers. Keyed windows only: batching is
+    embarrassingly parallel across partitions (shard by a stable hash
+    first; a LENGTH-bucketed partition key turns this into the
+    classic padding-minimizing bucketed batching)."""
+    w = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    b = df.withColumn(
+        "_batch", F.floor((F.row_number().over(w) - 1) / batch_size)
+    )
+    return (
+        b.groupBy(*part_cols, "_batch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.max(tok_col).cast("bigint").alias("max_toks"),
+            F.sum(tok_col).cast("bigint").alias("sum_toks"),
+        )
+        .withColumn(
+            "padded_toks",
+            (F.col("n_rows") * F.col("max_toks") - F.col("sum_toks")).cast(
+                "bigint"
+            ),
+        )
+    )
+
+
+def padding_waste_sql(
+    docs_sql: str,
+    part_exprs: list[str],
+    order_exprs: list[str],
+    tok_col: str,
+    batch_size: int,
+) -> str:
+    """DuckDB twin of :func:`padding_waste` (same windows, same
+    integer algebra)."""
+    parts = ", ".join(part_exprs)
+    order = ", ".join(order_exprs)
+    return f"""
+SELECT {parts}, _batch,
+       count(*)::BIGINT AS n_rows,
+       max({tok_col})::BIGINT AS max_toks,
+       sum({tok_col})::BIGINT AS sum_toks,
+       (count(*) * max({tok_col}) - sum({tok_col}))::BIGINT AS padded_toks
+FROM (
+  SELECT *,
+         (row_number() OVER (PARTITION BY {parts} ORDER BY {order}) - 1)
+           // {batch_size} AS _batch
+  FROM ({docs_sql})
+)
+GROUP BY {parts}, _batch
+"""

@@ -1694,3 +1694,78 @@ def epoch_pack_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_spanning"),
         F.sum("n_toks").cast("bigint").alias("total_toks"),
     )
+
+
+_PAD_DOCS_SQL = f"""SELECT doc_id,
+       len({_TOKS})::BIGINT AS n_toks,
+       ({hashing.stable_hash32_sql("doc_id::VARCHAR", 13)} % 16)::BIGINT
+         AS shard,
+       length(bin(greatest(len({_TOKS}), 1)))::BIGINT AS bucket
+FROM documents"""
+
+
+@register(
+    "padding_efficiency_report",
+    doc="Dataloader padding accounting — the reason training stacks "
+    "length-bucket their batches: documents hash-shard 16 ways, then "
+    "batch 8-at-a-time either NAIVELY (doc_id order within shard) or "
+    "BUCKETED (per (shard, power-of-two length bucket) — the bucket "
+    "key is length(bin(n)), integer-exact on both engines, no FP "
+    "log2), every batch padding to its max length "
+    "(operators/corpus.padding_waste, keyed windows only). One "
+    "summary row per strategy: docs, batches, real and padded "
+    "tokens, waste permille — bucketing must show the padding win "
+    "numerically, engine-reproducibly.",
+    oracle=f"""
+WITH naive AS ({corpus.padding_waste_sql(
+        _PAD_DOCS_SQL, ["shard"], ["doc_id"], "n_toks", 8)}),
+bucketed AS ({corpus.padding_waste_sql(
+        _PAD_DOCS_SQL, ["shard", "bucket"], ["n_toks", "doc_id"],
+        "n_toks", 8)}),
+u AS (
+  SELECT 'naive' AS strategy, n_rows, sum_toks, padded_toks FROM naive
+  UNION ALL
+  SELECT 'bucketed', n_rows, sum_toks, padded_toks FROM bucketed
+)
+SELECT strategy,
+       sum(n_rows)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_batches,
+       sum(sum_toks)::BIGINT AS total_toks,
+       sum(padded_toks)::BIGINT AS padded_toks,
+       ((1000 * sum(padded_toks))
+        // (sum(padded_toks) + sum(sum_toks)))::BIGINT AS waste_permille
+FROM u GROUP BY strategy
+""",
+)
+def padding_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.size(cleaning.tokens(F.col("text"))).cast("bigint").alias("n_toks"),
+    ).withColumn(
+        "shard",
+        (hashing.stable_hash32(F.col("doc_id").cast("string"), seed=13) % 16)
+        .cast("bigint"),
+    ).withColumn(
+        "bucket",
+        F.length(F.bin(F.greatest(F.col("n_toks"), F.lit(1)))).cast("bigint"),
+    )
+    naive = corpus.padding_waste(
+        docs, ["shard"], [F.col("doc_id").asc()], "n_toks", 8
+    ).withColumn("strategy", F.lit("naive"))
+    bucketed = corpus.padding_waste(
+        docs, ["shard", "bucket"],
+        [F.col("n_toks").asc(), F.col("doc_id").asc()], "n_toks", 8,
+    ).withColumn("strategy", F.lit("bucketed")).drop("bucket")
+    u = naive.select("strategy", "n_rows", "sum_toks", "padded_toks").unionByName(
+        bucketed.select("strategy", "n_rows", "sum_toks", "padded_toks")
+    )
+    return u.groupBy("strategy").agg(
+        F.sum("n_rows").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+        F.sum("sum_toks").cast("bigint").alias("total_toks"),
+        F.sum("padded_toks").cast("bigint").alias("padded_toks"),
+        F.expr(
+            "cast(1000 * sum(padded_toks)"
+            " div (sum(padded_toks) + sum(sum_toks)) as bigint)"
+        ).alias("waste_permille"),
+    )

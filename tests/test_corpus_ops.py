@@ -953,3 +953,47 @@ def test_epoch_plan_copies_determinism_and_tracking(spark):
     again = {r.doc_id: r.n_copies for r in
              corpus.epoch_plan_copies(docs, plan).collect()}
     assert again == rows
+
+
+def test_padding_waste_hand_case_and_bucketing_wins(spark):
+    from pyspark.sql import Row
+
+    from llm_enhanced_data_pipeline_spark.operators import corpus
+
+    # one shard, batch=2, lengths 1,100,1,100: naive doc order pairs
+    # (1,100)x2 -> padded 99*2; length order pairs (1,1),(100,100) -> 0
+    rows = [Row(doc_id=i, shard=0, n_toks=[1, 100, 1, 100][i])
+            for i in range(4)]
+    df = spark.createDataFrame(rows)
+    naive = corpus.padding_waste(
+        df, ["shard"], [F.col("doc_id").asc()], "n_toks", 2
+    ).collect()
+    assert sum(r.padded_toks for r in naive) == 198
+    ordered = corpus.padding_waste(
+        df, ["shard"], [F.col("n_toks").asc(), F.col("doc_id").asc()],
+        "n_toks", 2,
+    ).collect()
+    assert sum(r.padded_toks for r in ordered) == 0
+    # partial final batch pads within itself only
+    odd = corpus.padding_waste(
+        spark.createDataFrame(
+            [Row(doc_id=i, shard=0, n_toks=t) for i, t in
+             enumerate([5, 5, 9])]
+        ),
+        ["shard"], [F.col("doc_id").asc()], "n_toks", 2,
+    ).collect()
+    by_batch = {r._batch: r for r in odd}
+    assert by_batch[0].padded_toks == 0
+    assert by_batch[1].n_rows == 1 and by_batch[1].padded_toks == 0
+
+    # the registered report must show bucketing strictly reducing waste
+    from llm_enhanced_data_pipeline_spark.queries.corpus_q import (
+        padding_efficiency_report,
+    )
+
+    rep = {r.strategy: r for r in padding_efficiency_report(
+        spark, "/root/testdata/sf0.001"
+    ).collect()}
+    assert rep["bucketed"].padded_toks < rep["naive"].padded_toks
+    assert rep["bucketed"].n_docs == rep["naive"].n_docs
+    assert rep["bucketed"].total_toks == rep["naive"].total_toks
