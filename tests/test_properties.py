@@ -280,3 +280,25 @@ def test_parse_robots_full_never_raises_on_text(text):
         assert ua == ua.lower() and isinstance(allow, bool) and pattern
     for ua, seconds in parsed["delays"]:
         assert ua == ua.lower() and isinstance(seconds, float)
+
+
+@given(st.binary(max_size=300), st.sampled_from(
+    [b"", b"RIFF", b"\xff\xd8", b"GIF89a", b"\x89PNG\r\n\x1a\n", b"P6\n",
+     b"YUV4MPEG2 ", b"WARC/1.0\r\n", b"RIFF\x20\x00\x00\x00AVI "]
+))
+@settings(max_examples=200, deadline=None)
+def test_media_parsers_quarantine_never_crash(tail, magic):
+    """The quarantine contract under fuzz: random bytes — including
+    ones wearing each format's magic prefix — either decode or raise
+    ValueError. Never any other exception, never a hang."""
+    from llm_enhanced_data_pipeline_spark.operators import multimodal
+    from llm_enhanced_data_pipeline_spark.sources import warc
+
+    payload = magic + tail
+    for parse in (multimodal.parse_image, multimodal.parse_wav,
+                  multimodal.parse_y4m, multimodal.parse_avi_mjpeg,
+                  warc.parse_warc_records):
+        try:
+            parse(payload)
+        except ValueError:
+            pass
