@@ -92,7 +92,9 @@ def ambient_load_reasons(
     2. the legacy-comparable subtotal lands OUTSIDE the pinned
        quiet-machine band in ``bench_baseline.json`` (checked only
        when every legacy slot actually ran — partial/synthetic slot
-       sets have no meaningful subtotal). A BELOW-band subtotal is
+       sets have no meaningful subtotal; an error in a NON-legacy
+       slot does not exempt the check, since all 14 legacy timings
+       are still present and comparable). A BELOW-band subtotal is
        flagged too: it means either a real plan improvement (re-pin
        the band) or a measurement artifact — either way not a number
        to quote silently against the old band.
@@ -104,7 +106,7 @@ def ambient_load_reasons(
                 f"5-min loadavg at start {loadavg_before[1]:.2f} > "
                 f"{AMBIENT_LOAD_MAX} (machine not quiet)"
             )
-    if not errors and legacy_names <= set(timings):
+    if legacy_names <= set(timings) and not (legacy_names & set(errors)):
         try:
             with open(
                 os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -335,9 +335,18 @@ def test_subtotal_outside_pinned_band_flags_the_record():
         [2.0, 1.5, 1.0], {"cosine_topk": 99.0}, {}, bench.LEGACY_SLOT_NAMES
     )
     assert any("loadavg" in r for r in loaded)
-    # errors present: subtotal covers fewer slots -> band check skipped
-    with_err = bench.ambient_load_reasons(
+    # error in a NON-legacy slot: all 14 legacy timings are present and
+    # comparable, so the band check still applies (r10 ADVICE: an
+    # any-error exemption was a false-negative path for the gate)
+    nonlegacy_err = bench.ambient_load_reasons(
         quiet, timings_summing_to(hi * 1.5), {"x": "boom"},
         bench.LEGACY_SLOT_NAMES,
     )
-    assert with_err == []
+    assert any("outside the pinned" in r for r in nonlegacy_err)
+    # error in a LEGACY slot: subtotal covers fewer slots -> skipped
+    legacy_err_timings = timings_summing_to(hi * 1.5)
+    legacy_err = bench.ambient_load_reasons(
+        quiet, legacy_err_timings, {"cosine_topk": "boom"},
+        bench.LEGACY_SLOT_NAMES,
+    )
+    assert legacy_err == []
