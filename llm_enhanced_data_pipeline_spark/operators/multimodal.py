@@ -1196,9 +1196,11 @@ def parse_jpeg(payload: bytes):
     hierarchical SOFs, 12-bit, sampling factors > 2) — quarantine,
     never garbage.
 
-    Per-bit Python Huffman decode is fine for the gate payloads and
-    metadata-scale thumbnails; a real-corpus lane swaps the codec
-    behind the same mapInPandas adapters (like every codec here)."""
+    Entropy decode is one 16-bit-prefix LUT hit per symbol over a
+    buffered byte-refill reader — O(bytes) interpreter work, not
+    per-bit loops (see _BitReader/_build_huffman_lut); a real-corpus
+    lane swaps the codec behind the same mapInPandas adapters (like
+    every codec here)."""
     import struct
 
     import numpy as np
