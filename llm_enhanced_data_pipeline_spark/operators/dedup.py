@@ -830,6 +830,70 @@ def near_dup_pairs_simhash(
     )
 
 
+def near_dup_pairs_phash(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    max_hamming: int = 6,
+    blocks: int = 7,
+) -> DataFrame:
+    """Perceptual near-dup pairs over IMAGE payloads: (id_a, id_b,
+    hamming) with DCT-pHash distance <= max_hamming.
+
+    The media analogue of :func:`near_dup_pairs_simhash`: decode each
+    payload (PNG/JPEG/GIF/PNM dispatch), compute the 63-bit DCT pHash
+    (multimodal.phash63 — re-encodes, global brightness shifts and
+    proportional resizes of the same picture collide), then find pairs
+    through the same pigeonhole block-bucketed equi-join — 9-bit
+    blocks of the 63-bit hash, lossless for distance <= blocks-1,
+    never an all-pairs product. Only (id, 8-byte hash) rows reach the
+    shuffle; the raster never leaves the decode stage. Undecodable
+    payloads are quarantined by phash_by_id, so corrupt media simply
+    produce no pairs."""
+    if blocks < max_hamming + 1:
+        raise ValueError("pigeonhole recall needs blocks >= max_hamming + 1")
+    from .multimodal import phash_by_id  # defer the numpy-heavy module
+
+    ph = _persist_tracked(
+        phash_by_id(df.select(F.col(id_col), F.col(payload_col)), id_col, payload_col)
+    )
+    ph.count()  # materialize before the two-sided self-join re-alias
+    block_bits = 63 // blocks
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("_bi"),
+                (
+                    F.shiftright(F.col("phash"), b * block_bits) % F.lit(2**block_bits)
+                ).alias("_bv"),
+            )
+            for b in range(blocks)
+        ]
+    )
+    keyed = ph.select(
+        F.col("doc_id").alias(id_col), F.col("phash"), F.explode(block_structs).alias("_k")
+    ).select(
+        F.col(id_col),
+        F.col("phash"),
+        F.col("_k._bi").alias("_bi"),
+        F.col("_k._bv").alias("_bv"),
+    )
+    left = keyed.select(
+        F.col(id_col).alias("id_a"), F.col("phash").alias("_ha"), "_bi", "_bv"
+    )
+    right = keyed.select(
+        F.col(id_col).alias("id_b"), F.col("phash").alias("_hb"), "_bi", "_bv"
+    )
+    return (
+        left.join(right, ["_bi", "_bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hashing.hamming60(F.col("_ha"), F.col("_hb")))
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # n-gram Jaccard near-dup: shingle then exact pairwise Jaccard (the
 # content-aware variant; word order matters through the shingles).
 

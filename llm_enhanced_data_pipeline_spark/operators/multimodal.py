@@ -2328,3 +2328,114 @@ def sample_frames_real(
             rows = {k.name: [] for k in VIDEO_FRAME_STATS_SCHEMA}
 
     return df.select(id_col, payload_col).mapInPandas(run, VIDEO_FRAME_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (pHash) — the media analogue of SimHash. The
+# reference dedups documents by content hash only (main.py's exact
+# id/content passes); a training-data pipeline additionally needs
+# PERCEPTUAL dedup over decoded media: the same picture re-encoded
+# (PNG vs JPEG), brightness-shifted, or resized must collide, while
+# different pictures must not. Classic DCT pHash: area-resize the
+# luma to 32x32, 2D DCT-II, threshold the low-frequency 8x8 corner
+# against its median. Brightness shifts move only the DC coefficient
+# (excluded), re-encodes/resizes preserve the low-frequency spectrum.
+
+
+def _area_resize(gray, out_h: int = 32, out_w: int = 32):
+    """Deterministic area-average downscale to (out_h, out_w): split
+    rows/cols into contiguous near-equal chunks and mean each (exact
+    block means whenever the dims divide — the synth-gate case).
+    Images smaller than the target are edge-replicated up first."""
+    import numpy as np
+
+    g = gray.astype(np.float64)
+    h, w = g.shape
+    if h < out_h:
+        g = np.repeat(g, -(-out_h // h), axis=0)
+    if w < out_w:
+        g = np.repeat(g, -(-out_w // w), axis=1)
+    g = np.stack([c.mean(axis=0) for c in np.array_split(g, out_h, axis=0)])
+    return np.stack([c.mean(axis=1) for c in np.array_split(g, out_w, axis=1)], axis=1)
+
+
+_DCT32 = None
+
+
+def _dct32_matrix():
+    """Orthonormal 32x32 DCT-II basis (same construction as the JPEG
+    codec's 8x8 matrix; cached)."""
+    global _DCT32
+    if _DCT32 is None:
+        import numpy as np
+
+        n = 32
+        k = np.arange(n).reshape(-1, 1)
+        x = np.arange(n).reshape(1, -1)
+        c = np.sqrt(2.0 / n) * np.cos((2 * x + 1) * k * np.pi / (2 * n))
+        c[0, :] *= 1.0 / np.sqrt(2.0)
+        _DCT32 = c
+    return _DCT32
+
+
+def phash63(arr) -> int:
+    """63-bit DCT perceptual hash of a decoded image array.
+
+    BT.601 luma -> 32x32 area resize -> 2D DCT-II -> row-major
+    top-left 8x8 corner, DC dropped -> bit i = (coefficient i+1 >
+    median of the 63). DC exclusion makes the hash exactly invariant
+    to global brightness shifts; 63 bits keep the value non-negative
+    in an int64 so the banded join's shiftright/mod block keys stay
+    unsigned (same reason SimHash here is 60-bit)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.float64)
+    if a.ndim == 3 and a.shape[-1] >= 3:
+        gray = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    elif a.ndim == 3:
+        gray = a[..., 0]
+    else:
+        gray = a
+    c = _dct32_matrix()
+    spec = c @ _area_resize(gray) @ c.T
+    coeffs = spec[:8, :8].ravel()[1:]  # 63 ACs, DC dropped
+    med = float(np.median(coeffs))
+    bits = coeffs > med
+    h = 0
+    for i in range(63):
+        if bits[i]:
+            h |= 1 << i
+    return h
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def phash_by_id(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """(id, phash) over image payloads (PNM/PNG/JPEG/GIF magic-byte
+    dispatch through :func:`parse_image`). Arrow-batched mapInPandas;
+    the payload is projected away here, so downstream banding/joins
+    move only (id, 8-byte hash). Undecodable payloads are quarantined
+    (dropped), matching every media lane's corrupt-input posture."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: dict[str, list] = {"doc_id": [], "phash": []}
+        for pdf in batches:
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    _, _, _, arr = parse_image(
+                        bytes(payload) if payload is not None else None
+                    )
+                except ValueError:
+                    continue
+                rows["doc_id"].append(int(doc_id))
+                rows["phash"].append(phash63(arr))
+            yield pd.DataFrame(rows)
+            rows = {"doc_id": [], "phash": []}
+
+    return df.select(id_col, payload_col).mapInPandas(run, PHASH_SCHEMA)

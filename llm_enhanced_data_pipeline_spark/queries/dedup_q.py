@@ -1229,3 +1229,128 @@ def semdedup_prune_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", k=None, iters=2, tau=0.35,
         target_cluster_size=64,
     )
+
+
+# Perceptual (pHash) media near-dup — the image analogue of the
+# SimHash gate. The corpus has no media column, so the gate
+# synthesizes one deterministically per doc: content depends ONLY on
+# the doc's group (doc_id % 17) while the ENCODING alternates by
+# doc_id parity (even -> PNG of the RGB raster, odd -> baseline 4:2:0
+# JPEG of the same raster's YCbCr planes). The luma lattice is
+# per-8x8-block constant with a flat q=8 quant table — the DC-only
+# lattice where the JPEG roundtrip is bit-exact (see the
+# jpeg_image_decode_stats note) — so a PNG copy and a JPEG re-encode
+# of the same picture decode to IDENTICAL pixels and must collide at
+# hamming 0, while block values come from a murmur3-fmix32 avalanche
+# mix so cross-group pHash distances are large (verified min 20 over
+# all 136 group pairs vs the gate's max_hamming=6; a linear g*73+b*41
+# pattern was rejected because groups then differ by a near-constant
+# brightness shift, which pHash is DESIGNED to ignore). Ground truth
+# is therefore closed-form — all same-group pairs at hamming 0 — and
+# the oracle states it as a plain group self-join while Spark earns
+# it through the full lane: payload synth, real PNG/JPEG decode,
+# 32x32 area resize, 2D DCT, median threshold, 9-bit-block pigeonhole
+# banding, exact hamming filter.
+_PHASH_GROUPS = 17
+
+
+def _phash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators import multimodal
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        m32 = (1 << 32) - 1
+
+        def fmix32(x: int) -> int:
+            x &= m32
+            x ^= x >> 16
+            x = (x * 0x85EBCA6B) & m32
+            x ^= x >> 13
+            x = (x * 0xC2B2AE35) & m32
+            x ^= x >> 16
+            return x
+
+        flat8 = [8] * 64
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d % _PHASH_GROUPS
+                y = np.zeros((64, 64), dtype=np.uint8)
+                for b in range(64):
+                    by, bx = divmod(b, 8)
+                    y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        fmix32(g * 64 + b + 1) >> 24
+                    )
+                cbv, crv = (g * 13 + 40) % 256, (g * 11 + 80) % 256
+                if d % 2 == 0:
+                    yf = y.astype(np.float64)
+                    r = np.clip(np.floor(yf + 1.402 * (crv - 128) + 0.5), 0, 255)
+                    gc = np.clip(
+                        np.floor(
+                            yf - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128) + 0.5
+                        ),
+                        0,
+                        255,
+                    )
+                    bl = np.clip(np.floor(yf + 1.772 * (cbv - 128) + 0.5), 0, 255)
+                    rgb = np.stack([r, gc, bl], axis=-1).astype(np.uint8)
+                    payload = multimodal.write_png(rgb)
+                else:
+                    payload = multimodal.write_jpeg(
+                        y,
+                        np.full((64, 64), cbv, dtype=np.uint8),
+                        np.full((64, 64), crv, dtype=np.uint8),
+                        q_luma=flat8,
+                        q_chroma=flat8,
+                        subsampling="420",
+                    )
+                ids.append(d)
+                payloads.append(payload)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.mapInPandas(synth, schema)
+
+
+@register(
+    "near_dup_pairs_phash",
+    doc="Perceptual near-dup pairs over REAL image payloads: 63-bit "
+    "DCT pHash (BT.601 luma -> 32x32 area resize -> 2D DCT-II -> "
+    "median-threshold of the DC-less 8x8 corner) computed off real "
+    "PNG/JPEG decodes, pairs via the 9-bit-block pigeonhole equi-join "
+    "(lossless for hamming <= 6, no all-pairs product). Same-group "
+    "docs carry the same picture under DIFFERENT encodings (PNG vs "
+    "baseline 4:2:0 JPEG on the DC-exact lattice), so the re-encoded "
+    "copies must collide at hamming 0; cross-group distances are >= "
+    "20 by construction, so ground truth is the closed-form group "
+    "self-join the oracle states.",
+    oracle=f"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id % {_PHASH_GROUPS} = b.doc_id % {_PHASH_GROUPS}
+ AND a.doc_id < b.doc_id
+WHERE a.doc_id % 3 = 1 AND b.doc_id % 3 = 1
+""",
+)
+def near_dup_pairs_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _phash_corpus(spark, sf_dir)
+    out = dedup.near_dup_pairs_phash(
+        corpus, "doc_id", "payload", max_hamming=6, blocks=7
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))

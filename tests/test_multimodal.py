@@ -990,3 +990,127 @@ def test_jpeg_entropy_decode_throughput_is_pinned():
         w, h, c, _ = multimodal.parse_jpeg(blob)
         assert (w, h, c) == (64, 64, 3)
     assert time.perf_counter() - t0 < 2.0
+
+
+def _block_lattice(seed: int, lo: int = 0, hi: int = 256) -> "object":
+    """64x64 RGB with per-8x8-block-constant channels — deterministic
+    'picture' for the pHash property tests."""
+    import numpy as np
+
+    arr = np.zeros((64, 64, 3), dtype=np.uint8)
+    for b in range(64):
+        by, bx = divmod(b, 8)
+        v = (seed * 2654435761 + b * 40503) ^ (b << 7)
+        arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+            lo + v % (hi - lo),
+            lo + (v * 3 + 17) % (hi - lo),
+            lo + (v * 7 + 5) % (hi - lo),
+        )
+    return arr
+
+
+def test_phash_perceptual_invariances():
+    """The properties that make pHash a PERCEPTUAL hash, each pinned:
+    re-encode (PNG vs lossless-lattice bytes), global brightness shift
+    (DC-only change — the hash drops DC), and proportional resize
+    (area pooling sees the same block means) all map to hamming 0,
+    while a genuinely different picture lands far away."""
+    import numpy as np
+
+    arr = _block_lattice(3)
+    h0 = multimodal.phash63(arr)
+    assert 0 <= h0 < 2**63
+
+    # re-encode through the PNG codec: decode must hash identically
+    _, _, _, back = multimodal.parse_png(multimodal.write_png(arr))
+    assert multimodal.phash63(back) == h0
+
+    # non-clipping global brightness shift: DC moves, hash does not
+    lat = _block_lattice(3, lo=10, hi=200)
+    shifted = (lat.astype(np.int64) + 40).astype(np.uint8)
+    assert multimodal.phash63(shifted) == multimodal.phash63(lat)
+
+    # 2x proportional upscale: area resize recovers the same 32x32
+    up = np.repeat(np.repeat(arr, 2, axis=0), 2, axis=1)
+    assert multimodal.phash63(up) == h0
+
+    # a different picture is far away (threshold is 6 in the lane)
+    other = _block_lattice(4)
+    assert bin(h0 ^ multimodal.phash63(other)).count("1") > 10
+
+    # grayscale input works (2-D array path)
+    gray = arr[:, :, 0]
+    assert 0 <= multimodal.phash63(gray) < 2**63
+
+
+def test_phash_jpeg_reencode_collides():
+    """The lane's headline claim: the SAME picture as a PNG and as a
+    baseline 4:2:0 JPEG (DC-exact lattice, flat q=8) decodes to
+    identical pixels and therefore identical pHash — a re-encoded
+    copy is a perceptual duplicate."""
+    import numpy as np
+
+    flat8 = [8] * 64
+    y = np.zeros((64, 64), dtype=np.uint8)
+    for b in range(64):
+        by, bx = divmod(b, 8)
+        y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (b * 37 + 11) % 256
+    cbv, crv = 90, 140
+    jpeg = multimodal.write_jpeg(
+        y,
+        np.full((64, 64), cbv, dtype=np.uint8),
+        np.full((64, 64), crv, dtype=np.uint8),
+        q_luma=flat8,
+        q_chroma=flat8,
+        subsampling="420",
+    )
+    _, _, _, from_jpeg = multimodal.parse_jpeg(jpeg)
+    png = multimodal.write_png(from_jpeg)
+    _, _, _, from_png = multimodal.parse_png(png)
+    assert np.array_equal(from_jpeg, from_png)
+    assert multimodal.phash63(from_jpeg) == multimodal.phash63(from_png)
+
+
+def test_phash_banded_join_matches_brute_force(spark):
+    """near_dup_pairs_phash's pigeonhole banding is lossless: pairs ==
+    the all-pairs hamming check on the driver, and corrupt payloads
+    are quarantined instead of erroring the lane."""
+    import itertools
+
+    from llm_enhanced_data_pipeline_spark.operators import dedup
+
+    arrs = {
+        1: _block_lattice(1),
+        2: _block_lattice(1),          # exact copy of 1
+        3: _block_lattice(2),
+        4: _block_lattice(2),          # exact copy of 3
+        5: _block_lattice(7),          # singleton
+    }
+    rows = [
+        Row(doc_id=i, payload=bytearray(multimodal.write_png(a)))
+        for i, a in arrs.items()
+    ] + [Row(doc_id=99, payload=bytearray(b"\x00not-an-image"))]
+    df = spark.createDataFrame(rows)
+
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.near_dup_pairs_phash(df, "doc_id", "payload").collect()
+    }
+    hashes = {i: multimodal.phash63(a) for i, a in arrs.items()}
+    want = {
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for a, b in itertools.combinations(sorted(hashes), 2)
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 6
+    }
+    assert got == want
+    assert {(1, 2, 0), (3, 4, 0)} <= got
+    assert not any(99 in (a, b) for a, b, _ in got)
+
+
+def test_phash_banding_requires_pigeonhole_margin():
+    import pytest as _pytest
+
+    from llm_enhanced_data_pipeline_spark.operators import dedup
+
+    with _pytest.raises(ValueError):
+        dedup.near_dup_pairs_phash(None, "doc_id", "payload", max_hamming=7, blocks=7)

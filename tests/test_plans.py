@@ -470,6 +470,9 @@ PYTHON_EVAL_BY_DESIGN = {
     "crawl_frontier_build",  # the frontier capstone: robots grammar
     # walk again; sitemap harvest, canonicalize, admission and the
     # schedule window are all declarative
+    "near_dup_pairs_phash",  # perceptual media dedup: payload synth +
+    # real PNG/JPEG decode + DCT pHash in mapInPandas (Arrow) — the
+    # banding/hamming pair join itself is declarative
 }
 
 
