@@ -267,7 +267,8 @@ def read_robots_delays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """1->N Crawl-delay expansion over robots.txt text columns: one
     row per (user-agent, delay). Same quarantine posture as
     :func:`read_robots_rules`. Feed the output (after
-    :func:`select_ua_group`) into :func:`schedule_fetches`."""
+    :func:`select_ua_delays`, which scopes the group over the full
+    rules ∪ delays universe) into :func:`schedule_fetches`."""
     from typing import Iterator
 
     import pandas as pd
@@ -383,18 +384,26 @@ def schedule_fetches(
     """Per-domain politeness schedule: the k-th URL of a domain
     (deterministic: ordered by ``url_id``) fetches at offset
     ``(k-1) * crawl_delay`` seconds, so no domain is hit faster than
-    its robots.txt asks. ``delays`` is one row per domain (pre-select
-    a UA group via :func:`select_ua_group` first); domains without a
-    delay row use ``default_delay``. One keyed window + a domain-equi
-    join that shares the window's domain shuffle — the fetch schedule
-    for a billion-URL frontier is one shuffle of the URL side. NO
-    broadcast hint: the per-domain delay frame has one row per crawled
-    domain (millions at corpus scale); AQE still broadcasts it when it
-    is actually small."""
+    its robots.txt asks. ``delays`` is reduced to one row per domain
+    HERE (max — the politest delay wins), so a caller passing an
+    unselected or multi-UA delays frame cannot silently multiply URL
+    rows through the left join and shift the row_number offsets;
+    pre-select a UA group via :func:`select_ua_delays` for strict RFC
+    9309 scoping. Domains without a delay row use ``default_delay``.
+    One keyed window + a domain-equi join that shares the window's
+    domain shuffle — the fetch schedule for a billion-URL frontier is
+    one shuffle of the URL side. NO broadcast hint: the per-domain
+    delay frame has one row per crawled domain (millions at corpus
+    scale); AQE still broadcasts it when it is actually small."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(domain_col).orderBy(url_id_col)
-    j = urls.join(delays.select(domain_col, delay_col), domain_col, "left")
+    one_per_domain = (
+        delays.select(domain_col, delay_col)
+        .groupBy(domain_col)
+        .agg(F.max(delay_col).alias(delay_col))
+    )
+    j = urls.join(one_per_domain, domain_col, "left")
     return j.withColumn(
         "fetch_offset_s",
         (
@@ -459,6 +468,43 @@ def select_ua_group(
         .withColumn("_best_ua", F.min(F.lower(F.col(ua_col))).over(w))
         .filter(F.lower(F.col(ua_col)) == F.col("_best_ua"))
         .drop("_spec", "_best_spec", "_best_ua")
+    )
+
+
+def select_ua_delays(
+    rules: DataFrame,
+    delays: DataFrame,
+    user_agent: str,
+    domain_col: str = "domain",
+    ua_col: str = "user_agent",
+) -> DataFrame:
+    """Strict RFC 9309 Crawl-delay scoping: choose the UA group over
+    the FULL group universe (rules ∪ delays — a group can exist with
+    rules but no Crawl-delay, or with only a Crawl-delay line), then
+    keep only the chosen group's delay rows. A matched bot-specific
+    group WITHOUT a delay therefore yields no row — the scheduler's
+    ``default_delay`` applies — instead of inheriting the ``*``
+    group's delay, which is what running :func:`select_ua_group` on a
+    delays-only frame does (that frame cannot see delay-less groups;
+    urllib.robotparser-style selection returns no delay there).
+    Rules-side only: the group universe is a distinct over two
+    per-domain frames, one shuffle on the domain key."""
+    groups = (
+        rules.select(domain_col, ua_col)
+        .unionByName(delays.select(domain_col, ua_col))
+        .distinct()
+    )
+    chosen = select_ua_group(groups, user_agent, domain_col, ua_col).select(
+        F.col(domain_col), F.lower(F.col(ua_col)).alias("_chosen_ua")
+    )
+    return (
+        delays.join(
+            chosen,
+            (delays[domain_col] == chosen[domain_col])
+            & (F.lower(delays[ua_col]) == chosen["_chosen_ua"]),
+        )
+        .drop(chosen[domain_col])
+        .drop("_chosen_ua")
     )
 
 

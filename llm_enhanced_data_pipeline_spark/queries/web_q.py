@@ -1041,12 +1041,20 @@ def crawl_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("\nDisallow: /x\n"),
         ),
     ).otherwise(F.lit("User-agent: trainbot\nDisallow: /x\n"))
-    delays = web.select_ua_group(
-        web.read_robots_delays(
-            docs.withColumn("robots_txt", robots_txt), "doc_id", "robots_txt"
-        ).withColumn(
-            "domain", F.concat(F.lit("d"), F.col("doc_id").cast("string"),
-                               F.lit(".com"))
+    meta = docs.withColumn("robots_txt", robots_txt)
+    domain_of = F.concat(
+        F.lit("d"), F.col("doc_id").cast("string"), F.lit(".com")
+    )
+    # strict RFC 9309 scoping: the group is chosen over the full
+    # rules ∪ delays universe, so the even docs' delay-less trainbot
+    # group falls back to the scheduler default rather than to any
+    # '*' delay (r10 ADVICE)
+    delays = web.select_ua_delays(
+        web.read_robots_rules(meta, "doc_id", "robots_txt").withColumn(
+            "domain", domain_of
+        ),
+        web.read_robots_delays(meta, "doc_id", "robots_txt").withColumn(
+            "domain", domain_of
         ),
         "trainbot",
     )
@@ -1125,7 +1133,8 @@ def crawl_frontier_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = web.read_robots_rules(meta, "doc_id", "robots_txt").withColumn(
         "domain", domain_of
     )
-    delays = web.select_ua_group(
+    delays = web.select_ua_delays(
+        rules,
         web.read_robots_delays(meta, "doc_id", "robots_txt").withColumn(
             "domain", domain_of
         ),

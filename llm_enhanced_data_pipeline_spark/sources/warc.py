@@ -145,6 +145,7 @@ def write_warc(records: list[dict], gzip_members: bool = False) -> bytes:
     uuid5 of the record content + index), so every stream this writer
     emits is schema-complete per the spec."""
     import gzip
+    import hashlib
     import uuid
 
     out = bytearray()
@@ -159,9 +160,15 @@ def write_warc(records: list[dict], gzip_members: bool = False) -> bytes:
                 headers["-".join(p.upper() if p == "warc" else p.capitalize()
                                  for p in lower.split("-"))] = fill
         if "warc-record-id" not in present:
+            # uuid5 over the FULL content digest (O(n) next to the
+            # write anyway), not a 64-byte prefix: prefix-based IDs
+            # collide across merged archives whenever records share
+            # position and a prefix, while ISO 28500 wants global
+            # uniqueness. Still position-salted so identical content
+            # at different offsets in ONE stream gets distinct IDs.
+            digest = hashlib.sha256(content).hexdigest()
             rid = uuid.uuid5(uuid.NAMESPACE_URL,
-                             f"warc-record/{i}/{len(content)}/"
-                             + content[:64].hex())
+                             f"warc-record/{i}/{len(content)}/{digest}")
             headers["WARC-Record-ID"] = f"<urn:uuid:{rid}>"
         for name, value in headers.items():
             name, value = str(name), str(value)

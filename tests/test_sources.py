@@ -352,3 +352,25 @@ def test_split_http_response_bare_lf_envelope():
     # body containing \n\n after a CRLF separator is untouched
     s4, _, b4 = warc.split_http_response(b"HTTP/1.0 200 OK\r\n\r\na\n\nb")
     assert (s4, b4) == (200, b"a\n\nb")
+
+
+def test_warc_autofilled_record_ids_hash_full_content():
+    """r10 ADVICE: auto-filled WARC-Record-IDs digest the FULL content,
+    so two records sharing position + a 64-byte prefix but diverging
+    later get distinct IDs (merge-safe), while re-writing the same
+    stream stays deterministic."""
+    from llm_enhanced_data_pipeline_spark.sources import warc
+
+    prefix = b"x" * 100
+    a = warc.write_warc([{"headers": {}, "content": prefix + b"tail-A"}])
+    b = warc.write_warc([{"headers": {}, "content": prefix + b"tail-B"}])
+
+    def rid(blob):
+        import re
+
+        return re.search(rb"WARC-Record-ID: (<[^>]+>)", blob).group(1)
+
+    assert rid(a) != rid(b)
+    assert rid(a) == rid(warc.write_warc(
+        [{"headers": {}, "content": prefix + b"tail-A"}]
+    ))

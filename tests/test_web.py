@@ -603,3 +603,60 @@ def test_schedule_fetches_per_domain_offsets(spark):
     }
     # a.com: k-th URL at (k-1)*2.5; b.com: no delay row -> default 1.0
     assert out == {0: 0.0, 1: 2.5, 2: 5.0, 3: 7.5, 10: 0.0, 11: 1.0}
+
+
+def test_schedule_fetches_tolerates_multirow_delays(spark):
+    """r10 ADVICE: an unselected / multi-UA delays frame must not
+    multiply URL rows through the join — schedule_fetches reduces to
+    one row per domain itself (max: the politest delay wins)."""
+    urls = spark.createDataFrame(
+        [Row(url_id=1, domain="a.com"), Row(url_id=2, domain="a.com")]
+    )
+    delays = spark.createDataFrame(
+        [
+            Row(domain="a.com", crawl_delay=1.0),
+            Row(domain="a.com", crawl_delay=3.0),
+        ]
+    )
+    rows = web.schedule_fetches(urls, delays).collect()
+    assert len(rows) == 2  # no row multiplication
+    assert {r.url_id: r.fetch_offset_s for r in rows} == {1: 0.0, 2: 3.0}
+
+
+def test_select_ua_delays_strict_group_scoping(spark):
+    """r10 ADVICE: a crawler whose own UA group exists (in rules) but
+    carries no Crawl-delay must fall back to the scheduler DEFAULT,
+    not inherit the '*' group's delay — selection happens over the
+    full rules ∪ delays group universe. A domain where the bot group
+    does carry a delay keeps it; a domain with only '*' groups uses
+    the '*' delay; delay-only groups (no rules) still participate."""
+    rules = spark.createDataFrame(
+        [
+            # a.com: trainbot group exists (rule only), '*' has a delay
+            Row(domain="a.com", user_agent="trainbot", pattern="/x", allow=False),
+            Row(domain="a.com", user_agent="*", pattern="/y", allow=False),
+            # b.com: only '*'
+            Row(domain="b.com", user_agent="*", pattern="/z", allow=False),
+            # c.com: trainbot with a delay below
+            Row(domain="c.com", user_agent="trainbot", pattern="/w", allow=False),
+        ]
+    )
+    delays = spark.createDataFrame(
+        [
+            Row(domain="a.com", user_agent="*", crawl_delay=9.0),
+            Row(domain="b.com", user_agent="*", crawl_delay=2.0),
+            Row(domain="c.com", user_agent="trainbot", crawl_delay=4.0),
+            # d.com: delay-only trainbot group (no rules rows at all)
+            Row(domain="d.com", user_agent="trainbot", crawl_delay=7.0),
+        ]
+    )
+    got = {
+        (r.domain, r.user_agent): r.crawl_delay
+        for r in web.select_ua_delays(rules, delays, "TrainBot").collect()
+    }
+    # a.com's trainbot group wins selection but has no delay -> NO row
+    assert got == {
+        ("b.com", "*"): 2.0,
+        ("c.com", "trainbot"): 4.0,
+        ("d.com", "trainbot"): 7.0,
+    }
