@@ -568,3 +568,110 @@ def robots_admission(
             F.when(F.col("_m"), F.col("pattern")).alias("matched_pattern"),
         )
     )
+
+
+# --- main-content extraction (boilerplate removal) --------------------
+# After politeness + ingestion, the #1 quality lever a crawl corpus
+# applies is dropping nav/header/footer/sidebar boilerplate before any
+# quality or dedup stage (trafilatura/jusText practice). Declarative
+# form of the jusText block heuristic: split the page into blocks on
+# block-level tags, score each block by text length and LINK DENSITY
+# (chars inside <a> vs total text chars), keep the dense-prose blocks.
+# Pure regexp + higher-order-function algebra over one projection —
+# no Python, byte-identical DuckDB twin — so it fuses into the same
+# codegen pass as the rest of the page gate chain at 100 TB.
+
+_BLOCK_TAG_RE = (
+    r"(?i)</?(?:p|div|section|article|main|header|footer|nav|aside|ul|ol|li|"
+    r"h[1-6]|table|thead|tbody|tr|td|th|blockquote|figure|figcaption|br|hr)"
+    r"\b[^>]*>"
+)
+_LINK_BODY_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
+
+
+def _inline_text(col: Column) -> Column:
+    """Strip remaining inline tags + entities from one block and
+    normalize whitespace (the html_strip chain minus the script/
+    style/comment steps, which run page-wide before block split)."""
+    from .cleaning import HTML_STRIP_STEPS, normalize_whitespace
+
+    out = col
+    for pat, rep in HTML_STRIP_STEPS[3:]:
+        out = F.regexp_replace(out, pat, rep)
+    return normalize_whitespace(out)
+
+
+def _inline_text_sql(expr: str) -> str:
+    from .cleaning import HTML_STRIP_STEPS
+
+    out = expr
+    for pat, rep in HTML_STRIP_STEPS[3:]:
+        sql_pat = pat.replace("'", "''")
+        sql_rep = rep.replace("'", "''")
+        out = f"regexp_replace({out}, '{sql_pat}', '{sql_rep}', 'g')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+def extract_main_content(
+    col: Column, min_chars: int = 25, max_link_permille: int = 333
+) -> Column:
+    """Main-content text of an HTML page: script/style/comment bodies
+    dropped page-wide, then the page splits into blocks on block-level
+    tags; a block survives iff its tag-stripped text has at least
+    ``min_chars`` characters AND its link density (chars inside
+    ``<a>`` bodies per text char) is at most ``max_link_permille``/
+    1000. Survivors re-join in document order. Integer permille math
+    keeps the density threshold float-free and engine-exact."""
+    from .cleaning import HTML_STRIP_STEPS, normalize_whitespace
+
+    pre = col
+    for pat, rep in HTML_STRIP_STEPS[:3]:
+        pre = F.regexp_replace(pre, pat, rep)
+    blocks = F.split(pre, _BLOCK_TAG_RE)
+
+    def keep_text(b: Column) -> Column:
+        txt = _inline_text(b)
+        link = _inline_text(
+            F.array_join(F.regexp_extract_all(b, F.lit(_LINK_BODY_RE), 1), " ")
+        )
+        keep = (F.length(txt) >= F.lit(min_chars)) & (
+            F.length(link) * F.lit(1000)
+            <= F.length(txt) * F.lit(max_link_permille)
+        )
+        return F.when(keep, txt)
+
+    kept = F.filter(F.transform(blocks, keep_text), lambda t: t.isNotNull())
+    return normalize_whitespace(F.array_join(kept, " "))
+
+
+def extract_main_content_sql(
+    expr: str, min_chars: int = 25, max_link_permille: int = 333
+) -> str:
+    """DuckDB twin of :func:`extract_main_content` (same patterns,
+    same order, same integer thresholds)."""
+    from .cleaning import HTML_STRIP_STEPS
+
+    pre = expr
+    for pat, rep in HTML_STRIP_STEPS[:3]:
+        sql_pat = pat.replace("'", "''")
+        pre = f"regexp_replace({pre}, '{sql_pat}', '{rep}', 'g')"
+    block_re = _BLOCK_TAG_RE.replace("'", "''")
+    link_re = _LINK_BODY_RE.replace("'", "''")
+    blocks = f"regexp_split_to_array({pre}, '{block_re}')"
+    txt = _inline_text_sql("_b")
+    # coalesce: DuckDB's array_to_string of an EMPTY list is NULL
+    # (Spark's array_join is ''), and a NULL link length would
+    # silently drop every link-free block through the CASE condition
+    link = _inline_text_sql(
+        f"coalesce(array_to_string("
+        f"regexp_extract_all(_b, '{link_re}', 1), ' '), '')"
+    )
+    kept = (
+        f"list_filter(list_transform({blocks}, _b -> "
+        f"CASE WHEN length({txt}) >= {min_chars} "
+        f"AND length({link}) * 1000 <= length({txt}) * {max_link_permille} "
+        f"THEN {txt} END), _t -> _t IS NOT NULL)"
+    )
+    return (
+        f"trim(regexp_replace(array_to_string({kept}, ' '), '\\s+', ' ', 'g'))"
+    )

@@ -435,6 +435,109 @@ def html_strip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILERPLATE_PAGE_SQL = """
+'<html><head><style>p {color: red}</style></head><body>'
+|| '<header><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact us</a></header>'
+|| '<nav><ul><li><a href="/c">Category NAVTOK' || (doc_id % 5) || ' pages</a></li>'
+|| '<li><a href="/arch">Archive of older posts</a></li></ul></nav>'
+|| '<article><p>' || text || '</p></article>'
+|| '<aside><a href="/r1">Promoted story one</a> <a href="/r2">Promoted story two</a></aside>'
+|| '<footer>(c) 2026 corp</footer>'
+|| '<script>track(1 < 2);</script></body></html>'
+"""
+
+
+def _boilerplate_page() -> F.Column:
+    return F.concat(
+        F.lit("<html><head><style>p {color: red}</style></head><body>"),
+        F.lit('<header><a href="/">Home</a> <a href="/about">About</a>'
+              ' <a href="/contact">Contact us</a></header>'),
+        F.lit('<nav><ul><li><a href="/c">Category NAVTOK'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(' pages</a></li>'
+              '<li><a href="/arch">Archive of older posts</a></li></ul></nav>'),
+        F.lit("<article><p>"),
+        F.col("text"),
+        F.lit("</p></article>"),
+        F.lit('<aside><a href="/r1">Promoted story one</a>'
+              ' <a href="/r2">Promoted story two</a></aside>'),
+        F.lit("<footer>(c) 2026 corp</footer>"),
+        F.lit("<script>track(1 < 2);</script></body></html>"),
+    )
+
+
+@register(
+    "html_main_content",
+    doc="Main-content extraction (boilerplate removal — the quality "
+    "lever a crawl corpus applies right after politeness): every doc "
+    "is wrapped in a full boilerplate page (header/nav/aside links, "
+    "short footer, script), and the jusText-style block heuristic "
+    "(block-tag split, per-block min text length + max link density, "
+    "integer permille math) must recover exactly the article text "
+    "while dropping every nav/footer block: n_recovered counts exact "
+    "recoveries, n_nav_leaked counts pages where any nav/aside token "
+    "survived (expected 0), boilerplate_drop_permille measures how "
+    "much of the flat-stripped page the extractor removed.",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, source, text, ({_BOILERPLATE_PAGE_SQL.strip()}) AS html FROM documents
+),
+s AS (
+  SELECT doc_id, source, text,
+         {web.extract_main_content_sql("html")} AS main,
+         {cleaning.html_strip_sql("html")} AS flat
+  FROM h
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN main = trim(regexp_replace(text, '\\s+', ' ', 'g'))
+                THEN 1 ELSE 0 END)::BIGINT AS n_recovered,
+       sum(CASE WHEN contains(main, 'NAVTOK') OR contains(main, 'Promoted')
+                OR contains(main, 'Archive of older') THEN 1 ELSE 0 END
+          )::BIGINT AS n_nav_leaked,
+       ((1000 * (sum(length(flat)) - sum(length(main))))
+        // greatest(sum(length(flat)), 1))::BIGINT AS boilerplate_drop_permille
+FROM s GROUP BY source
+""",
+)
+def html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    s = docs.select("source", "text", _boilerplate_page().alias("html")).withColumn(
+        "main", web.extract_main_content(F.col("html"))
+    ).withColumn("flat", cleaning.html_strip(F.col("html")))
+    agg = s.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("main") == cleaning.normalize_whitespace(F.col("text")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_recovered"),
+        F.sum(
+            F.when(
+                F.col("main").contains("NAVTOK")
+                | F.col("main").contains("Promoted")
+                | F.col("main").contains("Archive of older"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_nav_leaked"),
+        F.sum(F.length("flat")).alias("_fl"),
+        F.sum(F.length("main")).alias("_ml"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_recovered",
+        "n_nav_leaked",
+        F.expr(
+            "cast(1000 * (_fl - _ml) div greatest(_fl, 1) as bigint)"
+        ).alias("boilerplate_drop_permille"),
+    )
+
+
 @register(
     "corpus_health_dashboard",
     doc="One-scan per-source health panel: doc count, mean heuristic "
@@ -960,6 +1063,151 @@ def corpus_build_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "url_id", "path", "n_toks",
             hashing.md5_hex(F.col("clean")).alias("fp"),
         )
+    )
+
+
+# --- v8: main-content extraction in the crawl-to-corpus build --------
+# The page gate that makes cross-site dedup work: the same article
+# syndicated under two different site layouts (different nav/footer
+# boilerplate) must produce the SAME content fingerprint. A flat
+# html_strip keeps the boilerplate text, so the two copies hash apart
+# and the duplicate survives; extract_main_content drops the link-
+# dense blocks and the copies collide.
+@register(
+    "corpus_build_v8",
+    doc="Crawl-to-corpus build with jusText-style main-content "
+    "extraction (one lineage): per-doc 3-record WARC — the article "
+    "under site layout A (header/nav/footer link boilerplate), the "
+    "SAME article syndicated under layout B (different nav labels, "
+    "aside instead of footer), and an all-boilerplate ad page. "
+    "Container walk + HTTP split (persisted once), status/content-"
+    "type gates, extract_main_content (block split, min text length, "
+    "max link density — integer permille), token floor, md5 "
+    "fingerprint over the MAIN text, then exact content dedup (keep "
+    "lowest url_id per fingerprint) with the per-fingerprint page "
+    "count carried out. The two layouts must collide (n_dup_pages = "
+    "2) and the ad page must extract to empty and fall to the token "
+    "floor; the oracle re-derives the survivor rows in closed form — "
+    "main content == the normalized document text, untouched by "
+    "either layout\'s boilerplate.",
+    oracle=f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 3),
+n AS (
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS main
+  FROM base
+)
+SELECT doc_id, (doc_id * 10)::BIGINT AS url_id, '/art' AS path,
+       len({tokens_sql("main")})::BIGINT AS n_toks,
+       md5(main) AS fp,
+       2::BIGINT AS n_dup_pages
+FROM n
+""",
+)
+def corpus_build_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql import Window
+
+    from ..functions import hashing
+    from ..operators import dedup
+    from ..sources import warc
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 11 == 3
+    ).select("doc_id", "text")
+
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        ok = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                host = f"d{d}.com"
+                art = (
+                    '<html><body><header><a href="/">Home</a> '
+                    '<a href="/about">About this site</a></header>'
+                    '<nav><ul><li><a href="/c1">First category listing</a>'
+                    '</li><li><a href="/c2">Second category listing</a>'
+                    "</li></ul></nav><article><p>" + (text or "")
+                    + '</p></article><footer><a href="/p">Privacy policy'
+                    ' page</a> | <a href="/t">Terms of service page</a>'
+                    "</footer><script>track();</script></body></html>"
+                )
+                syndicated = (
+                    '<html><body><nav><a href="/x1">Totally different'
+                    ' navigation</a> <a href="/x2">Another menu item'
+                    ' entirely</a></nav><article><p>' + (text or "")
+                    + '</p></article><aside><a href="/r">Recommended'
+                    " for you stories</a></aside></body></html>"
+                )
+                ad = (
+                    '<html><body><nav><a href="/b1">Sponsored link one'
+                    ' here</a> <a href="/b2">Sponsored link two here</a>'
+                    "</nav></body></html>"
+                )
+                recs = [
+                    {"headers": {"WARC-Type": "response",
+                                 "WARC-Target-URI": f"http://{host}/art"},
+                     "content": (ok + art).encode()},
+                    {"headers": {"WARC-Type": "response",
+                                 "WARC-Target-URI": f"http://{host}/synd"},
+                     "content": (ok + syndicated).encode()},
+                    {"headers": {"WARC-Type": "response",
+                                 "WARC-Target-URI": f"http://{host}/ad"},
+                     "content": (ok + ad).encode()},
+                ]
+                ids.append(d)
+                payloads.append(warc.write_warc(recs, gzip_members=True))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = docs.mapInPandas(synth, synth_schema)
+    recs = warc.read_warc_records(payloads, "doc_id", "payload", parse_http=True)
+    pages = dedup.persist_tracked(
+        recs.select(
+            (F.col("doc_id") * 10 + F.col("rec_idx")).cast("bigint").alias(
+                "url_id"
+            ),
+            "doc_id",
+            F.regexp_extract("target_uri", r"^[a-z]+://[^/]+(/.*)$", 1).alias(
+                "path"
+            ),
+            "http_status",
+            "http_content_type",
+            "body_text",
+        )
+    )
+    gated = (
+        pages.filter(
+            (F.col("http_status") == 200)
+            & (F.col("http_content_type") == "text/html")
+        )
+        .withColumn("main", web.extract_main_content(F.col("body_text")))
+        .withColumn(
+            "n_toks", F.size(cleaning.tokens(F.col("main"))).cast("bigint")
+        )
+        .filter(F.col("n_toks") >= 3)
+        .select(
+            "doc_id", "url_id", "path", "n_toks",
+            hashing.md5_hex(F.col("main")).alias("fp"),
+        )
+    )
+    w_fp = Window.partitionBy("fp")
+    return (
+        gated.withColumn(
+            "n_dup_pages", F.count(F.lit(1)).over(w_fp).cast("bigint")
+        )
+        .withColumn(
+            "_rk", F.row_number().over(w_fp.orderBy("url_id"))
+        )
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
     )
 
 

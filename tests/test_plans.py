@@ -463,6 +463,8 @@ PYTHON_EVAL_BY_DESIGN = {
     # through the real T.81 decoder
     "corpus_build_v7",  # v6's container walk + the robots grammar walk
     # (the admission join itself stays declarative)
+    "corpus_build_v8",  # the container walk again; the main-content
+    # extraction gate itself is pure regexp/HOF algebra (declarative)
     "crawl_fetch_schedule",  # Crawl-delay comes out of the robots
     # grammar walk; the scheduler itself is one declarative keyed
     # window (and sitemap_url_extraction is pure regexp algebra — it

@@ -660,3 +660,45 @@ def test_select_ua_delays_strict_group_scoping(spark):
         ("c.com", "trainbot"): 4.0,
         ("d.com", "trainbot"): 7.0,
     }
+
+
+def test_extract_main_content_boilerplate_removal(spark):
+    """jusText-style block heuristic against a HAND-WRITTEN expected
+    string (not the SQL twin): header/nav/aside/footer link blocks and
+    the short no-link copyright line drop; both article paragraphs
+    survive — including the one carrying a single inline link, which
+    must not sink its block; script/style bodies never count as text."""
+    page = (
+        "<html><head><style>body{color:red}</style></head><body>"
+        "<header><a href='/'>Home</a> <a href='/a'>About</a></header>"
+        "<nav><ul><li><a href='/s1'>Section one here</a></li>"
+        "<li><a href='/s2'>Section two here</a></li></ul></nav>"
+        "<article><p>This is the real article body with enough prose"
+        " to clear the floor easily.</p>"
+        "<p>Second paragraph keeps going with more substantive text and"
+        " a single inline <a href='/ref'>reference</a> that must not"
+        " sink the block.</p></article>"
+        "<aside><a href='/r1'>one related link</a>"
+        " <a href='/r2'>another related link</a></aside>"
+        "<footer>(c) 2026 corp</footer>"
+        "<script>track('long enough script body to pass the floor');"
+        "</script></body></html>"
+    )
+    df = spark.createDataFrame([Row(id=1, html=page)])
+    got = df.select(
+        web.extract_main_content(F.col("html")).alias("m")
+    ).collect()[0]["m"]
+    assert got == (
+        "This is the real article body with enough prose to clear the"
+        " floor easily. Second paragraph keeps going with more"
+        " substantive text and a single inline reference that must not"
+        " sink the block."
+    )
+    # a page that is ALL boilerplate extracts to empty
+    nav_only = "<nav><a href='/x'>One long navigation label here</a></nav>"
+    empty = spark.createDataFrame([Row(id=1, html=nav_only)])
+    assert (
+        empty.select(web.extract_main_content(F.col("html")).alias("m"))
+        .collect()[0]["m"]
+        == ""
+    )
