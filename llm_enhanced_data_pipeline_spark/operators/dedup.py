@@ -774,6 +774,67 @@ def simhash_by_id(df: DataFrame, id_col: str, token_col: str) -> DataFrame:
     )
 
 
+def banded_hamming_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int,
+    max_hamming: int,
+    blocks: int,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with bit_count(xor) <= max_hamming
+    over any ``bits``-wide non-negative fingerprint column, via the
+    pigeonhole block-bucketed equi-join shared by the SimHash (text),
+    pHash (image), and audio/video fingerprint lanes.
+
+    Requires blocks >= max_hamming + 1 for exact recall (a pair within
+    max_hamming must agree on at least one of the ``bits // blocks``-
+    bit blocks). Integer (block_index, block_value) join keys — no
+    string concat/hash per candidate row — and the cheap hamming
+    filter runs BEFORE the pair dedup so the dropDuplicates shuffle
+    only carries true near-dups, not every same-block candidate. The
+    caller is responsible for persisting+materializing ``hashes``
+    ahead of this two-sided self-join (unbuilt-cache re-alias hazard,
+    see minhash_grouped)."""
+    if blocks < max_hamming + 1:
+        raise ValueError("pigeonhole recall needs blocks >= max_hamming + 1")
+    block_bits = bits // blocks
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("_bi"),
+                (
+                    F.shiftright(F.col(hash_col), b * block_bits)
+                    % F.lit(2**block_bits)
+                ).alias("_bv"),
+            )
+            for b in range(blocks)
+        ]
+    )
+    keyed = hashes.select(
+        F.col(id_col), F.col(hash_col), F.explode(block_structs).alias("_k")
+    ).select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.col("_k._bi").alias("_bi"),
+        F.col("_k._bv").alias("_bv"),
+    )
+    left = keyed.select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("_ha"), "_bi", "_bv"
+    )
+    right = keyed.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("_hb"), "_bi", "_bv"
+    )
+    return (
+        left.join(right, ["_bi", "_bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hashing.hamming60(F.col("_ha"), F.col("_hb")))
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def near_dup_pairs_simhash(
     df: DataFrame,
     id_col: str,
@@ -790,44 +851,7 @@ def near_dup_pairs_simhash(
     # materialize before the two-sided self-join reads it (same
     # unbuilt-cache re-alias hazard as minhash_grouped)
     sh.count()
-    block_bits = 60 // blocks
-    # Integer (block_index, block_value) join keys — no string
-    # concat/hash per candidate row — and the cheap hamming filter runs
-    # BEFORE the pair dedup so the dropDuplicates shuffle only carries
-    # true near-dups, not every same-block candidate.
-    block_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("_bi"),
-                (
-                    F.shiftright(F.col("simhash"), b * block_bits) % F.lit(2**block_bits)
-                ).alias("_bv"),
-            )
-            for b in range(blocks)
-        ]
-    )
-    keyed = sh.select(
-        F.col(id_col), F.col("simhash"), F.explode(block_structs).alias("_k")
-    ).select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.col("_k._bi").alias("_bi"),
-        F.col("_k._bv").alias("_bv"),
-    )
-    left = keyed.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("_ha"), "_bi", "_bv"
-    )
-    right = keyed.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("_hb"), "_bi", "_bv"
-    )
-    return (
-        left.join(right, ["_bi", "_bv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", hashing.hamming60(F.col("_ha"), F.col("_hb")))
-        .filter(F.col("hamming") <= F.lit(max_hamming))
-        .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", "hamming")
-    )
+    return banded_hamming_pairs(sh, id_col, "simhash", 60, max_hamming, blocks)
 
 
 def near_dup_pairs_phash(
@@ -858,40 +882,69 @@ def near_dup_pairs_phash(
         phash_by_id(df.select(F.col(id_col), F.col(payload_col)), id_col, payload_col)
     )
     ph.count()  # materialize before the two-sided self-join re-alias
-    block_bits = 63 // blocks
-    block_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("_bi"),
-                (
-                    F.shiftright(F.col("phash"), b * block_bits) % F.lit(2**block_bits)
-                ).alias("_bv"),
-            )
-            for b in range(blocks)
-        ]
+    ph = ph.select(F.col("doc_id").alias(id_col), "phash")
+    return banded_hamming_pairs(ph, id_col, "phash", 63, max_hamming, blocks)
+
+
+def near_dup_pairs_audio_fp(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    max_hamming: int = 6,
+    blocks: int = 7,
+) -> DataFrame:
+    """Perceptual near-dup pairs over AUDIO payloads: (id_a, id_b,
+    hamming) with energy-delta fingerprint distance <= max_hamming.
+
+    The audio member of the perceptual-dedup family (SimHash for
+    text, DCT-pHash for images): decode each WAV payload (PCM16 or
+    G.711), compute the 63-bit Haitsma-Kalker-style energy-delta
+    fingerprint (multimodal.audio_fingerprint63 — volume changes and
+    lattice-exact G.711 transcodes of the same recording collide),
+    then pair through the shared pigeonhole block-bucketed equi-join.
+    Only (id, 8-byte fingerprint) rows reach the shuffle; corrupt
+    payloads are quarantined by audio_fp_by_id."""
+    if blocks < max_hamming + 1:
+        raise ValueError("pigeonhole recall needs blocks >= max_hamming + 1")
+    from .multimodal import audio_fp_by_id  # defer the numpy-heavy module
+
+    fp = _persist_tracked(
+        audio_fp_by_id(
+            df.select(F.col(id_col), F.col(payload_col)), id_col, payload_col
+        )
     )
-    keyed = ph.select(
-        F.col("doc_id").alias(id_col), F.col("phash"), F.explode(block_structs).alias("_k")
-    ).select(
-        F.col(id_col),
-        F.col("phash"),
-        F.col("_k._bi").alias("_bi"),
-        F.col("_k._bv").alias("_bv"),
+    fp.count()  # materialize before the two-sided self-join re-alias
+    fp = fp.select(F.col("doc_id").alias(id_col), "audio_fp")
+    return banded_hamming_pairs(fp, id_col, "audio_fp", 63, max_hamming, blocks)
+
+
+def near_dup_pairs_video_fp(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    max_hamming: int = 6,
+    blocks: int = 7,
+) -> DataFrame:
+    """Perceptual near-dup pairs over VIDEO payloads (RIFF AVI/MJPEG
+    or YUV4MPEG2): per-frame DCT pHash folded by per-bit majority
+    vote (multimodal.video_fingerprint63 — the same clip re-wrapped
+    in a different container or with a few damaged frames collides),
+    pairs through the shared pigeonhole block-bucketed equi-join.
+    Only (id, 8-byte fingerprint) rows reach the shuffle; the frames
+    never leave the decode stage; corrupt payloads are quarantined by
+    video_fp_by_id."""
+    if blocks < max_hamming + 1:
+        raise ValueError("pigeonhole recall needs blocks >= max_hamming + 1")
+    from .multimodal import video_fp_by_id  # defer the numpy-heavy module
+
+    fp = _persist_tracked(
+        video_fp_by_id(
+            df.select(F.col(id_col), F.col(payload_col)), id_col, payload_col
+        )
     )
-    left = keyed.select(
-        F.col(id_col).alias("id_a"), F.col("phash").alias("_ha"), "_bi", "_bv"
-    )
-    right = keyed.select(
-        F.col(id_col).alias("id_b"), F.col("phash").alias("_hb"), "_bi", "_bv"
-    )
-    return (
-        left.join(right, ["_bi", "_bv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", hashing.hamming60(F.col("_ha"), F.col("_hb")))
-        .filter(F.col("hamming") <= F.lit(max_hamming))
-        .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", "hamming")
-    )
+    fp.count()  # materialize before the two-sided self-join re-alias
+    fp = fp.select(F.col("doc_id").alias(id_col), "video_fp")
+    return banded_hamming_pairs(fp, id_col, "video_fp", 63, max_hamming, blocks)
 
 
 # n-gram Jaccard near-dup: shingle then exact pairwise Jaccard (the

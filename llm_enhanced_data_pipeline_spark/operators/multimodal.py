@@ -2439,3 +2439,122 @@ def phash_by_id(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
             rows = {"doc_id": [], "phash": []}
 
     return df.select(id_col, payload_col).mapInPandas(run, PHASH_SCHEMA)
+
+
+def audio_fingerprint63(samples, frame: int = 256, n_frames: int = 64) -> int:
+    """63-bit energy-delta audio fingerprint (Haitsma–Kalker 2002
+    family, energy-band form collapsed to one band): first channel,
+    first ``n_frames`` frames of ``frame`` samples (zero-padded), per-
+    frame energy sum(x^2), bit f = E_{f+1} > E_f. Uniform amplitude
+    scaling preserves every strict inequality AND every tie, so a
+    volume-changed copy of the same recording collides exactly; a
+    G.711 transcode collides exactly whenever the source samples sit
+    on the companding lattice (the audio analogue of the DC-exact
+    JPEG lattice the image gates use). 63 bits keep the value
+    non-negative in an int64 for the banded join's block keys."""
+    import numpy as np
+
+    a = np.asarray(samples)
+    ch0 = (a[:, 0] if a.ndim == 2 else a).astype(np.float64)
+    need = frame * n_frames
+    if ch0.shape[0] < need:
+        ch0 = np.concatenate([ch0, np.zeros(need - ch0.shape[0])])
+    e = (ch0[:need].reshape(n_frames, frame) ** 2).sum(axis=1)
+    bits = e[1:] > e[:-1]
+    h = 0
+    for i in range(n_frames - 1):
+        if bits[i]:
+            h |= 1 << i
+    return h
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("audio_fp", T.LongType()),
+    ]
+)
+
+
+def audio_fp_by_id(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """(id, audio_fp) over WAV payloads (PCM16 or G.711 mu/A-law via
+    :func:`parse_wav`). Arrow-batched mapInPandas; the payload is
+    projected away here so downstream banding moves only (id, 8-byte
+    fingerprint). Undecodable payloads are quarantined (dropped)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: dict[str, list] = {"doc_id": [], "audio_fp": []}
+        for pdf in batches:
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    _, _, samples = parse_wav(
+                        bytes(payload) if payload is not None else None
+                    )
+                except ValueError:
+                    continue
+                rows["doc_id"].append(int(doc_id))
+                rows["audio_fp"].append(audio_fingerprint63(samples))
+            yield pd.DataFrame(rows)
+            rows = {"doc_id": [], "audio_fp": []}
+
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_FP_SCHEMA)
+
+
+def video_fingerprint63(frames) -> int:
+    """63-bit video fingerprint: per-frame DCT pHash
+    (:func:`phash63`), then a per-bit MAJORITY VOTE across frames
+    (strict majority — ties fall to 0), the SimHash-style fold that
+    makes the signature robust to a few damaged/extra frames while
+    identical frame sequences collide exactly. Frames may be RGB
+    (MJPEG decode) or grayscale luma planes (Y4M)."""
+    import numpy as np
+
+    votes = np.zeros(63, dtype=np.int64)
+    n = 0
+    for fr in frames:
+        h = phash63(np.asarray(fr))
+        for i in range(63):
+            votes[i] += (h >> i) & 1
+        n += 1
+    if n == 0:
+        return 0
+    out = 0
+    for i in range(63):
+        if votes[i] * 2 > n:
+            out |= 1 << i
+    return out
+
+
+VIDEO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("video_fp", T.LongType()),
+    ]
+)
+
+
+def video_fp_by_id(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """(id, video_fp) over video payloads — RIFF AVI/MJPEG or
+    YUV4MPEG2, magic-byte dispatch (the :func:`sample_frames_real`
+    pair). Arrow-batched mapInPandas; payload projected away here;
+    undecodable payloads quarantined."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: dict[str, list] = {"doc_id": [], "video_fp": []}
+        for pdf in batches:
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else None
+                try:
+                    if raw is not None and raw[:4] == b"RIFF":
+                        _, _, _, _, frames = parse_avi_mjpeg(raw)
+                    else:
+                        _, _, _, _, _, luma = parse_y4m(raw)
+                        frames = list(luma)
+                except ValueError:
+                    continue
+                rows["doc_id"].append(int(doc_id))
+                rows["video_fp"].append(video_fingerprint63(frames))
+            yield pd.DataFrame(rows)
+            rows = {"doc_id": [], "video_fp": []}
+
+    return df.select(id_col, payload_col).mapInPandas(run, VIDEO_FP_SCHEMA)

@@ -1354,3 +1354,206 @@ def near_dup_pairs_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "doc_id", "payload", max_hamming=6, blocks=7
     )
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# Audio analogue of the pHash gate: same-group docs carry the SAME
+# recording under different encodings — 16-bit PCM for even doc_ids,
+# G.711 mu-law for odd — synthesized ON the companding lattice (frame
+# sample values are exact mu-law decode-table outputs, so the lossy
+# telephony transcode roundtrips bit-exactly; the audio analogue of
+# the DC-exact JPEG lattice). Per-frame codes come through the same
+# murmur3-fmix32 avalanche mix, giving verified min cross-group
+# fingerprint distance 20 over all 78 group pairs vs max_hamming=6,
+# so ground truth is again the closed-form group self-join while
+# Spark earns it through real WAV synthesis, container decode,
+# framed-energy fingerprinting, banding, and the hamming filter.
+_AUDIO_GROUPS = 13
+
+
+def _audio_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators import multimodal
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") % 3 == 2)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        m32 = (1 << 32) - 1
+
+        def fmix32(x: int) -> int:
+            x &= m32
+            x ^= x >> 16
+            x = (x * 0x85EBCA6B) & m32
+            x ^= x >> 13
+            x = (x * 0xC2B2AE35) & m32
+            x ^= x >> 16
+            return x
+
+        table = multimodal.ulaw_decode_table()
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d % _AUDIO_GROUPS
+                codes = np.array(
+                    [fmix32(g * 97 + f * 131 + 7) >> 24 for f in range(64)],
+                    dtype=np.uint8,
+                )
+                if d % 2 == 0:
+                    samples = np.repeat(table[codes], 256).astype(np.int16)
+                    payload = multimodal.write_wav(samples, 8000)
+                else:
+                    payload = multimodal.write_wav_g711(
+                        bytes(np.repeat(codes, 256)), 8000
+                    )
+                ids.append(d)
+                payloads.append(payload)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.mapInPandas(synth, schema)
+
+
+@register(
+    "near_dup_pairs_audio",
+    doc="Perceptual near-dup pairs over REAL audio payloads: 63-bit "
+    "energy-delta fingerprint (Haitsma-Kalker family: 64 frames x 256 "
+    "samples, bit = next frame louder) computed off real WAV decodes, "
+    "pairs via the shared 9-bit-block pigeonhole equi-join. Same-group "
+    "docs carry the same recording as 16-bit PCM vs G.711 mu-law ON "
+    "the companding lattice, so the lossy transcode collides at "
+    "hamming 0; cross-group distances are >= 20 by construction and "
+    "ground truth is the closed-form group self-join.",
+    oracle=f"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id % {_AUDIO_GROUPS} = b.doc_id % {_AUDIO_GROUPS}
+ AND a.doc_id < b.doc_id
+WHERE a.doc_id % 3 = 2 AND b.doc_id % 3 = 2
+""",
+)
+def near_dup_pairs_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _audio_corpus(spark, sf_dir)
+    out = dedup.near_dup_pairs_audio_fp(
+        corpus, "doc_id", "payload", max_hamming=6, blocks=7
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# Video analogue, completing the perceptual-dedup family across the
+# doc partition (%3==1 images, %3==2 audio, %3==0 video): same-group
+# docs carry the SAME 3-frame clip in different CONTAINERS — MJPEG-
+# in-AVI (each frame a real baseline JPEG on the DC-exact lattice
+# with neutral chroma 128, so the decode is exactly the gray frame)
+# for even doc_ids, raw YUV4MPEG2 luma for odd. Per-frame pHashes are
+# identical across containers, so the majority-vote fingerprints
+# collide at hamming 0; cross-group distances are >= 26 (verified
+# over all 55 group pairs) vs max_hamming=6.
+_VIDEO_GROUPS = 11
+
+
+def _video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators import multimodal
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        m32 = (1 << 32) - 1
+
+        def fmix32(x: int) -> int:
+            x &= m32
+            x ^= x >> 16
+            x = (x * 0x85EBCA6B) & m32
+            x ^= x >> 13
+            x = (x * 0xC2B2AE35) & m32
+            x ^= x >> 16
+            return x
+
+        flat8 = [8] * 64
+        gray = np.full((64, 64), 128, dtype=np.uint8)
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d % _VIDEO_GROUPS
+                lumas = []
+                for fidx in range(3):
+                    y = np.zeros((64, 64), dtype=np.uint8)
+                    for b in range(64):
+                        by, bx = divmod(b, 8)
+                        y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            fmix32(g * 1000 + fidx * 64 + b + 1) >> 24
+                        )
+                    lumas.append(y)
+                if d % 2 == 0:
+                    payload = multimodal.write_avi_mjpeg(
+                        [
+                            multimodal.write_jpeg(
+                                y, gray, gray, q_luma=flat8,
+                                q_chroma=flat8, subsampling="420",
+                            )
+                            for y in lumas
+                        ],
+                        64,
+                        64,
+                    )
+                else:
+                    payload = multimodal.write_y4m(np.stack(lumas))
+                ids.append(d)
+                payloads.append(payload)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.mapInPandas(synth, schema)
+
+
+@register(
+    "near_dup_pairs_video",
+    doc="Perceptual near-dup pairs over REAL video payloads: per-frame "
+    "63-bit DCT pHash folded by per-bit majority vote, computed off "
+    "real MJPEG-in-AVI decodes (every frame through the T.81 decoder) "
+    "and YUV4MPEG2 luma planes, pairs via the shared 9-bit-block "
+    "pigeonhole equi-join. Same-group docs carry the same 3-frame clip "
+    "in the two containers, which must collide at hamming 0; cross-"
+    "group distances are >= 26 by construction and ground truth is the "
+    "closed-form group self-join.",
+    oracle=f"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id % {_VIDEO_GROUPS} = b.doc_id % {_VIDEO_GROUPS}
+ AND a.doc_id < b.doc_id
+WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 = 0
+""",
+)
+def near_dup_pairs_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _video_corpus(spark, sf_dir)
+    out = dedup.near_dup_pairs_video_fp(
+        corpus, "doc_id", "payload", max_hamming=6, blocks=7
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))

@@ -916,6 +916,10 @@ def robots_url_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipeline needs (fetch verdicts must not depend on page bytes).
 @register(
     "corpus_build_v7",
+    bench=True,  # the crawl-frontier lane's bench slot (r10 verdict
+    # item 4): politeness-gated ingestion was sweep-green but
+    # invisible to BENCH — this times the WARC walk + robots grammar
+    # + group-scoped admission + content gates as one lineage
     doc="Robots-aware crawl-to-corpus build (v6 + RFC 9309 politeness, "
     "one lineage): per-doc 3-record WARC for domain d{doc}.com — a "
     "/keep page wrapping the document text in real markup, a "

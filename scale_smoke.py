@@ -319,6 +319,79 @@ def build_slots(spark: SparkSession, r: int):
 
     slots["warc_ingest"] = _warc_ingest
 
+    # crawl frontier (r10: the lane after ingestion): sitemap harvest
+    # -> canonicalize -> RFC 9309 group-scoped admission -> per-domain
+    # Crawl-delay schedule, scaled by DOMAIN count (each doc is one
+    # domain). Every stage is a per-domain keyed op or a domain-equi
+    # join, so wall time must track domains ~R-linearly; a regression
+    # to an unkeyed window or a non-equi admission join shows up as a
+    # superlinear ratio.
+    from llm_enhanced_data_pipeline_spark.operators import web as _web
+
+    _fd = F.col("doc_id")
+    _fds = _fd.cast("string")
+    frontier_meta = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<urlset><url><loc>http://d"), _fds, F.lit(".com/keep/"),
+            _fds, F.lit("</loc></url><url><loc>http://d"), _fds,
+            F.lit(".com/private/a</loc></url><url><loc>http://d"), _fds,
+            F.lit(".com/keep/dup/?utm_source=x</loc></url></urlset>"),
+        ).alias("xml"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /keep\n\n"
+                  "User-agent: trainbot\nDisallow: /private\nCrawl-delay: "),
+            ((_fd % 3) + 1).cast("string"),
+            F.lit("\n"),
+        ).alias("robots_txt"),
+    )
+
+    def _crawl_frontier():
+        urls = (
+            _web.sitemap_urls(frontier_meta, "doc_id", "xml")
+            .filter(F.col("kind") == "url")
+            .select(
+                (F.col("doc_id") * 10 + F.col("entry_idx")).cast("bigint")
+                .alias("url_id"),
+                _web.canonicalize_url(F.col("loc")).alias("curl"),
+            )
+            .select(
+                "url_id",
+                F.regexp_extract("curl", r"://([^/?#]+)", 1).alias("domain"),
+                F.regexp_extract("curl", r"://[^/?#]+(/[^?#]*)", 1).alias(
+                    "path"
+                ),
+            )
+        )
+        domain_of = F.concat(
+            F.lit("d"), F.col("doc_id").cast("string"), F.lit(".com")
+        )
+        rules = _web.read_robots_rules(
+            frontier_meta, "doc_id", "robots_txt"
+        ).withColumn("domain", domain_of)
+        delays = _web.select_ua_delays(
+            rules,
+            _web.read_robots_delays(
+                frontier_meta, "doc_id", "robots_txt"
+            ).withColumn("domain", domain_of),
+            "trainbot",
+        )
+        admitted = _web.robots_admission(
+            urls, rules.select("domain", "user_agent", "pattern", "allow"),
+            user_agent="trainbot",
+        ).filter(F.col("allowed")).select("url_id")
+        return (
+            _web.schedule_fetches(urls.join(admitted, "url_id"), delays)
+            .select(
+                F.bit_xor(
+                    F.xxhash64("url_id", "domain", "path", "fetch_offset_s")
+                ).alias("h")
+            )
+            .collect()
+        )
+
+    slots["crawl_frontier"] = _crawl_frontier
+
     # distributed global rank / LPT shard packing: by construction two
     # corpus-scan aggregate folds (quantile boundaries, bucket counts —
     # both driver-inlined literals) + one partitioned window pass, so

@@ -1114,3 +1114,135 @@ def test_phash_banding_requires_pigeonhole_margin():
 
     with _pytest.raises(ValueError):
         dedup.near_dup_pairs_phash(None, "doc_id", "payload", max_hamming=7, blocks=7)
+
+
+def test_audio_fingerprint_perceptual_invariances():
+    """The energy-delta fingerprint's perceptual claims, each pinned:
+    exact volume scaling collides (every strict inequality AND tie
+    between frame energies is preserved), a G.711 transcode collides
+    when the source sits on the companding lattice, and a different
+    recording lands far away."""
+    import numpy as np
+
+    table = multimodal.ulaw_decode_table()
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 256, 64).astype(np.uint8)
+    samples = np.repeat(table[codes], 256).astype(np.int16)
+    h0 = multimodal.audio_fingerprint63(samples)
+    assert 0 <= h0 < 2**63
+
+    # exact 2x volume change: energies scale by 4, ordering unchanged
+    louder = (samples.astype(np.int32) * 2).astype(np.int32)
+    assert multimodal.audio_fingerprint63(louder) == h0
+
+    # G.711 lattice roundtrip: the mu-law WAV decodes to the SAME
+    # int16 samples, so the fingerprint is identical
+    g711 = multimodal.write_wav_g711(bytes(np.repeat(codes, 256)), 8000)
+    _, _, back = multimodal.parse_wav(g711)
+    assert np.array_equal(back[:, 0], samples)
+    assert multimodal.audio_fingerprint63(back) == h0
+
+    # a different recording is far away
+    other = np.repeat(table[rng.integers(0, 256, 64).astype(np.uint8)], 256)
+    assert bin(h0 ^ multimodal.audio_fingerprint63(other)).count("1") > 10
+
+    # stereo input uses channel 0; short input zero-pads
+    stereo = np.stack([samples, np.zeros_like(samples)], axis=1)
+    assert multimodal.audio_fingerprint63(stereo) == h0
+    assert 0 <= multimodal.audio_fingerprint63(samples[:1000]) < 2**63
+
+
+def test_video_fingerprint_container_invariance_and_majority():
+    """The same 3-frame clip as MJPEG-in-AVI (DC-exact lattice,
+    neutral chroma) and as raw Y4M luma collides exactly; corrupting
+    ONE frame of five moves the majority-vote fingerprint at most a
+    little (robustness the single-frame hash lacks); a different clip
+    lands far away."""
+    import numpy as np
+
+    flat8 = [8] * 64
+    gray = np.full((64, 64), 128, dtype=np.uint8)
+
+    def luma_frame(seed: int):
+        y = np.zeros((64, 64), dtype=np.uint8)
+        for b in range(64):
+            by, bx = divmod(b, 8)
+            y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                (seed * 2654435761 + b * 40503) >> 7
+            ) % 256
+        return y
+
+    lumas = [luma_frame(s) for s in (1, 2, 3)]
+    avi = multimodal.write_avi_mjpeg(
+        [
+            multimodal.write_jpeg(
+                y, gray, gray, q_luma=flat8, q_chroma=flat8, subsampling="420"
+            )
+            for y in lumas
+        ],
+        64,
+        64,
+    )
+    y4m = multimodal.write_y4m(np.stack(lumas))
+    _, _, _, _, frames = multimodal.parse_avi_mjpeg(avi)
+    _, _, _, _, _, luma = multimodal.parse_y4m(y4m)
+    h_avi = multimodal.video_fingerprint63(frames)
+    h_y4m = multimodal.video_fingerprint63(list(luma))
+    assert h_avi == h_y4m
+
+    # majority vote: 5 identical frames + the same set with one frame
+    # replaced by noise still collide (3-of-5 majority per bit wins)
+    base = [lumas[0]] * 5
+    noisy = [lumas[0]] * 4 + [luma_frame(99)]
+    assert multimodal.video_fingerprint63(base) == multimodal.video_fingerprint63(
+        noisy
+    )
+
+    # different clip far away; empty clip well-defined
+    other = [luma_frame(s) for s in (7, 8, 9)]
+    d = bin(h_avi ^ multimodal.video_fingerprint63(other)).count("1")
+    assert d > 10
+    assert multimodal.video_fingerprint63([]) == 0
+
+
+def test_audio_video_banded_joins_match_brute_force(spark):
+    """The shared banded_hamming_pairs helper is lossless for the
+    audio and video lanes too, and corrupt payloads quarantine."""
+    import itertools
+
+    import numpy as np
+
+    from llm_enhanced_data_pipeline_spark.operators import dedup
+
+    table = multimodal.ulaw_decode_table()
+    rng = np.random.default_rng(3)
+
+    def wav(seed: int) -> bytes:
+        r = np.random.default_rng(seed)
+        codes = r.integers(0, 256, 64).astype(np.uint8)
+        return multimodal.write_wav(
+            np.repeat(table[codes], 256).astype(np.int16), 8000
+        )
+
+    payloads = {1: wav(1), 2: wav(1), 3: wav(2), 4: wav(2), 5: wav(5)}
+    rows = [
+        Row(doc_id=i, payload=bytearray(p)) for i, p in payloads.items()
+    ] + [Row(doc_id=99, payload=bytearray(b"RIFFjunk"))]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.near_dup_pairs_audio_fp(df, "doc_id", "payload").collect()
+    }
+    fps = {
+        i: multimodal.audio_fingerprint63(
+            multimodal.parse_wav(p)[2]
+        )
+        for i, p in payloads.items()
+    }
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= 6
+    }
+    assert got == want and {(1, 2), (3, 4)} <= got
+    assert not any(99 in p for p in got)

@@ -475,6 +475,10 @@ PYTHON_EVAL_BY_DESIGN = {
     "near_dup_pairs_phash",  # perceptual media dedup: payload synth +
     # real PNG/JPEG decode + DCT pHash in mapInPandas (Arrow) — the
     # banding/hamming pair join itself is declarative
+    "near_dup_pairs_audio",  # same lane for audio: WAV synth + PCM/
+    # G.711 decode + energy-delta fingerprint in mapInPandas (Arrow)
+    "near_dup_pairs_video",  # same lane for video: AVI-MJPEG/Y4M
+    # synth + per-frame T.81 decode + majority-vote pHash (Arrow)
 }
 
 
