@@ -392,6 +392,74 @@ def build_slots(spark: SparkSession, r: int):
 
     slots["crawl_frontier"] = _crawl_frontier
 
+    # perceptual media dedup (r11): PNG synth -> decode -> DCT pHash
+    # -> banded Hamming pair join, scaled by IMAGE count. The decode/
+    # hash stage is per-row Arrow work (linear by construction); the
+    # part this slot guards is the banding join - a regression from
+    # the block-bucketed equi-join to anything pairwise would blow
+    # past the data ratio. Images are 64x64 block lattices keyed by
+    # doc_id >> 1, so clusters stay FIXED-size (~2) while the cluster
+    # COUNT scales with R - the way duplicate mass actually grows in
+    # a bigger crawl (more duplicated pages, not deeper clusters).
+    img_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _img_synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from llm_enhanced_data_pipeline_spark.operators import (
+            multimodal as _mm,
+        )
+
+        m32 = (1 << 32) - 1
+
+        def fmix32(x: int) -> int:
+            x &= m32
+            x ^= x >> 16
+            x = (x * 0x85EBCA6B) & m32
+            x ^= x >> 13
+            x = (x * 0xC2B2AE35) & m32
+            x ^= x >> 16
+            return x
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d >> 1
+                arr = np.zeros((64, 64, 3), dtype=np.uint8)
+                for b in range(64):
+                    by, bx = divmod(b, 8)
+                    v = fmix32(g * 64 + b + 1)
+                    arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        v >> 24,
+                        (v >> 16) & 255,
+                        (v >> 8) & 255,
+                    )
+                ids.append(d)
+                payloads.append(_mm.write_png(arr))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    img_payloads = docs.select("doc_id").mapInPandas(
+        _img_synth, img_schema
+    ).localCheckpoint(eager=True)
+
+    def _phash_pairs():
+        return (
+            dedup.near_dup_pairs_phash(img_payloads, "doc_id", "payload")
+            .select(
+                F.bit_xor(F.xxhash64("id_a", "id_b", "hamming")).alias("h")
+            )
+            .collect()
+        )
+
+    slots["phash_near_dup"] = _phash_pairs
+
     # distributed global rank / LPT shard packing: by construction two
     # corpus-scan aggregate folds (quantile boundaries, bucket counts —
     # both driver-inlined literals) + one partitioned window pass, so
@@ -484,6 +552,7 @@ def build_slots(spark: SparkSession, r: int):
         emb.unpersist()
         pairs.rdd.unpersist()  # free the eager localCheckpoint blocks
         warc_payloads.rdd.unpersist()
+        img_payloads.rdd.unpersist()
         dedup.release_caches()
 
     meta = {"n_docs": n_docs, "n_events": n_events, "n_vecs": n_vecs}
