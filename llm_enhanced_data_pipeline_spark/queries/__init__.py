@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     corpus_q,
     dedup_q,
     events_q,
+    graph_q,
     pipeline_q,
     rag_q,
     relational,

@@ -1,0 +1,288 @@
+"""Web-graph ranking queries: link extraction, host PageRank, anchor
+text, and rank-prioritized frontier scheduling (operators/graph.py).
+
+The synthetic documents table carries no HTML or link columns, so the
+gates synthesize a deterministic web graph from doc_id in BOTH engines
+identically (the established in-query-synthesis pattern of the web/
+compliance gates): page ``d`` lives on host ``h{d % 23}.example`` and —
+unless its host is one of the two dangling hosts 21/22 — links to
+hosts ``(3s+1) % 23`` and ``(7s+2) % 23`` (s = its own host) plus, for
+every third page, ``(5s + page_index) % 23``, which varies per page so
+edge weights are non-uniform. Hosts 21 and 22 receive links but emit
+none, exercising the dangling-mass redistribution path. What the
+oracles check is the extraction/resolution algebra and the exact
+integer PageRank fixed point, not the fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import graph, web
+from ..tables import load_table
+from .registry import register
+
+#: number of hosts in the synthetic graph (prime, so the affine link
+#: maps 3s+1 / 7s+2 / 5s+p are permutations mod H)
+_H = 23
+#: hosts >= this emit no links (dangling: in-edges only)
+_DANGLING_FROM = 21
+
+
+def _synth_links(docs: DataFrame) -> DataFrame:
+    """Deterministic page-level link rows (src_url, dst_url): the
+    Spark half of the shared fixture described in the module doc."""
+    d = F.col("doc_id")
+    s = d % _H
+    p = F.expr(f"doc_id div {_H}")
+
+    def host_url(h) -> F.Column:
+        return F.concat(
+            F.lit("https://h"), h.cast("string"), F.lit(".example/p/x")
+        )
+
+    linked = docs.filter(s < _DANGLING_FROM)
+    base = linked.select(host_url(s).alias("src_url"), d, s.alias("_s"), p.alias("_p"))
+    e1 = base.select("src_url", host_url((F.col("_s") * 3 + 1) % _H).alias("dst_url"))
+    e2 = base.select("src_url", host_url((F.col("_s") * 7 + 2) % _H).alias("dst_url"))
+    e3 = base.filter(F.col("doc_id") % 3 == 0).select(
+        "src_url", host_url((F.col("_s") * 5 + F.col("_p")) % _H).alias("dst_url")
+    )
+    return e1.union(e2).union(e3)
+
+
+_SYNTH_LINKS_SQL = f"""
+  SELECT 'https://h' || (doc_id % {_H}) || '.example/p/x' AS src_url,
+         'https://h' || (((doc_id % {_H}) * 3 + 1) % {_H}) || '.example/p/x' AS dst_url
+  FROM documents WHERE doc_id % {_H} < {_DANGLING_FROM}
+  UNION ALL
+  SELECT 'https://h' || (doc_id % {_H}) || '.example/p/x',
+         'https://h' || (((doc_id % {_H}) * 7 + 2) % {_H}) || '.example/p/x'
+  FROM documents WHERE doc_id % {_H} < {_DANGLING_FROM}
+  UNION ALL
+  SELECT 'https://h' || (doc_id % {_H}) || '.example/p/x',
+         'https://h' || (((doc_id % {_H}) * 5 + (doc_id // {_H})) % {_H}) || '.example/p/x'
+  FROM documents WHERE doc_id % {_H} < {_DANGLING_FROM} AND doc_id % 3 = 0
+"""
+
+#: shared oracle prelude: page links -> weighted host edge list
+_EDGES_SQL = f"""
+lk AS ({_SYNTH_LINKS_SQL}),
+edges AS (
+  SELECT {graph.url_host_sql("src_url")} AS src,
+         {graph.url_host_sql("dst_url")} AS dst,
+         count(*)::BIGINT AS weight
+  FROM lk
+  WHERE {graph.url_host_sql("src_url")} <> {graph.url_host_sql("dst_url")}
+  GROUP BY 1, 2
+)
+"""
+
+
+@register(
+    "link_extraction_report",
+    doc="Anchor extraction + RFC 3986 reference resolution out of raw "
+    "HTML: per doc a page with one absolute link, one protocol-"
+    "relative, one root-relative, one directory-relative, one mailto: "
+    "and one fragment-only anchor — the resolvable four must come out "
+    "absolute against the page URL, the last two must be dropped. One "
+    "scan, regexp_extract_all + explode, no shuffle.",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id,
+         'https://h' || (doc_id % {_H}) || '.example/p/' || doc_id AS base
+  FROM documents WHERE doc_id % 7 = 3
+)
+SELECT doc_id, url, anchor_text FROM (
+  SELECT doc_id, 'https://peer.example/a/' || (doc_id % 5) AS url,
+         'abs' AS anchor_text FROM p
+  UNION ALL
+  SELECT doc_id, 'https:' || '//cdn.example/lib.js' AS url, 'cdn' FROM p
+  UNION ALL
+  SELECT doc_id,
+         'https://h' || (doc_id % {_H}) || '.example/root/' || (doc_id % 3),
+         'root' FROM p
+  UNION ALL
+  SELECT doc_id,
+         'https://h' || (doc_id % {_H}) || '.example/p/rel/' || (doc_id % 2),
+         'rel' FROM p
+)
+""",
+)
+def link_extraction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 7 == 3
+    ).select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    base = F.concat(
+        F.lit("https://h"), (d % _H).cast("string"), F.lit(".example/p/"), ds
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="https://peer.example/a/'),
+        (d % 5).cast("string"),
+        F.lit('">abs</a> <a class="x" href="//cdn.example/lib.js">cdn</a>'
+              ' <a href="/root/'),
+        (d % 3).cast("string"),
+        F.lit('" rel="nofollow">root</a> <a href="rel/'),
+        (d % 2).cast("string"),
+        F.lit('">rel</a> <a href="mailto:a@b.example">mail</a>'
+              ' <a href="#top">top</a></body></html>'),
+    )
+    pages = docs.select(d, base.alias("base"), html.alias("html"))
+    return graph.extract_links(pages, "doc_id", "html", "base").select(
+        "doc_id", "url", "anchor_text"
+    )
+
+
+@register(
+    "host_pagerank",
+    bench=True,  # the graph lane's production shape: page-link agg +
+    #            5 iterative equi-joins — latency is scheduling-bound
+    #            on the tiny host graph, data-bound in the link agg
+    doc="Host-level PageRank for crawl prioritization (Page et al. "
+    "1999; Common Crawl publishes the same host-centrality ranking): "
+    "page links collapse to a weighted 23-host graph (two hosts "
+    "dangling), then 5 power iterations in EXACT bigint arithmetic — "
+    "ranks in 1e-9 units, damping 85/100, floor divisions, order-"
+    "independent integer sums — so the DuckDB twin (the same recipe "
+    "unrolled as a CTE chain) matches bit-for-bit. Per iteration: one "
+    "equi-join rank⋈edges + two hash aggs; the node-count and "
+    "dangling folds are broadcast 1-row frames.",
+    oracle=f"""
+WITH {_EDGES_SQL},
+{graph.pagerank_sql("edges", n_iter=5)}
+SELECT r.node AS host, r.rank_u,
+       coalesce(i.in_w, 0)::BIGINT AS in_weight
+FROM pr_r5 r
+LEFT JOIN (SELECT dst, sum(weight)::BIGINT AS in_w FROM edges GROUP BY dst) i
+  ON r.node = i.dst
+""",
+)
+def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    edges = graph.persist_tracked(
+        graph.host_graph(_synth_links(docs), "src_url", "dst_url")
+    )
+    ranks = graph.pagerank_int(edges, n_iter=5)
+    in_w = edges.groupBy("dst").agg(
+        F.sum("weight").cast("bigint").alias("in_w")
+    )
+    return ranks.join(in_w, ranks["node"] == in_w["dst"], "left").select(
+        F.col("node").alias("host"),
+        "rank_u",
+        F.coalesce(F.col("in_w"), F.lit(0)).cast("bigint").alias("in_weight"),
+    )
+
+
+@register(
+    "anchor_text_topk",
+    doc="Anchor-text aggregation, the classic crawl-graph enrichment "
+    "(anchor words describe the TARGET page better than its own text "
+    "— used for retrieval and quality signals since early web "
+    "search): anchors grouped per target host, top-2 texts kept by "
+    "(count desc, text) with a keyed row_number window.",
+    oracle=f"""
+WITH lk AS (
+  SELECT 'h' || (((doc_id % {_H}) * 3 + 1) % {_H}) || '.example' AS dst_host,
+         'tag' || (doc_id % 4) AS anchor_text
+  FROM documents WHERE doc_id % {_H} < {_DANGLING_FROM}
+),
+cnt AS (
+  SELECT dst_host, anchor_text, count(*)::BIGINT AS n
+  FROM lk GROUP BY 1, 2
+),
+rk AS (
+  SELECT dst_host, anchor_text, n,
+         row_number() OVER (PARTITION BY dst_host
+                            ORDER BY n DESC, anchor_text) AS rnk
+  FROM cnt
+)
+SELECT dst_host, anchor_text, n, rnk::BIGINT AS rnk FROM rk WHERE rnk <= 2
+""",
+)
+def anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % _H < _DANGLING_FROM
+    ).select("doc_id")
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<a href="https://h'),
+        (((d % _H) * 3 + 1) % _H).cast("string"),
+        F.lit('.example/p/x">tag'),
+        (d % 4).cast("string"),
+        F.lit("</a>"),
+    )
+    pages = docs.select(
+        d, F.lit("https://self.example/").alias("base"), html.alias("html")
+    )
+    links = graph.extract_links(pages, "doc_id", "html", "base")
+    cnt = links.groupBy(
+        graph.url_host(F.col("url")).alias("dst_host"), "anchor_text"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n").desc(), F.col("anchor_text")
+    )
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 2)
+        .select("dst_host", "anchor_text", "n", "rnk")
+    )
+
+
+@register(
+    "frontier_rank_priority",
+    doc="Rank-prioritized crawl frontier — the capstone composing the "
+    "graph lane with r10's politeness lane: host PageRank (5 exact "
+    "integer iterations over the synthetic 23-host graph) joined onto "
+    "the frontier's per-host URL queue; fetch_priority carries the "
+    "host's rank so the scheduler drains high-centrality hosts first, "
+    "while within a host the keyed politeness window spaces fetches "
+    "at 1s (no Crawl-delay in this fixture). Broadcast host-rank "
+    "join: the rank frame is |hosts|-sized however big the frontier.",
+    oracle=f"""
+WITH {_EDGES_SQL},
+{graph.pagerank_sql("edges", n_iter=5)},
+urls AS (
+  SELECT (doc_id * 10 + u)::BIGINT AS url_id,
+         'h' || (doc_id % {_H}) || '.example' AS domain
+  FROM documents CROSS JOIN (VALUES (0), (1)) t(u)
+  WHERE doc_id % 13 = 5
+)
+SELECT u.url_id, u.domain, r.rank_u AS fetch_priority,
+       ((row_number() OVER (PARTITION BY u.domain ORDER BY u.url_id)
+         - 1) * 1.0)::DOUBLE AS fetch_offset_s
+FROM urls u JOIN pr_r5 r ON u.domain = r.node
+""",
+)
+def frontier_rank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    edges = graph.persist_tracked(
+        graph.host_graph(_synth_links(docs), "src_url", "dst_url")
+    )
+    ranks = graph.pagerank_int(edges, n_iter=5)
+    d = F.col("doc_id")
+    urls = (
+        docs.filter(d % 13 == 5)
+        .select(
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("u"),
+            F.concat(
+                F.lit("h"), (d % _H).cast("string"), F.lit(".example")
+            ).alias("domain"),
+            d.alias("doc_id"),
+        )
+        .select(
+            (F.col("doc_id") * 10 + F.col("u")).cast("bigint").alias("url_id"),
+            "domain",
+        )
+    )
+    no_delays = spark.createDataFrame([], "domain string, crawl_delay double")
+    sched = web.schedule_fetches(urls, no_delays)
+    return sched.join(
+        F.broadcast(ranks), F.col("domain") == ranks["node"]
+    ).select(
+        "url_id", "domain",
+        F.col("rank_u").alias("fetch_priority"),
+        "fetch_offset_s",
+    )

@@ -392,6 +392,54 @@ def build_slots(spark: SparkSession, r: int):
 
     slots["crawl_frontier"] = _crawl_frontier
 
+    # host-graph PageRank (r11): page-level links -> weighted host
+    # graph -> 3 exact-integer power iterations. The replica tag
+    # partitions the HOST space (each replica contributes its own
+    # 23-host component), so nodes, edges, and page-link volume all
+    # scale with R while per-host structure stays constant — the cost
+    # law is one linear aggregation over page links plus per-iteration
+    # equi-joins on the R-linear edge list; anything pairwise in the
+    # rank joins would blow past the data ratio.
+    def _pagerank():
+        from llm_enhanced_data_pipeline_spark.operators import (
+            graph as _graph,
+        )
+
+        d = F.col("doc_id")
+        rep = F.expr("doc_id div 10000000")
+        s = (d % 23) + rep * 23
+
+        def hurl(h):
+            return F.concat(
+                F.lit("https://h"), h.cast("string"), F.lit(".example/p/x")
+            )
+
+        base = docs.filter(d % 23 < 21).select(
+            hurl(s).alias("src_url"), d.alias("doc_id"),
+            s.alias("_s"), rep.alias("_rep"),
+        )
+        links = base.select(
+            "src_url",
+            hurl((F.col("_s") * 3 + 1) % 23 + F.col("_rep") * 23).alias(
+                "dst_url"
+            ),
+        ).union(
+            base.select(
+                "src_url",
+                hurl((F.col("_s") * 7 + 2) % 23 + F.col("_rep") * 23).alias(
+                    "dst_url"
+                ),
+            )
+        )
+        edges = _graph.host_graph(links, "src_url", "dst_url")
+        return (
+            _graph.pagerank_int(edges, n_iter=3)
+            .select(F.bit_xor(F.xxhash64("node", "rank_u")).alias("h"))
+            .collect()
+        )
+
+    slots["host_pagerank"] = _pagerank
+
     # perceptual media dedup (r11): PNG synth -> decode -> DCT pHash
     # -> banded Hamming pair join, scaled by IMAGE count. The decode/
     # hash stage is per-row Arrow work (linear by construction); the

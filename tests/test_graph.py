@@ -1,0 +1,147 @@
+"""Web-graph lane: link extraction / resolution semantics, host-graph
+build, and the integer-exact PageRank recipe pinned against
+hand-computed fixed points (the oracle gate then re-checks the full
+lineage against DuckDB at sf0.01)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from llm_enhanced_data_pipeline_spark.operators import graph
+
+SCALE = graph.RANK_SCALE
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string, weight bigint")
+
+
+def _ranks(df) -> dict:
+    return {r["node"]: r["rank_u"] for r in df.collect()}
+
+
+def test_two_node_cycle_is_a_fixed_point(spark):
+    # A<->B: uniform is the exact fixed point and the integer recipe
+    # must sit on it from iteration 0 (no drift, no floor loss).
+    e = _edges(spark, [("a", "b", 1), ("b", "a", 1)])
+    for n_iter in (1, 5):
+        r = _ranks(graph.pagerank_int(e, n_iter=n_iter))
+        assert r == {"a": SCALE // 2, "b": SCALE // 2}
+
+
+def test_dangling_mass_redistributes_hand_computed(spark):
+    # A->B, B dangles. Hand-run of the documented recipe:
+    # iter1: dang=5e8, r(A)=75e6+85*(5e8//2)//100, r(B)=75e6+85*(5e8+25e7)//100
+    e = _edges(spark, [("a", "b", 1)])
+    r1 = _ranks(graph.pagerank_int(e, n_iter=1))
+    assert r1 == {"a": 287_500_000, "b": 712_500_000}
+    r2 = _ranks(graph.pagerank_int(e, n_iter=2))
+    assert r2 == {"a": 377_812_500, "b": 622_187_500}
+    # exact integer conservation: this graph loses nothing to floors
+    assert sum(r2.values()) == SCALE
+
+
+def test_rank_mass_is_conserved_up_to_floor_loss(spark):
+    # Weighted asymmetric graph with a dangling node: every floor can
+    # lose at most 1 unit per node per division site, so total mass
+    # stays within a tight deterministic bound of SCALE.
+    e = _edges(
+        spark,
+        [("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("c", "d", 1)],
+    )
+    r = _ranks(graph.pagerank_int(e, n_iter=5))
+    assert set(r) == {"a", "b", "c", "d"}
+    loss = SCALE - sum(r.values())
+    assert 0 <= loss < 5 * 4 * 4  # iters x nodes x division sites
+    # d dangles and only receives from c: it must not starve
+    assert r["d"] > 0
+    # b receives the 3x-weighted edge; c receives from two nodes
+    assert r["c"] > r["a"]
+
+
+def test_resolve_href_forms(spark):
+    base = "https://h1.example/p/42"
+    cases = [
+        ("https://x.example/a", "https://x.example/a"),
+        ("HTTP://X.example/a", "HTTP://X.example/a"),  # case-kept; canon downstream
+        ("//cdn.example/l.js", "https://cdn.example/l.js"),
+        ("/root/3", "https://h1.example/root/3"),
+        ("rel/0", "https://h1.example/p/rel/0"),
+        ("mailto:a@b", None),
+        ("javascript:void(0)", None),
+        ("tel:+1555", None),
+        ("#frag", None),
+        ("", None),
+    ]
+    df = spark.createDataFrame(
+        [(b, h) for (h, _) in cases for b in [base]], "base string, href string"
+    )
+    out = df.select(
+        "href", graph.resolve_href(F.col("base"), F.col("href")).alias("u")
+    ).collect()
+    got = {r["href"]: r["u"] for r in out}
+    for href, want in cases:
+        assert got[href] == want, href
+
+
+def test_resolve_href_pathless_base_gets_a_slash(spark):
+    df = spark.createDataFrame(
+        [("https://h.example", "img/x.png")], "base string, href string"
+    )
+    [row] = df.select(
+        graph.resolve_href(F.col("base"), F.col("href")).alias("u")
+    ).collect()
+    assert row["u"] == "https://h.example/img/x.png"
+
+
+def test_extract_links_order_and_attrs(spark):
+    html = (
+        '<p>t</p><a href="https://a.example/1">one</a>'
+        '<a class="c" href="/two" rel="nofollow">two words</a>'
+        '<a href="#skip">skipped</a>'
+    )
+    df = spark.createDataFrame(
+        [(1, html, "https://base.example/dir/page")],
+        "id bigint, html string, base string",
+    )
+    rows = (
+        graph.extract_links(df, "id", "html", "base")
+        .orderBy("url")
+        .collect()
+    )
+    assert [(r["url"], r["anchor_text"]) for r in rows] == [
+        ("https://a.example/1", "one"),
+        ("https://base.example/two", "two words"),
+    ]
+
+
+def test_host_graph_drops_self_loops_and_weights(spark):
+    links = spark.createDataFrame(
+        [
+            ("https://A.example/p", "https://b.example/q"),
+            ("https://a.example/r", "https://B.example/s"),
+            ("https://a.example/x", "https://a.example/y"),  # self loop
+        ],
+        "src_url string, dst_url string",
+    )
+    rows = graph.host_graph(links, "src_url", "dst_url").collect()
+    assert [(r["src"], r["dst"], r["weight"]) for r in rows] == [
+        ("a.example", "b.example", 2)
+    ]
+
+
+def test_pagerank_sql_matches_spark_on_a_weighted_graph(spark):
+    # engine-parity pin independent of the sf fixtures: the unrolled
+    # DuckDB CTE chain and the Spark loop must agree bit-for-bit
+    import duckdb
+
+    rows = [("a", "b", 3), ("b", "c", 1), ("c", "a", 2), ("a", "c", 1)]
+    spark_r = _ranks(graph.pagerank_int(_edges(spark, rows), n_iter=4))
+    values = ", ".join(f"('{s}', '{t}', {w})" for s, t, w in rows)
+    sql = (
+        f"WITH edges(src, dst, weight) AS (VALUES {values}),\n"
+        + graph.pagerank_sql("edges", n_iter=4)
+        + "\nSELECT node, rank_u FROM pr_r4"
+    )
+    duck_r = dict(duckdb.sql(sql).fetchall())
+    assert spark_r == duck_r
