@@ -38,9 +38,12 @@ source is a crawl rather than an API.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import stable_hash32, stable_hash32_sql
 from .dedup import persist_tracked
 
 #: one anchor tag: href value in group 1, inner text in group 2.
@@ -288,4 +291,220 @@ def pagerank_sql(
             f"FROM pr_nodes n0 CROSS JOIN pr_nn nn CROSS JOIN pr_d{i} d "
             f"LEFT JOIN pr_c{i} c ON n0.node = c.node)"
         )
+    return ",\n".join(parts)
+
+
+# --- HyperBall harmonic centrality ------------------------------------------
+#
+# Harmonic centrality hc(v) = Σ_{u≠v} 1/d(u,v) is the host-quality
+# metric Common Crawl actually publishes for its crawl (the
+# spam-resistant alternative to PageRank — Boldi & Vigna, "Axioms for
+# Centrality", 2014). Exact all-pairs distances are O(V²) — infeasible
+# on a billion-host graph — so production computes it with HyperBall
+# (Boldi & Vigna, "In-Core Computation of Geometric Centralities with
+# HyperBall", 2013): one HyperLogLog counter per node estimating the
+# ball |B_t(v)| = #{u : d(u,v) ≤ t}; per radius step each node's
+# counter unions its in-neighbors' counters (register-wise max), and
+# hc(v) ≈ Σ_t (|B_t| − |B_{t−1}|)/t.
+#
+# Everything below is EXACT INTEGER arithmetic on both engines:
+# registers come from the md5-based stable_hash32, the raw HLL
+# estimator is computed in fixed point (milli-units, floor divisions),
+# and the small-range linear-counting branch uses a precomputed
+# 64-entry lookup ladder (the one place a logarithm appears — resolved
+# to integer literals at import, so Spark and DuckDB read the same
+# numbers). The oracle twin unrolls the same steps as a CTE chain.
+
+#: HLL registers per counter (m = 2^6); std error 1.04/√64 ≈ 13%,
+#: and at small ball sizes the linear-counting branch is far tighter
+HLL_M = 64
+#: alpha_64 from the HyperLogLog paper, as the exact rational 709/1000
+_HLL_ALPHA_MILLI = 709
+#: alpha·m²·1000 — the raw-estimator numerator in milli-units
+_HLL_NUM_MILLI = _HLL_ALPHA_MILLI * HLL_M * HLL_M
+#: rho window: stable_hash32 div 64 leaves 26 bits; rho ∈ [1, 27]
+_HLL_RHO_MAX = 27
+#: fixed-point exponent for Σ 2^(P−reg): P−reg ∈ [1, 28] (reg 0 = 2^28)
+_HLL_P = _HLL_RHO_MAX + 1
+#: linear-counting threshold: raw estimate ≤ 2.5·m (in milli-units)
+_HLL_LC_THRESHOLD_MILLI = 2500 * HLL_M
+#: linear counting m·ln(m/V) for V = 1..m zero registers, in
+#: milli-units, floor(x·1000 + 0.5) — integer literals shared verbatim
+#: by the Spark expression and the DuckDB twin
+LC_TABLE_MILLI = [
+    math.floor(HLL_M * math.log(HLL_M / v) * 1000 + 0.5)
+    for v in range(1, HLL_M + 1)
+]
+
+
+def _lc_case(v_expr: str) -> str:
+    """CASE ladder mapping a zero-register count to linear-counting
+    milli-estimates — plain comparisons + integer literals, so the one
+    string is valid (and identical) in Spark SQL and DuckDB."""
+    whens = " ".join(
+        f"WHEN {v} THEN {lc}" for v, lc in enumerate(LC_TABLE_MILLI, start=1)
+    )
+    return f"(CASE {v_expr} {whens} ELSE 0 END)"
+
+
+def _rho_case(w_expr: str) -> str:
+    """rho = 1 + leading zeros of the 26-bit window ``w_expr`` —
+    ``length(bin(w))`` is the bit length in BOTH engines (neither pads),
+    so rho = 27 − bitlength, with the all-zero window capped at 27."""
+    return (
+        f"(CASE WHEN {w_expr} = 0 THEN {_HLL_RHO_MAX} "
+        f"ELSE {_HLL_RHO_MAX} - length(bin({w_expr})) END)"
+    )
+
+
+def _hll_estimate_milli(s_expr: str, v_expr: str, idiv: str = "//") -> str:
+    """Ball-size estimate in milli-units from the register-sum fixed
+    point ``s_expr`` (Σ 2^(P−reg) incl. 2^P per zero register) and the
+    zero-register count ``v_expr``: raw estimator alpha·m²·2^P // S,
+    switched to linear counting in the small range — the standard HLL
+    recipe with every step in bigint. Shared Spark/DuckDB text except
+    the floor-division token (``idiv``: Spark spells it ``div``,
+    DuckDB ``//``; operands are non-negative, so the two agree)."""
+    raw = f"({_HLL_NUM_MILLI * (1 << _HLL_P)} {idiv} ({s_expr}))"
+    return (
+        f"(CASE WHEN {raw} <= {_HLL_LC_THRESHOLD_MILLI} AND {v_expr} > 0 "
+        f"THEN {_lc_case(v_expr)} ELSE {raw} END)"
+    )
+
+
+def hyperball_init(nodes: DataFrame, node_col: str = "node") -> DataFrame:
+    """Initial HyperBall counters, long format: one (node, j, reg) row
+    per node — its own hash's register. Absent (node, j) pairs mean
+    register 0 throughout; estimates account for them via the
+    zero-register count, so counters stay sparse."""
+    h = stable_hash32(F.col(node_col))
+    return nodes.select(
+        F.col(node_col).alias("node"),
+        (h % HLL_M).cast("bigint").alias("j"),
+        F.expr(
+            _rho_case(f"({stable_hash32_py_expr(node_col)}) div {HLL_M}")
+        ).cast("bigint").alias("reg"),
+    )
+
+
+def stable_hash32_py_expr(col_name: str) -> str:
+    """Spark-SQL text of stable_hash32(col) (seed 0) — needed where a
+    shared CASE string must embed the hash inline."""
+    return (
+        f"cast(conv(substring(md5(cast(concat('0:', {col_name}) as binary)), "
+        "1, 8), 16, 10) as bigint)"
+    )
+
+
+def hyperball_harmonic(edges: DataFrame, n_iter: int = 4) -> DataFrame:
+    """Harmonic centrality (and reachable-set size) per node via
+    HyperBall over a (src, dst, weight) edge list →
+    ``(node, hc_milli, reach_milli)``.
+
+    Per radius step: counters flow along edges (dst unions every
+    in-neighbor src's registers — one equi-join + one (node, j) max
+    aggregation, both keyed, both linear in |edges|·m); per step the
+    ball estimate is one keyed aggregation. hc_milli sums the
+    per-radius increments (clamped at 0 — the floor-division recipe is
+    monotone, the clamp guards the LC→raw estimator switch) divided by
+    the radius, in integer milli-units. At crawl scale counters are
+    m=64 rows per host — the HyperBall paper's in-core trick maps to
+    one shuffle per radius here."""
+    nodes = persist_tracked(
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    e = edges.select("src", "dst")
+
+    def estimate(regs: DataFrame, out_name: str) -> DataFrame:
+        per_node = regs.groupBy("node").agg(
+            F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_P} - reg)"))
+            .cast("bigint")
+            .alias("_s_filled"),
+            F.count(F.lit(1)).cast("bigint").alias("_filled"),
+        )
+        s = f"(_s_filled + ({HLL_M} - _filled) * {1 << _HLL_P})"
+        v = f"({HLL_M} - _filled)"
+        return per_node.select(
+            "node",
+            F.expr(_hll_estimate_milli(s, v, idiv="div"))
+            .cast("bigint")
+            .alias(out_name),
+        )
+
+    regs = persist_tracked(hyperball_init(nodes))
+    ests = [estimate(regs, "e0")]
+    for t in range(1, n_iter + 1):
+        contrib = regs.join(e, regs["node"] == e["src"]).select(
+            F.col("dst").alias("node"), "j", "reg"
+        )
+        regs = persist_tracked(
+            regs.unionByName(contrib).groupBy("node", "j").agg(
+                F.max("reg").alias("reg")
+            )
+        )
+        ests.append(estimate(regs, f"e{t}"))
+    out = nodes
+    for i, est in enumerate(ests):
+        out = out.join(est, "node", "left")
+        out = out.withColumn(f"e{i}", F.coalesce(F.col(f"e{i}"), F.lit(0)))
+    hc = None
+    for t in range(1, n_iter + 1):
+        inc = F.expr(f"greatest(e{t} - e{t - 1}, 0) div {t}")
+        hc = inc if hc is None else hc + inc
+    return out.select(
+        "node",
+        hc.cast("bigint").alias("hc_milli"),
+        F.col(f"e{n_iter}").cast("bigint").alias("reach_milli"),
+    )
+
+
+def hyperball_harmonic_sql(edges_cte: str = "edges", n_iter: int = 4) -> str:
+    """DuckDB twin of :func:`hyperball_harmonic`: the same counters,
+    register flow, fixed-point estimator, and harmonic sum unrolled as
+    a CTE chain. Final result in ``hb_out(node, hc_milli,
+    reach_milli)``."""
+    h = "CAST(('0x' || substring(md5('0:' || node), 1, 8)) AS UBIGINT)::BIGINT"
+    parts = [
+        f"hb_nodes AS (SELECT src AS node FROM {edges_cte} "
+        f"UNION SELECT dst FROM {edges_cte})",
+        f"hb_r0 AS (SELECT node, ({h}) % {HLL_M} AS j, "
+        f"{_rho_case(f'({h}) // {HLL_M}')}::BIGINT AS reg FROM hb_nodes)",
+    ]
+    s = f"(_s_filled + ({HLL_M} - _filled) * {1 << _HLL_P})"
+    v = f"({HLL_M} - _filled)"
+
+    def est_cte(i: int) -> str:
+        return (
+            f"hb_e{i} AS (SELECT node, "
+            f"{_hll_estimate_milli(s, v)}::BIGINT AS e FROM ("
+            f"SELECT node, sum(1::BIGINT << ({_HLL_P} - reg))::BIGINT "
+            "AS _s_filled, count(*)::BIGINT AS _filled "
+            f"FROM hb_r{i} GROUP BY node))"
+        )
+
+    parts.append(est_cte(0))
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"hb_r{t} AS (SELECT node, j, max(reg)::BIGINT AS reg FROM ("
+            f"SELECT node, j, reg FROM hb_r{t - 1} "
+            "UNION ALL "
+            f"SELECT e.dst AS node, r.j, r.reg FROM hb_r{t - 1} r "
+            f"JOIN {edges_cte} e ON r.node = e.src) GROUP BY node, j)"
+        )
+        parts.append(est_cte(t))
+    inc = " + ".join(
+        f"(greatest(coalesce(e{t}.e, 0) - coalesce(e{t - 1}.e, 0), 0) // {t})"
+        for t in range(1, n_iter + 1)
+    )
+    joins = " ".join(
+        f"LEFT JOIN hb_e{i} e{i} ON n0.node = e{i}.node"
+        for i in range(n_iter + 1)
+    )
+    parts.append(
+        f"hb_out AS (SELECT n0.node, ({inc})::BIGINT AS hc_milli, "
+        f"coalesce(e{n_iter}.e, 0)::BIGINT AS reach_milli "
+        f"FROM hb_nodes n0 {joins})"
+    )
     return ",\n".join(parts)

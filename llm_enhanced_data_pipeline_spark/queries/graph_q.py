@@ -177,6 +177,35 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "host_harmonic_centrality",
+    doc="Harmonic centrality per host via HyperBall (Boldi-Vigna 2013 "
+    "— the metric Common Crawl actually publishes for host ranking): "
+    "one 64-register HyperLogLog counter per host estimates the ball "
+    "|B_t| at each radius t<=4; per step counters flow along in-edges "
+    "(equi-join + keyed register max), hc = sum_t (|B_t|-|B_{t-1}|)/t. "
+    "EVERY step is bigint fixed-point (md5 register hash, alpha*m^2 "
+    "in milli-units, floor divisions, linear-counting via a "
+    "precomputed integer ladder), so the DuckDB twin — the same "
+    "recipe unrolled as CTEs — matches bit-for-bit. O(V^2) exact "
+    "distances are infeasible on a billion-host graph; HyperBall is "
+    "one shuffle per radius over m-row counters.",
+    oracle=f"""
+WITH {_EDGES_SQL},
+{graph.hyperball_harmonic_sql("edges", n_iter=4)}
+SELECT node AS host, hc_milli, reach_milli FROM hb_out
+""",
+)
+def host_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    edges = graph.persist_tracked(
+        graph.host_graph(_synth_links(docs), "src_url", "dst_url")
+    )
+    return graph.hyperball_harmonic(edges, n_iter=4).select(
+        F.col("node").alias("host"), "hc_milli", "reach_milli"
+    )
+
+
+@register(
     "anchor_text_topk",
     doc="Anchor-text aggregation, the classic crawl-graph enrichment "
     "(anchor words describe the TARGET page better than its own text "

@@ -440,6 +440,42 @@ def build_slots(spark: SparkSession, r: int):
 
     slots["host_pagerank"] = _pagerank
 
+    # HyperBall harmonic centrality (r11) over the same R-partitioned
+    # host space: counters are m=64 rows per node, each radius step is
+    # one regs<->edges equi-join (m x |edges| fan-out, linear in R)
+    # plus a keyed (node, j) max — a superlinear ratio here means the
+    # counter flow stopped being keyed.
+    def _hyperball():
+        from llm_enhanced_data_pipeline_spark.operators import (
+            graph as _graph,
+        )
+
+        d = F.col("doc_id")
+        rep = F.expr("doc_id div 10000000")
+        s = (d % 23) + rep * 23
+
+        def hurl(h):
+            return F.concat(
+                F.lit("https://h"), h.cast("string"), F.lit(".example/p/x")
+            )
+
+        links = docs.filter(d % 23 < 21).select(
+            hurl(s).alias("src_url"),
+            hurl(((d % 23) * 3 + 1) % 23 + rep * 23).alias("dst_url"),
+        )
+        edges = _graph.host_graph(links, "src_url", "dst_url")
+        return (
+            _graph.hyperball_harmonic(edges, n_iter=2)
+            .select(
+                F.bit_xor(
+                    F.xxhash64("node", "hc_milli", "reach_milli")
+                ).alias("h")
+            )
+            .collect()
+        )
+
+    slots["hyperball_harmonic"] = _hyperball
+
     # perceptual media dedup (r11): PNG synth -> decode -> DCT pHash
     # -> banded Hamming pair join, scaled by IMAGE count. The decode/
     # hash stage is per-row Arrow work (linear by construction); the

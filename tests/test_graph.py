@@ -130,6 +130,59 @@ def test_host_graph_drops_self_loops_and_weights(spark):
     ]
 
 
+def test_hyperball_harmonic_tracks_exact_centrality(spark):
+    # path a->b->d->e: true hc = [0, 1, 1.5, 1.833...]; the HyperBall
+    # estimate (m=64, linear-counting range) must land within 15% and
+    # preserve the ordering. hc(a) is exactly 0 — nothing reaches a.
+    # Node names chosen register-disjoint (md5 j = 39/21/40/8) — 'c'
+    # shares register 39 with 'a', which is legitimate HLL collision
+    # behavior but would make a 4-node accuracy bound meaningless.
+    e = _edges(spark, [("a", "b", 1), ("b", "d", 1), ("d", "e", 1)])
+    out = {
+        r["node"]: (r["hc_milli"], r["reach_milli"])
+        for r in graph.hyperball_harmonic(e, n_iter=4).collect()
+    }
+    assert out["a"][0] == 0
+    truth = {"b": 1000, "d": 1500, "e": 1833}
+    for node, want in truth.items():
+        got = out[node][0]
+        assert abs(got - want) / want < 0.15, (node, got, want)
+    assert out["a"][0] < out["b"][0] < out["d"][0] < out["e"][0]
+    # reach estimates grow along the path too: e's ball is the largest
+    assert out["e"][1] > out["a"][1]
+
+
+def test_hyperball_counters_are_insertion_order_free(spark):
+    # same graph, edge list reversed: registers are max-merged, so the
+    # result must be identical (the property that makes the recipe
+    # shuffle-safe at scale)
+    rows = [("a", "b", 1), ("b", "c", 1), ("a", "c", 2)]
+    r1 = graph.hyperball_harmonic(_edges(spark, rows), n_iter=3).collect()
+    r2 = graph.hyperball_harmonic(
+        _edges(spark, list(reversed(rows))), n_iter=3
+    ).collect()
+    as_dict = lambda rs: {r["node"]: (r["hc_milli"], r["reach_milli"]) for r in rs}
+    assert as_dict(r1) == as_dict(r2)
+
+
+def test_hyperball_sql_matches_spark(spark):
+    import duckdb
+
+    rows = [("a", "b", 1), ("b", "c", 1), ("c", "a", 1), ("a", "d", 2)]
+    spark_r = {
+        r["node"]: (r["hc_milli"], r["reach_milli"])
+        for r in graph.hyperball_harmonic(_edges(spark, rows), n_iter=3).collect()
+    }
+    values = ", ".join(f"('{s}', '{t}', {w})" for s, t, w in rows)
+    sql = (
+        f"WITH edges(src, dst, weight) AS (VALUES {values}),\n"
+        + graph.hyperball_harmonic_sql("edges", n_iter=3)
+        + "\nSELECT node, hc_milli, reach_milli FROM hb_out"
+    )
+    duck_r = {n: (h, e) for n, h, e in duckdb.sql(sql).fetchall()}
+    assert spark_r == duck_r
+
+
 def test_pagerank_sql_matches_spark_on_a_weighted_graph(spark):
     # engine-parity pin independent of the sf fixtures: the unrolled
     # DuckDB CTE chain and the Spark loop must agree bit-for-bit
