@@ -44,7 +44,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash32, stable_hash32_sql
-from .dedup import persist_tracked
+from .dedup import (
+    _LIVE_CKPT_IDS,
+    _release_ckpt_blocks,
+    _truncate_lineage,
+    persist_tracked,
+)
 
 #: one anchor tag: href value in group 1, inner text in group 2.
 #: RE2-safe (no lookaround) so Spark (Java regex) and DuckDB (RE2)
@@ -194,29 +199,47 @@ def pagerank_int(
     - ``rank' = (d_den−d_num)·scale div (d_den·N)
       + d_num·(inflow + dangling div N) div d_den``.
 
-    N and the dangling mass are 1-row aggregates broadcast back via
-    crossJoin (never a driver collect); each iteration's rank frame is
-    persisted through the shared ledger because the next iteration
-    reads it twice (dangling fold + share join). At 1000-executor
-    scale the edge list is the |hosts|²-bounded host graph — per
-    iteration one shuffle on ``src`` and one on ``dst``."""
+    N (the node count) and the per-iteration dangling mass are 1-row
+    scalars driver-folded and inlined as plan literals — the package's
+    documented fold pattern (ranking.py boundary folds, BPE per-round
+    argmax): each fold is one aggregate over the |hosts|-bounded
+    frame, and inlining keeps every iteration at exactly ONE equi-join
+    plus one aggregation (measured faster than the broadcast-1-row
+    crossJoin alternative, whose broadcast-exchange stage costs more
+    than the fold). Each iteration's rank frame is CHECKPOINTED
+    eagerly through the package's `_truncate_lineage` (localCheckpoint,
+    or reliable checkpoints under the ``reliable_checkpoints`` context
+    manager — the connected-components posture): without truncation
+    the logical plan doubles per iteration and Catalyst
+    analysis/codegen dominates wall time long before the data does.
+    Superseded iterations' blocks are freed immediately; the final
+    frame's blocks are parked on the shared ledger for
+    ``release_caches``. This runs the materializing jobs at
+    plan-construction time, like the other eager operators. At
+    1000-executor scale the edge list is the |hosts|²-bounded host
+    graph — per iteration one shuffle on ``src`` and one on ``dst``."""
+    sc = edges.sparkSession.sparkContext
     src_nodes = edges.select(F.col("src").alias("node"))
     nodes = persist_tracked(
         src_nodes.union(edges.select(F.col("dst").alias("node"))).distinct()
     )
-    n_1row = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    n = nodes.count()  # driver fold: |V|, inlined as a literal below
     outw = persist_tracked(
         edges.groupBy("src").agg(F.sum("weight").cast("bigint").alias("_outw"))
     )
-    ranks = nodes.crossJoin(F.broadcast(n_1row)).select(
-        "node", F.expr(f"cast({scale} div _n as bigint)").alias("rank_u")
+    ranks, live_ids = _truncate_lineage(
+        nodes.select(
+            "node", F.lit(scale // n).cast("bigint").alias("rank_u")
+        )
     )
     base_u = (d_den - d_num) * scale
     for _ in range(n_iter):
-        ranks = persist_tracked(ranks)
         joined = ranks.join(outw, ranks["node"] == outw["src"], "left")
-        dang_1row = joined.filter(F.col("src").isNull()).agg(
-            F.coalesce(F.sum("rank_u"), F.lit(0)).cast("bigint").alias("_dang")
+        # dangling mass: 1-row fold over the checkpointed rank frame
+        dang = (
+            joined.filter(F.col("src").isNull())
+            .agg(F.coalesce(F.sum("rank_u"), F.lit(0)).alias("_dang"))
+            .first()[0]
         )
         inflow = (
             joined.filter(F.col("src").isNotNull())
@@ -229,19 +252,20 @@ def pagerank_int(
                 .alias("_inflow")
             )
         )
-        ranks = (
-            nodes.crossJoin(F.broadcast(n_1row))
-            .crossJoin(F.broadcast(dang_1row))
-            .join(inflow, F.col("node") == inflow["dst"], "left")
+        ranks, new_ids = _truncate_lineage(
+            nodes.join(inflow, F.col("node") == inflow["dst"], "left")
             .select(
                 "node",
                 F.expr(
-                    f"cast({base_u} div ({d_den} * _n) + {d_num} * "
-                    f"(coalesce(_inflow, 0) + _dang div _n) div {d_den} "
+                    f"cast({base_u // (d_den * n)} + {d_num} * "
+                    f"(coalesce(_inflow, 0) + {dang // n}) div {d_den} "
                     "as bigint)"
                 ).alias("rank_u"),
             )
         )
+        _release_ckpt_blocks(sc, live_ids)
+        live_ids = new_ids
+    _LIVE_CKPT_IDS.append((sc, live_ids))
     return ranks
 
 
@@ -407,9 +431,14 @@ def hyperball_harmonic(edges: DataFrame, n_iter: int = 4) -> DataFrame:
     ball estimate is one keyed aggregation. hc_milli sums the
     per-radius increments (clamped at 0 — the floor-division recipe is
     monotone, the clamp guards the LC→raw estimator switch) divided by
-    the radius, in integer milli-units. At crawl scale counters are
-    m=64 rows per host — the HyperBall paper's in-core trick maps to
-    one shuffle per radius here."""
+    the radius, in integer milli-units. Register and estimate frames
+    are CHECKPOINTED per radius (`_truncate_lineage` — see
+    :func:`pagerank_int` for the rationale and the reliable-checkpoint
+    upgrade path); superseded rounds' blocks are freed immediately,
+    the final/estimate blocks parked for ``release_caches``. At crawl
+    scale counters are m=64 rows per host — the HyperBall paper's
+    in-core trick maps to one shuffle per radius here."""
+    sc = edges.sparkSession.sparkContext
     nodes = persist_tracked(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -433,18 +462,25 @@ def hyperball_harmonic(edges: DataFrame, n_iter: int = 4) -> DataFrame:
             .alias(out_name),
         )
 
-    regs = persist_tracked(hyperball_init(nodes))
-    ests = [estimate(regs, "e0")]
+    regs, regs_ids = _truncate_lineage(hyperball_init(nodes))
+    est0, est0_ids = _truncate_lineage(estimate(regs, "e0"))
+    _LIVE_CKPT_IDS.append((sc, est0_ids))
+    ests = [est0]
     for t in range(1, n_iter + 1):
         contrib = regs.join(e, regs["node"] == e["src"]).select(
             F.col("dst").alias("node"), "j", "reg"
         )
-        regs = persist_tracked(
+        new_regs, new_ids = _truncate_lineage(
             regs.unionByName(contrib).groupBy("node", "j").agg(
                 F.max("reg").alias("reg")
             )
         )
-        ests.append(estimate(regs, f"e{t}"))
+        _release_ckpt_blocks(sc, regs_ids)
+        regs, regs_ids = new_regs, new_ids
+        est_t, est_ids = _truncate_lineage(estimate(regs, f"e{t}"))
+        _LIVE_CKPT_IDS.append((sc, est_ids))
+        ests.append(est_t)
+    _LIVE_CKPT_IDS.append((sc, regs_ids))
     out = nodes
     for i, est in enumerate(ests):
         out = out.join(est, "node", "left")

@@ -19,7 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import graph, web
+from ..operators import cleaning, graph, web
+from ..operators.cleaning import tokens_sql
 from ..tables import load_table
 from .registry import register
 
@@ -32,7 +33,9 @@ _DANGLING_FROM = 21
 
 def _synth_links(docs: DataFrame) -> DataFrame:
     """Deterministic page-level link rows (src_url, dst_url): the
-    Spark half of the shared fixture described in the module doc."""
+    Spark half of the shared fixture described in the module doc.
+    One scan: the 2-or-3 outgoing links per page are an array-explode
+    (the oracle states the same rows as three UNION ALL branches)."""
     d = F.col("doc_id")
     s = d % _H
     p = F.expr(f"doc_id div {_H}")
@@ -42,14 +45,20 @@ def _synth_links(docs: DataFrame) -> DataFrame:
             F.lit("https://h"), h.cast("string"), F.lit(".example/p/x")
         )
 
-    linked = docs.filter(s < _DANGLING_FROM)
-    base = linked.select(host_url(s).alias("src_url"), d, s.alias("_s"), p.alias("_p"))
-    e1 = base.select("src_url", host_url((F.col("_s") * 3 + 1) % _H).alias("dst_url"))
-    e2 = base.select("src_url", host_url((F.col("_s") * 7 + 2) % _H).alias("dst_url"))
-    e3 = base.filter(F.col("doc_id") % 3 == 0).select(
-        "src_url", host_url((F.col("_s") * 5 + F.col("_p")) % _H).alias("dst_url")
+    dsts = F.array(
+        host_url((s * 3 + 1) % _H),
+        host_url((s * 7 + 2) % _H),
+        F.when(d % 3 == 0, host_url((s * 5 + p) % _H)),
     )
-    return e1.union(e2).union(e3)
+    return (
+        docs.filter(s < _DANGLING_FROM)
+        .select(
+            host_url(s).alias("src_url"),
+            F.explode(F.filter(dsts, lambda x: x.isNotNull())).alias(
+                "dst_url"
+            ),
+        )
+    )
 
 
 _SYNTH_LINKS_SQL = f"""
@@ -257,6 +266,66 @@ def anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 2)
         .select("dst_host", "anchor_text", "n", "rnk")
+    )
+
+
+@register(
+    "textrank_keywords",
+    doc="TextRank keyword extraction (Mihalcea & Tarau 2004) — the "
+    "graph lane reused on TEXT: adjacent-token co-occurrence pairs "
+    "over a corpus slice form an undirected word graph (both "
+    "directions materialized), ranked by the same integer-exact "
+    "PageRank (3 iterations); top-20 keywords by (rank desc, word) "
+    "with a TakeOrdered plan. The pair build is the package's bigram "
+    "relation shape — one scan, explode, no Python.",
+    oracle=f"""
+WITH tk AS (
+  SELECT {tokens_sql("text")} AS toks FROM documents WHERE doc_id % 3 = 1
+),
+wp AS (
+  SELECT toks[_i] AS w1, toks[_i + 1] AS w2
+  FROM tk, LATERAL unnest(range(1, greatest(len(toks) - 1, 0) + 1)) r(_i)
+  WHERE toks[_i] <> toks[_i + 1]
+),
+edges AS (
+  SELECT src, dst, count(*)::BIGINT AS weight FROM (
+    SELECT w1 AS src, w2 AS dst FROM wp
+    UNION ALL
+    SELECT w2 AS src, w1 AS dst FROM wp
+  ) GROUP BY 1, 2
+),
+{graph.pagerank_sql("edges", n_iter=3)}
+SELECT node AS keyword, rank_u FROM pr_r3
+ORDER BY rank_u DESC, node LIMIT 20
+""",
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 3 == 1
+    ).select(cleaning.tokens(F.col("text")).alias("toks"))
+    n = F.size(F.col("toks"))
+    pairs = graph.persist_tracked(
+        docs.filter(n >= 2)
+        .select(
+            F.explode(F.sequence(F.lit(1), n - 1)).alias("_i"), F.col("toks")
+        )
+        .select(
+            F.element_at(F.col("toks"), F.col("_i")).alias("w1"),
+            F.element_at(F.col("toks"), F.col("_i") + 1).alias("w2"),
+        )
+        .filter(F.col("w1") != F.col("w2"))
+    )
+    edges = graph.persist_tracked(
+        pairs.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .union(pairs.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
+    )
+    return (
+        graph.pagerank_int(edges, n_iter=3)
+        .orderBy(F.col("rank_u").desc(), "node")
+        .limit(20)
+        .select(F.col("node").alias("keyword"), "rank_u")
     )
 
 

@@ -107,10 +107,6 @@ QUADRATIC_BY_DESIGN = {
     "training_data_pipeline", # SimHash block join is equi; allowlisted for
                               # the broadcast 1-row stats it shares with
                               # pipeline stage counters
-    "host_pagerank",          # per-iteration node-count + dangling-mass
-                              # folds are broadcast 1-row frames
-                              # (crossJoin); the rank<->edge joins are equi
-    "frontier_rank_priority", # inherits the same pagerank lineage
     "ivf_bucket_stats",       # same broadcast centroid-scoring shape
     "ivf_assignments",        # N x K centroid scoring over a broadcast
     "ivf_knn",                # K-row centroid frame — the IVF plan
