@@ -183,6 +183,54 @@ def test_hyperball_sql_matches_spark(spark):
     assert spark_r == duck_r
 
 
+def test_resolve_href_engine_parity_fuzz(spark):
+    # the Spark expression and its DuckDB twin must agree on arbitrary
+    # href junk: one seeded batch of generated cases through BOTH
+    # engines, plus the invariant that every non-NULL result is
+    # absolute. Quotes excluded (the extractor's regex already cannot
+    # produce them inside href).
+    import random
+
+    import duckdb
+
+    rng = random.Random(11)
+    frag = "abcdefghij:/#?.%-_~@!$&()*+,;=^|[]{}\\ "
+    bases = [
+        "https://h1.example/p/42",
+        "http://x.example",
+        "https://a.b.example:8443/d/e/f?q=1#z",
+    ]
+    cases = []
+    for _ in range(400):
+        href = "".join(rng.choice(frag) for _ in range(rng.randint(0, 25)))
+        if rng.random() < 0.3:
+            href = rng.choice(
+                ["https://", "http://", "//", "/", "mailto:", "#", ""]
+            ) + href
+        cases.append((rng.choice(bases), href))
+    indexed = [(i, b, h) for i, (b, h) in enumerate(cases)]
+    df = spark.createDataFrame(indexed, "i long, base string, href string")
+    spark_out = [
+        r["u"]
+        for r in df.orderBy("i")
+        .select(graph.resolve_href(F.col("base"), F.col("href")).alias("u"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c (i BIGINT, base VARCHAR, href VARCHAR)")
+    con.executemany("INSERT INTO c VALUES (?, ?, ?)", indexed)
+    duck_out = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {graph.resolve_href_sql('base', 'href')} "
+            "FROM c ORDER BY i"
+        ).fetchall()
+    ]
+    assert spark_out == duck_out
+    for u in spark_out:
+        assert u is None or u.lower().startswith(("http://", "https://"))
+
+
 def test_pagerank_sql_matches_spark_on_a_weighted_graph(spark):
     # engine-parity pin independent of the sf fixtures: the unrolled
     # DuckDB CTE chain and the Spark loop must agree bit-for-bit
