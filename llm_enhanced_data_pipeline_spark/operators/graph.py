@@ -318,6 +318,100 @@ def pagerank_sql(
     return ",\n".join(parts)
 
 
+# --- label-propagation communities -------------------------------------------
+
+
+def lpa_communities(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """Link communities by synchronous label propagation (Raghavan et
+    al. 2007, the near-linear community baseline; crawl pipelines use
+    host communities for per-farm corpus caps and link-spam analysis)
+    → ``(node, community)``.
+
+    Deterministic recipe (every step exact, mirrored by
+    :func:`lpa_communities_sql`): edges are symmetrized (community
+    structure is undirected) and weight-summed; labels start as the
+    node's own name; per round each node takes the label with the
+    largest incoming weight sum among its neighbours' current labels —
+    ties broken by SMALLEST label — and isolated-in-round nodes keep
+    theirs. Synchronous updates + total tie-break make the result
+    partition-count and engine independent (asynchronous LPA is
+    famously order-dependent; this variant trades a little convergence
+    speed for reproducibility). Per round: one equi-join + one keyed
+    aggregation + one keyed row_number window; label frames are
+    checkpointed per round like :func:`pagerank_int`."""
+    from pyspark.sql import Window
+
+    sc = edges.sparkSession.sparkContext
+    sym = persist_tracked(
+        edges.select("src", "dst", "weight")
+        .union(
+            edges.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                "weight",
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").cast("bigint").alias("weight"))
+    )
+    nodes = persist_tracked(
+        sym.select(F.col("src").alias("node")).distinct()
+    )
+    labels, live_ids = _truncate_lineage(
+        nodes.select("node", F.col("node").alias("community"))
+    )
+    w = Window.partitionBy("dst").orderBy(
+        F.col("_score").desc(), F.col("community")
+    )
+    for _ in range(n_iter):
+        winners = (
+            labels.join(sym, labels["node"] == sym["src"])
+            .groupBy("dst", "community")
+            .agg(F.sum("weight").cast("bigint").alias("_score"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("dst").alias("_n"), F.col("community").alias("_c"))
+        )
+        labels, new_ids = _truncate_lineage(
+            labels.join(winners, labels["node"] == F.col("_n"), "left").select(
+                "node",
+                F.coalesce(F.col("_c"), F.col("community")).alias("community"),
+            )
+        )
+        _release_ckpt_blocks(sc, live_ids)
+        live_ids = new_ids
+    _LIVE_CKPT_IDS.append((sc, live_ids))
+    return labels
+
+
+def lpa_communities_sql(edges_cte: str = "edges", n_iter: int = 3) -> str:
+    """DuckDB twin of :func:`lpa_communities`, unrolled as a CTE chain;
+    final labels in ``lpa_l{n_iter}(node, community)``."""
+    parts = [
+        f"lpa_sym AS (SELECT src, dst, sum(weight)::BIGINT AS weight FROM ("
+        f"SELECT src, dst, weight FROM {edges_cte} "
+        f"UNION ALL SELECT dst AS src, src AS dst, weight FROM {edges_cte}"
+        ") GROUP BY src, dst)",
+        "lpa_nodes AS (SELECT DISTINCT src AS node FROM lpa_sym)",
+        "lpa_l0 AS (SELECT node, node AS community FROM lpa_nodes)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"lpa_w{i} AS (SELECT dst, community FROM ("
+            "SELECT e.dst, l.community, "
+            "row_number() OVER (PARTITION BY e.dst "
+            "ORDER BY sum(e.weight) DESC, l.community) AS _rn "
+            f"FROM lpa_l{i} l JOIN lpa_sym e ON l.node = e.src "
+            "GROUP BY e.dst, l.community) WHERE _rn = 1)"
+        )
+        parts.append(
+            f"lpa_l{i + 1} AS (SELECT l.node, "
+            "coalesce(w.community, l.community) AS community "
+            f"FROM lpa_l{i} l LEFT JOIN lpa_w{i} w ON l.node = w.dst)"
+        )
+    return ",\n".join(parts)
+
+
 # --- HyperBall harmonic centrality ------------------------------------------
 #
 # Harmonic centrality hc(v) = Σ_{u≠v} 1/d(u,v) is the host-quality

@@ -270,6 +270,81 @@ def anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "host_link_communities",
+    doc="Host link communities by deterministic synchronous label "
+    "propagation (Raghavan et al. 2007) — crawl pipelines group hosts "
+    "into link farms/communities for per-community corpus caps: a "
+    "24-host fixture of 6 COMPLETE blocks of 4 (each page links to "
+    "all 3 block peers, so every within-block pair carries ~equal "
+    "weight — a bare ring is bipartite and synchronous LPA provably "
+    "oscillates on it, and ring+diagonal oscillates through the "
+    "double-weighted diagonal) plus sparse cross-block links (every "
+    "17th page) resolves into 6 block communities of 4 by round 2 "
+    "(majority absorbs the ±1 page-count drift); labels take the "
+    "heaviest incoming label each round, "
+    "ties to the smallest label, 3 rounds, every step exact (string "
+    "labels, bigint weights) so the unrolled DuckDB twin matches "
+    "bit-for-bit. Per round: one equi-join + keyed agg + keyed "
+    "row_number.",
+    oracle=f"""
+WITH clk AS (
+  SELECT 'h' || (doc_id % 24) AS s,
+         'h' || ((doc_id % 24) // 4 * 4 + ((doc_id % 24) % 4 + u) % 4) AS t
+  FROM documents CROSS JOIN (VALUES (1), (2), (3)) offs(u)
+  UNION ALL
+  SELECT 'h' || (doc_id % 24), 'h' || ((doc_id % 24 + 5) % 24)
+  FROM documents WHERE doc_id % 17 = 0
+),
+cedges AS (
+  SELECT s AS src, t AS dst, count(*)::BIGINT AS weight
+  FROM clk GROUP BY 1, 2
+),
+{graph.lpa_communities_sql("cedges", n_iter=3)},
+sizes AS (
+  SELECT community, count(*)::BIGINT AS community_size
+  FROM lpa_l3 GROUP BY 1
+)
+SELECT l.node AS host, l.community, s.community_size
+FROM lpa_l3 l JOIN sizes s USING (community)
+""",
+)
+def host_link_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    s_ = "(doc_id % 24)"
+    src_h = F.expr(f"'h' || cast({s_} as string)")
+    e1 = docs.select(
+        src_h.alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    F.expr(
+                        f"'h' || cast({s_} div 4 * 4 + "
+                        f"({s_} % 4 + {u}) % 4 as string)"
+                    )
+                    for u in (1, 2, 3)
+                ]
+            )
+        ).alias("dst"),
+    )
+    e2 = docs.filter(F.col("doc_id") % 17 == 0).select(
+        src_h.alias("src"),
+        F.expr(f"'h' || cast(({s_} + 5) % 24 as string)").alias("dst"),
+    )
+    edges = graph.persist_tracked(
+        e1.union(e2)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
+    )
+    labels = graph.lpa_communities(edges, n_iter=3)
+    sizes = labels.groupBy("community").agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    return labels.join(sizes, "community").select(
+        F.col("node").alias("host"), "community", "community_size"
+    )
+
+
+@register(
     "textrank_keywords",
     doc="TextRank keyword extraction (Mihalcea & Tarau 2004) — the "
     "graph lane reused on TEXT: adjacent-token co-occurrence pairs "

@@ -130,6 +130,49 @@ def test_host_graph_drops_self_loops_and_weights(spark):
     ]
 
 
+def test_lpa_disjoint_triangles_find_two_communities(spark):
+    # two disjoint triangles with equal weights converge to their
+    # lexicographic-min member's label by round 2 (hand-run: l1 via
+    # min-tie-break, l2 by majority) and stay there
+    e = _edges(
+        spark,
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1),
+         ("x", "y", 1), ("y", "z", 1), ("z", "x", 1)],
+    )
+    out = {r["node"]: r["community"]
+           for r in graph.lpa_communities(e, n_iter=3).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "x"}
+
+
+def test_lpa_is_edge_order_free(spark):
+    rows = [("a", "b", 2), ("b", "c", 1), ("c", "d", 3), ("d", "a", 1)]
+    r1 = graph.lpa_communities(_edges(spark, rows), n_iter=2).collect()
+    r2 = graph.lpa_communities(
+        _edges(spark, list(reversed(rows))), n_iter=2
+    ).collect()
+    to_d = lambda rs: {r["node"]: r["community"] for r in rs}
+    assert to_d(r1) == to_d(r2)
+
+
+def test_lpa_sql_matches_spark(spark):
+    import duckdb
+
+    rows = [("a", "b", 3), ("b", "c", 1), ("c", "a", 2), ("a", "d", 2),
+            ("d", "e", 5)]
+    spark_r = {
+        r["node"]: r["community"]
+        for r in graph.lpa_communities(_edges(spark, rows), n_iter=3).collect()
+    }
+    values = ", ".join(f"('{s}', '{t}', {w})" for s, t, w in rows)
+    sql = (
+        f"WITH edges(src, dst, weight) AS (VALUES {values}),\n"
+        + graph.lpa_communities_sql("edges", n_iter=3)
+        + "\nSELECT node, community FROM lpa_l3"
+    )
+    duck_r = dict(duckdb.sql(sql).fetchall())
+    assert spark_r == duck_r
+
+
 def test_hyperball_harmonic_tracks_exact_centrality(spark):
     # path a->b->d->e: true hc = [0, 1, 1.5, 1.833...]; the HyperBall
     # estimate (m=64, linear-counting range) must land within 15% and
