@@ -53,7 +53,9 @@ from .dedup import (
 
 #: one anchor tag: href value in group 1, inner text in group 2.
 #: RE2-safe (no lookaround) so Spark (Java regex) and DuckDB (RE2)
-#: match identically; single- or double-quoted href, no-quote skipped.
+#: match identically. DOUBLE-quoted href only — single-quoted and
+#: unquoted hrefs (rare in served HTML; invalid per the WHATWG
+#: serialization) are skipped, identically in both engines.
 ANCHOR_RE = r'<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
 
 #: scheme-relative prefix of a base URL, e.g. ``https`` / ``http``
@@ -217,7 +219,13 @@ def pagerank_int(
     ``release_caches``. This runs the materializing jobs at
     plan-construction time, like the other eager operators. At
     1000-executor scale the edge list is the |hosts|²-bounded host
-    graph — per iteration one shuffle on ``src`` and one on ``dst``."""
+    graph — per iteration one shuffle on ``src`` and one on ``dst``.
+
+    Overflow bound (ANSI mode fails loud rather than wrapping): the
+    per-node inflow sum Σ weight·share is ≤ scale · Σ_in weight, so
+    edge weights times ``scale`` (1e9 default) must stay under 2^63 —
+    fine up to ~10^9 total in-weight per host; beyond that pass a
+    smaller ``scale``."""
     sc = edges.sparkSession.sparkContext
     src_nodes = edges.select(F.col("src").alias("node"))
     nodes = persist_tracked(

@@ -270,6 +270,68 @@ def anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_graph_admission",
+    doc="Graph-lane capstone, one lineage: pages map to the 23-host "
+    "graph, host PageRank (5 exact iterations) gates admission to "
+    "above-uniform-centrality hosts (rank >= scale/23 — the uniform "
+    "share), label-propagation communities (3 rounds) over the SAME "
+    "edges then cap each link community at 30 pages (smallest doc_id "
+    "first, keyed window) — the Common-Crawl-style recipe where "
+    "centrality admits and community caps bound any one link farm's "
+    "corpus share. Both iterative operators and the final gate are "
+    "exact, so the whole composite hash-compares.",
+    oracle=f"""
+WITH {_EDGES_SQL},
+{graph.pagerank_sql("edges", n_iter=5)},
+{graph.lpa_communities_sql("edges", n_iter=3)},
+pages AS (
+  SELECT doc_id, 'h' || (doc_id % {_H}) || '.example' AS host
+  FROM documents
+),
+admitted AS (
+  SELECT p.doc_id, p.host, r.rank_u, l.community
+  FROM pages p
+  JOIN pr_r5 r ON p.host = r.node
+  JOIN lpa_l3 l ON p.host = l.node
+  WHERE r.rank_u >= {graph.RANK_SCALE} // {_H}
+)
+SELECT doc_id, host, rank_u, community FROM (
+  SELECT *, row_number() OVER (PARTITION BY community ORDER BY doc_id)
+         AS _rn
+  FROM admitted
+) WHERE _rn <= 30
+""",
+)
+def corpus_graph_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    edges = graph.persist_tracked(
+        graph.host_graph(_synth_links(docs), "src_url", "dst_url")
+    )
+    ranks = graph.pagerank_int(edges, n_iter=5)
+    comms = graph.lpa_communities(edges, n_iter=3)
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % _H).cast("string"),
+            F.lit(".example"),
+        ).alias("host"),
+    )
+    admitted = (
+        pages.join(ranks, pages["host"] == ranks["node"])
+        .filter(F.col("rank_u") >= graph.RANK_SCALE // _H)
+        .select("doc_id", "host", "rank_u")
+        .join(comms, F.col("host") == comms["node"])
+        .select("doc_id", "host", "rank_u", "community")
+    )
+    w = Window.partitionBy("community").orderBy("doc_id")
+    return (
+        admitted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 30)
+        .select("doc_id", "host", "rank_u", "community")
+    )
+
+
+@register(
     "host_link_communities",
     doc="Host link communities by deterministic synchronous label "
     "propagation (Raghavan et al. 2007) — crawl pipelines group hosts "

@@ -130,6 +130,24 @@ def test_host_graph_drops_self_loops_and_weights(spark):
     ]
 
 
+def test_corpus_graph_admission_is_nonempty_and_capped(spark, sf_dir):
+    # the oracle hash-compare passes vacuously when BOTH engines agree
+    # on an empty result (observed while building: a host-suffix
+    # mismatch in the admission join emptied both sides identically) —
+    # pin non-emptiness and the per-community cap here
+    from collections import Counter
+
+    from llm_enhanced_data_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["corpus_graph_admission"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    by_comm = Counter(r["community"] for r in rows)
+    assert max(by_comm.values()) <= 30
+    assert len(by_comm) >= 2
+    # admission really gates: not every host survives the rank filter
+    assert len({r["host"] for r in rows}) < 23
+
+
 def test_lpa_disjoint_triangles_find_two_communities(spark):
     # two disjoint triangles with equal weights converge to their
     # lexicographic-min member's label by round 2 (hand-run: l1 via
