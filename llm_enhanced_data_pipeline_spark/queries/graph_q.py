@@ -270,6 +270,82 @@ def anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "host_graph_health",
+    doc="Web-graph health telemetry (crawl-ops staple before ranking "
+    "runs): node/edge/weight totals, dangling-host count and share "
+    "(no out-links — their mass redistributes in PageRank), "
+    "reciprocity (directed edges whose reverse also exists — link "
+    "farms reciprocate far above the organic rate), and degree "
+    "extremes. One pass of keyed aggregates + a self-equi-join for "
+    "reciprocity; the 1-row stat frames combine via broadcast "
+    "crossJoins (the documented stage-stats shape).",
+    oracle=f"""
+WITH {_EDGES_SQL},
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+outd AS (SELECT src, count(*)::BIGINT AS d, sum(weight)::BIGINT AS w
+         FROM edges GROUP BY src),
+ind AS (SELECT dst, count(*)::BIGINT AS d FROM edges GROUP BY dst),
+recip AS (
+  SELECT count(*)::BIGINT AS n FROM edges a
+  JOIN edges b ON a.src = b.dst AND a.dst = b.src
+)
+SELECT (SELECT count(*) FROM nodes)::BIGINT AS n_nodes,
+       (SELECT count(*) FROM edges)::BIGINT AS n_edges,
+       (SELECT sum(weight) FROM edges)::BIGINT AS total_weight,
+       (SELECT count(*) FROM nodes n LEFT JOIN outd o ON n.node = o.src
+        WHERE o.src IS NULL)::BIGINT AS n_dangling,
+       (SELECT n FROM recip) AS n_reciprocal_edges,
+       ((SELECT n FROM recip) * 1000
+        // (SELECT count(*) FROM edges))::BIGINT AS reciprocity_permille,
+       (SELECT max(d) FROM outd)::BIGINT AS max_out_degree,
+       (SELECT max(d) FROM ind)::BIGINT AS max_in_degree
+""",
+)
+def host_graph_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    edges = graph.persist_tracked(
+        graph.host_graph(_synth_links(docs), "src_url", "dst_url")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outd = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    ind = edges.groupBy("dst").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    b = edges.select(F.col("src").alias("_bs"), F.col("dst").alias("_bd"))
+    recip = edges.join(
+        b, (edges["src"] == b["_bd"]) & (edges["dst"] == b["_bs"])
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_reciprocal_edges"))
+    totals = edges.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum("weight").cast("bigint").alias("total_weight"),
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    dangling = (
+        nodes.join(outd, nodes["node"] == outd["src"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dangling"))
+    )
+    degs = outd.agg(F.max("d").cast("bigint").alias("max_out_degree")).crossJoin(
+        ind.agg(F.max("d").cast("bigint").alias("max_in_degree"))
+    )
+    return (
+        n_nodes.crossJoin(totals)
+        .crossJoin(dangling)
+        .crossJoin(recip)
+        .crossJoin(degs)
+        .select(
+            "n_nodes", "n_edges", "total_weight", "n_dangling",
+            "n_reciprocal_edges",
+            F.expr(
+                "cast(n_reciprocal_edges * 1000 div n_edges as bigint)"
+            ).alias("reciprocity_permille"),
+            "max_out_degree", "max_in_degree",
+        )
+    )
+
+
+@register(
     "corpus_graph_admission",
     doc="Graph-lane capstone, one lineage: pages map to the 23-host "
     "graph, host PageRank (5 exact iterations) gates admission to "

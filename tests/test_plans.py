@@ -107,6 +107,9 @@ QUADRATIC_BY_DESIGN = {
     "training_data_pipeline", # SimHash block join is equi; allowlisted for
                               # the broadcast 1-row stats it shares with
                               # pipeline stage counters
+    "host_graph_health",      # 1-row stat frames combined via broadcast
+                              # crossJoins (the stage-stats shape); the
+                              # reciprocity self-join is equi
     "ivf_bucket_stats",       # same broadcast centroid-scoring shape
     "ivf_assignments",        # N x K centroid scoring over a broadcast
     "ivf_knn",                # K-row centroid frame — the IVF plan
