@@ -82,8 +82,11 @@ def resolve_href(base: Column, href: Column) -> Column:
       ports / params).
 
     mailto:/javascript:/tel:/data:/fragment-only/empty hrefs resolve
-    to NULL (callers drop them). Pure CASE over regexps — codegen
-    stays whole-stage."""
+    to NULL (callers drop them). Assumes an absolute http(s) ``base``
+    (the extract_links contract — page URLs in a crawl store are
+    absolute); a relative base degrades deterministically (empty
+    scheme/origin extracts), identically in both engines. Pure CASE
+    over regexps — codegen stays whole-stage."""
     dir_ = F.regexp_extract(base, _DIR_RE, 1)
     base_dir = F.when(dir_ == "", F.concat(base, F.lit("/"))).otherwise(dir_)
     return (
@@ -124,7 +127,12 @@ def extract_links(
 
     One scan: ``regexp_extract_all`` collects the anchor tags, explode
     fans them out, two more regexp_extracts split href/text — no
-    Python, no shuffle."""
+    Python, no shuffle. Anchors whose inner text contains nested
+    markup (``<a ...><b>t</b></a>``) don't match the flat ``[^<]*``
+    text group and are skipped whole — acceptable for link-graph
+    building (the href-bearing flat anchors dominate); a full HTML
+    parser lane would go through the main-content extractor's block
+    machinery instead."""
     tags = df.select(
         F.col(id_col),
         F.col(base_col).alias("_base"),
@@ -187,9 +195,18 @@ def pagerank_int(
     scale: int = RANK_SCALE,
     d_num: int = DAMP_NUM,
     d_den: int = DAMP_DEN,
+    teleport: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a weighted edge list, in exact
     bigint arithmetic → ``(node, rank_u)``.
+
+    ``teleport`` switches to PERSONALIZED PageRank (random walk with
+    restart): the teleport vector concentrates on that node — restarts
+    and dangling mass return to the seed instead of spreading
+    uniformly, so ranks measure proximity to the seed (related-host
+    discovery; Common Crawl's seed-expansion shape). All-integer like
+    the uniform form: the seed's per-iteration restart term is one
+    inlined literal, everyone else gets only damped inflow.
 
     Recipe per iteration (all floor divisions, all bigint sums, so the
     result is identical in any engine and independent of partitioning
@@ -235,10 +252,13 @@ def pagerank_int(
     outw = persist_tracked(
         edges.groupBy("src").agg(F.sum("weight").cast("bigint").alias("_outw"))
     )
+    init = (
+        F.when(F.col("node") == teleport, F.lit(scale)).otherwise(F.lit(0))
+        if teleport is not None
+        else F.lit(scale // n)
+    )
     ranks, live_ids = _truncate_lineage(
-        nodes.select(
-            "node", F.lit(scale // n).cast("bigint").alias("rank_u")
-        )
+        nodes.select("node", init.cast("bigint").alias("rank_u"))
     )
     base_u = (d_den - d_num) * scale
     for _ in range(n_iter):
@@ -260,16 +280,23 @@ def pagerank_int(
                 .alias("_inflow")
             )
         )
+        if teleport is None:
+            new_rank = F.expr(
+                f"cast({base_u // (d_den * n)} + {d_num} * "
+                f"(coalesce(_inflow, 0) + {dang // n}) div {d_den} "
+                "as bigint)"
+            )
+        else:
+            # restart + dangling mass both return to the seed
+            seed_add = base_u // d_den + (d_num * dang) // d_den
+            new_rank = F.expr(
+                f"cast({d_num} * coalesce(_inflow, 0) div {d_den} + "
+                f"(case when node = '{teleport}' then {seed_add} "
+                "else 0 end) as bigint)"
+            )
         ranks, new_ids = _truncate_lineage(
             nodes.join(inflow, F.col("node") == inflow["dst"], "left")
-            .select(
-                "node",
-                F.expr(
-                    f"cast({base_u // (d_den * n)} + {d_num} * "
-                    f"(coalesce(_inflow, 0) + {dang // n}) div {d_den} "
-                    "as bigint)"
-                ).alias("rank_u"),
-            )
+            .select("node", new_rank.alias("rank_u"))
         )
         _release_ckpt_blocks(sc, live_ids)
         live_ids = new_ids
@@ -283,24 +310,31 @@ def pagerank_sql(
     scale: int = RANK_SCALE,
     d_num: int = DAMP_NUM,
     d_den: int = DAMP_DEN,
+    teleport: str | None = None,
 ) -> str:
-    """DuckDB twin of :func:`pagerank_int`: the same fixed-point
-    recipe unrolled as a CTE chain (``pr_nodes``, ``pr_nn``,
-    ``pr_outw``, then ``pr_r0…pr_r{n}``). Returns CTE definitions to
-    splice after an ``edges_cte`` providing (src, dst, weight); the
-    final ranks live in ``pr_r{n_iter}(node, rank_u)``.
+    """DuckDB twin of :func:`pagerank_int` (incl. the ``teleport``
+    personalized form): the same fixed-point recipe unrolled as a CTE
+    chain (``pr_nodes``, ``pr_nn``, ``pr_outw``, then
+    ``pr_r0…pr_r{n}``). Returns CTE definitions to splice after an
+    ``edges_cte`` providing (src, dst, weight); the final ranks live
+    in ``pr_r{n_iter}(node, rank_u)``.
 
     DuckDB sums integers into HUGEINT, hence the ``::BIGINT`` casts at
     every aggregate — after them each arithmetic step is the same
     bigint floor-division sequence Spark runs."""
     base_u = (d_den - d_num) * scale
+    init = (
+        f"(CASE WHEN node = '{teleport}' THEN {scale} ELSE 0 END)"
+        if teleport is not None
+        else f"({scale} // n)"
+    )
     parts = [
         f"pr_nodes AS (SELECT src AS node FROM {edges_cte} "
         f"UNION SELECT dst FROM {edges_cte})",
         "pr_nn AS (SELECT count(*)::BIGINT AS n FROM pr_nodes)",
         f"pr_outw AS (SELECT src, sum(weight)::BIGINT AS outw "
         f"FROM {edges_cte} GROUP BY src)",
-        f"pr_r0 AS (SELECT node, ({scale} // n)::BIGINT AS rank_u "
+        f"pr_r0 AS (SELECT node, {init}::BIGINT AS rank_u "
         "FROM pr_nodes CROSS JOIN pr_nn)",
     ]
     for i in range(n_iter):
@@ -315,11 +349,21 @@ def pagerank_sql(
             f"FROM pr_r{i} r JOIN pr_outw o ON r.node = o.src "
             f"JOIN {edges_cte} e ON e.src = r.node GROUP BY e.dst)"
         )
+        if teleport is None:
+            new_rank = (
+                f"({base_u} // ({d_den} * nn.n) + {d_num} * "
+                f"(coalesce(c.inflow, 0) + d.dang // nn.n) // {d_den})"
+            )
+        else:
+            new_rank = (
+                f"({d_num} * coalesce(c.inflow, 0) // {d_den} + "
+                f"(CASE WHEN n0.node = '{teleport}' THEN "
+                f"{base_u} // {d_den} + {d_num} * d.dang // {d_den} "
+                "ELSE 0 END))"
+            )
         parts.append(
             f"pr_r{i + 1} AS (SELECT n0.node, "
-            f"({base_u} // ({d_den} * nn.n) + {d_num} * "
-            f"(coalesce(c.inflow, 0) + d.dang // nn.n) // {d_den})::BIGINT "
-            "AS rank_u "
+            f"{new_rank}::BIGINT AS rank_u "
             f"FROM pr_nodes n0 CROSS JOIN pr_nn nn CROSS JOIN pr_d{i} d "
             f"LEFT JOIN pr_c{i} c ON n0.node = c.node)"
         )

@@ -186,6 +186,34 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "related_hosts_ppr",
+    doc="Related-host discovery by personalized PageRank (random walk "
+    "with restart from seed h0.example, 5 exact integer iterations — "
+    "the seed-expansion recipe for growing a crawl whitelist from "
+    "known-good hosts): restarts and dangling mass return to the "
+    "seed, so rank measures link proximity to it; hosts the walk "
+    "never reaches score 0 and are excluded, the seed itself is "
+    "excluded from its own related list. Same checkpointed loop and "
+    "unrolled-CTE twin as uniform PageRank, teleport-parameterized.",
+    oracle=f"""
+WITH {_EDGES_SQL},
+{graph.pagerank_sql("edges", n_iter=5, teleport="h0.example")}
+SELECT node AS host, rank_u FROM pr_r5
+WHERE rank_u > 0 AND node <> 'h0.example'
+""",
+)
+def related_hosts_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    edges = graph.persist_tracked(
+        graph.host_graph(_synth_links(docs), "src_url", "dst_url")
+    )
+    ranks = graph.pagerank_int(edges, n_iter=5, teleport="h0.example")
+    return ranks.filter(
+        (F.col("rank_u") > 0) & (F.col("node") != "h0.example")
+    ).select(F.col("node").alias("host"), "rank_u")
+
+
+@register(
     "host_harmonic_centrality",
     doc="Harmonic centrality per host via HyperBall (Boldi-Vigna 2013 "
     "— the metric Common Crawl actually publishes for host ranking): "

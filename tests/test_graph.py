@@ -292,6 +292,43 @@ def test_resolve_href_engine_parity_fuzz(spark):
         assert u is None or u.lower().startswith(("http://", "https://"))
 
 
+def test_personalized_pagerank_concentrates_near_seed(spark):
+    # a->b with seed a: fixed point is pi_a = 0.15 + 0.7225*pi_a ->
+    # 0.5405 vs pi_b 0.4595. The restart<->dangling loop contracts by
+    # 0.7225 every TWO rounds (a 2-step recursion), so 20 rounds leave
+    # ~0.018 residual — inside the 0.025 tolerance. An upstream-only
+    # node (e->a) is unreachable FROM the seed and must score exactly
+    # 0; its own mass still flows to a. (At 5 rounds a directed chain
+    # is still mid-wave — observed b > a while building this — which
+    # is the exact recipe converging, not an error.)
+    e = _edges(spark, [("a", "b", 1), ("e", "a", 1)])
+    r = _ranks(graph.pagerank_int(e, n_iter=20, teleport="a"))
+    assert r["e"] == 0
+    assert r["a"] > r["b"] > 0
+    assert abs(r["a"] - 540_500_000) < 25_000_000
+    # uniform form gives every node restart mass — e included —
+    # teleport genuinely changes the fixed point
+    u = _ranks(graph.pagerank_int(e, n_iter=4))
+    assert u["e"] > 0
+
+
+def test_personalized_pagerank_sql_matches_spark(spark):
+    import duckdb
+
+    rows = [("a", "b", 2), ("b", "c", 1), ("c", "a", 1), ("b", "d", 3)]
+    spark_r = _ranks(
+        graph.pagerank_int(_edges(spark, rows), n_iter=4, teleport="a")
+    )
+    values = ", ".join(f"('{s}', '{t}', {w})" for s, t, w in rows)
+    sql = (
+        f"WITH edges(src, dst, weight) AS (VALUES {values}),\n"
+        + graph.pagerank_sql("edges", n_iter=4, teleport="a")
+        + "\nSELECT node, rank_u FROM pr_r4"
+    )
+    duck_r = dict(duckdb.sql(sql).fetchall())
+    assert spark_r == duck_r
+
+
 def test_pagerank_sql_matches_spark_on_a_weighted_graph(spark):
     # engine-parity pin independent of the sf fixtures: the unrolled
     # DuckDB CTE chain and the Spark loop must agree bit-for-bit
