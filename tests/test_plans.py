@@ -536,6 +536,27 @@ def test_vector_family_float32_storage_end_to_end(spark, sf_dir):
     assert n_exchanges(f32) == n_exchanges(d64)
 
 
+def test_host_pagerank_plan_shape_golden(spark, sf_dir):
+    """The graph-lane bench slot, pinned structurally: the documents
+    scan feeding the link fixture must prune to doc_id only, the
+    persisted host-edge frame must appear (every iteration joined it),
+    and no nested-loop join may surface — the iterative loop's 1-row
+    folds are driver-inlined literals, not broadcast crossJoins, and
+    each round is equi-join + keyed agg behind a checkpoint."""
+    from llm_enhanced_data_pipeline_spark.operators import dedup
+
+    try:
+        plan = _plan(spark, sf_dir, "host_pagerank")
+        assert "ReadSchema: struct<doc_id:bigint>" in plan, (
+            "link fixture reads more than doc_id"
+        )
+        assert "InMemoryTableScan" in plan, "edge frame lost its persist"
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        dedup.release_caches()
+
+
 def test_bench_slot_plan_shape_goldens(spark, sf_dir):
     """r9 verdict item 6: the top bench slots' load-bearing plan shapes
     must be pinned structurally, not inferred from timing (timing on
