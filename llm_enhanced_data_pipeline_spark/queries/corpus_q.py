@@ -1769,3 +1769,87 @@ def padding_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (sum(padded_toks) + sum(sum_toks)) as bigint)"
         ).alias("waste_permille"),
     )
+
+
+@register(
+    "preference_pair_build",
+    doc="Preference-pair construction for DPO/RLHF-style training "
+    "data (chosen/rejected pairs from a scored candidate pool — the "
+    "standard recipe when converting ranked or judged responses into "
+    "pairwise data): per (source, lang) pool, docs score with the "
+    "shared quality formula, the i-th best pairs with the i-th worst "
+    "(i <= 3, deterministic tie-breaks on doc_id both ways), and a "
+    "pair survives only with a quality gap >= 0.05 and distinct "
+    "members (tiny pools degenerate, the filters drop them). Two "
+    "keyed row_number windows + one equi-join on (source, lang, i) — "
+    "no global window, no shuffle beyond the group keys.",
+    oracle=f"""
+WITH scored AS (
+  SELECT source, lang, doc_id,
+         {text_analysis.text_quality_score_sql(_TOKS)} AS q
+  FROM documents
+),
+top AS (
+  SELECT source, lang, doc_id AS chosen_id, q AS chosen_q,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY q DESC, doc_id) AS i
+  FROM scored
+),
+bot AS (
+  SELECT source, lang, doc_id AS rejected_id, q AS rejected_q,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY q ASC, doc_id DESC) AS i
+  FROM scored
+)
+SELECT t.source, t.lang, t.i::BIGINT AS pair_idx,
+       t.chosen_id, b.rejected_id,
+       {rounding.stable_round_sql("t.chosen_q - b.rejected_q", 4)} AS gap
+FROM top t JOIN bot b
+  ON t.source = b.source AND t.lang = b.lang AND t.i = b.i
+WHERE t.i <= 3 AND t.chosen_id <> b.rejected_id
+  AND t.chosen_q - b.rejected_q >= 0.05
+""",
+)
+def preference_pair_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.select(
+        "source", "lang", "doc_id",
+        text_analysis.text_quality_score(F.col("text")).alias("q"),
+    )
+    w_top = Window.partitionBy("source", "lang").orderBy(
+        F.col("q").desc(), F.col("doc_id")
+    )
+    w_bot = Window.partitionBy("source", "lang").orderBy(
+        F.col("q").asc(), F.col("doc_id").desc()
+    )
+    top = scored.select(
+        "source", "lang",
+        F.col("doc_id").alias("chosen_id"), F.col("q").alias("chosen_q"),
+        F.row_number().over(w_top).alias("i"),
+    ).filter(F.col("i") <= 3)
+    bot = scored.select(
+        F.col("source").alias("_s"), F.col("lang").alias("_l"),
+        F.col("doc_id").alias("rejected_id"), F.col("q").alias("rejected_q"),
+        F.row_number().over(w_bot).alias("_i"),
+    ).filter(F.col("_i") <= 3)
+    return (
+        top.join(
+            bot,
+            (top["source"] == bot["_s"])
+            & (top["lang"] == bot["_l"])
+            & (top["i"] == bot["_i"]),
+        )
+        .filter(
+            (F.col("chosen_id") != F.col("rejected_id"))
+            & (F.col("chosen_q") - F.col("rejected_q") >= 0.05)
+        )
+        .select(
+            "source", "lang", F.col("i").cast("bigint").alias("pair_idx"),
+            "chosen_id", "rejected_id",
+            rounding.stable_round(
+                F.col("chosen_q") - F.col("rejected_q"), 4
+            ).alias("gap"),
+        )
+    )

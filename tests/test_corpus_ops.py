@@ -997,3 +997,19 @@ def test_padding_waste_hand_case_and_bucketing_wins(spark):
     assert rep["bucketed"].padded_toks < rep["naive"].padded_toks
     assert rep["bucketed"].n_docs == rep["naive"].n_docs
     assert rep["bucketed"].total_toks == rep["naive"].total_toks
+
+
+def test_preference_pairs_nonempty_and_well_formed(spark, sf_dir):
+    # hash gates pass vacuously when both engines agree on empty —
+    # pin non-emptiness and the pair invariants (distinct members,
+    # positive gap, <= 3 pairs per pool) explicitly
+    from llm_enhanced_data_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["preference_pair_build"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    per_pool = {}
+    for r in rows:
+        assert r["chosen_id"] != r["rejected_id"]
+        assert r["gap"] >= 0.05
+        per_pool.setdefault((r["source"], r["lang"]), []).append(r["pair_idx"])
+    assert all(len(v) <= 3 for v in per_pool.values())
