@@ -1853,3 +1853,67 @@ def preference_pair_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gap"),
         )
     )
+
+
+@register(
+    "sft_loss_mask_report",
+    doc="SFT loss-mask accounting (instruction tuning masks the "
+    "prompt's tokens and trains only on the response — the "
+    "trainable-token share, not the row count, is what a fine-tuning "
+    "budget buys): the prompt/response boundary is the first "
+    "occurrence of a marker token (' the ' — a neutral stand-in over "
+    "the synthetic punctuation-free vocabulary, the same stand-in "
+    "pattern as the C4 blocklist gate; production passes its real "
+    "template separator), docs without the marker are fully masked "
+    "and counted, and the per-source report sums masked vs trainable "
+    "tokens with an exact permille. Pure string algebra (instr + "
+    "substring + the shared tokenizer) — one scan, one hash agg.",
+    oracle=f"""
+WITH split AS (
+  SELECT source,
+         len({_TOKS}) AS n_toks,
+         CASE WHEN strpos(text, ' the ') = 0 THEN len({_TOKS})
+              ELSE len({tokens_sql("substring(text, 1, strpos(text, ' the '))")})
+         END AS masked,
+         (strpos(text, ' the ') = 0)::INT AS no_boundary
+  FROM documents
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(no_boundary)::BIGINT AS n_fully_masked,
+       sum(n_toks)::BIGINT AS total_tokens,
+       sum(masked)::BIGINT AS masked_tokens,
+       (sum(n_toks) - sum(masked))::BIGINT AS trainable_tokens,
+       ((sum(n_toks) - sum(masked)) * 1000 // greatest(sum(n_toks), 1))::BIGINT
+         AS trainable_permille
+FROM split GROUP BY source
+""",
+)
+def sft_loss_mask_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pos = F.expr("instr(text, ' the ')")
+    n_toks = F.size(cleaning.tokens(F.col("text"))).cast("bigint")
+    masked = F.when(pos == 0, n_toks).otherwise(
+        F.size(
+            cleaning.tokens(F.expr("substring(text, 1, instr(text, ' the '))"))
+        ).cast("bigint")
+    )
+    split = docs.select(
+        "source",
+        n_toks.alias("n_toks"),
+        masked.alias("masked"),
+        (pos == 0).cast("int").alias("no_boundary"),
+    )
+    return split.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("no_boundary").cast("bigint").alias("n_fully_masked"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.sum("masked").cast("bigint").alias("masked_tokens"),
+        (F.sum("n_toks") - F.sum("masked")).cast("bigint").alias(
+            "trainable_tokens"
+        ),
+        F.expr(
+            "cast((sum(n_toks) - sum(masked)) * 1000 div "
+            "greatest(sum(n_toks), 1) as bigint)"
+        ).alias("trainable_permille"),
+    )
