@@ -66,8 +66,16 @@ _ORIGIN_RE = r"^(https?://[^/?#]+)"
 #: the path, query/fragment excluded. Greedy [^?#]* backtracks to the
 #: final '/', identically in Java regex and RE2.
 _DIR_RE = r"^(https?://[^?#]*/)"
-#: href schemes/forms that are never fetchable corpus links
-_SKIP_RE = r"(?i)^(mailto:|javascript:|tel:|data:|#|$)"
+#: href forms that are never fetchable corpus links: ANY non-http(s)
+#: scheme (mailto:, javascript:, tel:, data:, ftp:, ws:, about:,
+#: blob:, android-app:, … — RFC 3986 scheme = ALPHA *(ALPHA / DIGIT /
+#: "+" / "-" / ".") followed by ":"), fragment-only, or empty. The
+#: absolute-http(s) branch is checked FIRST, so this never eats a real
+#: link. Before r12 only a fixed scheme list was skipped and e.g.
+#: ``ftp://x`` fell through to the relative branch, concatenating onto
+#: the base directory as a bogus same-host URL (parity-safe but a
+#: spurious edge in the link graph).
+_SKIP_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*:|#|$)"
 
 
 def resolve_href(base: Column, href: Column) -> Column:
@@ -81,17 +89,18 @@ def resolve_href(base: Column, href: Column) -> Column:
       engines agree, and canonicalize_url downstream handles case /
       ports / params).
 
-    mailto:/javascript:/tel:/data:/fragment-only/empty hrefs resolve
-    to NULL (callers drop them). Assumes an absolute http(s) ``base``
-    (the extract_links contract — page URLs in a crawl store are
-    absolute); a relative base degrades deterministically (empty
-    scheme/origin extracts), identically in both engines. Pure CASE
-    over regexps — codegen stays whole-stage."""
+    Any non-http(s)-scheme href (mailto:/javascript:/tel:/ftp:/ws:/…),
+    fragment-only, or empty href resolves to NULL (callers drop them).
+    Assumes an absolute http(s) ``base`` (the extract_links contract —
+    page URLs in a crawl store are absolute); a relative base degrades
+    deterministically (empty scheme/origin extracts), identically in
+    both engines. Pure CASE over regexps — codegen stays
+    whole-stage."""
     dir_ = F.regexp_extract(base, _DIR_RE, 1)
     base_dir = F.when(dir_ == "", F.concat(base, F.lit("/"))).otherwise(dir_)
     return (
-        F.when(href.rlike(_SKIP_RE), F.lit(None).cast("string"))
-        .when(href.rlike(r"(?i)^https?://"), href)
+        F.when(href.rlike(r"(?i)^https?://"), href)
+        .when(href.rlike(_SKIP_RE), F.lit(None).cast("string"))
         .when(
             href.startswith("//"),
             F.concat(F.regexp_extract(base, _SCHEME_RE, 1), F.lit(":"), href),
@@ -109,8 +118,8 @@ def resolve_href_sql(base: str, href: str) -> str:
     dir_ = f"regexp_extract({base}, '{_DIR_RE}', 1)"
     base_dir = f"(CASE WHEN {dir_} = '' THEN {base} || '/' ELSE {dir_} END)"
     return f"""(CASE
-      WHEN regexp_matches({href}, '{_SKIP_RE}') THEN NULL
       WHEN regexp_matches({href}, '(?i)^https?://') THEN {href}
+      WHEN regexp_matches({href}, '{_SKIP_RE}') THEN NULL
       WHEN {href} LIKE '//%' THEN regexp_extract({base}, '{_SCHEME_RE}', 1) || ':' || {href}
       WHEN {href} LIKE '/%' THEN regexp_extract({base}, '{_ORIGIN_RE}', 1) || {href}
       ELSE {base_dir} || {href}
@@ -166,17 +175,44 @@ def url_host_sql(expr: str) -> str:
 
 def host_graph(links: DataFrame, src_url: str, dst_url: str) -> DataFrame:
     """Weighted host→host edge list from page-level links: hosts
-    extracted and lowercased, self-loops dropped, one hash aggregation
+    extracted and lowercased, self-loops and rows where EITHER side's
+    host extraction failed (empty string) dropped, one hash aggregation
     to ``(src, dst, weight)``. The output is |hosts|²-bounded — at
     100 TB the page-level input shrinks ~1e4× into it, so everything
-    downstream (PageRank) runs on the small frame."""
+    downstream (PageRank) runs on the small frame. The filter logic is
+    defined once and mirrored verbatim by :func:`host_graph_sql`, so a
+    malformed URL can never diverge the two engines or admit an
+    empty-string host node into the graph."""
     s = url_host(F.col(src_url))
     t = url_host(F.col(dst_url))
     return (
         links.select(s.alias("src"), t.alias("dst"))
-        .filter((F.col("src") != F.col("dst")) & (F.col("src") != ""))
+        .filter(
+            (F.col("src") != F.col("dst"))
+            & (F.col("src") != "")
+            & (F.col("dst") != "")
+        )
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
+    )
+
+
+def host_graph_sql(
+    links_cte: str = "lk",
+    src_url: str = "src_url",
+    dst_url: str = "dst_url",
+) -> str:
+    """DuckDB twin of :func:`host_graph` — same host extraction, same
+    self-loop and empty-host filters, same aggregation. Oracle preludes
+    splice this as their ``edges`` CTE body so the filter logic lives
+    in exactly one place per engine pair."""
+    s = url_host_sql(src_url)
+    t = url_host_sql(dst_url)
+    return (
+        f"SELECT {s} AS src, {t} AS dst, count(*)::BIGINT AS weight "
+        f"FROM {links_cte} "
+        f"WHERE {s} <> {t} AND {s} <> '' AND {t} <> '' "
+        "GROUP BY 1, 2"
     )
 
 
@@ -249,6 +285,11 @@ def pagerank_int(
         src_nodes.union(edges.select(F.col("dst").alias("node"))).distinct()
     )
     n = nodes.count()  # driver fold: |V|, inlined as a literal below
+    if n == 0:
+        # empty graph: the DuckDB twin's pr_nodes CTE is empty and the
+        # final SELECT returns no rows — match that instead of raising
+        # an opaque ZeroDivisionError at the scale // n fold below
+        return nodes.select("node", F.lit(0).cast("bigint").alias("rank_u"))
     outw = persist_tracked(
         edges.groupBy("src").agg(F.sum("weight").cast("bigint").alias("_outw"))
     )
@@ -287,13 +328,17 @@ def pagerank_int(
                 "as bigint)"
             )
         else:
-            # restart + dangling mass both return to the seed
+            # restart + dangling mass both return to the seed. The
+            # seed comparison goes through the Column API (bound
+            # literal), never interpolated SQL text — url_host can
+            # emit a single quote from a crafted URL (https://evil'x/)
+            # which would break or inject an inlined expression.
             seed_add = base_u // d_den + (d_num * dang) // d_den
-            new_rank = F.expr(
-                f"cast({d_num} * coalesce(_inflow, 0) div {d_den} + "
-                f"(case when node = '{teleport}' then {seed_add} "
-                "else 0 end) as bigint)"
-            )
+            new_rank = (
+                F.expr(f"{d_num} * coalesce(_inflow, 0) div {d_den}")
+                + F.when(F.col("node") == F.lit(teleport), F.lit(seed_add))
+                .otherwise(F.lit(0))
+            ).cast("bigint")
         ranks, new_ids = _truncate_lineage(
             nodes.join(inflow, F.col("node") == inflow["dst"], "left")
             .select("node", new_rank.alias("rank_u"))
@@ -323,8 +368,11 @@ def pagerank_sql(
     every aggregate — after them each arithmetic step is the same
     bigint floor-division sequence Spark runs."""
     base_u = (d_den - d_num) * scale
+    # SQL-escape the seed literal (hosts can contain a single quote
+    # via crafted URLs); the Spark side compares via a bound Column
+    tp = teleport.replace("'", "''") if teleport is not None else None
     init = (
-        f"(CASE WHEN node = '{teleport}' THEN {scale} ELSE 0 END)"
+        f"(CASE WHEN node = '{tp}' THEN {scale} ELSE 0 END)"
         if teleport is not None
         else f"({scale} // n)"
     )
@@ -357,7 +405,7 @@ def pagerank_sql(
         else:
             new_rank = (
                 f"({d_num} * coalesce(c.inflow, 0) // {d_den} + "
-                f"(CASE WHEN n0.node = '{teleport}' THEN "
+                f"(CASE WHEN n0.node = '{tp}' THEN "
                 f"{base_u} // {d_den} + {d_num} * d.dang // {d_den} "
                 "ELSE 0 END))"
             )

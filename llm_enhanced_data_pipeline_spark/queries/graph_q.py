@@ -75,17 +75,13 @@ _SYNTH_LINKS_SQL = f"""
   FROM documents WHERE doc_id % {_H} < {_DANGLING_FROM} AND doc_id % 3 = 0
 """
 
-#: shared oracle prelude: page links -> weighted host edge list
+#: shared oracle prelude: page links -> weighted host edge list. The
+#: edge CTE body comes from graph.host_graph_sql so the self-loop and
+#: empty-host filters are defined ONCE next to the Spark operator —
+#: a malformed URL cannot diverge the engines (r11 ADVICE item 1).
 _EDGES_SQL = f"""
 lk AS ({_SYNTH_LINKS_SQL}),
-edges AS (
-  SELECT {graph.url_host_sql("src_url")} AS src,
-         {graph.url_host_sql("dst_url")} AS dst,
-         count(*)::BIGINT AS weight
-  FROM lk
-  WHERE {graph.url_host_sql("src_url")} <> {graph.url_host_sql("dst_url")}
-  GROUP BY 1, 2
-)
+edges AS ({graph.host_graph_sql("lk", "src_url", "dst_url")})
 """
 
 

@@ -70,6 +70,12 @@ def test_resolve_href_forms(spark):
         ("mailto:a@b", None),
         ("javascript:void(0)", None),
         ("tel:+1555", None),
+        ("ftp://files.example/x", None),     # any non-http scheme skips
+        ("ws://sock.example/y", None),
+        ("about:blank", None),
+        ("blob:https://x.example/u", None),
+        ("android-app://com.x/p", None),
+        ("1:2", "https://h1.example/p/1:2"),  # digit-first: not a scheme
         ("#frag", None),
         ("", None),
     ]
@@ -128,6 +134,64 @@ def test_host_graph_drops_self_loops_and_weights(spark):
     assert [(r["src"], r["dst"], r["weight"]) for r in rows] == [
         ("a.example", "b.example", 2)
     ]
+
+
+def test_host_graph_drops_empty_hosts_both_sides_and_sql_twin_agrees(spark):
+    # a URL whose host extraction fails (no scheme) must not admit an
+    # empty-string node on EITHER side, and the DuckDB twin must apply
+    # the identical filter (r11 ADVICE item 1: the filters are defined
+    # once in host_graph / host_graph_sql)
+    import duckdb
+
+    rows = [
+        ("https://a.example/p", "https://b.example/q"),
+        ("not-a-url", "https://b.example/q"),        # empty src host
+        ("https://a.example/p", "garbage"),          # empty dst host
+        ("bad", "worse"),                            # both empty
+    ]
+    links = spark.createDataFrame(rows, "src_url string, dst_url string")
+    got = [
+        (r["src"], r["dst"], r["weight"])
+        for r in graph.host_graph(links, "src_url", "dst_url").collect()
+    ]
+    assert got == [("a.example", "b.example", 1)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE lk (src_url VARCHAR, dst_url VARCHAR)")
+    con.executemany("INSERT INTO lk VALUES (?, ?)", rows)
+    assert con.execute(graph.host_graph_sql("lk")).fetchall() == [
+        ("a.example", "b.example", 1)
+    ]
+
+
+def test_pagerank_empty_edges_returns_empty_like_the_oracle(spark):
+    # n = 0 must not raise ZeroDivisionError; the DuckDB twin's CTE
+    # chain returns no rows on an empty edge list, so Spark matches
+    e = _edges(spark, [])
+    out = graph.pagerank_int(e, n_iter=3)
+    assert out.columns == ["node", "rank_u"]
+    assert out.count() == 0
+
+
+def test_pagerank_teleport_seed_with_quote_is_injection_safe(spark):
+    # url_host can emit a quote from a crafted URL (https://evil'x/);
+    # the seed must be compared as a bound value, not spliced SQL text
+    import duckdb
+
+    rows = [("evil'x", "b", 1), ("b", "evil'x", 1)]
+    r = _ranks(graph.pagerank_int(_edges(spark, rows), n_iter=4,
+                                  teleport="evil'x"))
+    # the seed restart landed (both carry mass; on a 2-cycle the exact
+    # ordering oscillates by iteration parity — irrelevant here)
+    assert r["evil'x"] > 0 and r["b"] > 0
+    values = ", ".join(f"('{s}', '{t}', {w})".replace("evil'x", "evil''x")
+                       for s, t, w in rows)
+    sql = (
+        f"WITH edges(src, dst, weight) AS (VALUES {values}),\n"
+        + graph.pagerank_sql("edges", n_iter=4, teleport="evil'x")
+        + "\nSELECT node, rank_u FROM pr_r4"
+    )
+    duck = {n: u for n, u in duckdb.sql(sql).fetchall()}
+    assert duck == r
 
 
 def test_corpus_graph_admission_is_nonempty_and_capped(spark, sf_dir):
