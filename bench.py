@@ -35,6 +35,24 @@ Methodology (settled round 7):
   pinned quiet-machine band in bench_baseline.json. An ambient-loaded
   record is emitted (the driver still gets data) but is NOT usable
   for round-over-round claims.
+- Self-normalization (settled round 12 — three of four r11-era runs
+  self-flagged ambient_load with UNIFORM ~1.5-1.9x inflation on every
+  slot, leaving the round zero adjudicable latency evidence: the gate
+  detected the load but discarded the data): a fixed, pure-CPU,
+  Spark-free calibration workload (threaded sha256 over a pinned byte
+  volume — hashlib releases the GIL, so it saturates cores the way a
+  Spark stage does) is timed before AND after the sweep; its
+  quiet-machine cost is pinned in bench_baseline.json
+  (`calibration_quiet_sec`). The payload carries `calibration` (raw
+  runs + ratio vs the pin) and `normalized_ratios` (per-slot
+  median/pinned-min divided by the calibration ratio). On a uniformly
+  loaded host every slot's normalized ratio stays ~1 and
+  `normalized_legacy_subtotal` lands back inside the pinned band —
+  an adjudicable record despite the load — while a real single-slot
+  plan regression shows up as ONE slot's normalized ratio diverging.
+  Raw numbers stay authoritative on a quiet machine; normalized
+  numbers are the fallback comparison channel, never a substitute
+  when both are clean.
 """
 
 from __future__ import annotations
@@ -65,6 +83,101 @@ MAX_EXTRA_REPS = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_REPS", "2"))
 #: 0.62/0.91 sitting unused in their own payloads. This closes that
 #: hole: the signal gates the record, not just decorates it.
 AMBIENT_LOAD_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOADAVG", "0.3"))
+
+#: calibration workload: MiB hashed per thread (sha256 over a zero
+#: buffer — deterministic, allocation-free after setup, GIL-released)
+CALIB_MB = int(os.environ.get("SPARK_GRAFT_BENCH_CALIB_MB", "768"))
+#: calibration threads — matches the Spark-stage parallelism shape so
+#: uniform external load inflates calibration and slots alike
+CALIB_THREADS = int(
+    os.environ.get(
+        "SPARK_GRAFT_BENCH_CALIB_THREADS", str(min(32, os.cpu_count() or 8))
+    )
+)
+#: calibration reps per side (before/after the sweep)
+CALIB_REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_CALIB_REPS", "3")))
+
+
+def calibration_run(mb_per_thread: int | None = None) -> float:
+    """Wall-seconds for the fixed calibration workload: CALIB_THREADS
+    threads each sha256-hashing ``mb_per_thread`` MiB of zeros in 1 MiB
+    updates. hashlib releases the GIL for >2 KiB updates, so the
+    threads genuinely run in parallel and the workload contends for
+    CPU exactly like a whole-stage-codegen Spark stage — uniform
+    ambient load slows it by the same factor it slows the slots. No
+    Spark, no allocation in the loop, no I/O: the ONLY variable is the
+    machine."""
+    import hashlib
+    import threading
+
+    mb = CALIB_MB if mb_per_thread is None else mb_per_thread
+    buf = bytes(1 << 20)
+
+    def work() -> None:
+        h = hashlib.sha256()
+        for _ in range(mb):
+            h.update(buf)
+        h.digest()
+
+    threads = [threading.Thread(target=work) for _ in range(CALIB_THREADS)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return time.perf_counter() - t0
+
+
+def load_baseline() -> dict:
+    """bench_baseline.json next to this file, or {} when absent."""
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "bench_baseline.json",
+            )
+        ) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def normalize_record(
+    timings: dict[str, float],
+    legacy_total: float | None,
+    calib_ratio: float | None,
+    baseline: dict,
+) -> dict:
+    """Load-normalized comparison fields for the payload (empty dict
+    when no calibration ratio or no pins are available — the record
+    then degrades to raw-only, exactly the pre-r12 shape).
+
+    ``normalized_ratios[slot] = (median / pinned_min) / calib_ratio``:
+    ~1 means the slot costs what the pin says once the machine's
+    measured slowdown is divided out. A UNIFORM load cancels (every
+    slot and the calibration inflate together); a genuine plan
+    regression survives normalization as one slot's ratio diverging
+    from its siblings. ``normalized_legacy_subtotal`` re-checks the
+    quiet-machine band after dividing out the slowdown — the
+    adjudication number for a loaded host."""
+    out: dict = {}
+    if not calib_ratio or calib_ratio <= 0:
+        return out
+    slots = baseline.get("slots_sec") or {}
+    ratios = {
+        k: round((v / slots[k]) / calib_ratio, 3)
+        for k, v in timings.items()
+        if k in slots and slots[k] > 0
+    }
+    if ratios:
+        out["normalized_ratios"] = ratios
+    band = baseline.get("legacy_13slot_subtotal_band")
+    if band and legacy_total is not None:
+        norm = round(legacy_total / calib_ratio, 4)
+        out["normalized_legacy_subtotal"] = norm
+        out["normalized_in_band"] = bool(band[0] <= norm <= band[1])
+    return out
+
 
 #: the round-over-round comparable slot set (see main(): rounds 1-5
 #: benched these 13 queries plus the split-out shared index build)
@@ -108,12 +221,8 @@ def ambient_load_reasons(
             )
     if legacy_names <= set(timings) and not (legacy_names & set(errors)):
         try:
-            with open(
-                os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "bench_baseline.json")
-            ) as fh:
-                lo, hi = json.load(fh)["legacy_13slot_subtotal_band"]
-        except (OSError, KeyError, ValueError):
+            lo, hi = load_baseline()["legacy_13slot_subtotal_band"]
+        except (KeyError, ValueError):
             return reasons
         subtotal = sum(v for k, v in timings.items() if k in legacy_names)
         if not lo <= subtotal <= hi:
@@ -161,6 +270,9 @@ def slot_is_contaminated(secs: list[float]) -> bool:
 
 def main() -> None:
     loadavg_before = read_loadavg()
+    # calibration BEFORE the JVM exists: the pre-sweep runs measure the
+    # machine the sweep is about to start on
+    calib_before = [round(calibration_run(), 4) for _ in range(CALIB_REPS)]
     spark = get_spark("bench")
     bench_specs = sorted(
         (s for s in REGISTRY.values() if s.bench), key=lambda s: s.name
@@ -278,6 +390,25 @@ def main() -> None:
             continue
         record(spec.name, secs)
 
+    # calibration AFTER the sweep: residual load that built up during
+    # the run (the r9/r11 post-suite JVM pattern) shows up as a
+    # before/after spread; the ratio uses the median of ALL runs
+    calib_after = [round(calibration_run(), 4) for _ in range(CALIB_REPS)]
+    baseline = load_baseline()
+    calib_quiet = baseline.get("calibration_quiet_sec")
+    calib_median = round(statistics.median(calib_before + calib_after), 4)
+    calib_ratio = (
+        round(calib_median / calib_quiet, 4)
+        if calib_quiet and calib_median > 0
+        else None
+    )
+    print(
+        f"# calibration: before {calib_before} after {calib_after} "
+        f"median {calib_median}s quiet-pin {calib_quiet}s "
+        f"ratio {calib_ratio}",
+        file=sys.stderr,
+    )
+
     timings = {k: round(statistics.median(v), 4) for k, v in reps.items()}
     # A failed query means the headline total covers FEWER queries than
     # previous rounds — a partial sum would read as a fake speedup. Null
@@ -318,6 +449,15 @@ def main() -> None:
         "forcing": "bit_xor(xxhash64(*cols)) since r6; r1-r5 count() "
         "forcing column-pruned and is not comparable",
         "legacy_13slot_total": legacy_total if not errors else None,
+        "calibration": {
+            "before_secs": calib_before,
+            "after_secs": calib_after,
+            "median_sec": calib_median,
+            "quiet_sec": calib_quiet,
+            "ratio": calib_ratio,
+            "threads": CALIB_THREADS,
+            "mb_per_thread": CALIB_MB,
+        },
         "queries": timings,
         "query_spreads": {
             k: {
@@ -330,6 +470,14 @@ def main() -> None:
         },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    payload.update(
+        normalize_record(
+            timings,
+            legacy_total if legacy_names <= set(timings) else None,
+            calib_ratio,
+            baseline,
+        )
+    )
     if errors:
         payload["errors"] = errors
         payload["partial_total"] = round(sum(timings.values()), 4)
@@ -345,9 +493,10 @@ def main() -> None:
         print(
             "# WARNING: ambient load detected — "
             + "; ".join(load_reasons)
-            + ". The per-slot stall check cannot see UNIFORM load; this "
-            "record must NOT back round-over-round claims — re-run on a "
-            "quiet machine.",
+            + ". The per-slot stall check cannot see UNIFORM load; raw "
+            "numbers must NOT back round-over-round claims — use the "
+            "normalized_ratios / normalized_legacy_subtotal channel "
+            "(calibration-corrected) or re-run on a quiet machine.",
             file=sys.stderr,
         )
     print(json.dumps(payload))

@@ -12,6 +12,18 @@ import bench
 from llm_enhanced_data_pipeline_spark.queries.registry import QuerySpec
 
 
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _tiny_calibration(monkeypatch):
+    """Keep the r12 calibration slot out of these tests' way: 1 MiB per
+    thread instead of 768 and one rep per side — the normalization math
+    has its own dedicated tests below."""
+    monkeypatch.setattr(bench, "CALIB_MB", 1)
+    monkeypatch.setattr(bench, "CALIB_REPS", 1)
+
+
 def test_one_broken_query_does_not_zero_the_bench(spark, monkeypatch, capsys):
     def good(s, sf_dir):
         return s.range(10)
@@ -350,3 +362,66 @@ def test_subtotal_outside_pinned_band_flags_the_record():
         bench.LEGACY_SLOT_NAMES,
     )
     assert legacy_err == []
+
+
+def test_calibration_run_is_positive_and_scales_with_work():
+    fast = bench.calibration_run(1)
+    assert fast > 0
+    # 32x the bytes must cost visibly more than 1x (loose: >2x — the
+    # point is it genuinely measures the machine, not a constant)
+    slow = bench.calibration_run(32)
+    assert slow > 2 * fast
+
+
+def test_uniform_slowdown_normalizes_back_inside_band():
+    """The r11 adjudication gap: a uniformly loaded host (every slot
+    AND the calibration inflated by the same factor) must still yield
+    normalized ratios ~1 and a normalized legacy subtotal inside the
+    pinned quiet-machine band — an adjudicable record."""
+    baseline = bench.load_baseline()
+    pinned = baseline["slots_sec"]
+    lo, hi = baseline["legacy_13slot_subtotal_band"]
+    quiet_legacy = sum(
+        v for k, v in pinned.items() if k in bench.LEGACY_SLOT_NAMES
+    )
+    # the pin stores per-slot MINs, so a clean subtotal sits slightly
+    # above the raw pin sum; emulate a realistic clean run mid-band
+    scale_to_mid = ((lo + hi) / 2) / quiet_legacy
+    inflate = 1.7  # the r11 judge-host inflation
+    timings = {k: v * scale_to_mid * inflate for k, v in pinned.items()}
+    legacy_total = sum(
+        v for k, v in timings.items() if k in bench.LEGACY_SLOT_NAMES
+    )
+    assert not lo <= legacy_total <= hi  # raw record would self-flag
+    out = bench.normalize_record(timings, legacy_total, inflate, baseline)
+    assert out["normalized_in_band"] is True
+    assert lo <= out["normalized_legacy_subtotal"] <= hi
+    for slot, ratio in out["normalized_ratios"].items():
+        assert abs(ratio - scale_to_mid) < 0.01, slot
+
+
+def test_single_slot_regression_survives_normalization():
+    """A real plan regression must NOT be normalized away: on an
+    otherwise-quiet machine (calibration ratio 1) one slot at 3x its
+    pin stands out while its siblings sit at 1."""
+    baseline = bench.load_baseline()
+    pinned = baseline["slots_sec"]
+    timings = dict(pinned)
+    timings["corpus_build_v4"] = pinned["corpus_build_v4"] * 3.0
+    out = bench.normalize_record(timings, None, 1.0, baseline)
+    ratios = out["normalized_ratios"]
+    assert ratios["corpus_build_v4"] == 3.0
+    others = [v for k, v in ratios.items() if k != "corpus_build_v4"]
+    assert all(abs(v - 1.0) < 0.01 for v in others)
+    # and a uniform load on TOP of the regression still isolates it
+    loaded = {k: v * 1.6 for k, v in timings.items()}
+    out2 = bench.normalize_record(loaded, None, 1.6, baseline)
+    assert out2["normalized_ratios"]["corpus_build_v4"] == 3.0
+
+
+def test_no_calibration_pin_degrades_to_raw_only_record():
+    assert bench.normalize_record({"q1_pricing_summary": 1.0}, 1.0, None, {}) == {}
+    assert (
+        bench.normalize_record({"q1_pricing_summary": 1.0}, 1.0, 0.0, {"slots_sec": {}})
+        == {}
+    )
