@@ -232,9 +232,21 @@ def pagerank_int(
     d_num: int = DAMP_NUM,
     d_den: int = DAMP_DEN,
     teleport: str | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a weighted edge list, in exact
     bigint arithmetic → ``(node, rank_u)``.
+
+    ``init_ranks`` (a prior ``(node, rank_u)`` frame) WARM-STARTS the
+    power iteration — the recrawl pattern: production recomputes host
+    ranks on an edge DELTA, not from scratch, and because the damped
+    iteration is a contraction (factor d = 85/100 per round) a warm
+    start from last crawl's ranks needs only enough rounds to absorb
+    the delta, not to mix from uniform. Nodes absent from the prior
+    frame (newly discovered hosts) start at the cold-start value
+    (uniform share, or 0 under ``teleport`` — restart mass re-seeds
+    them). The fixed point is init-independent, so warm and cold
+    converge to the same ranks; only the iteration budget changes.
 
     ``teleport`` switches to PERSONALIZED PageRank (random walk with
     restart): the teleport vector concentrates on that node — restarts
@@ -298,9 +310,18 @@ def pagerank_int(
         if teleport is not None
         else F.lit(scale // n)
     )
-    ranks, live_ids = _truncate_lineage(
-        nodes.select("node", init.cast("bigint").alias("rank_u"))
-    )
+    if init_ranks is not None:
+        default = F.lit(0) if teleport is not None else F.lit(scale // n)
+        prev = init_ranks.select(
+            F.col("node").alias("_pn"), F.col("rank_u").alias("_prev")
+        )
+        r0 = nodes.join(prev, nodes["node"] == F.col("_pn"), "left").select(
+            "node",
+            F.coalesce(F.col("_prev"), default).cast("bigint").alias("rank_u"),
+        )
+    else:
+        r0 = nodes.select("node", init.cast("bigint").alias("rank_u"))
+    ranks, live_ids = _truncate_lineage(r0)
     base_u = (d_den - d_num) * scale
     for _ in range(n_iter):
         joined = ranks.join(outw, ranks["node"] == outw["src"], "left")
@@ -356,18 +377,30 @@ def pagerank_sql(
     d_num: int = DAMP_NUM,
     d_den: int = DAMP_DEN,
     teleport: str | None = None,
+    prefix: str = "pr_",
+    init_cte: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`pagerank_int` (incl. the ``teleport``
-    personalized form): the same fixed-point recipe unrolled as a CTE
-    chain (``pr_nodes``, ``pr_nn``, ``pr_outw``, then
-    ``pr_r0…pr_r{n}``). Returns CTE definitions to splice after an
-    ``edges_cte`` providing (src, dst, weight); the final ranks live
-    in ``pr_r{n_iter}(node, rank_u)``.
+    personalized and ``init_cte`` warm-start forms): the same
+    fixed-point recipe unrolled as a CTE chain (``{prefix}nodes``,
+    ``{prefix}nn``, ``{prefix}outw``, then ``{prefix}r0…r{n}``).
+    Returns CTE definitions to splice after an ``edges_cte`` providing
+    (src, dst, weight); the final ranks live in
+    ``{prefix}r{n_iter}(node, rank_u)``. ``prefix`` keeps two
+    instantiations (e.g. prior crawl + warm-started recrawl) collision
+    free in one query; ``init_cte`` names a (node, rank_u) CTE whose
+    ranks seed round 0, absent nodes defaulting like the Spark side.
 
     DuckDB sums integers into HUGEINT, hence the ``::BIGINT`` casts at
     every aggregate — after them each arithmetic step is the same
-    bigint floor-division sequence Spark runs."""
+    bigint floor-division sequence Spark runs. Every CTE is emitted
+    ``AS MATERIALIZED``: DuckDB 1.0 inlines multi-referenced CTEs by
+    default, and each round references the previous one 3x — without
+    materialization a warm-start chain composed on top of a prior
+    chain re-evaluates the base 3^(i+j) times (observed: the recrawl
+    oracle ran >120s at sf0.01; materialized it is instant)."""
     base_u = (d_den - d_num) * scale
+    p = prefix
     # SQL-escape the seed literal (hosts can contain a single quote
     # via crafted URLs); the Spark side compares via a bound Column
     tp = teleport.replace("'", "''") if teleport is not None else None
@@ -377,24 +410,35 @@ def pagerank_sql(
         else f"({scale} // n)"
     )
     parts = [
-        f"pr_nodes AS (SELECT src AS node FROM {edges_cte} "
+        f"{p}nodes AS MATERIALIZED (SELECT src AS node FROM {edges_cte} "
         f"UNION SELECT dst FROM {edges_cte})",
-        "pr_nn AS (SELECT count(*)::BIGINT AS n FROM pr_nodes)",
-        f"pr_outw AS (SELECT src, sum(weight)::BIGINT AS outw "
+        f"{p}nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM {p}nodes)",
+        f"{p}outw AS MATERIALIZED (SELECT src, sum(weight)::BIGINT AS outw "
         f"FROM {edges_cte} GROUP BY src)",
-        f"pr_r0 AS (SELECT node, {init}::BIGINT AS rank_u "
-        "FROM pr_nodes CROSS JOIN pr_nn)",
     ]
+    if init_cte is not None:
+        default = "0" if teleport is not None else f"({scale} // n)"
+        parts.append(
+            f"{p}r0 AS MATERIALIZED (SELECT n0.node, "
+            f"coalesce(pv.rank_u, {default})::BIGINT AS rank_u "
+            f"FROM {p}nodes n0 CROSS JOIN {p}nn "
+            f"LEFT JOIN {init_cte} pv ON n0.node = pv.node)"
+        )
+    else:
+        parts.append(
+            f"{p}r0 AS MATERIALIZED (SELECT node, {init}::BIGINT AS rank_u "
+            f"FROM {p}nodes CROSS JOIN {p}nn)"
+        )
     for i in range(n_iter):
         parts.append(
-            f"pr_d{i} AS (SELECT coalesce(sum(r.rank_u), 0)::BIGINT AS dang "
-            f"FROM pr_r{i} r LEFT JOIN pr_outw o ON r.node = o.src "
+            f"{p}d{i} AS MATERIALIZED (SELECT coalesce(sum(r.rank_u), 0)::BIGINT AS dang "
+            f"FROM {p}r{i} r LEFT JOIN {p}outw o ON r.node = o.src "
             "WHERE o.src IS NULL)"
         )
         parts.append(
-            f"pr_c{i} AS (SELECT e.dst AS node, "
+            f"{p}c{i} AS MATERIALIZED (SELECT e.dst AS node, "
             "sum(e.weight * (r.rank_u // o.outw))::BIGINT AS inflow "
-            f"FROM pr_r{i} r JOIN pr_outw o ON r.node = o.src "
+            f"FROM {p}r{i} r JOIN {p}outw o ON r.node = o.src "
             f"JOIN {edges_cte} e ON e.src = r.node GROUP BY e.dst)"
         )
         if teleport is None:
@@ -410,10 +454,10 @@ def pagerank_sql(
                 "ELSE 0 END))"
             )
         parts.append(
-            f"pr_r{i + 1} AS (SELECT n0.node, "
+            f"{p}r{i + 1} AS MATERIALIZED (SELECT n0.node, "
             f"{new_rank}::BIGINT AS rank_u "
-            f"FROM pr_nodes n0 CROSS JOIN pr_nn nn CROSS JOIN pr_d{i} d "
-            f"LEFT JOIN pr_c{i} c ON n0.node = c.node)"
+            f"FROM {p}nodes n0 CROSS JOIN {p}nn nn CROSS JOIN {p}d{i} d "
+            f"LEFT JOIN {p}c{i} c ON n0.node = c.node)"
         )
     return ",\n".join(parts)
 

@@ -61,19 +61,26 @@ def _synth_links(docs: DataFrame) -> DataFrame:
     )
 
 
-_SYNTH_LINKS_SQL = f"""
+def _synth_links_sql(extra_where: str = "") -> str:
+    """The oracle half of the shared fixture; ``extra_where`` (e.g.
+    " AND doc_id % 5 <> 0") restricts the page set — the recrawl gates
+    use it to synthesize LAST crawl's smaller link snapshot."""
+    return f"""
   SELECT 'https://h' || (doc_id % {_H}) || '.example/p/x' AS src_url,
          'https://h' || (((doc_id % {_H}) * 3 + 1) % {_H}) || '.example/p/x' AS dst_url
-  FROM documents WHERE doc_id % {_H} < {_DANGLING_FROM}
+  FROM documents WHERE doc_id % {_H} < {_DANGLING_FROM}{extra_where}
   UNION ALL
   SELECT 'https://h' || (doc_id % {_H}) || '.example/p/x',
          'https://h' || (((doc_id % {_H}) * 7 + 2) % {_H}) || '.example/p/x'
-  FROM documents WHERE doc_id % {_H} < {_DANGLING_FROM}
+  FROM documents WHERE doc_id % {_H} < {_DANGLING_FROM}{extra_where}
   UNION ALL
   SELECT 'https://h' || (doc_id % {_H}) || '.example/p/x',
          'https://h' || (((doc_id % {_H}) * 5 + (doc_id // {_H})) % {_H}) || '.example/p/x'
-  FROM documents WHERE doc_id % {_H} < {_DANGLING_FROM} AND doc_id % 3 = 0
+  FROM documents WHERE doc_id % {_H} < {_DANGLING_FROM}{extra_where} AND doc_id % 3 = 0
 """
+
+
+_SYNTH_LINKS_SQL = _synth_links_sql()
 
 #: shared oracle prelude: page links -> weighted host edge list. The
 #: edge CTE body comes from graph.host_graph_sql so the self-loop and
@@ -178,6 +185,61 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("host"),
         "rank_u",
         F.coalesce(F.col("in_w"), F.lit(0)).cast("bigint").alias("in_weight"),
+    )
+
+
+@register(
+    "host_pagerank_incremental",
+    doc="Warm-start PageRank for recrawl cadence: last crawl's ranks "
+    "(5 cold iterations on the doc_id%5<>0 link snapshot) seed 3 "
+    "warm iterations over the FULL edge list — the production "
+    "recrawl pattern (ranks updated on an edge delta, not recomputed "
+    "from scratch; the damped iteration contracts by 0.85/round, so "
+    "a warm start only needs to absorb the delta). Output is the "
+    "changed-host report: new rank, prior rank (0 for newly "
+    "discovered hosts), and the signed delta. Both phases are the "
+    "exact integer recipe; the oracle runs the same two chains "
+    "(prefix-disambiguated CTEs, warm phase seeded via init_cte) "
+    "bit-for-bit.",
+    oracle=f"""
+WITH lk AS ({_SYNTH_LINKS_SQL}),
+edges AS ({graph.host_graph_sql("lk", "src_url", "dst_url")}),
+lk_old AS ({_synth_links_sql(" AND doc_id % 5 <> 0")}),
+edges_old AS ({graph.host_graph_sql("lk_old", "src_url", "dst_url")}),
+{graph.pagerank_sql("edges_old", n_iter=5)},
+{graph.pagerank_sql("edges", n_iter=3, prefix="pw_", init_cte="pr_r5")}
+SELECT w.node AS host, w.rank_u,
+       coalesce(p.rank_u, 0)::BIGINT AS prev_rank_u,
+       (w.rank_u - coalesce(p.rank_u, 0))::BIGINT AS delta_u
+FROM pw_r3 w LEFT JOIN pr_r5 p ON w.node = p.node
+""",
+)
+def host_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    old_edges = graph.persist_tracked(
+        graph.host_graph(
+            _synth_links(docs.filter(F.col("doc_id") % 5 != 0)),
+            "src_url",
+            "dst_url",
+        )
+    )
+    full_edges = graph.persist_tracked(
+        graph.host_graph(_synth_links(docs), "src_url", "dst_url")
+    )
+    prior = graph.pagerank_int(old_edges, n_iter=5)
+    warm = graph.pagerank_int(full_edges, n_iter=3, init_ranks=prior)
+    prev = prior.select(
+        F.col("node").alias("_pn"), F.col("rank_u").alias("_prev")
+    )
+    return warm.join(prev, warm["node"] == F.col("_pn"), "left").select(
+        F.col("node").alias("host"),
+        "rank_u",
+        F.coalesce(F.col("_prev"), F.lit(0)).cast("bigint").alias(
+            "prev_rank_u"
+        ),
+        (F.col("rank_u") - F.coalesce(F.col("_prev"), F.lit(0)))
+        .cast("bigint")
+        .alias("delta_u"),
     )
 
 

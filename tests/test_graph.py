@@ -408,3 +408,38 @@ def test_pagerank_sql_matches_spark_on_a_weighted_graph(spark):
     )
     duck_r = dict(duckdb.sql(sql).fetchall())
     assert spark_r == duck_r
+
+
+def test_warm_start_converges_to_the_cold_fixed_point(spark):
+    # the recrawl contract: the damped iteration contracts by 0.85 per
+    # round, so ANY init (prior ranks, junk, partial coverage) reaches
+    # the same fixed point — warm-start only changes the budget needed.
+    # 30 rounds leave <= 0.85^30 ~ 0.8% of the initial disagreement.
+    rows = [("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("c", "d", 1),
+            ("d", "a", 1)]
+    e = _edges(spark, rows)
+    cold = _ranks(graph.pagerank_int(e, n_iter=30))
+    junk = spark.createDataFrame(
+        [("a", 900_000_000), ("c", 50_000_000)],  # b/d absent -> default
+        "node string, rank_u bigint",
+    )
+    warm = _ranks(graph.pagerank_int(e, n_iter=30, init_ranks=junk))
+    assert set(warm) == set(cold)
+    for node in cold:
+        assert abs(warm[node] - cold[node]) < 10_000_000, node  # <1% of scale
+
+
+def test_warm_start_absorbs_an_edge_delta_in_few_rounds(spark):
+    # prior ranks from the old graph + 3 warm rounds on the new graph
+    # must land closer to the new fixed point than 3 cold rounds do —
+    # the whole point of warm-starting a recrawl
+    old = _edges(spark, [("a", "b", 1), ("b", "a", 1), ("b", "c", 1)])
+    new_rows = [("a", "b", 1), ("b", "a", 1), ("b", "c", 1), ("c", "a", 2)]
+    new = _edges(spark, new_rows)
+    prior = graph.pagerank_int(old, n_iter=12)
+    target = _ranks(graph.pagerank_int(new, n_iter=40))
+    warm3 = _ranks(graph.pagerank_int(new, n_iter=3, init_ranks=prior))
+    cold3 = _ranks(graph.pagerank_int(new, n_iter=3))
+    err_warm = sum(abs(warm3[n] - target[n]) for n in target)
+    err_cold = sum(abs(cold3[n] - target[n]) for n in target)
+    assert err_warm < err_cold
