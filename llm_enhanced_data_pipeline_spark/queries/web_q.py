@@ -16,9 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import rounding
-from ..operators import cleaning, text_analysis, web
+from ..operators import cleaning, graph, text_analysis, web
 from ..operators.cleaning import tokens_sql
 from ..tables import load_table
+from .graph_q import _DANGLING_FROM, _synth_links_sql
+from .graph_q import _H as _GRAPH_H
 from .registry import register
 
 _TOKS = tokens_sql("text")
@@ -1213,6 +1215,328 @@ def corpus_build_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
+
+
+# --- v9: the full-pipeline capstone, ONE lineage ---------------------
+# Every lane the engine grew separately — WARC ingest, main-content
+# extraction, hygiene gates, link-graph admission, text dedup, media
+# (decode-invariant) dedup, per-host budget — run as a single plan,
+# the shape a real 100 TB crawl build takes. The link graph is NOT a
+# side fixture here: edges are extracted from the synthesized pages'
+# actual HTML anchors, PageRank runs on them, and centrality gates
+# which hosts' pages enter the corpus.
+@register(
+    "corpus_build_v9",
+    bench=True,  # the capstone bench slot (r11 verdict item 2)
+    doc="Full crawl-to-corpus build in one lineage: per-doc 6-record "
+    "WARC on host h{doc%23}.example — the article under layout A "
+    "(whose NAV carries the 23-host affine graph links: 3s+1, 7s+2, "
+    "plus 5s+p for every third page; dangling hosts 21/22 emit "
+    "none), the SAME article syndicated under layout B, an all-"
+    "boilerplate ad page, a 404, and TWO PPM encodings of the same "
+    "image (pixels a closed-form function of doc_id%37; encoding B "
+    "adds a header comment + padded whitespace). Pipeline: WARC walk "
+    "+ HTTP split (persisted once for three consumers) -> hygiene "
+    "(status/content-type) -> links extracted from the REAL page "
+    "HTML (boilerplate self-links wash out as self-loops) -> host "
+    "graph -> 5 exact integer PageRank iterations -> admission "
+    "(rank >= uniform share) -> per lane: main-content extraction + "
+    "token floor + exact text dedup (layouts A/B collide; lowest "
+    "url_id wins; admitted-page count carried), and REAL parse_ppm "
+    "decode + canonical-pixel fingerprint dedup (the two encodings "
+    "AND every doc sharing doc_id%37 collide — dedup is decode-"
+    "invariant, not byte-exact) -> per-host page budget (15, text "
+    "rows) -> union. The oracle re-derives everything in closed "
+    "form: the same affine edge list through host_graph_sql, the "
+    "same unrolled PageRank CTEs, main == normalized doc text, "
+    "pixels from doc_id arithmetic.",
+    oracle=f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 5),
+lk AS ({_synth_links_sql(" AND doc_id % 11 = 5")}),
+edges AS ({graph.host_graph_sql("lk", "src_url", "dst_url")}),
+{graph.pagerank_sql("edges", n_iter=5)},
+adm AS MATERIALIZED (
+  SELECT node AS host, rank_u FROM pr_r5
+  WHERE rank_u >= {graph.RANK_SCALE // _GRAPH_H}
+),
+n AS (
+  SELECT doc_id, 'h' || (doc_id % {_GRAPH_H}) || '.example' AS host,
+         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS main
+  FROM base
+),
+tdocs AS (
+  SELECT n.doc_id, n.host, n.main, a.rank_u
+  FROM n JOIN adm a ON n.host = a.host
+  WHERE len({tokens_sql("main")}) >= 3
+),
+tgrp AS (
+  SELECT doc_id, host, main, rank_u,
+         (2 * count(*) OVER (PARTITION BY md5(main)))::BIGINT AS n_dup_pages,
+         row_number() OVER (PARTITION BY md5(main) ORDER BY doc_id) AS _rk
+  FROM tdocs
+),
+tbudget AS (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY doc_id) AS _hb
+  FROM tgrp WHERE _rk = 1
+),
+txt AS (
+  SELECT 'text' AS kind, doc_id, (doc_id * 10)::BIGINT AS url_id, host,
+         '/art' AS path, len({tokens_sql("main")})::BIGINT AS n_toks,
+         md5(main) AS fp, n_dup_pages, rank_u
+  FROM tbudget WHERE _hb <= 15
+),
+idocs AS (
+  SELECT n.doc_id, n.host, a.rank_u,
+         md5('2x2:' || (32 + ((doc_id % 37) * 1) % 95)::VARCHAR || '-' || (32 + ((doc_id % 37) * 2) % 95)::VARCHAR || '-' || (32 + ((doc_id % 37) * 3) % 95)::VARCHAR || '-' || (32 + ((doc_id % 37) * 4) % 95)::VARCHAR || '-' || (32 + ((doc_id % 37) * 5) % 95)::VARCHAR || '-' || (32 + ((doc_id % 37) * 6) % 95)::VARCHAR || '-' || (32 + ((doc_id % 37) * 7) % 95)::VARCHAR || '-' || (32 + ((doc_id % 37) * 8) % 95)::VARCHAR || '-' || (32 + ((doc_id % 37) * 9) % 95)::VARCHAR || '-' || (32 + ((doc_id % 37) * 10) % 95)::VARCHAR || '-' || (32 + ((doc_id % 37) * 11) % 95)::VARCHAR || '-' || (32 + ((doc_id % 37) * 12) % 95)::VARCHAR) AS fp
+  FROM n JOIN adm a ON n.host = a.host
+),
+igrp AS (
+  SELECT doc_id, host, rank_u, fp,
+         (2 * count(*) OVER (PARTITION BY fp))::BIGINT AS n_dup_pages,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS _rk
+  FROM idocs
+),
+img AS (
+  SELECT 'image' AS kind, doc_id, (doc_id * 10 + 4)::BIGINT AS url_id,
+         host, '/img' AS path, 0::BIGINT AS n_toks, fp, n_dup_pages, rank_u
+  FROM igrp WHERE _rk = 1
+)
+SELECT * FROM txt UNION ALL SELECT * FROM img
+""",
+)
+def corpus_build_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from ..functions import hashing
+    from ..operators import dedup, graph, multimodal
+    from ..sources import warc
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 11 == 5
+    ).select("doc_id", "text")
+
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        ok = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        ok_img = (
+            "HTTP/1.1 200 OK\r\nContent-Type: image/x-portable-pixmap"
+            "\r\n\r\n"
+        ).encode()
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                s = d % _GRAPH_H
+                host = f"h{s}.example"
+                # the affine graph links live in layout A's nav — a
+                # link-dense block, so main-content extraction drops
+                # them while extract_links still sees them
+                graph_links = ""
+                if s < _DANGLING_FROM:
+                    dsts = [(s * 3 + 1) % _GRAPH_H, (s * 7 + 2) % _GRAPH_H]
+                    if d % 3 == 0:
+                        dsts.append((s * 5 + d // _GRAPH_H) % _GRAPH_H)
+                    graph_links = " ".join(
+                        f'<a href="https://h{t}.example/p/x">Category '
+                        f"listing {i}</a>"
+                        for i, t in enumerate(dsts)
+                    )
+                art = (
+                    '<html><body><header><a href="/">Home</a> '
+                    '<a href="/about">About this site</a></header>'
+                    "<nav>" + graph_links
+                    + '<ul><li><a href="/c1">First category listing</a>'
+                    '</li><li><a href="/c2">Second category listing</a>'
+                    "</li></ul></nav><article><p>" + (text or "")
+                    + '</p></article><footer><a href="/p">Privacy policy'
+                    ' page</a> | <a href="/t">Terms of service page</a>'
+                    "</footer><script>track();</script></body></html>"
+                )
+                syndicated = (
+                    '<html><body><nav><a href="/x1">Totally different'
+                    ' navigation</a> <a href="/x2">Another menu item'
+                    ' entirely</a></nav><article><p>' + (text or "")
+                    + '</p></article><aside><a href="/r">Recommended'
+                    " for you stories</a></aside></body></html>"
+                )
+                ad = (
+                    '<html><body><nav><a href="/b1">Sponsored link one'
+                    ' here</a> <a href="/b2">Sponsored link two here</a>'
+                    "</nav></body></html>"
+                )
+                # one 2x2 RGB image, pixels a closed-form fn of the
+                # doc, bytes kept in the ASCII range so the WARC
+                # reader's utf-8 body decode roundtrips losslessly
+                k = d % 37
+                raster = bytes(32 + (k * j) % 95 for j in range(1, 13))
+                enc_a = b"P6\n2 2\n255\n" + raster
+                enc_b = b"P6\n# syndicated encoder\n 2  2\n255\n" + raster
+                recs = [
+                    {"headers": {"WARC-Type": "response",
+                                 "WARC-Target-URI": f"http://{host}/art"},
+                     "content": (ok + art).encode()},
+                    {"headers": {"WARC-Type": "response",
+                                 "WARC-Target-URI": f"http://{host}/synd"},
+                     "content": (ok + syndicated).encode()},
+                    {"headers": {"WARC-Type": "response",
+                                 "WARC-Target-URI": f"http://{host}/ad"},
+                     "content": (ok + ad).encode()},
+                    {"headers": {"WARC-Type": "response",
+                                 "WARC-Target-URI": f"http://{host}/old"},
+                     "content": ("HTTP/1.1 404 NF\r\nContent-Type: "
+                                 "text/html\r\n\r\n<p>gone</p>").encode()},
+                    {"headers": {"WARC-Type": "response",
+                                 "WARC-Target-URI": f"http://{host}/img"},
+                     "content": ok_img + enc_a},
+                    {"headers": {"WARC-Type": "response",
+                                 "WARC-Target-URI": f"http://{host}/img2"},
+                     "content": ok_img + enc_b},
+                ]
+                ids.append(d)
+                payloads.append(warc.write_warc(recs, gzip_members=True))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = docs.mapInPandas(synth, synth_schema)
+    recs = warc.read_warc_records(payloads, "doc_id", "payload", parse_http=True)
+    # tracked persist: the parsed-record frame feeds THREE consumers
+    # (link extraction, the text lane, the image lane) — parse each
+    # container once
+    pages = dedup.persist_tracked(
+        recs.select(
+            (F.col("doc_id") * 10 + F.col("rec_idx")).cast("bigint").alias(
+                "url_id"
+            ),
+            "doc_id",
+            F.regexp_extract("target_uri", r"^[a-z]+://([^/]+)", 1).alias(
+                "host"
+            ),
+            F.regexp_extract("target_uri", r"^[a-z]+://[^/]+(/.*)$", 1).alias(
+                "path"
+            ),
+            "http_status",
+            "http_content_type",
+            "body_text",
+        )
+    )
+    html = pages.filter(
+        (F.col("http_status") == 200)
+        & (F.col("http_content_type") == "text/html")
+    )
+    # link graph from the ACTUAL page HTML: boilerplate links are
+    # same-host (self-loops, dropped by host_graph); only layout A's
+    # cross-host nav anchors survive into the edge list
+    links = graph.extract_links(
+        html.withColumn(
+            "base", F.concat(F.lit("http://"), F.col("host"), F.col("path"))
+        ),
+        "base",  # id_col: carry the page URL through as the src side
+        "body_text",
+        "base",
+    )
+    edges = dedup.persist_tracked(graph.host_graph(links, "base", "url"))
+    ranks = graph.pagerank_int(edges, n_iter=5)
+    adm = ranks.filter(
+        F.col("rank_u") >= graph.RANK_SCALE // _GRAPH_H
+    ).select(F.col("node").alias("_ah"), "rank_u")
+
+    # text lane: main content -> token floor -> admission -> exact
+    # dedup (A/B layouts collide; lowest url_id wins; admitted-page
+    # count carried) -> per-host budget
+    tdocs = (
+        html.filter(F.col("path").isin("/art", "/synd"))
+        .withColumn("main", web.extract_main_content(F.col("body_text")))
+        .withColumn(
+            "n_toks", F.size(cleaning.tokens(F.col("main"))).cast("bigint")
+        )
+        .filter(F.col("n_toks") >= 3)
+        .join(adm, F.col("host") == F.col("_ah"))
+        .withColumn("fp", hashing.md5_hex(F.col("main")))
+    )
+    w_fp = Window.partitionBy("fp")
+    w_host = Window.partitionBy("host").orderBy("url_id")
+    txt = (
+        tdocs.withColumn(
+            "n_dup_pages", F.count(F.lit(1)).over(w_fp).cast("bigint")
+        )
+        .withColumn("_rk", F.row_number().over(w_fp.orderBy("url_id")))
+        .filter(F.col("_rk") == 1)
+        .withColumn("_hb", F.row_number().over(w_host))
+        .filter(F.col("_hb") <= 15)
+        .select(
+            F.lit("text").alias("kind"), "doc_id", "url_id", "host",
+            "path", "n_toks", "fp", "n_dup_pages", "rank_u",
+        )
+    )
+
+    # image lane: REAL PPM decode (Arrow batches) -> canonical pixel
+    # fingerprint (decode-invariant: both encodings and every doc
+    # sharing doc_id%37 collide) -> admission -> dedup
+    decode_schema = T.StructType(
+        [
+            T.StructField("url_id", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("host", T.StringType()),
+            T.StructField("canon", T.StringType()),
+        ]
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            uids, dids, hosts, canons = [], [], [], []
+            for uid, did, hst, body in zip(
+                pdf["url_id"], pdf["doc_id"], pdf["host"], pdf["body_text"]
+            ):
+                try:
+                    w, h, _c, arr = multimodal.parse_ppm(
+                        body.encode("utf-8") if body is not None else None
+                    )
+                except ValueError:
+                    continue  # corrupt-crawl posture: drop the record
+                uids.append(int(uid))
+                dids.append(int(did))
+                hosts.append(hst)
+                canons.append(
+                    f"{w}x{h}:"
+                    + "-".join(str(int(v)) for v in arr.reshape(-1))
+                )
+            yield pd.DataFrame(
+                {"url_id": uids, "doc_id": dids, "host": hosts,
+                 "canon": canons}
+            )
+
+    idocs = (
+        pages.filter(
+            (F.col("http_status") == 200)
+            & (F.col("http_content_type") == "image/x-portable-pixmap")
+        )
+        .select("url_id", "doc_id", "host", "body_text")
+        .mapInPandas(decode, decode_schema)
+        .join(adm, F.col("host") == F.col("_ah"))
+        .withColumn("fp", hashing.md5_hex(F.col("canon")))
+    )
+    w_ifp = Window.partitionBy("fp")
+    img = (
+        idocs.withColumn(
+            "n_dup_pages", F.count(F.lit(1)).over(w_ifp).cast("bigint")
+        )
+        .withColumn("_rk", F.row_number().over(w_ifp.orderBy("url_id")))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.lit("image").alias("kind"), "doc_id", "url_id", "host",
+            F.lit("/img").alias("path"), F.lit(0).cast("bigint").alias(
+                "n_toks"
+            ), "fp", "n_dup_pages", "rank_u",
+        )
+    )
+    return txt.unionByName(img)
 
 
 # --- crawl frontier: sitemap harvest + politeness scheduling ---------
