@@ -544,6 +544,92 @@ def build_slots(spark: SparkSession, r: int):
 
     slots["phash_near_dup"] = _phash_pairs
 
+    # audio / video perceptual lanes (r11 verdict item 4): they share
+    # phash's banded pigeonhole join, but their DECODE stages (WAV
+    # sample walk, per-frame pHash majority vote) are the expensive
+    # part worth a payload-ratio check. Same pairing structure as the
+    # image slot (g = doc_id >> 1 -> exact-copy pairs, no spurious
+    # cliques: fingerprints carry 63 random-looking bits per g).
+    # Sampled to 1/4 of the docs each: the lanes' cost law is the
+    # point, not payload tonnage.
+    audio_schema = img_schema  # (doc_id, payload binary)
+
+    def _audio_synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from llm_enhanced_data_pipeline_spark.operators import (
+            multimodal as _mm,
+        )
+
+        table = _mm.ulaw_decode_table()
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                r = np.random.default_rng(d >> 1)
+                codes = r.integers(0, 256, 64).astype(np.uint8)
+                samples = np.repeat(table[codes], 256).astype(np.int16)
+                ids.append(d)
+                payloads.append(_mm.write_wav(samples, 8000))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    wav_payloads = docs.filter(F.col("doc_id") % 8 < 2).select(  # keeps (2k, 2k+1) pairs whole
+        "doc_id"
+    ).mapInPandas(_audio_synth, audio_schema).localCheckpoint(eager=True)
+    slots["audio_fp_near_dup"] = lambda: (
+        dedup.near_dup_pairs_audio_fp(wav_payloads, "doc_id", "payload")
+        .select(F.bit_xor(F.xxhash64("id_a", "id_b", "hamming")).alias("h"))
+        .collect()
+    )
+
+    def _video_synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from llm_enhanced_data_pipeline_spark.operators import (
+            multimodal as _mm,
+        )
+
+        m32 = (1 << 32) - 1
+
+        def fmix32(x: int) -> int:
+            x &= m32
+            x ^= x >> 16
+            x = (x * 0x85EBCA6B) & m32
+            x ^= x >> 13
+            x = (x * 0xC2B2AE35) & m32
+            x ^= x >> 16
+            return x
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d >> 1
+                frames = []
+                for f in range(3):
+                    luma = np.zeros((64, 64), dtype=np.uint8)
+                    for b in range(64):
+                        by, bx = divmod(b, 8)
+                        v = fmix32(g * 192 + f * 64 + b + 1)
+                        luma[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            v >> 24
+                        )
+                    frames.append(luma)
+                ids.append(d)
+                payloads.append(_mm.write_y4m(np.stack(frames)))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    y4m_payloads = docs.filter((F.col("doc_id") % 8 >= 2) & (F.col("doc_id") % 8 < 4)).select(
+        "doc_id"
+    ).mapInPandas(_video_synth, audio_schema).localCheckpoint(eager=True)
+    slots["video_fp_near_dup"] = lambda: (
+        dedup.near_dup_pairs_video_fp(y4m_payloads, "doc_id", "payload")
+        .select(F.bit_xor(F.xxhash64("id_a", "id_b", "hamming")).alias("h"))
+        .collect()
+    )
+
     # distributed global rank / LPT shard packing: by construction two
     # corpus-scan aggregate folds (quantile boundaries, bucket counts —
     # both driver-inlined literals) + one partitioned window pass, so
@@ -637,6 +723,8 @@ def build_slots(spark: SparkSession, r: int):
         pairs.rdd.unpersist()  # free the eager localCheckpoint blocks
         warc_payloads.rdd.unpersist()
         img_payloads.rdd.unpersist()
+        wav_payloads.rdd.unpersist()
+        y4m_payloads.rdd.unpersist()
         dedup.release_caches()
 
     meta = {"n_docs": n_docs, "n_events": n_events, "n_vecs": n_vecs}

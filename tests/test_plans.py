@@ -557,6 +557,29 @@ def test_host_pagerank_plan_shape_golden(spark, sf_dir):
         dedup.release_caches()
 
 
+def test_corpus_build_v9_plan_shape_golden(spark, sf_dir):
+    """The capstone bench slot, pinned structurally: ONE documents scan
+    pruned to (doc_id, text), the parsed-pages persist present (three
+    consumers: links, text lane, image lane), zero nested-loop joins
+    (the PageRank folds are driver-inlined literals, and admission is
+    an equi-join), and a hard Exchange ceiling — measured 10 at
+    sf0.01/shuffle_partitions=8 via formatted explain; creep past 14
+    means a stage stopped reusing a partitioning."""
+    from llm_enhanced_data_pipeline_spark.operators import dedup
+
+    try:
+        plan = _plan(spark, sf_dir, "corpus_build_v9")
+        assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, (
+            "documents scan reads more than (doc_id, text)"
+        )
+        assert "InMemoryTableScan" in plan, "parsed-pages persist lost"
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("Exchange") <= 14, plan.count("Exchange")
+    finally:
+        dedup.release_caches()
+
+
 def test_bench_slot_plan_shape_goldens(spark, sf_dir):
     """r9 verdict item 6: the top bench slots' load-bearing plan shapes
     must be pinned structurally, not inferred from timing (timing on

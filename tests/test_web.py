@@ -702,3 +702,35 @@ def test_extract_main_content_boilerplate_removal(spark):
         .collect()[0]["m"]
         == ""
     )
+
+
+def test_corpus_build_v9_capstone_is_nonvacuous(spark, sf_dir):
+    # the oracle hash-compare passes vacuously when both engines agree
+    # on an empty/degenerate result — pin that every stage of the
+    # capstone actually BITES at sf0.01: both lanes emit rows, the
+    # centrality gate excludes hosts, text dedup collapses the A/B
+    # layouts, and media dedup merges across docs (not just across the
+    # two encodings of one doc)
+    from collections import Counter
+
+    from llm_enhanced_data_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["corpus_build_v9"].fn(spark, sf_dir).collect()
+    txt = [r for r in rows if r["kind"] == "text"]
+    img = [r for r in rows if r["kind"] == "image"]
+    assert txt and img
+    # admission really gates: some hosts fall below the uniform share
+    assert 0 < len({r["host"] for r in rows}) < 23
+    # every surviving article absorbed its syndicated layout-B copy
+    assert all(r["n_dup_pages"] >= 2 for r in txt)
+    assert all(r["path"] == "/art" for r in txt)  # lowest url_id won
+    # decode-invariant media dedup merged ACROSS docs somewhere
+    # (2 encodings x >=2 docs sharing the pixel key)
+    assert max(r["n_dup_pages"] for r in img) >= 4
+    assert all(r["path"] == "/img" for r in img)  # encoding A won
+    # the per-host budget is never exceeded (it binds at sf0.1, where
+    # the sweep's oracle re-checks it; ~2 pages/host here)
+    per_host = Counter(r["host"] for r in txt)
+    assert max(per_host.values()) <= 15
+    # ranks are attached and positive
+    assert all(r["rank_u"] > 0 for r in rows)
