@@ -38,14 +38,21 @@ def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(variants)
 
 
-_DOCS_WITH_NEAR_DUPS_SQL = f"""
-  SELECT doc_id, text FROM documents
+def _docs_with_near_dups_sql(where: str = "") -> str:
+    """Oracle twin of :func:`_docs_with_near_dups`; ``where`` (e.g.
+    " AND doc_id < 600") slices the BASE docs before augmentation so a
+    slice twin keeps every base+variant near-dup pair whole."""
+    return f"""
+  SELECT doc_id, text FROM documents WHERE 1=1{where}
   UNION ALL
   SELECT doc_id + {VARIANT_OFFSET} AS doc_id,
          array_to_string(list_slice(string_split(text, ' '), 2,
                                     len(string_split(text, ' '))), ' ') AS text
-  FROM documents WHERE doc_id % 10 = 0
+  FROM documents WHERE doc_id % 10 = 0{where}
 """
+
+
+_DOCS_WITH_NEAR_DUPS_SQL = _docs_with_near_dups_sql()
 
 _DOCS_WITH_EXACT_DUPS_SQL = f"""
   SELECT doc_id, text FROM documents
@@ -183,8 +190,9 @@ list_transform(
   _i -> (((_th[_i] % {_P}) * 131 + _th[_i + 1]) % {_P} * 131 + _th[_i + 2]) % {_P}
 )"""
 
-_MINHASH_CTE = f"""
-WITH u AS ({_DOCS_WITH_NEAR_DUPS_SQL}),
+def _minhash_cte(where: str = "") -> str:
+    return f"""
+WITH u AS ({_docs_with_near_dups_sql(where)}),
 tk AS (
   SELECT doc_id,
          list_transform(
@@ -214,6 +222,9 @@ pairs AS (
   FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
 )
 """
+
+
+_MINHASH_CTE = _minhash_cte()
 
 
 # Shared dedup-infrastructure frames, memoized per (session, sf_dir).
@@ -1557,3 +1568,99 @@ def near_dup_pairs_video(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "doc_id", "payload", max_hamming=6, blocks=7
     )
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# --- sf0.1-sweep slice twin for the LSH eval harness (r11 item 3) ----
+# lsh_tuning_report's ground-truth side is all-pairs Jaccard, so the
+# full gate is sf0.01-only; this twin runs the SAME recipe over the
+# first-600-base-doc slice (augmentation inside the slice keeps every
+# base+variant near-dup pair whole), keeping the oracle tractable at
+# sf0.1 while the sweep verifies the lineage against the sf0.1 files.
+
+_LSH_SLICE_N = 600
+
+
+@register(
+    "lsh_tuning_report_sliced",
+    doc="lsh_tuning_report over the first-600-base-doc slice — the "
+    "sf0.1-sweep twin of the full gate (whose exact ground truth is "
+    "all-pairs by design). Same 16-hash/8-band scheme, same "
+    "precision/recall arithmetic.",
+    oracle=_minhash_cte(f" AND doc_id < {_LSH_SLICE_N}")
+    + """,
+ver AS (
+  SELECT p.id_a, p.id_b,
+         len(list_intersect(ta.toks, tb.toks))::DOUBLE
+           / len(list_distinct(ta.toks || tb.toks)) AS jac
+  FROM pairs p
+  JOIN t ta ON ta.doc_id = p.id_a
+  JOIN t tb ON tb.doc_id = p.id_b
+),
+truth AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+          / len(list_distinct(a.toks || b.toks)) >= 0.8
+)
+SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
+       (SELECT count(*) FROM pairs)::BIGINT AS n_candidates,
+       (SELECT count(*) FROM ver WHERE jac >= 0.8)::BIGINT AS n_hits,
+       ((1000 * (SELECT count(*) FROM ver WHERE jac >= 0.8))
+        // greatest((SELECT count(*) FROM pairs), 1))::BIGINT AS precision_permille,
+       ((1000 * (SELECT count(*) FROM ver WHERE jac >= 0.8))
+        // greatest((SELECT count(*) FROM truth), 1))::BIGINT AS recall_permille
+""",
+)
+def lsh_tuning_report_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    sliced = docs.filter(F.col("doc_id") < _LSH_SLICE_N)
+    toks = F.split(F.col("text"), " ")
+    variants = sliced.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + VARIANT_OFFSET).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+        ).alias("text"),
+    )
+    corpus = (
+        sliced.unionByName(variants)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("toks", dedup.tokens(F.col("text")))
+    )
+    grouped = dedup.minhash_grouped(
+        corpus, "doc_id", "toks", num_hashes=16, shingle_n=3
+    )
+    cand = dedup.near_dup_pairs_minhash(
+        corpus, "doc_id", "toks",
+        threshold=0.0, num_hashes=16, bands=8, shingle_n=3, grouped=grouped,
+    )
+    a = grouped.select(F.col("doc_id").alias("id_a"), F.col("_hset").alias("_aset"))
+    b = grouped.select(F.col("doc_id").alias("id_b"), F.col("_hset").alias("_bset"))
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(dedup.jaccard_token_sets(F.col("_aset"), F.col("_bset")) >= 0.8)
+        .select("id_a", "id_b")
+    )
+    stats = (
+        cand.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum(F.when(F.col("jaccard") >= 0.8, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .crossJoin(
+            F.broadcast(
+                truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+            )
+        )
+    )
+    return stats.select(
+        "n_true",
+        "n_candidates",
+        "n_hits",
+        F.expr(
+            "cast(1000 * n_hits div greatest(n_candidates, 1) as bigint)"
+        ).alias("precision_permille"),
+        F.expr(
+            "cast(1000 * n_hits div greatest(n_true, 1) as bigint)"
+        ).alias("recall_permille"),
+    )

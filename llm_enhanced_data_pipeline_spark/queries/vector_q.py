@@ -311,8 +311,10 @@ def _kmeans_ctes(
     return parts
 
 
-def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
-    parts = _kmeans_ctes(k, iters, dim)
+def _kmeans_sql(
+    k: int = 8, iters: int = 3, dim: int = 64, relation: str = "embeddings"
+) -> str:
+    parts = _kmeans_ctes(k, iters, dim, relation=relation)
     return f"""
 WITH {','.join(parts)},
 af AS (
@@ -480,13 +482,21 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distance scoring. No rounding anywhere — distances are int64.
 
 
-def _pq_sql(m: int = 4, dim: int = 64, k: int = 16, iters: int = 2, k_out: int = 10) -> str:
+def _pq_sql(
+    m: int = 4,
+    dim: int = 64,
+    k: int = 16,
+    iters: int = 2,
+    k_out: int = 10,
+    relation: str = "embeddings",
+) -> str:
     subdim = dim // m
     parts: list[str] = []
     for mi in range(m):
         lo, hi = mi * subdim + 1, (mi + 1) * subdim
         parts += _kmeans_ctes(
-            k=k, iters=iters, dim=subdim, vec=f"embedding[{lo}:{hi}]", sfx=f"s{mi}"
+            k=k, iters=iters, dim=subdim, vec=f"embedding[{lo}:{hi}]",
+            sfx=f"s{mi}", relation=relation,
         )
         parts.append(
             f"""af_s{mi} AS (
@@ -690,4 +700,243 @@ def ivf_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vecs",
         "mean_sim",
         F.expr("cast(1000 * n_vecs div _tot as bigint)").alias("share_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sf0.1-sweep slice twins (r11 verdict item 3): the ANN gates' oracles
+# are all-pairs / iterative-CTE quadratic, tractable in DuckDB only at
+# sf0.01 — so the full gates were deselected from the sf0.1 sweep and
+# the family had ZERO oracle coverage at 10x scale. These twins run
+# the SAME lineages over the first-500-vec_id slice of whatever table
+# the sweep points at: deterministic, seed-safe (kmeans seeds ids < 8
+# and the query sets ids < 10 / % 25 are always inside the slice), and
+# the oracle stays at driver-checking scale while the sweep verifies
+# the lineage against the sf0.1 data files. The unbounded-scale COST
+# law is scale_smoke's job (ivf_knn / kmeans_train / mmr slots); these
+# close the correctness half of the blind spot.
+
+_SLICE_N = 500
+_EMB_S = f"(SELECT * FROM embeddings WHERE vec_id < {_SLICE_N})"
+
+
+def _sliced_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "embeddings", sf_dir).filter(
+        F.col("vec_id") < _SLICE_N
+    )
+
+
+@register(
+    "knn_brute_force_sliced",
+    doc="knn_brute_force over the first-500-id slice — the sf0.1-sweep "
+    "twin of the full gate (whose all-pairs oracle is sf0.01-only). "
+    "Same operator, same lineage.",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM {_EMB_S} WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         round({_cos_sql('q.qv', 'e.embedding')}, 6) AS sim
+  FROM q JOIN {_EMB_S} e ON e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, neighbor_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT qid AS vec_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 3
+""",
+)
+def knn_brute_force_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _sliced_emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return vector.knn_join(
+        queries, emb, "vec_id", "vec_id", "embedding", "embedding", k=3
+    ).select("vec_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim")
+
+
+@register(
+    "kmeans_train_sliced",
+    doc="kmeans_train over the first-500-id slice — the sf0.1-sweep "
+    "twin (the full gate's iterative-CTE oracle is sf0.01-only). "
+    "Same integer-grid Lloyd's chain, k=8, 3 iterations.",
+    oracle=_kmeans_sql(relation=_EMB_S),
+)
+def kmeans_train_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _sliced_emb(spark, sf_dir)
+    assigned, cents = vector.kmeans_train_quantized(
+        emb, "vec_id", "embedding", k=8, iters=3
+    )
+    sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    cstats = cents.select(
+        "cid",
+        F.aggregate(
+            "_cent", F.lit(0).cast("bigint"), lambda acc, v: acc + v
+        ).alias("centroid_sum"),
+        F.md5(
+            F.concat_ws(",", F.transform("_cent", lambda v: v.cast("string")))
+        ).alias("centroid_fp"),
+    )
+    return sizes.join(cstats, "cid").select(
+        F.col("cid").alias("cluster"), "n_members", "centroid_sum", "centroid_fp"
+    )
+
+
+@register(
+    "ivf_knn_trained_sliced",
+    doc="ivf_knn_trained over the first-500-id slice — the sf0.1-sweep "
+    "twin of the full train->serve gate. Same lineage end to end.",
+    oracle=f"""
+WITH {','.join(_kmeans_ctes(k=8, iters=3, dim=64, relation=_EMB_S))},
+dq AS (
+  SELECT cid AS ckey,
+         list_transform(cent, _x -> (_x - {vector.Q_OFFSET})::DOUBLE / {vector.Q_SCALE}) AS centroid
+  FROM c3
+),
+assign AS (
+  SELECT vec_id, embedding, ckey FROM (
+    SELECT v.vec_id, v.embedding, c.ckey,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cos_sql('v.embedding', 'c.centroid')} DESC,
+                                       c.ckey ASC) AS rn
+    FROM {_EMB_S} v CROSS JOIN dq c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, embedding AS qv, ckey FROM assign WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, a.vec_id AS neighbor_id,
+         round({_cos_sql('q.qv', 'a.embedding')}, 6) AS sim
+  FROM q JOIN assign a ON a.ckey = q.ckey AND a.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, neighbor_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT qid AS vec_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 3
+""",
+)
+def ivf_knn_trained_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _sliced_emb(spark, sf_dir)
+    _, cents = vector.kmeans_train_quantized(emb, "vec_id", "embedding", k=8, iters=3)
+    serving = vector.dequantize_centroids(cents)
+    out = vector.ivf_knn_join(
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        serving,
+        "vec_id",
+        "vec_id",
+        "embedding",
+        "embedding",
+        k=3,
+    )
+    return out.select(
+        "vec_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim"
+    )
+
+
+@register(
+    "pq_adc_knn_sliced",
+    doc="pq_adc_knn over the first-500-id slice — the sf0.1-sweep twin "
+    "of the full gate. Same 4-subspace codebooks, same exact-int "
+    "asymmetric-distance scoring.",
+    oracle=_pq_sql(relation=_EMB_S),
+)
+def pq_adc_knn_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _sliced_emb(spark, sf_dir)
+    cb = vector.pq_train(emb, "vec_id", "embedding", m=4, dim=64, k=16, iters=2)
+    codes = vector.pq_encode(emb, "vec_id", "embedding", cb, m=4, dim=64)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return vector.pq_adc_topk(
+        q,
+        cb,
+        codes.filter(F.col("vec_id") != 0),
+        "vec_id",
+        m=4,
+        dim=64,
+        k_out=10,
+    )
+
+
+@register(
+    "ann_recall_report_sliced",
+    doc="ann_recall_report over the first-500-id slice — the sf0.1-"
+    "sweep twin of the full gate (whose exact-ground-truth side is "
+    "quadratic by design). Same IVF-vs-brute recall@10 recipe.",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding FROM {_EMB_S}),
+dims AS (
+  SELECT label AS ckey, _i, avg(embedding[_i]::DOUBLE) AS m
+  FROM e, range(1, 65) r(_i)
+  GROUP BY label, _i
+),
+cent AS (SELECT ckey, list(m ORDER BY _i) AS centroid FROM dims GROUP BY ckey),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id % 25 = 0),
+exact AS (
+  SELECT qid, neighbor_id, rank FROM (
+    SELECT q.qid, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY round({_cos_sql('q.qv', 'e.embedding')}, 6) DESC,
+                                       e.vec_id ASC) AS rank
+    FROM q CROSS JOIN e WHERE e.vec_id <> q.qid
+  ) WHERE rank <= 10
+),
+assign AS (
+  SELECT vec_id, embedding, ckey FROM (
+    SELECT e.vec_id, e.embedding, c.ckey,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.embedding', 'c.centroid')} DESC,
+                                       c.ckey ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+aq AS (SELECT a.vec_id AS qid, a.embedding AS qv, a.ckey
+       FROM assign a WHERE a.vec_id % 25 = 0),
+approx AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT aq.qid, a.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY aq.qid
+                              ORDER BY round({_cos_sql('aq.qv', 'a.embedding')}, 6) DESC,
+                                       a.vec_id ASC) AS rank
+    FROM aq JOIN assign a ON aq.ckey = a.ckey AND a.vec_id <> aq.qid
+  ) WHERE rank <= 10
+),
+hits AS (
+  SELECT exact.qid, count(*)::BIGINT AS n_hits
+  FROM exact SEMI JOIN approx
+    ON exact.qid = approx.qid AND exact.neighbor_id = approx.neighbor_id
+  GROUP BY exact.qid
+),
+base AS (SELECT qid, count(*)::BIGINT AS n_exact FROM exact GROUP BY qid)
+SELECT base.qid AS vec_id, base.n_exact,
+       coalesce(hits.n_hits, 0)::BIGINT AS n_hits,
+       floor((coalesce(hits.n_hits, 0) / base.n_exact) * 10000.0 + 0.5) / 10000.0
+         AS recall
+FROM base LEFT JOIN hits ON base.qid = hits.qid
+""",
+)
+def ann_recall_report_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import stable_round
+
+    emb = _sliced_emb(spark, sf_dir)
+    cents = vector.centroids_by_key(emb, "label", "embedding")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = vector.knn_join(
+        qs, emb, "vec_id", "vec_id", "embedding", "embedding", k=10
+    )
+    approx = vector.ivf_knn_join(
+        qs, emb, cents, "vec_id", "vec_id", "embedding", "embedding", k=10
+    ).select("vec_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["vec_id", "neighbor_id"], "left_semi")
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = exact.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return base.join(hits, "vec_id", "left").select(
+        "vec_id",
+        "n_exact",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        stable_round(
+            F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_exact"), 4
+        ).alias("recall"),
     )

@@ -5,7 +5,11 @@
 # DuckDB at sf0.1 (the Spark sides are scale-tested via scale_smoke.py
 # instead); substring_dedup_apply and corpus_build_v4 are additionally
 # covered at sf0.1 through their *_sampled twins (deterministic ~10%
-# md5 slice), which run IN this sweep. semdedup_prune_autok is
+# md5 slice), and (r12) the ANN family — knn_brute_force, kmeans_train,
+# ivf_knn_trained, pq_adc_knn, ann_recall_report — plus
+# lsh_tuning_report through their *_sliced twins (first-500-vec_id /
+# first-600-base-doc slices; seed- and query-set-safe at every sf),
+# all of which run IN this sweep. semdedup_prune_autok is
 # deselected because its oracle pins k=8 (= the auto-k derivation
 # at sf0.01's 500 vectors); at sf0.1 auto-k derives k=32 by design —
 # its sf0.1 coverage is semdedup_prune_sampled (slice-pinned auto-k,
