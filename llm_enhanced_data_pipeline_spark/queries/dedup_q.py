@@ -1611,7 +1611,10 @@ SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
         // greatest((SELECT count(*) FROM truth), 1))::BIGINT AS recall_permille
 """,
 )
-def lsh_tuning_report_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_with_near_dups_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-600-base-doc slice of the augmented near-dup corpus: the
+    slice is applied BEFORE augmentation so every base+variant pair
+    stays whole (Spark half of _docs_with_near_dups_sql(slice))."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     sliced = docs.filter(F.col("doc_id") < _LSH_SLICE_N)
     toks = F.split(F.col("text"), " ")
@@ -1621,10 +1624,14 @@ def lsh_tuning_report_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
         ).alias("text"),
     )
-    corpus = (
-        sliced.unionByName(variants)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("toks", dedup.tokens(F.col("text")))
+    return sliced.unionByName(variants).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+def lsh_tuning_report_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_near_dups_sliced(spark, sf_dir).withColumn(
+        "toks", dedup.tokens(F.col("text"))
     )
     grouped = dedup.minhash_grouped(
         corpus, "doc_id", "toks", num_hashes=16, shingle_n=3
@@ -1663,4 +1670,209 @@ def lsh_tuning_report_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "cast(1000 * n_hits div greatest(n_true, 1) as bigint)"
         ).alias("recall_permille"),
+    )
+
+
+_SLICE_WHERE = f" AND doc_id < {_LSH_SLICE_N}"
+
+
+@register(
+    "dedup_fuzzy_jaccard_sliced",
+    doc="dedup_fuzzy_jaccard over the first-600-base-doc slice — the "
+    "sf0.1-sweep twin of the full gate (all-pairs Jaccard oracle). "
+    "Same exact pairwise operator, same keep-the-longer policy.",
+    oracle=f"""
+WITH u AS ({_docs_with_near_dups_sql(_SLICE_WHERE)}),
+t AS (
+  SELECT doc_id, length(text) AS tlen,
+         list_distinct(string_split(text, ' ')) AS toks
+  FROM u
+),
+dup AS (
+  SELECT DISTINCT b.doc_id
+  FROM t a JOIN t b
+    ON ((a.tlen > b.tlen) OR (a.tlen = b.tlen AND a.doc_id < b.doc_id))
+  WHERE len(a.toks) > 0 AND len(b.toks) > 0
+    AND len(list_intersect(a.toks, b.toks))::DOUBLE
+        / len(list_distinct(a.toks || b.toks)) >= 0.95
+)
+SELECT doc_id FROM t WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+""",
+)
+def dedup_fuzzy_jaccard_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_near_dups_sliced(spark, sf_dir).withColumn(
+        "tlen", F.length("text")
+    ).withColumn("toks", F.split(F.col("text"), " "))
+    return dedup.dedup_similarity_exact(
+        corpus, "doc_id", "toks", threshold=0.95, prefer_desc_col="tlen"
+    ).select("doc_id")
+
+
+@register(
+    "near_dup_pairs_ngram_sliced",
+    doc="near_dup_pairs_ngram over the first-600-base-doc slice — the "
+    "sf0.1-sweep twin (all-pairs shingle-Jaccard oracle). Same "
+    "operator, same 3-gram shingles, same threshold.",
+    oracle=f"""
+WITH u AS ({_docs_with_near_dups_sql(_SLICE_WHERE)}),
+tk AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                     _x -> _x <> '') AS toks
+  FROM u
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 0) + 1),
+           _i -> array_to_string(list_slice(toks, _i, _i + 2), ' '))) AS sset
+  FROM tk
+),
+nonempty AS (SELECT * FROM sh WHERE len(sset) > 0)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.sset, b.sset))::DOUBLE
+               / len(list_distinct(a.sset || b.sset)), 6) AS jaccard
+  FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+) WHERE jaccard >= 0.5
+""",
+)
+def near_dup_pairs_ngram_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_near_dups_sliced(spark, sf_dir)
+    return dedup.near_dup_pairs_ngram(corpus, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register(
+    "near_dup_pairs_containment_sliced",
+    doc="near_dup_pairs_containment over the first-600-base-doc slice "
+    "— the sf0.1-sweep twin (the independent quadratic containment "
+    "oracle). Same prefix-filter candidate generation + exact "
+    "verification.",
+    oracle=_minhash_cte(_SLICE_WHERE)
+    + """
+SELECT id_a, id_b, containment FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         (floor((len(list_intersect(a.toks, b.toks))::DOUBLE / len(a.toks)) * 1000000.0 + 0.5) / 1000000.0)
+           AS containment,
+         len(list_intersect(a.toks, b.toks))::DOUBLE / len(a.toks) AS _raw
+  FROM t a JOIN t b ON a.doc_id <> b.doc_id
+) WHERE _raw >= 0.8
+""",
+)
+def near_dup_pairs_containment_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_near_dups_sliced(spark, sf_dir).withColumn(
+        "toks", dedup.tokens(F.col("text"))
+    )
+    grouped = dedup.minhash_grouped(
+        corpus, "doc_id", "toks", num_hashes=16, shingle_n=3
+    )
+    return dedup.containment_pairs(
+        corpus, "doc_id", "toks", threshold=0.8, shingle_n=3, grouped=grouped
+    )
+
+
+@register(
+    "near_dup_pairs_winnowing_sliced",
+    doc="near_dup_pairs_winnowing over the first-600-base-doc slice — "
+    "the sf0.1-sweep twin (the fingerprint self-join's verification "
+    "side is corpus-quadratic in DuckDB). Same winnowing window, same "
+    "shared-fingerprint floor.",
+    oracle=f"""
+WITH u AS ({_docs_with_near_dups_sql(_SLICE_WHERE)}),
+th AS (
+  SELECT doc_id, {hashing.token_hashes32_sql(tokens_sql("text"))} AS _h FROM u
+),
+g AS (
+  SELECT doc_id, {dedup.gram_hash_array_sql("_h", 4)} AS _g FROM th
+),
+fp AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           {dedup.winnow_fingerprints_sql("_g", 4)}, _s -> _s.fp))) AS fp
+  FROM g
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 4
+""",
+)
+def near_dup_pairs_winnowing_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cleaning import tokens as _tokens
+
+    corpus = _docs_with_near_dups_sliced(spark, sf_dir)
+    fps = (
+        corpus.withColumn(
+            "_h", F.transform(_tokens(F.col("text")), lambda t: hashing.stable_hash32(t))
+        )
+        .withColumn("_g", dedup.gram_hash_array(F.col("_h"), k=4))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        dedup.winnow_fingerprints(F.col("_g"), w=4),
+                        lambda s: s["fp"],
+                    )
+                )
+            ).alias("fp"),
+        )
+    )
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 4)
+    )
+
+
+@register(
+    "near_dup_pairs_embedding_sliced",
+    doc="near_dup_pairs_embedding over the first-500-vec_id slice — "
+    "the sf0.1-sweep twin (the in-bucket verification is bucket-"
+    "quadratic in DuckDB at sf0.1). Same multi-probe IVF candidate "
+    "generation, same exact-cosine verification.",
+    oracle="""
+WITH es AS (SELECT * FROM embeddings WHERE vec_id < 500),
+e AS (SELECT vec_id, embedding AS v FROM es),
+dims AS (
+  SELECT label AS ckey, _i, avg(embedding[_i]::DOUBLE) AS m
+  FROM es, range(1, 65) r(_i)
+  GROUP BY label, _i
+),
+cent AS (SELECT ckey, list(m ORDER BY _i) AS centroid FROM dims GROUP BY ckey),
+assign AS (
+  SELECT vec_id, ckey FROM (
+    SELECT e.vec_id, c.ckey,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY COS_VC DESC, c.ckey ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b ON a.ckey = b.ckey AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT c.id_a, c.id_b, round(COS_AB, 6) AS cosine
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.id_a
+  JOIN e eb ON eb.vec_id = c.id_b
+) WHERE cosine >= 0.45
+""".replace("COS_VC", _cos_sql("e.v", "c.centroid")).replace(
+        "COS_AB", _cos_sql("ea.v", "eb.v")
+    ),
+)
+def near_dup_pairs_embedding_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import vector
+
+    emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 500)
+    cents = vector.centroids_by_key(emb, "label", "embedding")
+    return dedup.near_dup_pairs_embedding_ivf(
+        emb, cents, "vec_id", "embedding", threshold=0.45, nprobe=2
     )

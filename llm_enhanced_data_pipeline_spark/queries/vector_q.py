@@ -428,15 +428,15 @@ def ivf_knn_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so both engines compute with bit-identical doubles.
 
 
-def _mmr_sql(k: int = 5, lam: float = 0.7) -> str:
+def _mmr_sql(k: int = 5, lam: float = 0.7, relation: str = "embeddings") -> str:
     a, b = repr(lam), repr(1.0 - lam)
     parts = [
-        "q AS MATERIALIZED (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
+        f"q AS MATERIALIZED (SELECT embedding AS qv FROM {relation} WHERE vec_id = 0)",
         f"""c0 AS MATERIALIZED (
   SELECT e.vec_id, e.embedding AS v,
          round({_cos_sql('e.embedding', 'q.qv')}, 6) AS rel,
          -1.0 AS mmax
-  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)""",
+  FROM {relation} e CROSS JOIN q WHERE e.vec_id <> 0)""",
     ]
     for i in range(1, k + 1):
         parts.append(
@@ -940,3 +940,17 @@ def ann_recall_report_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_exact"), 4
         ).alias("recall"),
     )
+
+
+@register(
+    "mmr_rerank_sliced",
+    doc="mmr_rerank over the first-500-id slice — the sf0.1-sweep twin "
+    "(the greedy rounds' per-candidate redundancy scan is corpus-wide "
+    "per round in DuckDB). Same lambda, same 5 greedy rounds.",
+    oracle=_mmr_sql(relation=_EMB_S),
+)
+def mmr_rerank_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _sliced_emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    corpus = emb.filter(F.col("vec_id") != 0)
+    return vector.mmr_topk(corpus, q, "vec_id", "embedding", k=5, lam=0.7)

@@ -7,9 +7,15 @@
 # covered at sf0.1 through their *_sampled twins (deterministic ~10%
 # md5 slice), and (r12) the ANN family — knn_brute_force, kmeans_train,
 # ivf_knn_trained, pq_adc_knn, ann_recall_report — plus
-# lsh_tuning_report through their *_sliced twins (first-500-vec_id /
-# first-600-base-doc slices; seed- and query-set-safe at every sf),
-# all of which run IN this sweep. semdedup_prune_autok is
+# lsh_tuning_report, dedup_fuzzy_jaccard, near_dup_pairs_ngram /
+# _containment / _winnowing / _embedding and mmr_rerank through their
+# *_sliced twins (first-500-vec_id / first-600-base-doc slices; seed-
+# and query-set-safe at every sf), all of which run IN this sweep.
+# Remaining deselects WITHOUT a sampled/sliced twin: the bpe_* family
+# and substring_dedup_spans (iterative/quadratic oracles whose Spark
+# sides are ratio-bounded in scale_smoke: bpe_train, substring_spans
+# slots) and semdedup_prune (covered by semdedup_prune_sampled).
+# semdedup_prune_autok is
 # deselected because its oracle pins k=8 (= the auto-k derivation
 # at sf0.01's 500 vectors); at sf0.1 auto-k derives k=32 by design —
 # its sf0.1 coverage is semdedup_prune_sampled (slice-pinned auto-k,
