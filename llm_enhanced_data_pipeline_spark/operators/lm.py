@@ -1,0 +1,205 @@
+"""Corpus-LM perplexity quality scoring — the CCNet lane.
+
+CCNet (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data") filters crawl text by PERPLEXITY UNDER A
+REFERENCE-DOMAIN LANGUAGE MODEL: a model trained on a known-clean
+corpus (Wikipedia) scores every crawled paragraph, and per-language
+perplexity tertiles split the crawl into head/middle/tail quality
+buckets (the head feeds training; the tail is dropped or down-weighted).
+LLaMA-1 and many open corpora reuse the recipe verbatim. The reference
+pipeline scores quality with an LLM judge per document — this lane is
+what that stage becomes when the corpus is 100 TB of crawl and the
+scorer must be a model you can evaluate inside the engine.
+
+Spark-first shape: the reference-domain model is a UNIGRAM count table
+(token -> count) built with one hash aggregation — at 100 TB this is
+the classic shared-nothing LM-count job, and the resulting vocabulary
+is small enough to broadcast. Scoring is explode -> broadcast-join ->
+per-doc sum: one scan over the corpus, no shuffle wider than the
+per-doc aggregation.
+
+EXACT INTEGER cross-entropy (the package's oracle discipline): per
+token, -log2 P(tok) with add-one smoothing is
+
+    log2(N + V) - log2(c_tok + 1)        [bits]
+
+computed in MILLI-BITS through :func:`log2_milli`: integer part from
+the bigint bit length (``length(bin(n))`` — identical in Spark and
+DuckDB, the HyperBall trick), fractional part from a 256-entry
+precomputed integer ladder indexed by the top 8 mantissa bits
+(generated at import from math.log2, shared verbatim by both engines
+as an array literal). Every per-doc sum is a bigint sum of integers —
+order-independent, so distributed aggregation and the DuckDB twin
+agree bit-for-bit, with no float-summation hazard at any scale.
+
+Mantissa truncation to 8 bits costs < 6 milli-bits per token of
+quantization — irrelevant for quality BUCKETING (CCNet thresholds are
+corpus-relative tertiles), and identical in both engines, which is the
+property that matters.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: mantissa buckets for the fractional log2 ladder (top 8 bits)
+LOG2_BUCKETS = 256
+#: fractional ladder: round(log2(1 + k/256) * 1000) for k in [0, 256)
+#: — integer literals shared verbatim by the Spark expression and the
+#: DuckDB twin, so the one place a logarithm appears is resolved at
+#: import, never computed by an engine.
+LOG2_TABLE_MILLI = [
+    round(math.log2(1.0 + k / LOG2_BUCKETS) * 1000)
+    for k in range(LOG2_BUCKETS)
+]
+
+
+def log2_milli(col: Column) -> Column:
+    """1000·log2(n) for a POSITIVE bigint column, exact-integer:
+    ``(bitlen-1)·1000 + ladder[top 8 mantissa bits]``. n must be >= 1
+    (callers add smoothing before taking logs)."""
+    bl = F.length(F.bin(col.cast("bigint")))
+    # k = (n * 256) >> (bl-1) - 256  in [0, 256). call_function: the
+    # Python F.shiftright binding only accepts a LITERAL bit count,
+    # but the underlying SQL function takes a column fine.
+    k = (
+        F.call_function(
+            "shiftright", col.cast("bigint") * LOG2_BUCKETS, (bl - 1).cast("int")
+        )
+        - LOG2_BUCKETS
+    )
+    ladder = F.array(*[F.lit(v) for v in LOG2_TABLE_MILLI])
+    return ((bl - 1) * 1000 + F.element_at(ladder, (k + 1).cast("int"))).cast(
+        "bigint"
+    )
+
+
+def log2_milli_sql(expr: str) -> str:
+    """DuckDB twin of :func:`log2_milli` — same bit length, same
+    ladder literals, same truncation. ``//`` floor-division semantics
+    match the Spark cast-to-bigint because every operand is
+    non-negative."""
+    ladder = "[" + ", ".join(str(v) for v in LOG2_TABLE_MILLI) + "]"
+    bl = f"length(bin(({expr})::BIGINT))"
+    k = f"((({expr})::BIGINT * {LOG2_BUCKETS}) // (1::BIGINT << ({bl} - 1)) - {LOG2_BUCKETS})"
+    return f"((({bl}) - 1) * 1000 + ({ladder})[({k}) + 1])::BIGINT"
+
+
+def unigram_counts(
+    reference: DataFrame, toks_col: str
+) -> DataFrame:
+    """Reference-domain unigram model: ``(tok, c)`` counts over the
+    token-array column of the clean corpus — one explode + one hash
+    aggregation (the 100 TB LM-count job). The result is the
+    BROADCASTABLE model table scoring joins against."""
+    return (
+        reference.select(F.explode(F.col(toks_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+def lm_stats(model: DataFrame) -> DataFrame:
+    """1-row (n_total, v_vocab) frame for the smoothing denominator."""
+    return model.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("v_vocab"),
+    )
+
+
+def cross_entropy_milli(
+    docs: DataFrame,
+    id_col: str,
+    toks_col: str,
+    model: DataFrame,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-doc cross-entropy under the unigram reference model, in
+    exact milli-bits → ``(id_col, *keep_cols, n_toks, xent_milli)``.
+
+    Add-one smoothing: P(tok) = (c+1)/(N+V), OOV tokens score c=0.
+    Per token the -log2 P term is ``log2_milli(N+V) −
+    log2_milli(c+1)`` — a bigint — so the per-doc sum is
+    order-independent and the floor-divided mean is engine-exact.
+    Empty docs (no tokens) are dropped, like CCNet drops empty
+    paragraphs. Plan shape: explode → broadcast equi-join against the
+    model → one keyed aggregation; the (N+V) denominator is a 1-row
+    broadcast crossJoin."""
+    keep = keep_cols or []
+    toks = docs.select(
+        F.col(id_col), *[F.col(c) for c in keep],
+        F.explode(F.col(toks_col)).alias("tok"),
+    )
+    scored = toks.join(F.broadcast(model), "tok", "left").withColumn(
+        "_c1", (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("bigint")
+    )
+    denom = F.broadcast(
+        lm_stats(model).select(
+            log2_milli(F.col("n_total") + F.col("v_vocab")).alias("_lden")
+        )
+    )
+    per_tok = scored.crossJoin(denom).withColumn(
+        "_bits_milli", F.col("_lden") - log2_milli(F.col("_c1"))
+    )
+    return (
+        per_tok.groupBy(F.col(id_col), *[F.col(c) for c in keep])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            F.sum("_bits_milli").cast("bigint").alias("_sum_milli"),
+        )
+        .select(
+            id_col,
+            *keep,
+            "n_toks",
+            F.expr("cast(_sum_milli div n_toks as bigint)").alias(
+                "xent_milli"
+            ),
+        )
+    )
+
+
+def unigram_counts_sql(toks_expr: str, relation: str) -> str:
+    """DuckDB twin of :func:`unigram_counts` as a SELECT body
+    producing (tok, c)."""
+    return (
+        f"SELECT tok, count(*)::BIGINT AS c FROM ("
+        f"SELECT unnest({toks_expr}) AS tok FROM {relation}) GROUP BY tok"
+    )
+
+
+def cross_entropy_sql(
+    toks_expr: str,
+    id_expr: str,
+    docs_relation: str,
+    model_cte: str,
+    keep_cols: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`cross_entropy_milli`: CTE text computing
+    ``lm_xent(_id, *keep_cols, n_toks, xent_milli)`` given a
+    ``model_cte`` with (tok, c)."""
+    keep = keep_cols or []
+    k_sel = "".join(f", {c}" for c in keep)
+    k_t = "".join(f", t.{c}" for c in keep)
+    denom = f"(SELECT coalesce(sum(c), 0) + count(*) FROM {model_cte})"
+    return f"""
+lm_den AS (
+  SELECT {log2_milli_sql(denom)} AS lden
+),
+lm_tok AS (
+  SELECT {id_expr} AS _id{k_sel}, unnest({toks_expr}) AS tok
+  FROM {docs_relation}
+),
+lm_scored AS (
+  SELECT t._id{k_t},
+         d.lden - {log2_milli_sql("coalesce(m.c, 0) + 1")} AS bits_milli
+  FROM lm_tok t LEFT JOIN {model_cte} m ON t.tok = m.tok
+  CROSS JOIN lm_den d
+),
+lm_xent AS (
+  SELECT _id{k_sel}, count(*)::BIGINT AS n_toks,
+         (sum(bits_milli)::BIGINT // count(*))::BIGINT AS xent_milli
+  FROM lm_scored GROUP BY ALL
+)"""

@@ -1580,6 +1580,24 @@ def near_dup_pairs_video(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LSH_SLICE_N = 600
 
 
+def _docs_with_near_dups_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-600-base-doc slice of the augmented near-dup corpus: the
+    slice is applied BEFORE augmentation so every base+variant pair
+    stays whole (Spark half of _docs_with_near_dups_sql(slice))."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    sliced = docs.filter(F.col("doc_id") < _LSH_SLICE_N)
+    toks = F.split(F.col("text"), " ")
+    variants = sliced.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + VARIANT_OFFSET).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+        ).alias("text"),
+    )
+    return sliced.unionByName(variants).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 @register(
     "lsh_tuning_report_sliced",
     doc="lsh_tuning_report over the first-600-base-doc slice — the "
@@ -1611,24 +1629,6 @@ SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
         // greatest((SELECT count(*) FROM truth), 1))::BIGINT AS recall_permille
 """,
 )
-def _docs_with_near_dups_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-600-base-doc slice of the augmented near-dup corpus: the
-    slice is applied BEFORE augmentation so every base+variant pair
-    stays whole (Spark half of _docs_with_near_dups_sql(slice))."""
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    sliced = docs.filter(F.col("doc_id") < _LSH_SLICE_N)
-    toks = F.split(F.col("text"), " ")
-    variants = sliced.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + VARIANT_OFFSET).alias("doc_id"),
-        F.concat_ws(
-            " ", F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
-        ).alias("text"),
-    )
-    return sliced.unionByName(variants).repartition(
-        spark.sparkContext.defaultParallelism
-    )
-
-
 def lsh_tuning_report_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _docs_with_near_dups_sliced(spark, sf_dir).withColumn(
         "toks", dedup.tokens(F.col("text"))

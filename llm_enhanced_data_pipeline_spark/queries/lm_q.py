@@ -1,0 +1,102 @@
+"""Corpus-LM perplexity quality gates — the CCNet lane (operators/lm.py).
+
+CCNet scores crawl text by perplexity under a reference-domain LM and
+buckets each language's documents into head/middle/tail quality
+tertiles. Here the reference domain is the src0/src1 slice of the
+documents table (the "Wikipedia" stand-in), the model is the unigram
+count table, and every log is the exact integer milli-bit ladder — so
+the per-doc cross-entropies and the tertile assignments hash-compare
+bit-for-bit against the DuckDB twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import cleaning, lm
+from ..operators.cleaning import tokens_sql
+from ..tables import load_table
+from .registry import register
+
+#: the reference-domain ("clean corpus") slice the unigram LM trains on
+_REF_SOURCES = ("src0", "src1")
+_REF_PRED_SQL = "source IN ('src0', 'src1')"
+
+_MODEL_CTE = f"""
+lm_model AS (
+  {lm.unigram_counts_sql(tokens_sql("text"),
+                         f"(SELECT * FROM documents WHERE {_REF_PRED_SQL})")}
+)"""
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "source", cleaning.tokens(F.col("text")).alias("toks")
+    )
+    model = lm.unigram_counts(
+        docs.filter(F.col("source").isin(*_REF_SOURCES)), "toks"
+    )
+    return lm.cross_entropy_milli(
+        docs, "doc_id", "toks", model, keep_cols=["lang"]
+    )
+
+
+@register(
+    "lm_perplexity_report",
+    doc="CCNet-style quality scoring: per-doc cross-entropy (exact "
+    "integer milli-bits) under a unigram LM trained on the src0/src1 "
+    "reference slice — add-one smoothing, OOV scored at c=0, the "
+    "fractional log2 from a 256-entry integer ladder shared verbatim "
+    "by both engines. One corpus scan: explode -> broadcast model "
+    "join -> keyed aggregation; the smoothing denominator is a 1-row "
+    "broadcast. The 100 TB shape of the reference's per-doc "
+    "LLM-judge quality stage.",
+    oracle=f"""
+WITH {_MODEL_CTE},
+{lm.cross_entropy_sql(tokens_sql("text"), "doc_id", "documents",
+                      "lm_model", keep_cols=["lang"])}
+SELECT _id AS doc_id, lang, n_toks, xent_milli FROM lm_xent
+""",
+)
+def lm_perplexity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _scored(spark, sf_dir).select(
+        "doc_id", "lang", "n_toks", "xent_milli"
+    )
+
+
+@register(
+    "ccnet_quality_buckets",
+    doc="CCNet head/middle/tail bucketing: per-language perplexity "
+    "tertiles (ntile(3) over the total order (xent_milli, doc_id)) "
+    "with per-bucket counts and the xent band — the thresholds a "
+    "100 TB crawl build uses to keep the head, down-weight the "
+    "middle, and drop the tail of each language.",
+    oracle=f"""
+WITH {_MODEL_CTE},
+{lm.cross_entropy_sql(tokens_sql("text"), "doc_id", "documents",
+                      "lm_model", keep_cols=["lang"])},
+bucketed AS (
+  SELECT lang, xent_milli,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY xent_milli, _id) AS bucket
+  FROM lm_xent
+)
+SELECT lang, bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
+       min(xent_milli)::BIGINT AS min_xent_milli,
+       max(xent_milli)::BIGINT AS max_xent_milli
+FROM bucketed GROUP BY lang, bucket
+""",
+)
+def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _scored(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("xent_milli", "doc_id")
+    return (
+        scored.withColumn("bucket", F.ntile(3).over(w).cast("bigint"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("xent_milli").cast("bigint").alias("min_xent_milli"),
+            F.max("xent_milli").cast("bigint").alias("max_xent_milli"),
+        )
+    )

@@ -194,6 +194,25 @@ QUADRATIC_BY_DESIGN = {
                               # rank construction itself now inlines
                               # boundaries/offsets as driver literals
                               # — no joins at all)
+    # r12 sf0.1-sweep slice twins: each inherits its full gate's
+    # documented shape verbatim (same lineage, smaller input)
+    "knn_brute_force_sliced",
+    "kmeans_train_sliced",        # broadcast K-row centroid frame per
+                                  # Lloyd's round (same as kmeans_train
+                                  # inside ivf_knn_trained)
+    "ivf_knn_trained_sliced",     # broadcast trained-centroid frame
+    "pq_adc_knn_sliced",          # broadcast per-subspace codebooks +
+                                  # 1-row distance-table frames
+    "ann_recall_report_sliced",
+    "mmr_rerank_sliced",          # per-round broadcast 1-row argmax
+    "dedup_fuzzy_jaccard_sliced",
+    "near_dup_pairs_ngram_sliced",
+    "near_dup_pairs_embedding_sliced",
+    "lsh_tuning_report_sliced",
+    # CCNet LM lane: broadcast 1-row smoothing-denominator frame; the
+    # model join is a broadcast equi-join on the token
+    "lm_perplexity_report",
+    "ccnet_quality_buckets",
 }
 
 
@@ -482,6 +501,10 @@ PYTHON_EVAL_BY_DESIGN = {
     # G.711 decode + energy-delta fingerprint in mapInPandas (Arrow)
     "near_dup_pairs_video",  # same lane for video: AVI-MJPEG/Y4M
     # synth + per-frame T.81 decode + majority-vote pHash (Arrow)
+    "corpus_build_v9",  # the capstone: the WARC container walk (as in
+    # v6-v8) plus the real parse_ppm image decode for the media-dedup
+    # lane (Arrow); links, PageRank, admission, text dedup and the
+    # budget window are all declarative
 }
 
 
