@@ -1,0 +1,108 @@
+"""Data-layout clustering: Z-order (Morton) keys for multi-dimensional
+file locality.
+
+At 100 TB the scan cost of a query is decided before it runs — by how
+the writer laid the files out. Sorting by ONE column gives min/max
+pruning on that column only; interleaving the BITS of several columns
+(the Z-order curve — Morton 1966; the recipe behind Delta/Iceberg
+``OPTIMIZE ... ZORDER BY``) keeps rows that are close in EVERY
+dimension close in the file order, so per-file min/max ranges stay
+tight on all of them and a predicate on any dimension prunes files.
+
+Everything here is exact integer bit algebra — ``zorder_key`` is a
+closed-form expression over non-negative bigint inputs, emitted
+identically for Spark (Column) and DuckDB (SQL text), so layout
+reports hash-compare bit-for-bit. Quantization of raw values into the
+``bits``-wide grid is the caller's job (modulo, range bucketing, or a
+quantile ladder — pick per column; the gates use modulo so the oracle
+is closed-form).
+
+Scale shape: the key is one projection (no shuffle); the layout REPORT
+buckets rows by key prefix and aggregates per-bucket min/max spans —
+one hash aggregation. Writing the layout is ``repartitionByRange`` on
+the key followed by a parquet write; the report is how you decide the
+key was worth it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def zorder_key(cols: list[Column], bits: int = 16) -> Column:
+    """Morton interleave of ``len(cols)`` non-negative bigint columns,
+    ``bits`` low bits each → one bigint key (``len(cols)*bits`` bits,
+    must stay < 63). Bit i of column d lands at position
+    ``i*len(cols) + d`` — the standard Z-curve. Inputs are masked to
+    ``bits`` bits, so callers can pass any non-negative quantization.
+
+    Closed-form expression: ``sum_d sum_i ((x_d >> i) & 1) << (i*D+d)``
+    unrolled at plan-build time — whole-stage codegen keeps it JVM-side
+    (one projection, no Python, no shuffle)."""
+    d = len(cols)
+    if d * bits > 62:
+        raise ValueError(f"{d} dims x {bits} bits exceeds a signed int64")
+    out: Column | None = None
+    for di, c in enumerate(cols):
+        x = c.cast("bigint")
+        for i in range(bits):
+            term = F.shiftleft(
+                F.shiftright(x, i).bitwiseAND(F.lit(1).cast("bigint")),
+                i * d + di,
+            )
+            out = term if out is None else out + term
+    return out.cast("bigint")
+
+
+def zorder_key_sql(exprs: list[str], bits: int = 16) -> str:
+    """DuckDB twin of :func:`zorder_key` — the same unrolled shift/mask
+    sum over the same bit positions."""
+    d = len(exprs)
+    if d * bits > 62:
+        raise ValueError(f"{d} dims x {bits} bits exceeds a signed int64")
+    terms = []
+    for di, e in enumerate(exprs):
+        for i in range(bits):
+            terms.append(
+                f"(((({e})::BIGINT >> {i}) & 1) << {i * d + di})"
+            )
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def layout_report(
+    df, dim_cols: list[str], bucket_col: Column, n_label: str
+) -> "DataFrame":  # noqa: F821 - DataFrame for doc only
+    """Per-bucket locality stats for a candidate layout: rows bucketed
+    by ``bucket_col``, and for every dimension the per-bucket min/max
+    SPAN (max − min + 1) summed over buckets — the number min/max file
+    pruning actually sees (a predicate on dim d scans the buckets
+    whose [min, max] interval covers it, so smaller summed spans mean
+    fewer files read). Output: 1 row — (layout, n_buckets,
+    span_<dim>... , span_total)."""
+    per_bucket = df.groupBy(bucket_col.alias("_b")).agg(
+        *[
+            (F.max(c).cast("bigint") - F.min(c).cast("bigint") + 1).alias(
+                f"_span_{c}"
+            )
+            for c in dim_cols
+        ]
+    )
+    spans = [
+        F.sum(f"_span_{c}").cast("bigint").alias(f"span_{c}")
+        for c in dim_cols
+    ]
+    total = None
+    for c in dim_cols:
+        t = F.sum(f"_span_{c}").cast("bigint")
+        total = t if total is None else total + t
+    return per_bucket.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        *spans,
+        total.cast("bigint").alias("span_total"),
+    ).select(
+        F.lit(n_label).alias("layout"),
+        "n_buckets",
+        *[f"span_{c}" for c in dim_cols],
+        "span_total",
+    )

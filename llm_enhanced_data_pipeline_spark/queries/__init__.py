@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     dedup_q,
     events_q,
     graph_q,
+    layout_q,
     lm_q,
     pipeline_q,
     rag_q,

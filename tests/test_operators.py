@@ -85,3 +85,54 @@ def test_global_rank_all_null_metric_raises(spark):
     empty = all_null.filter("id < 0")
     out = ranking.global_rank(empty, "m", "id")
     assert out.count() == 0 and "rank" in out.columns
+
+
+def test_zorder_key_matches_hand_morton(spark):
+    from llm_enhanced_data_pipeline_spark.operators import layout
+
+    cases = [(3, 5), (15, 15), (0, 1), (1023, 0), (512, 511)]
+
+    def morton(x, y, bits=10):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(cases, "x bigint, y bigint")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y",
+            layout.zorder_key([F.col("x"), F.col("y")], bits=10).alias("z"),
+        ).collect()
+    }
+    for x, y in cases:
+        assert got[(x, y)] == morton(x, y), (x, y)
+
+
+def test_zorder_key_rejects_int64_overflow():
+    import pytest as _pytest
+
+    from llm_enhanced_data_pipeline_spark.operators import layout
+
+    with _pytest.raises(ValueError):
+        layout.zorder_key([None, None, None], bits=21)
+    with _pytest.raises(ValueError):
+        layout.zorder_key_sql(["a", "b"], bits=32)
+
+
+def test_zorder_layout_beats_scatter_and_balances_dims(spark, sf_dir):
+    # the point of the report: z-order keeps BOTH dims' spans small,
+    # the single-column sort forfeits the other dim, scatter forfeits
+    # both — pin the ordering so the gate can't pass vacuously
+    from llm_enhanced_data_pipeline_spark.queries import REGISTRY
+
+    rows = {
+        r["layout"]: r
+        for r in REGISTRY["zorder_layout_report"].fn(spark, sf_dir).collect()
+    }
+    z, sx, sc = rows["zorder"], rows["sort_x"], rows["scatter"]
+    assert z["span_total"] < sc["span_total"]      # beats do-nothing
+    assert z["span_total"] < sx["span_total"]      # beats 1-D sort overall
+    assert sx["span_x"] <= z["span_x"]             # 1-D sort wins its dim
+    assert z["span_y"] < sx["span_y"]              # ...and forfeits the other
