@@ -954,3 +954,97 @@ def mmr_rerank_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     corpus = emb.filter(F.col("vec_id") != 0)
     return vector.mmr_topk(corpus, q, "vec_id", "embedding", k=5, lam=0.7)
+
+
+# ---------------------------------------------------------------------------
+# Embedding linear-probe quality filtering — the FineWeb-Edu / DCLM
+# shape: a tiny classifier over document embeddings decides what joins
+# the training corpus. Here the classifier is the exact-arithmetic
+# mean-difference probe (w = mean(positive class) - mean(negative
+# class) on the integer-quantized grid), trained IN the engine with
+# one aggregation and applied with one broadcast — no model server in
+# the scoring path, which is the only way classifier filtering works
+# at 100 TB.
+
+
+@register(
+    "embedding_probe_filter",
+    doc="Embedding linear-probe filter (the FineWeb-Edu/DCLM "
+    "classifier-filtering shape, exact-integer): probe weights = "
+    "per-dimension mean difference between label-0 (positive) and "
+    "label-1 (negative) vectors on the kmeans integer grid (floor "
+    "divisions; one explode + one 64-group aggregation, then a 64-row "
+    "fold into a single broadcast array); every vector scored by the "
+    "offset-centered bigint dot product (deterministic array fold — "
+    "no float-summation hazard) and gated at score >= 0. Per-label "
+    "report: n_vecs, n_pass, exact score sum. The probe must fire: "
+    "label 0 passes, label 1 fails (pinned by test).",
+    oracle=f"""
+WITH qv AS (
+  SELECT vec_id, label, {vector.quantize_vec_sql('embedding')} AS q
+  FROM embeddings
+),
+dims AS (
+  SELECT _i,
+         (sum(CASE WHEN label = 0 THEN q[_i] END)::BIGINT
+            // count(CASE WHEN label = 0 THEN 1 END))
+         - (sum(CASE WHEN label = 1 THEN q[_i] END)::BIGINT
+            // count(CASE WHEN label = 1 THEN 1 END)) AS w
+  FROM qv, range(1, 65) r(_i)
+  WHERE label IN (0, 1)
+  GROUP BY _i
+),
+wrow AS (SELECT list(w ORDER BY _i) AS warr FROM dims),
+scored AS (
+  SELECT label,
+         list_sum(list_transform(range(1, 65),
+           _i -> (q[_i] - {vector.Q_OFFSET}) * warr[_i]))::BIGINT AS score_u
+  FROM qv CROSS JOIN wrow
+)
+SELECT label::BIGINT AS label, count(*)::BIGINT AS n_vecs,
+       sum(CASE WHEN score_u >= 0 THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+       sum(score_u)::BIGINT AS sum_score_u
+FROM scored GROUP BY label
+""",
+)
+def embedding_probe_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", vector.quantize_vec(F.col("embedding")).alias("q")
+    )
+    dims = (
+        emb.filter(F.col("label").isin(0, 1))
+        .select("label", F.posexplode("q").alias("_i0", "qi"))
+        .groupBy("_i0")
+        .agg(
+            F.expr(
+                "cast(sum(case when label = 0 then qi end) div "
+                "count(case when label = 0 then 1 end) as bigint) - "
+                "cast(sum(case when label = 1 then qi end) div "
+                "count(case when label = 1 then 1 end) as bigint)"
+            ).alias("w")
+        )
+    )
+    wrow = dims.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_i0", "w"))),
+            lambda s: s["w"],
+        ).alias("warr")
+    )
+    scored = emb.crossJoin(F.broadcast(wrow)).select(
+        "label",
+        F.aggregate(
+            F.zip_with(
+                "q", "warr",
+                lambda a, b: (a - F.lit(vector.Q_OFFSET)) * b,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("score_u"),
+    )
+    return scored.groupBy(F.col("label").cast("bigint").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(F.when(F.col("score_u") >= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass"),
+        F.sum("score_u").cast("bigint").alias("sum_score_u"),
+    )

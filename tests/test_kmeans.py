@@ -162,3 +162,24 @@ def test_pq_adc_approximates_exact_neighbors(spark, sf_dir):
     exact_rows = [r.vec_id for r in exact.collect()]
     assert len(adc_ids & set(exact_rows[:10])) >= 2
     assert len(adc_ids & set(exact_rows)) >= 6
+
+
+def test_embedding_probe_separates_its_training_labels(spark, sf_dir):
+    # the probe must actually FIRE (the oracle hash-compare would pass
+    # on a degenerate all-zero w too): label 0 overwhelmingly passes,
+    # label 1 overwhelmingly fails, and the two classes' score sums
+    # sit on opposite sides of 0
+    from llm_enhanced_data_pipeline_spark.queries import REGISTRY
+
+    rows = {
+        r["label"]: r
+        for r in REGISTRY["embedding_probe_filter"].fn(spark, sf_dir).collect()
+    }
+    pos, neg = rows[0], rows[1]
+    pos_rate = pos["n_pass"] / pos["n_vecs"]
+    neg_rate = neg["n_pass"] / neg["n_vecs"]
+    assert pos_rate >= 0.85            # measured 0.90 at sf0.01
+    assert neg_rate <= 0.25            # measured 0.17
+    assert pos_rate - neg_rate >= 0.5  # genuine separation
+    assert pos["sum_score_u"] > 0 > neg["sum_score_u"]
+    assert set(rows) == set(range(10))  # every label scored
