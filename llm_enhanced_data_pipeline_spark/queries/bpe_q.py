@@ -31,19 +31,26 @@ ITERS = 12
 _TRAINED: dict[tuple[str, str, int], tuple[list, DataFrame]] = {}
 
 
-def _trained(spark: SparkSession, sf_dir: str, iters: int = ITERS):
-    key = (spark.sparkContext.applicationId, sf_dir, iters)
+def _trained(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = ITERS,
+    slice_n: int | None = None,
+):
+    key = (spark.sparkContext.applicationId, sf_dir, iters, slice_n)
     if key not in _TRAINED:
-        docs = load_table(spark, "documents", sf_dir).withColumn(
-            "toks", cleaning.tokens(F.col("text"))
-        )
+        docs = load_table(spark, "documents", sf_dir)
+        if slice_n is not None:
+            docs = docs.filter(F.col("doc_id") < slice_n)
+        docs = docs.withColumn("toks", cleaning.tokens(F.col("text")))
         _TRAINED[key] = bpe.bpe_train(bpe.word_freqs(docs, "toks"), iters=iters)
     return _TRAINED[key]
 
 
-def _bpe_ctes(iters: int = ITERS) -> str:
+def _bpe_ctes(iters: int = ITERS, where: str = "") -> str:
     parts = [
-        f"tok AS MATERIALIZED (SELECT unnest({_TOKS}) AS word FROM documents)",
+        f"tok AS MATERIALIZED (SELECT unnest({_TOKS}) AS word "
+        f"FROM documents WHERE 1=1{where})",
         "w0 AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq, "
         f"{bpe.init_symbols_sql('word')} AS _s FROM tok GROUP BY word)",
     ]
@@ -158,6 +165,102 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).withColumn(
         "toks", cleaning.tokens(F.col("text"))
     )
+    vocab = final_words.select("word", F.col("_s").alias("_seg"))
+    j = (
+        docs.select("lang", F.explode("toks").alias("word"))
+        .join(vocab, "word")
+        .select(
+            "lang", F.size(F.split(F.trim(F.col("_seg")), " ")).alias("_ns")
+        )
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("_ns").cast("long").alias("n_subwords"),
+        rounding.stable_round(
+            F.sum("_ns").cast("double") / F.count(F.lit(1)), 4
+        ).alias("fertility"),
+    )
+
+
+# --- sf0.1-sweep slice twins (r12): the full BPE gates' unrolled
+# 12-round CTE chains re-replace the whole word-type table per round
+# in DuckDB, so they were sf0.01-only; these twins run the SAME
+# trainer/apply lineages over the first-600-doc slice, keeping the
+# oracle tractable at 10x driver scale. The unbounded-scale COST law
+# is scale_smoke's bpe_train slot.
+
+_BPE_SLICE_N = 600
+_BPE_SLICE_WHERE = f" AND doc_id < {_BPE_SLICE_N}"
+
+
+@register(
+    "bpe_train_merges_sliced",
+    doc="bpe_train_merges over the first-600-doc slice — the sf0.1-"
+    "sweep twin. Same 12 merge rounds, same argmax total order.",
+    oracle=f"""
+WITH {_bpe_ctes(where=_BPE_SLICE_WHERE)}
+{_merges_union_sql()}
+""",
+)
+def bpe_train_merges_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = _trained(spark, sf_dir, slice_n=_BPE_SLICE_N)
+    return spark.createDataFrame(
+        merges, "rank: int, lhs: string, rhs: string, pair_freq: long"
+    )
+
+
+@register(
+    "bpe_segment_stats_sliced",
+    doc="bpe_segment_stats over the first-600-doc slice — the sf0.1-"
+    "sweep twin. Same trained artifact, same broadcast apply join.",
+    oracle=f"""
+WITH {_bpe_ctes(where=_BPE_SLICE_WHERE)},
+sub AS (
+  SELECT unnest(string_split(trim(w._s), ' ')) AS subword
+  FROM tok t JOIN w{ITERS} w USING (word)
+)
+SELECT subword, count(*)::BIGINT AS n
+FROM sub GROUP BY subword
+ORDER BY n DESC, subword ASC LIMIT 30
+""",
+)
+def bpe_segment_stats_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, final_words = _trained(spark, sf_dir, slice_n=_BPE_SLICE_N)
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") < _BPE_SLICE_N
+    ).withColumn("toks", cleaning.tokens(F.col("text")))
+    tok_rows = docs.select(F.explode("toks").alias("word"))
+    sub = bpe.segment_tokens(tok_rows, "word", final_words)
+    return (
+        sub.groupBy("subword")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("subword").asc())
+        .limit(30)
+    )
+
+
+@register(
+    "bpe_fertility_by_lang_sliced",
+    doc="bpe_fertility_by_lang over the first-600-doc slice — the "
+    "sf0.1-sweep twin. Same fertility arithmetic per language.",
+    oracle=f"""
+WITH {_bpe_ctes(where=_BPE_SLICE_WHERE)},
+tokl AS (SELECT lang, unnest({_TOKS}) AS word FROM documents
+         WHERE doc_id < {_BPE_SLICE_N}),
+j AS (
+  SELECT t.lang, len(string_split(trim(w._s), ' ')) AS ns
+  FROM tokl t JOIN w{ITERS} w USING (word)
+)
+SELECT lang, count(*)::BIGINT AS n_words, sum(ns)::BIGINT AS n_subwords,
+       {rounding.stable_round_sql('sum(ns)::DOUBLE / count(*)', 4)} AS fertility
+FROM j GROUP BY lang
+""",
+)
+def bpe_fertility_by_lang_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, final_words = _trained(spark, sf_dir, slice_n=_BPE_SLICE_N)
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") < _BPE_SLICE_N
+    ).withColumn("toks", cleaning.tokens(F.col("text")))
     vocab = final_words.select("word", F.col("_s").alias("_seg"))
     j = (
         docs.select("lang", F.explode("toks").alias("word"))

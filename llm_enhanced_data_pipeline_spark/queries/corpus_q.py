@@ -1352,6 +1352,23 @@ def substring_dedup_apply_sampled(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "substring_dedup_spans_sampled",
+    doc="substring_dedup_spans over the deterministic ~10% md5 slice — "
+    "the sf0.1-sweep twin (the full gate's exact-gram group-by oracle "
+    "is quadratic-ish in DuckDB at sf0.1). Same operator, same k.",
+    oracle=corpus.duplicated_spans_sql(
+        _TOKS, "doc_id", k=8,
+        relation=f"(SELECT * FROM documents WHERE {_S10_PRED_SQL})",
+    ),
+)
+def substring_dedup_spans_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _sampled_docs(spark, sf_dir).withColumn(
+        "toks", cleaning.tokens(F.col("text"))
+    )
+    return corpus.duplicated_spans(docs, "doc_id", "toks", k=8)
+
+
+@register(
     "corpus_build_v4_sampled",
     doc="corpus_build_v4 (substring dedup -> floor -> DoReMi -> "
     "schedule) over the deterministic ~10% md5 slice — the sf0.1-sweep "

@@ -10,12 +10,13 @@
 # lsh_tuning_report, dedup_fuzzy_jaccard, near_dup_pairs_ngram /
 # _containment / _winnowing / _embedding and mmr_rerank through their
 # *_sliced twins (first-500-vec_id / first-600-base-doc slices; seed-
-# and query-set-safe at every sf), all of which run IN this sweep.
-# Remaining deselects WITHOUT a sampled/sliced twin: the bpe_* family
-# and substring_dedup_spans (iterative/quadratic oracles whose Spark
-# sides are ratio-bounded in scale_smoke: bpe_train, substring_spans
-# slots) and semdedup_prune (covered by semdedup_prune_sampled).
-# semdedup_prune_autok is
+# and query-set-safe at every sf), all of which run IN this sweep —
+# as do (r12) bpe_train_merges / bpe_segment_stats /
+# bpe_fertility_by_lang (_sliced) and substring_dedup_spans
+# (_sampled). EVERY deselected gate below now has a sampled/sliced
+# twin running in this sweep except semdedup_prune/autok (covered by
+# semdedup_prune_sampled, whose oracle re-derives the slice-pinned
+# auto-k). semdedup_prune_autok is
 # deselected because its oracle pins k=8 (= the auto-k derivation
 # at sf0.01's 500 vectors); at sf0.1 auto-k derives k=32 by design —
 # its sf0.1 coverage is semdedup_prune_sampled (slice-pinned auto-k,
