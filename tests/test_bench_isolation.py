@@ -425,3 +425,40 @@ def test_no_calibration_pin_degrades_to_raw_only_record():
         bench.normalize_record({"q1_pricing_summary": 1.0}, 1.0, 0.0, {"slots_sec": {}})
         == {}
     )
+
+
+def test_every_sweep_deselect_has_a_slice_twin_in_the_sweep():
+    """sweep_sf01.sh's deselect list must not rot into a blind spot
+    again (r11 verdict item 3): every deselected gate needs a _sliced
+    or _sampled twin registered (twins run IN the sweep), except the
+    documented semdedup auto-k pair whose shared twin is
+    semdedup_prune_sampled."""
+    import os
+    import re
+
+    from llm_enhanced_data_pipeline_spark.queries import REGISTRY
+
+    script = open(
+        os.path.join(os.path.dirname(bench.__file__), "sweep_sf01.sh")
+    ).read()
+    body = re.search(r"DESELECT=\(([^)]*)\)", script).group(1)
+    deselected = [n for n in body.split() if not n.startswith("#")]
+    assert len(deselected) >= 15  # the list genuinely parsed
+    twins = {
+        "semdedup_prune": "semdedup_prune_sampled",
+        "semdedup_prune_autok": "semdedup_prune_sampled",
+    }
+    missing = []
+    for name in deselected:
+        candidates = (
+            twins.get(name),
+            f"{name}_sliced",
+            f"{name}_sampled",
+        )
+        if not any(c in REGISTRY for c in candidates if c):
+            missing.append(name)
+    assert not missing, f"deselected gates without a sweep twin: {missing}"
+    # and every twin must itself be sweep-eligible (not deselected)
+    for name in deselected:
+        for c in (f"{name}_sliced", f"{name}_sampled"):
+            assert c not in deselected
