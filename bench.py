@@ -422,10 +422,23 @@ def main() -> None:
         if calib_quiet and calib_side > 0
         else None
     )
+    # When the two sides disagree wildly (load arrived or left MID
+    # sweep — observed: before ~quiet, after 10x), no single scalar can
+    # normalize the record: different slots experienced different
+    # machines. Flag it so the normalized channel is read as unreliable
+    # for this record rather than merely conservative.
+    calib_unstable = bool(
+        statistics.median(calib_before) > 0
+        and statistics.median(calib_after) > 0
+        and max(statistics.median(calib_before), statistics.median(calib_after))
+        / min(statistics.median(calib_before), statistics.median(calib_after))
+        > 2.0
+    )
     print(
         f"# calibration: before {calib_before} after {calib_after} "
         f"side-min {calib_side}s (median-all {calib_median}s) "
-        f"quiet-pin {calib_quiet}s ratio {calib_ratio}",
+        f"quiet-pin {calib_quiet}s ratio {calib_ratio} "
+        f"unstable {calib_unstable}",
         file=sys.stderr,
     )
 
@@ -474,6 +487,7 @@ def main() -> None:
             "after_secs": calib_after,
             "median_sec": calib_median,
             "side_min_sec": calib_side,
+            "unstable": calib_unstable,
             "quiet_sec": calib_quiet,
             "ratio": calib_ratio,
             "threads": CALIB_THREADS,

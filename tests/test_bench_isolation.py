@@ -462,3 +462,20 @@ def test_every_sweep_deselect_has_a_slice_twin_in_the_sweep():
     for name in deselected:
         for c in (f"{name}_sliced", f"{name}_sampled"):
             assert c not in deselected
+
+
+def test_calibration_instability_math():
+    """The side-min rule + the instability flag, against the two live
+    r12 observations: an after-side spike must not over-correct (the
+    min side wins) and a >2x side disagreement marks the scalar
+    unusable for that record."""
+    import statistics
+
+    # observation 1: late mild spike — min side normalizes in-band
+    before, after = [1.039, 1.2335, 1.4366], [1.749, 1.9379, 3.0731]
+    side = min(statistics.median(before), statistics.median(after))
+    assert round(side / 1.08, 2) == 1.14  # the in-band correction
+    # observation 2: mid-sweep slam — sides disagree 10x: unstable
+    before2, after2 = [0.8555, 0.8003, 1.0523], [7.8602, 12.9843, 10.8871]
+    m_b, m_a = statistics.median(before2), statistics.median(after2)
+    assert max(m_b, m_a) / min(m_b, m_a) > 2.0
