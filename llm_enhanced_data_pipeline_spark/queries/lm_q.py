@@ -100,3 +100,33 @@ def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("xent_milli").cast("bigint").alias("max_xent_milli"),
         )
     )
+
+
+@register(
+    "ccnet_head_selection",
+    doc="The CCNet bucketing APPLIED as corpus selection: keep each "
+    "language's perplexity head (tertile 1 — closest to the reference "
+    "domain), emitting the per-doc rows a corpus build consumes "
+    "(doc_id, lang, n_toks, xent_milli). Same exact-integer scoring "
+    "chain, one keyed ntile window, no global sort.",
+    oracle=f"""
+WITH {_MODEL_CTE},
+{lm.cross_entropy_sql(tokens_sql("text"), "doc_id", "documents",
+                      "lm_model", keep_cols=["lang"])},
+bucketed AS (
+  SELECT _id AS doc_id, lang, n_toks, xent_milli,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY xent_milli, _id) AS bucket
+  FROM lm_xent
+)
+SELECT doc_id, lang, n_toks, xent_milli FROM bucketed WHERE bucket = 1
+""",
+)
+def ccnet_head_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _scored(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("xent_milli", "doc_id")
+    return (
+        scored.withColumn("bucket", F.ntile(3).over(w))
+        .filter(F.col("bucket") == 1)
+        .select("doc_id", "lang", "n_toks", "xent_milli")
+    )
