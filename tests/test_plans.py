@@ -213,6 +213,7 @@ QUADRATIC_BY_DESIGN = {
     # model join is a broadcast equi-join on the token
     "lm_perplexity_report",
     "ccnet_quality_buckets",
+    "ccnet_head_selection",
     "embedding_probe_filter",  # broadcast 1-row probe-weight array
                                # (the 64-row fold); scoring is a
                                # projection, no pairwise join
