@@ -153,6 +153,7 @@ def normalize_record(
     legacy_total: float | None,
     calib_ratio: float | None,
     baseline: dict,
+    calib_unstable: bool = False,
 ) -> dict:
     """Load-normalized comparison fields for the payload (empty dict
     when no calibration ratio or no pins are available — the record
@@ -165,10 +166,30 @@ def normalize_record(
     regression survives normalization as one slot's ratio diverging
     from its siblings. ``normalized_legacy_subtotal`` re-checks the
     quiet-machine band after dividing out the slowdown — the
-    adjudication number for a loaded host."""
+    adjudication number for a loaded host.
+
+    Latency noise on a shared box is ONE-SIDED (load only ever ADDS
+    time), so ``normalized_in_band`` checks only the CEILING: a
+    subtotal above band[1] after normalization is a credible
+    regression signal. A subtotal BELOW band[0] is a speedup or band
+    staleness — the r12 driver record (fastest subtotal on file,
+    9.31s) read ``normalized_in_band: false`` under the old two-sided
+    check purely for being fast. That case now stays in-band and is
+    flagged ``normalized_below_band`` (informational: consider
+    re-pinning the band from the new clean evidence).
+
+    When ``calib_unstable`` (the before/after calibration medians
+    disagree >2x — load arrived or left MID sweep), no single scalar
+    can normalize the record: different slots saw different machines.
+    The normalized fields are then SKIPPED entirely and the payload
+    carries ``normalized_unreliable: true`` instead, so a consumer
+    reading only ``normalized_in_band`` can never adjudicate a record
+    whose own calibration disavows the correction."""
     out: dict = {}
     if not calib_ratio or calib_ratio <= 0:
         return out
+    if calib_unstable:
+        return {"normalized_unreliable": True}
     slots = baseline.get("slots_sec") or {}
     ratios = {
         k: round((v / slots[k]) / calib_ratio, 3)
@@ -181,7 +202,8 @@ def normalize_record(
     if band and legacy_total is not None:
         norm = round(legacy_total / calib_ratio, 4)
         out["normalized_legacy_subtotal"] = norm
-        out["normalized_in_band"] = bool(band[0] <= norm <= band[1])
+        out["normalized_in_band"] = bool(norm <= band[1])
+        out["normalized_below_band"] = bool(norm < band[0])
     return out
 
 
@@ -511,6 +533,7 @@ def main() -> None:
             legacy_total if legacy_names <= set(timings) else None,
             calib_ratio,
             baseline,
+            calib_unstable=calib_unstable,
         )
     )
     if errors:

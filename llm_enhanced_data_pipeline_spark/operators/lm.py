@@ -60,14 +60,23 @@ LOG2_TABLE_MILLI = [
 def log2_milli(col: Column) -> Column:
     """1000·log2(n) for a POSITIVE bigint column, exact-integer:
     ``(bitlen-1)·1000 + ladder[top 8 mantissa bits]``. n must be >= 1
-    (callers add smoothing before taking logs)."""
-    bl = F.length(F.bin(col.cast("bigint")))
-    # k = (n * 256) >> (bl-1) - 256  in [0, 256). call_function: the
-    # Python F.shiftright binding only accepts a LITERAL bit count,
-    # but the underlying SQL function takes a column fine.
+    (callers add smoothing before taking logs).
+
+    The top-8-mantissa index is ``floor(n·256 / 2^(bl−1)) − 256``, but
+    the naive ``n * 256`` pre-multiply silently WRAPS in Spark for
+    n ≥ 2^55 (ANSI off) while the DuckDB twin raises on BIGINT
+    overflow — an engine divergence at extreme scale. Shift instead:
+    for bl ≥ 9 the multiply-then-shift is exactly ``n >> (bl−9)``; for
+    bl < 9 (n < 256) it is exactly ``n << (9−bl)`` (< 512, overflow-
+    free). Valid for every positive int64. call_function: the Python
+    F.shiftright/shiftleft bindings only accept a LITERAL bit count,
+    but the underlying SQL functions take a column fine."""
+    n = col.cast("bigint")
+    bl = F.length(F.bin(n))
+    sh = (bl - 9).cast("int")
     k = (
-        F.call_function(
-            "shiftright", col.cast("bigint") * LOG2_BUCKETS, (bl - 1).cast("int")
+        F.when(sh >= 0, F.call_function("shiftright", n, sh)).otherwise(
+            F.call_function("shiftleft", n, -sh)
         )
         - LOG2_BUCKETS
     )
@@ -79,12 +88,15 @@ def log2_milli(col: Column) -> Column:
 
 def log2_milli_sql(expr: str) -> str:
     """DuckDB twin of :func:`log2_milli` — same bit length, same
-    ladder literals, same truncation. ``//`` floor-division semantics
-    match the Spark cast-to-bigint because every operand is
-    non-negative."""
+    ladder literals, same shift-not-multiply mantissa (so neither
+    engine ever forms ``n * 256``, which would raise here and wrap in
+    Spark for n ≥ 2^55)."""
     ladder = "[" + ", ".join(str(v) for v in LOG2_TABLE_MILLI) + "]"
     bl = f"length(bin(({expr})::BIGINT))"
-    k = f"((({expr})::BIGINT * {LOG2_BUCKETS}) // (1::BIGINT << ({bl} - 1)) - {LOG2_BUCKETS})"
+    k = (
+        f"(CASE WHEN ({bl}) >= 9 THEN (({expr})::BIGINT >> (({bl}) - 9)) "
+        f"ELSE (({expr})::BIGINT << (9 - ({bl}))) END - {LOG2_BUCKETS})"
+    )
     return f"((({bl}) - 1) * 1000 + ({ladder})[({k}) + 1])::BIGINT"
 
 
@@ -127,7 +139,13 @@ def cross_entropy_milli(
     Empty docs (no tokens) are dropped, like CCNet drops empty
     paragraphs. Plan shape: explode → broadcast equi-join against the
     model → one keyed aggregation; the (N+V) denominator is a 1-row
-    broadcast crossJoin."""
+    broadcast crossJoin.
+
+    An EMPTY reference model (N+V = 0) fails LOUD in both engines
+    (raise_error / error()) rather than feeding log2_milli its
+    out-of-domain 0 — which would silently NULL every xent_milli via
+    an out-of-range element_at with no signal that the reference
+    slice was empty."""
     keep = keep_cols or []
     toks = docs.select(
         F.col(id_col), *[F.col(c) for c in keep],
@@ -136,10 +154,14 @@ def cross_entropy_milli(
     scored = toks.join(F.broadcast(model), "tok", "left").withColumn(
         "_c1", (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("bigint")
     )
+    nv = (F.col("n_total") + F.col("v_vocab")).cast("bigint")
+    guarded_nv = F.when(nv >= 1, nv).otherwise(
+        F.raise_error(
+            F.lit("lm reference model is empty (n_total + v_vocab < 1)")
+        ).cast("bigint")
+    )
     denom = F.broadcast(
-        lm_stats(model).select(
-            log2_milli(F.col("n_total") + F.col("v_vocab")).alias("_lden")
-        )
+        lm_stats(model).select(log2_milli(guarded_nv).alias("_lden"))
     )
     per_tok = scored.crossJoin(denom).withColumn(
         "_bits_milli", F.col("_lden") - log2_milli(F.col("_c1"))
@@ -183,10 +205,16 @@ def cross_entropy_sql(
     keep = keep_cols or []
     k_sel = "".join(f", {c}" for c in keep)
     k_t = "".join(f", t.{c}" for c in keep)
-    denom = f"(SELECT coalesce(sum(c), 0) + count(*) FROM {model_cte})"
+    guarded_nv = (
+        "CASE WHEN nv >= 1 THEN nv "
+        "ELSE error('lm reference model is empty (n_total + v_vocab < 1)') END"
+    )
     return f"""
+lm_nv AS (
+  SELECT (coalesce(sum(c), 0) + count(*))::BIGINT AS nv FROM {model_cte}
+),
 lm_den AS (
-  SELECT {log2_milli_sql(denom)} AS lden
+  SELECT {log2_milli_sql(guarded_nv)} AS lden FROM lm_nv
 ),
 lm_tok AS (
   SELECT {id_expr} AS _id{k_sel}, unnest({toks_expr}) AS tok

@@ -419,6 +419,48 @@ def test_single_slot_regression_survives_normalization():
     assert out2["normalized_ratios"]["corpus_build_v4"] == 3.0
 
 
+def test_normalized_band_check_is_one_sided():
+    """Below-floor is a SPEEDUP (or band staleness), not a regression:
+    the r12 driver record — the fastest normalized subtotal on file
+    (9.31s vs band floor 9.8) — read ``normalized_in_band: false``
+    under the old two-sided check purely for being fast. Below-floor
+    must stay in-band and carry the informational
+    ``normalized_below_band`` flag; only above-CEILING is the
+    regression signal."""
+    baseline = bench.load_baseline()
+    lo, hi = baseline["legacy_13slot_subtotal_band"]
+    fast = bench.normalize_record({}, lo * 0.8, 1.0, baseline)
+    assert fast["normalized_in_band"] is True
+    assert fast["normalized_below_band"] is True
+    mid = bench.normalize_record({}, (lo + hi) / 2, 1.0, baseline)
+    assert mid["normalized_in_band"] is True
+    assert mid["normalized_below_band"] is False
+    slow = bench.normalize_record({}, hi * 1.2, 1.0, baseline)
+    assert slow["normalized_in_band"] is False
+    assert slow["normalized_below_band"] is False
+
+
+def test_unstable_calibration_suppresses_normalized_fields():
+    """When the before/after calibration medians disagree >2x (load
+    arrived or left MID sweep), no scalar can normalize the record —
+    different slots saw different machines. The normalized_* fields
+    must be absent (a consumer reading only normalized_in_band can
+    never adjudicate such a record) and normalized_unreliable: true
+    must mark why."""
+    baseline = bench.load_baseline()
+    pinned = baseline["slots_sec"]
+    out = bench.normalize_record(
+        dict(pinned), 11.0, 1.5, baseline, calib_unstable=True
+    )
+    assert out == {"normalized_unreliable": True}
+    # stable path unchanged: fields present, no unreliable marker
+    ok = bench.normalize_record(
+        dict(pinned), 11.0, 1.0, baseline, calib_unstable=False
+    )
+    assert "normalized_in_band" in ok
+    assert "normalized_unreliable" not in ok
+
+
 def test_no_calibration_pin_degrades_to_raw_only_record():
     assert bench.normalize_record({"q1_pricing_summary": 1.0}, 1.0, None, {}) == {}
     assert (

@@ -1,0 +1,76 @@
+"""Unit pins for operators/lm.py — the exact-integer log2 ladder and
+the empty-reference-model guard (r12 ADVICE items)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from llm_enhanced_data_pipeline_spark.operators import lm
+
+#: sample points spanning the full positive int64 domain, including
+#: the >= 2^55 region where the old ``n * 256`` pre-multiply wrapped
+#: in Spark (ANSI off) while DuckDB raised — the r12 engine-divergence
+#: advice item.
+SAMPLES = [
+    1, 2, 3, 255, 256, 257, 1023, 65537,
+    (1 << 40) + 12345,
+    (1 << 54) - 1, 1 << 55, (1 << 55) + 99,
+    (1 << 62) + 7, (1 << 63) - 1,
+]
+
+
+def _expected_milli(n: int) -> int:
+    """The ladder's defined value: (bitlen-1)*1000 + table[top 8
+    mantissa bits] — recomputed independently in plain Python."""
+    bl = n.bit_length()
+    k = (n >> (bl - 9)) if bl >= 9 else (n << (9 - bl))
+    return (bl - 1) * 1000 + lm.LOG2_TABLE_MILLI[k - 256]
+
+
+def test_log2_milli_spark_full_int64_domain(spark):
+    df = spark.createDataFrame([(n,) for n in SAMPLES], "n bigint")
+    got = {
+        r["n"]: r["m"]
+        for r in df.select("n", lm.log2_milli(F.col("n")).alias("m")).collect()
+    }
+    for n in SAMPLES:
+        assert got[n] == _expected_milli(n), n
+        # and the ladder is a genuine log2 within its 8-bit quantization
+        assert abs(got[n] / 1000.0 - math.log2(n)) < 0.006, n
+
+
+def test_log2_milli_sql_twin_matches_everywhere():
+    con = duckdb.connect()
+    for n in SAMPLES:
+        (got,) = con.sql(
+            f"SELECT {lm.log2_milli_sql(str(n))}"
+        ).fetchone()
+        assert got == _expected_milli(n), n
+
+
+def test_empty_reference_model_fails_loud_spark(spark):
+    docs = spark.createDataFrame(
+        [("d1", ["a", "b"])], "doc_id string, toks array<string>"
+    )
+    empty_model = spark.createDataFrame([], "tok string, c bigint")
+    out = lm.cross_entropy_milli(docs, "doc_id", "toks", empty_model)
+    with pytest.raises(Exception, match="reference model is empty"):
+        out.collect()
+
+
+def test_empty_reference_model_fails_loud_duckdb():
+    con = duckdb.connect()
+    sql = (
+        "WITH lm_model AS (SELECT 'x' AS tok, 1::BIGINT AS c WHERE false),\n"
+        + lm.cross_entropy_sql(
+            "string_split(txt, ' ')", "doc_id", "docs", "lm_model"
+        )
+        + "\nSELECT * FROM lm_xent"
+    )
+    con.sql("CREATE TABLE docs AS SELECT 'd1' AS doc_id, 'a b' AS txt")
+    with pytest.raises(Exception, match="reference model is empty"):
+        con.sql(sql).fetchall()
