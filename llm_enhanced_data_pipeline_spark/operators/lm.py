@@ -45,6 +45,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.arrays import index_1_to
+
 #: mantissa buckets for the fractional log2 ladder (top 8 bits)
 LOG2_BUCKETS = 256
 #: fractional ladder: round(log2(1 + k/256) * 1000) for k in [0, 256)
@@ -183,6 +185,200 @@ def cross_entropy_milli(
     )
 
 
+#: fixed-point fraction bits for the interpolated bigram probability
+FP_BITS = 20
+FP_ONE = 1 << FP_BITS
+#: Jelinek-Mercer interpolation weight λ = LAM_NUM/LAM_DEN on the
+#: bigram term (the unigram term gets 1−λ) — a RATIONAL so the mixture
+#: stays exact-integer in both engines
+LAM_NUM, LAM_DEN = 3, 4
+
+
+def bigram_pairs(df: DataFrame, toks_col: str, keep: list[str]) -> DataFrame:
+    """One row per adjacent token pair → (*keep, _w1, _w2). Array
+    transform + explode: no self-join, no positional window.
+    index_1_to (not raw sequence()) so sub-2-token docs yield ZERO
+    pairs in both engines instead of Spark's descending [1, 0]."""
+    toks = F.col(toks_col)
+    idx = F.transform(
+        index_1_to(F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i.cast("int")).alias("_w1"),
+            F.element_at(toks, (i + 1).cast("int")).alias("_w2"),
+        ),
+    )
+    return df.select(
+        *[F.col(c) for c in keep], F.explode(idx).alias("_p")
+    ).select(*keep, F.col("_p._w1").alias("_w1"), F.col("_p._w2").alias("_w2"))
+
+
+def bigram_counts(reference: DataFrame, toks_col: str) -> DataFrame:
+    """Reference-domain bigram model: (_w1, _w2, c_bi) counts over the
+    clean corpus — one pair explode + one hash aggregation. Vocab²-
+    bounded (in practice Zipf-bounded far below that), broadcastable
+    like the unigram table."""
+    return (
+        bigram_pairs(reference, toks_col, [])
+        .groupBy("_w1", "_w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_bi"))
+    )
+
+
+def bigram_cross_entropy_milli(
+    docs: DataFrame,
+    id_col: str,
+    toks_col: str,
+    bi_model: DataFrame,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-doc cross-entropy under a Jelinek-Mercer interpolated
+    BIGRAM reference model, in exact milli-bits →
+    ``(id_col, *keep_cols, n_bigrams, xent_milli)`` — the sequence-
+    aware upgrade of :func:`cross_entropy_milli` (CCNet's actual
+    scorer is a 5-gram KenLM; conditioning on the previous token
+    penalizes improbable SEQUENCES of individually-common tokens,
+    which the unigram lane cannot see).
+
+    Exact-integer mixture: the interpolated probability
+    λ·c_bi/c_w1 + (1−λ)·c_w2/N is quantized to FP_BITS fixed point —
+
+        q1 = (c_bi · 2^20) div c_w1        (≤ 2^20 since c_bi ≤ c_w1)
+        q2 = (c_w2 · 2^20) div N           (≤ 2^20)
+        m  = max((LAM_NUM·q1 + (LAM_DEN−LAM_NUM)·q2) div LAM_DEN, 1)
+
+    and the per-pair cost is ``20000 − log2_milli(m)`` milli-bits —
+    every step a bigint, so the per-doc sum is order-independent and
+    the DuckDB twin matches bit-for-bit. Unseen bigrams fall to the
+    unigram floor (q1 = 0); a fully-OOV pair clamps at m = 1 = 20
+    bits/pair, CCNet's practical ceiling. Docs with < 2 tokens are
+    dropped (no sequence to score), like empty paragraphs in the
+    unigram lane. Input bound (documented like pagerank_int's): any
+    single bigram/unigram count must stay < 2^43 so the 2^20
+    fixed-point shift cannot overflow int64 — at 8.8e12 occurrences
+    of ONE pair this outlasts any real corpus shard.
+
+    Plan shape: one pair explode → broadcast joins against the bigram
+    table and its two unigram marginals → 1-row broadcast total →
+    one keyed aggregation. One corpus scan; the model tables are
+    vocab-bounded and broadcast at any corpus size. Empty reference
+    model fails loud (same raise_error guard as the unigram lane)."""
+    keep = keep_cols or []
+    uni1 = bi_model.groupBy("_w1").agg(F.sum("c_bi").cast("bigint").alias("c_w1"))
+    uni2 = bi_model.groupBy("_w2").agg(F.sum("c_bi").cast("bigint").alias("c_w2"))
+    n_raw = bi_model.agg(
+        F.coalesce(F.sum("c_bi"), F.lit(0)).cast("bigint").alias("_n_raw")
+    )
+    total = F.broadcast(
+        n_raw.select(
+            F.when(F.col("_n_raw") >= 1, F.col("_n_raw"))
+            .otherwise(
+                F.raise_error(
+                    F.lit("lm bigram reference model is empty (no pairs)")
+                ).cast("bigint")
+            )
+            .alias("_n")
+        )
+    )
+    pairs = bigram_pairs(docs, toks_col, [id_col, *keep])
+    scored = (
+        pairs.join(F.broadcast(bi_model), ["_w1", "_w2"], "left")
+        .join(F.broadcast(uni1), "_w1", "left")
+        .join(F.broadcast(uni2), "_w2", "left")
+        .crossJoin(total)
+    )
+    m = F.greatest(
+        F.expr(
+            f"({LAM_NUM} * coalesce((c_bi * {FP_ONE}) div c_w1, 0) + "
+            f"{LAM_DEN - LAM_NUM} * coalesce((c_w2 * {FP_ONE}) div _n, 0)) "
+            f"div {LAM_DEN}"
+        ),
+        F.lit(1).cast("bigint"),
+    )
+    per_pair = scored.withColumn(
+        "_bits_milli",
+        (F.lit(FP_BITS * 1000).cast("bigint") - log2_milli(m)).cast("bigint"),
+    )
+    return (
+        per_pair.groupBy(F.col(id_col), *[F.col(c) for c in keep])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("_bits_milli").cast("bigint").alias("_sum_milli"),
+        )
+        .select(
+            id_col,
+            *keep,
+            "n_bigrams",
+            F.expr("cast(_sum_milli div n_bigrams as bigint)").alias(
+                "xent_milli"
+            ),
+        )
+    )
+
+
+def bigram_counts_sql(toks_expr: str, relation: str) -> str:
+    """DuckDB twin of :func:`bigram_counts` as a SELECT body producing
+    (_w1, _w2, c_bi)."""
+    return f"""SELECT _w1, _w2, count(*)::BIGINT AS c_bi FROM (
+  SELECT toks[_i] AS _w1, toks[_i + 1] AS _w2
+  FROM (SELECT {toks_expr} AS toks FROM {relation}),
+       LATERAL unnest(range(1, greatest(len(toks) - 1, 0) + 1)) r(_i)
+) GROUP BY 1, 2"""
+
+
+def bigram_cross_entropy_sql(
+    toks_expr: str,
+    id_expr: str,
+    docs_relation: str,
+    bi_cte: str,
+    keep_cols: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`bigram_cross_entropy_milli`: CTE text
+    computing ``bg_xent(_id, *keep_cols, n_bigrams, xent_milli)``
+    given a ``bi_cte`` with (_w1, _w2, c_bi) — same fixed-point
+    mixture, same ladder, same clamp, same loud empty-model guard."""
+    keep = keep_cols or []
+    k_sel = "".join(f", {c}" for c in keep)
+    k_p = "".join(f", p.{c}" for c in keep)
+    m = (
+        f"greatest(({LAM_NUM} * coalesce((b.c_bi * {FP_ONE}) // u1.c_w1, 0)"
+        f" + {LAM_DEN - LAM_NUM} * coalesce((u2.c_w2 * {FP_ONE}) // t._n, 0))"
+        f" // {LAM_DEN}, 1)"
+    )
+    return f"""
+bg_uni1 AS (
+  SELECT _w1, sum(c_bi)::BIGINT AS c_w1 FROM {bi_cte} GROUP BY 1
+),
+bg_uni2 AS (
+  SELECT _w2, sum(c_bi)::BIGINT AS c_w2 FROM {bi_cte} GROUP BY 1
+),
+bg_n AS (
+  SELECT CASE WHEN coalesce(sum(c_bi), 0) >= 1
+              THEN coalesce(sum(c_bi), 0)::BIGINT
+              ELSE error('lm bigram reference model is empty (no pairs)')
+         END AS _n
+  FROM {bi_cte}
+),
+bg_pairs AS (
+  SELECT {id_expr} AS _id{k_sel}, toks[_i] AS _w1, toks[_i + 1] AS _w2
+  FROM (SELECT {id_expr}{k_sel}, {toks_expr} AS toks FROM {docs_relation}),
+       LATERAL unnest(range(1, greatest(len(toks) - 1, 0) + 1)) r(_i)
+),
+bg_scored AS (
+  SELECT p._id{k_p},
+         ({FP_BITS * 1000}::BIGINT - {log2_milli_sql(m)}) AS bits_milli
+  FROM bg_pairs p
+  LEFT JOIN {bi_cte} b ON p._w1 = b._w1 AND p._w2 = b._w2
+  LEFT JOIN bg_uni1 u1 ON p._w1 = u1._w1
+  LEFT JOIN bg_uni2 u2 ON p._w2 = u2._w2
+  CROSS JOIN bg_n t
+),
+bg_xent AS (
+  SELECT _id{k_sel}, count(*)::BIGINT AS n_bigrams,
+         (sum(bits_milli)::BIGINT // count(*))::BIGINT AS xent_milli
+  FROM bg_scored GROUP BY ALL
+)"""
+
+
 def unigram_counts_sql(toks_expr: str, relation: str) -> str:
     """DuckDB twin of :func:`unigram_counts` as a SELECT body
     producing (tok, c)."""
@@ -231,3 +427,67 @@ lm_xent AS (
          (sum(bits_milli)::BIGINT // count(*))::BIGINT AS xent_milli
   FROM lm_scored GROUP BY ALL
 )"""
+
+
+def kenlm_scorer(
+    model_path: str,
+):  # pragma: no cover - model lib absent in this container
+    """Real-model CCNet scorer: a KenLM n-gram model (the 5-gram
+    scorer CCNet actually ships) behind the same import gate as the
+    sentence-transformers embedder (enrich/embedding.py) — raises with
+    a clear message when the library is absent; the exact-integer
+    unigram/bigram lanes are the deterministic in-engine substitutes.
+
+    Returns ``texts -> [log10 prob per text]``. The model loads lazily
+    INSIDE the executor on first call (the closure pickles only the
+    path), matching the contract that models are never shipped from
+    the driver."""
+    try:
+        import kenlm  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "kenlm is not installed in this environment; use the "
+            "exact-integer unigram/bigram CCNet lanes (queries/lm_q) "
+            "or install kenlm on the executors"
+        ) from e
+    state: dict[str, object] = {}
+
+    def score(texts: list[str]) -> list[float]:
+        import kenlm
+
+        if "m" not in state:
+            state["m"] = kenlm.Model(model_path)
+        m = state["m"]
+        return [float(m.score(t, bos=True, eos=True)) for t in texts]
+
+    return score
+
+
+def score_perplexity_with(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    scorer,
+    batch_size: int = 64,
+) -> DataFrame:
+    """Arrow-batched adapter running ANY ``texts -> [float]`` scorer
+    (a :func:`kenlm_scorer`, or a deterministic fake in tests) over
+    the corpus → ``(id_col, lm_score)``. mapInPandas, never
+    row-at-a-time: one Python worker per partition, the scorer sees
+    real batches — the exact plumbing shape of the embedding lane, so
+    swapping in the real KenLM model changes zero Spark code."""
+    import pandas as pd
+
+    schema = f"{id_col} string, lm_score double"
+
+    def run(batches):
+        for pdf in batches:
+            texts = pdf[text_col].fillna("").tolist()
+            scores: list[float] = []
+            for i in range(0, len(texts), batch_size):
+                scores.extend(scorer(texts[i : i + batch_size]))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype(str), "lm_score": scores}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)

@@ -102,6 +102,86 @@ def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BI_MODEL_CTE = f"""
+bg_model AS (
+  {lm.bigram_counts_sql(tokens_sql("text"),
+                        f"(SELECT * FROM documents WHERE {_REF_PRED_SQL})")}
+)"""
+
+
+def _bi_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "source", cleaning.tokens(F.col("text")).alias("toks")
+    )
+    bi = lm.bigram_counts(
+        docs.filter(F.col("source").isin(*_REF_SOURCES)), "toks"
+    )
+    return lm.bigram_cross_entropy_milli(
+        docs, "doc_id", "toks", bi, keep_cols=["lang"]
+    )
+
+
+@register(
+    "lm_bigram_report",
+    doc="Sequence-aware CCNet scoring (order=2): per-doc cross-entropy "
+    "in exact integer milli-bits under a Jelinek-Mercer interpolated "
+    "BIGRAM LM (lambda=3/4 rational, 2^20 fixed-point mixture, the "
+    "shared log2 ladder) trained on the src0/src1 reference slice — "
+    "CCNet's actual scorer is a 5-gram KenLM; conditioning on the "
+    "previous token penalizes improbable sequences of individually-"
+    "common tokens, which the unigram lane cannot see. One pair "
+    "explode -> broadcast model joins -> keyed aggregation.",
+    oracle=f"""
+WITH {_BI_MODEL_CTE},
+{lm.bigram_cross_entropy_sql(tokens_sql("text"), "doc_id", "documents",
+                             "bg_model", keep_cols=["lang"])}
+SELECT _id AS doc_id, lang, n_bigrams, xent_milli FROM bg_xent
+""",
+)
+def lm_bigram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bi_scored(spark, sf_dir).select(
+        "doc_id", "lang", "n_bigrams", "xent_milli"
+    )
+
+
+@register(
+    "ccnet_bigram_buckets",
+    doc="CCNet head/middle/tail bucketing under the interpolated "
+    "bigram LM: per-language perplexity tertiles over the sequence-"
+    "aware xent_milli (keyed ntile window, no global sort) with "
+    "per-bucket counts and the xent band — the order-2 twin of "
+    "ccnet_quality_buckets, one step closer to the production 5-gram "
+    "KenLM thresholds.",
+    oracle=f"""
+WITH {_BI_MODEL_CTE},
+{lm.bigram_cross_entropy_sql(tokens_sql("text"), "doc_id", "documents",
+                             "bg_model", keep_cols=["lang"])},
+bg_bucketed AS (
+  SELECT lang, xent_milli,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY xent_milli, _id) AS bucket
+  FROM bg_xent
+)
+SELECT lang, bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
+       min(xent_milli)::BIGINT AS min_xent_milli,
+       max(xent_milli)::BIGINT AS max_xent_milli
+FROM bg_bucketed GROUP BY lang, bucket
+""",
+)
+def ccnet_bigram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _bi_scored(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("xent_milli", "doc_id")
+    return (
+        scored.withColumn("bucket", F.ntile(3).over(w).cast("bigint"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("xent_milli").cast("bigint").alias("min_xent_milli"),
+            F.max("xent_milli").cast("bigint").alias("max_xent_milli"),
+        )
+    )
+
+
 @register(
     "ccnet_head_selection",
     doc="The CCNet bucketing APPLIED as corpus selection: keep each "

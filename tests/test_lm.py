@@ -74,3 +74,60 @@ def test_empty_reference_model_fails_loud_duckdb():
     con.sql("CREATE TABLE docs AS SELECT 'd1' AS doc_id, 'a b' AS txt")
     with pytest.raises(Exception, match="reference model is empty"):
         con.sql(sql).fetchall()
+
+
+def test_bigram_lane_drops_sub_two_token_docs(spark):
+    docs = spark.createDataFrame(
+        [("d1", ["a", "b", "a", "b"]), ("d2", ["solo"]), ("d3", [])],
+        "doc_id string, toks array<string>",
+    )
+    bi = lm.bigram_counts(docs, "toks")
+    out = lm.bigram_cross_entropy_milli(docs, "doc_id", "toks", bi)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {"d1"}
+    assert rows["d1"]["n_bigrams"] == 3
+    # in-model pairs under lambda=3/4: a->b has c_bi=2,c_w1=2 (q1=2^20),
+    # b->a has c_bi=1,c_w1=1; N=3, c_w2(b)=2, c_w2(a)=1
+    q2_b = (2 * lm.FP_ONE) // 3
+    q2_a = (1 * lm.FP_ONE) // 3
+    m_ab = (3 * lm.FP_ONE + q2_b) // 4
+    m_ba = (3 * lm.FP_ONE + q2_a) // 4
+    expected = (
+        2 * (20000 - _expected_milli(m_ab)) + (20000 - _expected_milli(m_ba))
+    ) // 3
+    assert rows["d1"]["xent_milli"] == expected
+
+
+def test_empty_bigram_model_fails_loud_spark(spark):
+    docs = spark.createDataFrame(
+        [("d1", ["a", "b"])], "doc_id string, toks array<string>"
+    )
+    empty = spark.createDataFrame([], "_w1 string, _w2 string, c_bi bigint")
+    out = lm.bigram_cross_entropy_milli(docs, "doc_id", "toks", empty)
+    with pytest.raises(Exception, match="bigram reference model is empty"):
+        out.collect()
+
+
+def test_kenlm_adapter_is_import_gated():
+    with pytest.raises(NotImplementedError, match="kenlm is not installed"):
+        lm.kenlm_scorer("/nonexistent/model.arpa")
+
+
+def test_score_perplexity_with_fake_scorer_plumbing(spark):
+    """The mapInPandas plumbing for the real-model lane, exercised with
+    a deterministic fake: score = -len(text). Batch-shape invariant by
+    construction; asserts schema, row alignment, and that the scorer
+    saw genuine batches."""
+    docs = spark.createDataFrame(
+        [(f"d{i}", "x" * (i + 1)) for i in range(10)],
+        "doc_id string, text string",
+    ).repartition(3)
+
+    def fake(texts):
+        assert isinstance(texts, list)
+        return [-float(len(t)) for t in texts]
+
+    out = lm.score_perplexity_with(docs, "doc_id", "text", fake, batch_size=4)
+    assert out.columns == ["doc_id", "lm_score"]
+    got = {r["doc_id"]: r["lm_score"] for r in out.collect()}
+    assert got == {f"d{i}": -float(i + 1) for i in range(10)}

@@ -214,6 +214,11 @@ QUADRATIC_BY_DESIGN = {
     "lm_perplexity_report",
     "ccnet_quality_buckets",
     "ccnet_head_selection",
+    # bigram CCNet lane: broadcast 1-row pair-total frame (the
+    # interpolation floor's N); the bigram/unigram model joins are
+    # broadcast equi-joins on the pair / token keys
+    "lm_bigram_report",
+    "ccnet_bigram_buckets",
     "embedding_probe_filter",  # broadcast 1-row probe-weight array
                                # (the 64-row fold); scoring is a
                                # projection, no pairwise join
