@@ -640,3 +640,49 @@ def pq_adc_topk(
     return scored.orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc()
     ).limit(k_out)
+
+
+def probe_weights_row(
+    emb: DataFrame,
+    q_col: str = "q",
+    label_col: str = "label",
+    pos: int = 0,
+    neg: int = 1,
+) -> DataFrame:
+    """Exact-integer mean-difference linear probe (the FineWeb-Edu /
+    DCLM classifier-filtering shape): per-dimension
+    ``mean(pos-class) − mean(neg-class)`` on the quantized grid, via
+    one posexplode + one per-dimension aggregation, folded into a
+    SINGLE 1-row broadcastable weight-array frame (``warr``). Floor
+    divisions keep the weights bit-identical across engines and
+    partitionings."""
+    dims = (
+        emb.filter(F.col(label_col).isin(pos, neg))
+        .select(F.col(label_col).alias("_lbl"), F.posexplode(q_col).alias("_i0", "qi"))
+        .groupBy("_i0")
+        .agg(
+            F.expr(
+                f"cast(sum(case when _lbl = {pos} then qi end) div "
+                f"count(case when _lbl = {pos} then 1 end) as bigint) - "
+                f"cast(sum(case when _lbl = {neg} then qi end) div "
+                f"count(case when _lbl = {neg} then 1 end) as bigint)"
+            ).alias("w")
+        )
+    )
+    return dims.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_i0", "w"))),
+            lambda s: s["w"],
+        ).alias("warr")
+    )
+
+
+def probe_score(q_col: Column, warr_col: Column) -> Column:
+    """Offset-centered bigint dot product of a quantized vector with
+    the probe weight array — a deterministic array fold (no float
+    summation hazard); gate at ``probe_score >= 0``."""
+    return F.aggregate(
+        F.zip_with(q_col, warr_col, lambda a, b: (a - F.lit(Q_OFFSET)) * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )

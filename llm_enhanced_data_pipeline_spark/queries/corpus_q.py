@@ -1934,3 +1934,230 @@ def sft_loss_mask_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "greatest(sum(n_toks), 1) as bigint)"
         ).alias("trainable_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_build_v10: the QUALITY-ENSEMBLE capstone. The four independent
+# quality signals the suite gates one-at-a-time — Gopher/C4-style rules
+# (corpus-tuned Gopher parameters), the NB token classifier (GPT-3
+# appendix-A shape, trained in-lineage on the unigram-fluency label),
+# the CCNet perplexity tertile (the NEW sequence-aware bigram LM head),
+# and the embedding linear probe (FineWeb-Edu/DCLM shape) — run
+# together the way a production corpus build runs them: as one lineage
+# with PER-GATE ATTRIBUTION columns (which filter killed each doc),
+# admission = all four, and a per-language funnel report. Flag columns,
+# not separate scans (the v3 pattern): every gate's verdict is a
+# boolean column left-joined back on doc_id, so the report reads each
+# doc exactly once.
+#
+# 100 TB shape: the rules gate is a pure projection; the NB and CCNet
+# lanes are token-keyed hash aggregations + broadcast model joins; the
+# probe is one posexplode agg folded into a 1-row broadcast; the
+# assembly is doc_id equi-joins. No pairwise joins anywhere.
+
+from ..operators import lm as _lm  # noqa: E402
+from ..operators import vector as _vector  # noqa: E402
+from ..operators.text_analysis import nb_score as _nb_score  # noqa: E402
+from ..operators.text_analysis import nb_token_llr as _nb_token_llr  # noqa: E402
+from ..operators.text_analysis import nb_token_llr_sql as _nb_token_llr_sql  # noqa: E402
+
+_V10_STOPWORDS = ("the", "a", "table", "value", "row", "key")
+_V10_MIN_WORDS = 30
+_V10_REF_PRED = "source IN ('src0', 'src1')"
+_V10_SPLIT_SQL = corpus.split_bucket_sql("doc_id::VARCHAR")
+
+_V10_KEPT = "rules_ok AND nb_ok AND ccnet_ok AND probe_ok"
+
+_V10_ORACLE = f"""
+WITH docs_t AS (
+  SELECT doc_id, lang, source, text, {_TOKS} AS toks FROM documents
+),
+lp AS ({text_analysis.unigram_logprob_sql(_TOKS)}),
+basej AS (
+  SELECT d.doc_id, d.lang, d.toks, lp.avg_logprob
+  FROM docs_t d JOIN lp USING (doc_id)
+),
+med AS (SELECT lang, median(avg_logprob) AS _med FROM basej GROUP BY lang),
+labeled AS (
+  SELECT b.doc_id, b.toks, (b.avg_logprob >= m._med) AS label,
+         ({_V10_SPLIT_SQL} < 900) AS is_train
+  FROM basej b JOIN med m USING (lang)
+),
+train AS (SELECT toks, label FROM labeled WHERE is_train),
+{_nb_token_llr_sql('train', 'toks', 'label').lstrip()},
+doc_tok AS (SELECT doc_id, unnest(toks) AS _tok FROM labeled),
+nbs AS (
+  SELECT doc_id,
+         round(min(prior) + sum(coalesce(_llr, oov_llr)), 4) AS nb_score
+  FROM doc_tok LEFT JOIN llr USING (_tok) CROSS JOIN stats
+  GROUP BY doc_id
+),
+bg_model AS (
+  {_lm.bigram_counts_sql(_TOKS, f"(SELECT * FROM documents WHERE {_V10_REF_PRED})")}
+),
+{_lm.bigram_cross_entropy_sql(_TOKS, 'doc_id', 'documents', 'bg_model', keep_cols=['lang']).lstrip()},
+ccnet AS (
+  SELECT _id AS doc_id,
+         (ntile(3) OVER (PARTITION BY lang
+                         ORDER BY xent_milli, _id) = 1) AS ccnet_ok
+  FROM bg_xent
+),
+qv AS (
+  SELECT vec_id, label AS _vlbl, {_vector.quantize_vec_sql('embedding')} AS q
+  FROM embeddings
+),
+pdims AS (
+  SELECT _i,
+         (sum(CASE WHEN _vlbl = 0 THEN q[_i] END)::BIGINT
+            // count(CASE WHEN _vlbl = 0 THEN 1 END))
+         - (sum(CASE WHEN _vlbl = 1 THEN q[_i] END)::BIGINT
+            // count(CASE WHEN _vlbl = 1 THEN 1 END)) AS w
+  FROM qv, range(1, 65) r(_i)
+  WHERE _vlbl IN (0, 1)
+  GROUP BY _i
+),
+pwrow AS (SELECT list(w ORDER BY _i) AS warr FROM pdims),
+probe AS (
+  SELECT vec_id AS doc_id,
+         (list_sum(list_transform(range(1, 65),
+            _i -> (q[_i] - {_vector.Q_OFFSET}) * warr[_i]))::BIGINT >= 0
+         ) AS probe_ok
+  FROM qv CROSS JOIN pwrow
+),
+flagged AS (
+  SELECT d.doc_id, d.lang, len(d.toks)::BIGINT AS n_tok,
+         {text_analysis.gopher_pass_sql('d.text', _V10_MIN_WORDS, _V10_STOPWORDS)} AS rules_ok,
+         coalesce(n.nb_score > 0, false) AS nb_ok,
+         coalesce(c.ccnet_ok, false) AS ccnet_ok,
+         coalesce(p.probe_ok, false) AS probe_ok
+  FROM docs_t d
+  LEFT JOIN nbs n USING (doc_id)
+  LEFT JOIN ccnet c USING (doc_id)
+  LEFT JOIN probe p USING (doc_id)
+)
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN NOT rules_ok THEN 1 ELSE 0 END)::BIGINT AS n_fail_rules,
+       sum(CASE WHEN NOT nb_ok THEN 1 ELSE 0 END)::BIGINT AS n_fail_nb,
+       sum(CASE WHEN NOT ccnet_ok THEN 1 ELSE 0 END)::BIGINT AS n_fail_ccnet,
+       sum(CASE WHEN NOT probe_ok THEN 1 ELSE 0 END)::BIGINT AS n_fail_probe,
+       sum(CASE WHEN {_V10_KEPT} THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN {_V10_KEPT} THEN n_tok ELSE 0 END)::BIGINT AS kept_tokens
+FROM flagged GROUP BY lang
+"""
+
+
+@register(
+    "corpus_build_v10",
+    doc="Quality-ENSEMBLE corpus build: the four independent quality "
+    "signals — corpus-tuned Gopher rules, the in-lineage-trained NB "
+    "token classifier, the sequence-aware bigram-CCNet per-language "
+    "perplexity head, and the exact-integer embedding linear probe — "
+    "combined in one lineage with per-gate attribution (which filter "
+    "killed each doc), admission = all four, per-language funnel with "
+    "kept token mass. Every gate is a flag column joined back on "
+    "doc_id; no pairwise joins; every model (NB llr, bigram LM, probe "
+    "weights) is trained in-engine by aggregation and broadcast.",
+    oracle=_V10_ORACLE,
+    bench=True,  # the quality-ensemble capstone: four model-training
+    # aggregations + four broadcast scoring passes in one lineage —
+    # the heaviest pure-quality shape in the suite
+)
+def corpus_build_v10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "source", "text",
+        cleaning.tokens(F.col("text")).alias("toks"),
+    )
+    # gate 1 — rules: corpus-tuned Gopher parameters (pure projection)
+    rules_ok = text_analysis.gopher_pass(
+        F.col("text"), _V10_MIN_WORDS, _V10_STOPWORDS
+    )
+    # gate 2 — NB classifier trained in-lineage (GPT-3 appendix-A
+    # shape; unigram-fluency label, stable md5 train split)
+    lp = text_analysis.unigram_logprob_scores(docs, "doc_id", "toks")
+    base = docs.select("doc_id", "lang", "toks").join(lp, "doc_id")
+    med = base.groupBy("lang").agg(
+        F.percentile(F.col("avg_logprob"), F.lit(0.5)).alias("_med")
+    )
+    labeled = base.join(F.broadcast(med), "lang").select(
+        "doc_id",
+        "toks",
+        (F.col("avg_logprob") >= F.col("_med")).alias("label"),
+        (corpus.split_bucket(F.col("doc_id").cast("string")) < 900).alias(
+            "is_train"
+        ),
+    )
+    llr, stats = _nb_token_llr(
+        labeled.filter(F.col("is_train")), "toks", "label"
+    )
+    nb = _nb_score(labeled, "doc_id", "toks", llr, stats).select(
+        "doc_id", (F.col("nb_score") > 0).alias("nb_ok")
+    )
+    # gate 3 — CCNet head under the interpolated bigram reference LM
+    bi = _lm.bigram_counts(
+        docs.filter(F.col("source").isin("src0", "src1")), "toks"
+    )
+    xent = _lm.bigram_cross_entropy_milli(
+        docs, "doc_id", "toks", bi, keep_cols=["lang"]
+    )
+    w = Window.partitionBy("lang").orderBy("xent_milli", "doc_id")
+    ccnet = xent.withColumn("bucket", F.ntile(3).over(w)).select(
+        "doc_id", (F.col("bucket") == 1).alias("ccnet_ok")
+    )
+    # gate 4 — embedding linear probe (vec_id is the doc key)
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", _vector.quantize_vec(F.col("embedding")).alias("q")
+    )
+    wrow = _vector.probe_weights_row(emb)
+    probe = emb.crossJoin(F.broadcast(wrow)).select(
+        F.col("vec_id").alias("doc_id"),
+        (_vector.probe_score(F.col("q"), F.col("warr")) >= 0).alias(
+            "probe_ok"
+        ),
+    )
+    # assembly: flag columns on one doc scan, per-language funnel
+    flagged = (
+        docs.select(
+            "doc_id", "lang", F.size("toks").cast("bigint").alias("n_tok"),
+            rules_ok.alias("rules_ok"),
+        )
+        .join(nb, "doc_id", "left")
+        .join(ccnet, "doc_id", "left")
+        .join(probe, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tok",
+            "rules_ok",
+            F.coalesce(F.col("nb_ok"), F.lit(False)).alias("nb_ok"),
+            F.coalesce(F.col("ccnet_ok"), F.lit(False)).alias("ccnet_ok"),
+            F.coalesce(F.col("probe_ok"), F.lit(False)).alias("probe_ok"),
+        )
+    )
+    kept = (
+        F.col("rules_ok")
+        & F.col("nb_ok")
+        & F.col("ccnet_ok")
+        & F.col("probe_ok")
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(~F.col("rules_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fail_rules"),
+        F.sum(F.when(~F.col("nb_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fail_nb"),
+        F.sum(F.when(~F.col("ccnet_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fail_ccnet"),
+        F.sum(F.when(~F.col("probe_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fail_probe"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )

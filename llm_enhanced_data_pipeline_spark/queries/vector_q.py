@@ -1011,35 +1011,10 @@ def embedding_probe_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "label", vector.quantize_vec(F.col("embedding")).alias("q")
     )
-    dims = (
-        emb.filter(F.col("label").isin(0, 1))
-        .select("label", F.posexplode("q").alias("_i0", "qi"))
-        .groupBy("_i0")
-        .agg(
-            F.expr(
-                "cast(sum(case when label = 0 then qi end) div "
-                "count(case when label = 0 then 1 end) as bigint) - "
-                "cast(sum(case when label = 1 then qi end) div "
-                "count(case when label = 1 then 1 end) as bigint)"
-            ).alias("w")
-        )
-    )
-    wrow = dims.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("_i0", "w"))),
-            lambda s: s["w"],
-        ).alias("warr")
-    )
+    wrow = vector.probe_weights_row(emb)
     scored = emb.crossJoin(F.broadcast(wrow)).select(
         "label",
-        F.aggregate(
-            F.zip_with(
-                "q", "warr",
-                lambda a, b: (a - F.lit(vector.Q_OFFSET)) * b,
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ).alias("score_u"),
+        vector.probe_score(F.col("q"), F.col("warr")).alias("score_u"),
     )
     return scored.groupBy(F.col("label").cast("bigint").alias("label")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),

@@ -219,6 +219,12 @@ QUADRATIC_BY_DESIGN = {
     # broadcast equi-joins on the pair / token keys
     "lm_bigram_report",
     "ccnet_bigram_buckets",
+    "corpus_build_v10",  # the quality ensemble inherits exactly the
+                         # 1-row broadcasts of its four gates: the NB
+                         # model-stats row, the unigram corpus total,
+                         # the bigram pair-total, and the probe
+                         # weight-array row; all doc-level joins are
+                         # doc_id equi-joins
     "embedding_probe_filter",  # broadcast 1-row probe-weight array
                                # (the 64-row fold); scoring is a
                                # projection, no pairwise join
