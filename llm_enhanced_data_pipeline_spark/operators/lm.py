@@ -491,3 +491,213 @@ def score_perplexity_with(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+#: trigram Jelinek-Mercer weights (λ3, λ2, λ1)·16 — rationals over a
+#: /16 denominator so the three-way mixture stays exact-integer
+TRI_LAM = (8, 5, 3)
+TRI_DEN = 16
+
+
+def trigram_triples(df: DataFrame, toks_col: str, keep: list[str]) -> DataFrame:
+    """One row per adjacent token TRIPLE → (*keep, _w1, _w2, _w3);
+    sub-3-token docs yield zero rows in both engines (index_1_to)."""
+    toks = F.col(toks_col)
+    idx = F.transform(
+        index_1_to(F.size(toks) - 2),
+        lambda i: F.struct(
+            F.element_at(toks, i.cast("int")).alias("_w1"),
+            F.element_at(toks, (i + 1).cast("int")).alias("_w2"),
+            F.element_at(toks, (i + 2).cast("int")).alias("_w3"),
+        ),
+    )
+    return df.select(
+        *[F.col(c) for c in keep], F.explode(idx).alias("_p")
+    ).select(
+        *keep,
+        F.col("_p._w1").alias("_w1"),
+        F.col("_p._w2").alias("_w2"),
+        F.col("_p._w3").alias("_w3"),
+    )
+
+
+def trigram_counts(reference: DataFrame, toks_col: str) -> DataFrame:
+    """Reference-domain trigram model: (_w1, _w2, _w3, c_tri) — one
+    triple explode + one hash aggregation; every lower-order marginal
+    the scorer needs (context pairs, backoff bigrams, unigrams, the
+    total) is derived FROM this table by further aggregation, so the
+    whole model family is one pass over the reference corpus."""
+    return (
+        trigram_triples(reference, toks_col, [])
+        .groupBy("_w1", "_w2", "_w3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_tri"))
+    )
+
+
+def trigram_cross_entropy_milli(
+    docs: DataFrame,
+    id_col: str,
+    toks_col: str,
+    tri_model: DataFrame,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-doc cross-entropy under a THREE-way Jelinek-Mercer
+    interpolated trigram reference model, exact milli-bits →
+    ``(id_col, *keep_cols, n_trigrams, xent_milli)`` — the order-3
+    step toward CCNet's 5-gram KenLM.
+
+    Mixture (all marginals from the trigram table, the same
+    one-model-table discipline as the bigram lane):
+
+        P = λ3·c_tri/c_ctx2(w1,w2) + λ2·c_bi23(w2,w3)/c_ctx1(w2)
+                                   + λ1·c_uni3(w3)/N
+        (λ3, λ2, λ1) = (8, 5, 3)/16
+
+    quantized per term to 2^20 fixed point (each q ≤ 2^20 because each
+    numerator is dominated by its denominator by construction), mixed
+    with the integer weights, floored at m = 1 (fully-OOV ≈ 20
+    bits/triple), scored as ``20000 − log2_milli(m)``. Every step is a
+    bigint; the DuckDB twin matches bit-for-bit. Docs with < 3 tokens
+    are dropped. Same < 2^43 single-count bound as the bigram lane.
+
+    Plan: one triple explode → five broadcast model joins (tri, ctx2,
+    bi23, ctx1, uni3) → 1-row broadcast total → one keyed agg. One
+    corpus scan; every model table is vocab-bounded."""
+    keep = keep_cols or []
+    ctx2 = tri_model.groupBy("_w1", "_w2").agg(
+        F.sum("c_tri").cast("bigint").alias("c_ctx2")
+    )
+    bi23 = tri_model.groupBy("_w2", "_w3").agg(
+        F.sum("c_tri").cast("bigint").alias("c_bi23")
+    )
+    ctx1 = tri_model.groupBy("_w2").agg(
+        F.sum("c_tri").cast("bigint").alias("c_ctx1")
+    )
+    uni3 = tri_model.groupBy("_w3").agg(
+        F.sum("c_tri").cast("bigint").alias("c_uni3")
+    )
+    n_raw = tri_model.agg(
+        F.coalesce(F.sum("c_tri"), F.lit(0)).cast("bigint").alias("_n_raw")
+    )
+    total = F.broadcast(
+        n_raw.select(
+            F.when(F.col("_n_raw") >= 1, F.col("_n_raw"))
+            .otherwise(
+                F.raise_error(
+                    F.lit("lm trigram reference model is empty (no triples)")
+                ).cast("bigint")
+            )
+            .alias("_n")
+        )
+    )
+    triples = trigram_triples(docs, toks_col, [id_col, *keep])
+    scored = (
+        triples.join(F.broadcast(tri_model), ["_w1", "_w2", "_w3"], "left")
+        .join(F.broadcast(ctx2), ["_w1", "_w2"], "left")
+        .join(F.broadcast(bi23), ["_w2", "_w3"], "left")
+        .join(F.broadcast(ctx1), "_w2", "left")
+        .join(F.broadcast(uni3), "_w3", "left")
+        .crossJoin(total)
+    )
+    l3, l2, l1 = TRI_LAM
+    m = F.greatest(
+        F.expr(
+            f"({l3} * coalesce((c_tri * {FP_ONE}) div c_ctx2, 0) + "
+            f"{l2} * coalesce((c_bi23 * {FP_ONE}) div c_ctx1, 0) + "
+            f"{l1} * coalesce((c_uni3 * {FP_ONE}) div _n, 0)) div {TRI_DEN}"
+        ),
+        F.lit(1).cast("bigint"),
+    )
+    per = scored.withColumn(
+        "_bits_milli",
+        (F.lit(FP_BITS * 1000).cast("bigint") - log2_milli(m)).cast("bigint"),
+    )
+    return (
+        per.groupBy(F.col(id_col), *[F.col(c) for c in keep])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+            F.sum("_bits_milli").cast("bigint").alias("_sum_milli"),
+        )
+        .select(
+            id_col,
+            *keep,
+            "n_trigrams",
+            F.expr("cast(_sum_milli div n_trigrams as bigint)").alias(
+                "xent_milli"
+            ),
+        )
+    )
+
+
+def trigram_counts_sql(toks_expr: str, relation: str) -> str:
+    """DuckDB twin of :func:`trigram_counts`."""
+    return f"""SELECT _w1, _w2, _w3, count(*)::BIGINT AS c_tri FROM (
+  SELECT toks[_i] AS _w1, toks[_i + 1] AS _w2, toks[_i + 2] AS _w3
+  FROM (SELECT {toks_expr} AS toks FROM {relation}),
+       LATERAL unnest(range(1, greatest(len(toks) - 2, 0) + 1)) r(_i)
+) GROUP BY 1, 2, 3"""
+
+
+def trigram_cross_entropy_sql(
+    toks_expr: str,
+    id_expr: str,
+    docs_relation: str,
+    tri_cte: str,
+    keep_cols: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`trigram_cross_entropy_milli`: CTE text
+    computing ``tg_xent(_id, *keep_cols, n_trigrams, xent_milli)``
+    given a ``tri_cte`` with (_w1, _w2, _w3, c_tri)."""
+    keep = keep_cols or []
+    k_sel = "".join(f", {c}" for c in keep)
+    k_p = "".join(f", p.{c}" for c in keep)
+    l3, l2, l1 = TRI_LAM
+    m = (
+        f"greatest(({l3} * coalesce((t3.c_tri * {FP_ONE}) // x2.c_ctx2, 0)"
+        f" + {l2} * coalesce((b23.c_bi23 * {FP_ONE}) // x1.c_ctx1, 0)"
+        f" + {l1} * coalesce((u3.c_uni3 * {FP_ONE}) // t._n, 0))"
+        f" // {TRI_DEN}, 1)"
+    )
+    return f"""
+tg_ctx2 AS (
+  SELECT _w1, _w2, sum(c_tri)::BIGINT AS c_ctx2 FROM {tri_cte} GROUP BY 1, 2
+),
+tg_bi23 AS (
+  SELECT _w2, _w3, sum(c_tri)::BIGINT AS c_bi23 FROM {tri_cte} GROUP BY 1, 2
+),
+tg_ctx1 AS (
+  SELECT _w2, sum(c_tri)::BIGINT AS c_ctx1 FROM {tri_cte} GROUP BY 1
+),
+tg_uni3 AS (
+  SELECT _w3, sum(c_tri)::BIGINT AS c_uni3 FROM {tri_cte} GROUP BY 1
+),
+tg_n AS (
+  SELECT CASE WHEN coalesce(sum(c_tri), 0) >= 1
+              THEN coalesce(sum(c_tri), 0)::BIGINT
+              ELSE error('lm trigram reference model is empty (no triples)')
+         END AS _n
+  FROM {tri_cte}
+),
+tg_triples AS (
+  SELECT {id_expr} AS _id{k_sel},
+         toks[_i] AS _w1, toks[_i + 1] AS _w2, toks[_i + 2] AS _w3
+  FROM (SELECT {id_expr}{k_sel}, {toks_expr} AS toks FROM {docs_relation}),
+       LATERAL unnest(range(1, greatest(len(toks) - 2, 0) + 1)) r(_i)
+),
+tg_scored AS (
+  SELECT p._id{k_p},
+         ({FP_BITS * 1000}::BIGINT - {log2_milli_sql(m)}) AS bits_milli
+  FROM tg_triples p
+  LEFT JOIN {tri_cte} t3
+    ON p._w1 = t3._w1 AND p._w2 = t3._w2 AND p._w3 = t3._w3
+  LEFT JOIN tg_ctx2 x2 ON p._w1 = x2._w1 AND p._w2 = x2._w2
+  LEFT JOIN tg_bi23 b23 ON p._w2 = b23._w2 AND p._w3 = b23._w3
+  LEFT JOIN tg_ctx1 x1 ON p._w2 = x1._w2
+  LEFT JOIN tg_uni3 u3 ON p._w3 = u3._w3
+  CROSS JOIN tg_n t
+),
+tg_xent AS (
+  SELECT _id{k_sel}, count(*)::BIGINT AS n_trigrams,
+         (sum(bits_milli)::BIGINT // count(*))::BIGINT AS xent_milli
+  FROM tg_scored GROUP BY ALL
+)"""

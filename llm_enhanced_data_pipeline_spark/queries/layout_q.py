@@ -75,3 +75,65 @@ def zorder_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx = layout.layout_report(li, dims, F.shiftright(F.col("x"), 4), "sort_x")
     sc = layout.layout_report(li, dims, F.col("l_orderkey") % 64, "scatter")
     return z.unionByName(sx).unionByName(sc)
+
+
+@register(
+    "zorder_pruning_proof",
+    oracle=None,  # rows-only: the measured quantity is the REAL
+    # Parquet reader's scan-node numOutputRows after row-group/page
+    # min/max pruning — a runtime metric DuckDB's reader cannot twin
+    # (its pruning granularity differs); the relative claims are
+    # pinned exactly in tests/test_layout_pruning.py.
+    doc="The Z-order claim proven against the real reader: the three "
+    "candidate layouts (bit-aligned Morton buckets, single-column "
+    "sort, scatter) are WRITTEN to parquet (write_clustered: one unit "
+    "per aligned bucket) and read back under a 1/16-selectivity "
+    "predicate on each dimension; the report row per (layout, "
+    "predicate) carries the rows the scan actually materialized after "
+    "min/max pruning and the matching-row count. Z-order materializes "
+    "~1/8 on either dim; sort_x only wins its own; scatter prunes "
+    "nothing. Dims are (l_partkey % 1024, l_orderkey % 1024) — "
+    "supplier cardinality collapses at small SFs.",
+)
+def zorder_pruning_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        (F.col("l_partkey") % 1024).cast("bigint").alias("x"),
+        (F.col("l_orderkey") % 1024).cast("bigint").alias("y"),
+        "l_orderkey",
+    )
+    zkey = layout.zorder_key([F.col("x"), F.col("y")], bits=_BITS)
+    buckets = {
+        "zorder": F.shiftright(zkey, 2 * _BITS - 6),
+        "sort_x": F.shiftright(F.col("x"), 4),
+        "scatter": F.abs(F.xxhash64("l_orderkey")) % 64,
+    }
+    base = tempfile.mkdtemp(prefix="zorder_proof_")
+    try:
+        for name, bucket in buckets.items():
+            layout.write_clustered(li, f"{base}/{name}", bucket)
+        rows = []
+        for pred in ("x >= 128 AND x < 192", "y >= 128 AND y < 192"):
+            for name in buckets:
+                st = layout.scan_pruning_stats(spark, f"{base}/{name}", pred)
+                matching = (
+                    spark.read.parquet(f"{base}/{name}").filter(pred).count()
+                )
+                rows.append(
+                    (
+                        name,
+                        pred,
+                        int(st.get("numOutputRows", -1)),
+                        int(st.get("numFiles", -1)),
+                        int(matching),
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "layout string, predicate string, rows_scanned bigint, "
+            "n_files bigint, rows_matching bigint",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -182,6 +182,60 @@ def ccnet_bigram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRI_MODEL_CTE = f"""
+tg_model AS (
+  {lm.trigram_counts_sql(tokens_sql("text"),
+                         f"(SELECT * FROM documents WHERE {_REF_PRED_SQL})")}
+)"""
+
+
+@register(
+    "ccnet_trigram_buckets",
+    doc="CCNet head/middle/tail bucketing under a THREE-way "
+    "Jelinek-Mercer interpolated trigram LM ((8,5,3)/16 rational "
+    "weights, 2^20 fixed-point mixture, every marginal derived from "
+    "the one trigram table, the shared log2 ladder) — the order-3 "
+    "step toward the production 5-gram KenLM. Per-language tertiles "
+    "over the per-doc exact milli-bit xent; keyed ntile window, no "
+    "global sort.",
+    oracle=f"""
+WITH {_TRI_MODEL_CTE},
+{lm.trigram_cross_entropy_sql(tokens_sql("text"), "doc_id", "documents",
+                              "tg_model", keep_cols=["lang"])},
+tg_bucketed AS (
+  SELECT lang, xent_milli,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY xent_milli, _id) AS bucket
+  FROM tg_xent
+)
+SELECT lang, bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
+       min(xent_milli)::BIGINT AS min_xent_milli,
+       max(xent_milli)::BIGINT AS max_xent_milli
+FROM tg_bucketed GROUP BY lang, bucket
+""",
+)
+def ccnet_trigram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "source", cleaning.tokens(F.col("text")).alias("toks")
+    )
+    tri = lm.trigram_counts(
+        docs.filter(F.col("source").isin(*_REF_SOURCES)), "toks"
+    )
+    scored = lm.trigram_cross_entropy_milli(
+        docs, "doc_id", "toks", tri, keep_cols=["lang"]
+    )
+    w = Window.partitionBy("lang").orderBy("xent_milli", "doc_id")
+    return (
+        scored.withColumn("bucket", F.ntile(3).over(w).cast("bigint"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("xent_milli").cast("bigint").alias("min_xent_milli"),
+            F.max("xent_milli").cast("bigint").alias("max_xent_milli"),
+        )
+    )
+
+
 @register(
     "ccnet_head_selection",
     doc="The CCNet bucketing APPLIED as corpus selection: keep each "

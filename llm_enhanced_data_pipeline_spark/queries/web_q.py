@@ -1822,3 +1822,125 @@ def streaming_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming recrawl gate: the full production cadence through the REAL
+# plumbing — WARC-encoded pages drain through the availableNow stream
+# into the keyed link-fact store (streaming/recrawl.py), crawl 1 is
+# ranked cold, crawl 2's delta re-ranks WARM from the persisted prior —
+# while the oracle re-derives the same two PageRank chains closed-form
+# (the link structure is pure doc_id arithmetic, so DuckDB never needs
+# to parse a WARC byte). Every step downstream of the stream is the
+# exact integer recipe, so the gate hash-compares bit-for-bit.
+
+_RC_LINKS_SQL = """
+  SELECT 'h' || (doc_id % 7) || '.test' AS src,
+         'h' || ((doc_id * 3 + 1) % 7) || '.test' AS dst
+  FROM {pages}
+  UNION ALL
+  SELECT 'h' || (doc_id % 7) || '.test',
+         'h' || ((doc_id * 5 + 2) % 7) || '.test'
+  FROM {pages} WHERE doc_id % 2 = 0
+"""
+
+
+def _rc_edges_sql(pages: str) -> str:
+    links = _RC_LINKS_SQL.format(pages=pages)
+    return (
+        f"SELECT src, dst, count(*)::BIGINT AS weight FROM ({links}) "
+        f"WHERE src <> dst GROUP BY 1, 2"
+    )
+
+
+@register(
+    "streaming_recrawl_warm_ranks",
+    doc="Streaming recrawl cadence end-to-end: crawl-1 WARC archives "
+    "drain through link extraction into the md5-keyed link-fact store "
+    "(exactly-once), rank cold (3 iterations); crawl-2 archives drain "
+    "through the SAME stream checkpoint and the delta re-ranks WARM "
+    "from the persisted prior fixed point (pagerank_int init_ranks). "
+    "The synthetic link structure is closed-form in doc_id (page on "
+    "host h(d%7) links h((3d+1)%7), even docs also h((5d+2)%7); "
+    "d%7==3 yields a dropped self-loop), so the oracle re-derives the "
+    "edge lists arithmetically and runs the identical cold-then-warm "
+    "integer chains via init_cte — no WARC parsing in DuckDB, "
+    "bit-for-bit ranks out of a Structured Streaming composition.",
+    oracle=f"""
+WITH rc1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 < 2),
+rc_all AS (SELECT doc_id FROM documents),
+rc_e1 AS ({_rc_edges_sql("rc1")}),
+rc_ea AS ({_rc_edges_sql("rc_all")}),
+{graph.pagerank_sql("rc_e1", n_iter=3, prefix="pa_")},
+{graph.pagerank_sql("rc_ea", n_iter=3, prefix="pb_", init_cte="pa_r3")}
+SELECT node, rank_u FROM pb_r3
+""",
+)
+def streaming_recrawl_warm_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..sources import warc
+    from ..streaming import recrawl as rc
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                hrefs = [f"http://h{(d * 3 + 1) % 7}.test/x{d}"]
+                if d % 2 == 0:
+                    hrefs.append(f"http://h{(d * 5 + 2) % 7}.test/y{d}")
+                body = "".join(f'<a href="{h}">t</a>' for h in hrefs)
+                env = (
+                    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    "<html><body>" + body + "</body></html>"
+                )
+                recs = [
+                    {
+                        "headers": {
+                            "WARC-Type": "response",
+                            "WARC-Target-URI": f"http://h{d % 7}.test/p{d}",
+                        },
+                        "content": env.encode(),
+                    }
+                ]
+                ids.append(d)
+                payloads.append(warc.write_warc(recs, gzip_members=True))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    base = tempfile.mkdtemp(prefix="recrawl_gate_")
+    try:
+        store = rc.link_store(spark, f"{base}/store")
+        rank_path = f"{base}/ranks"
+
+        def drain(crawl_df, name):
+            crawl_df.mapInPandas(synth, synth_schema).coalesce(2).write.mode(
+                "overwrite"
+            ).parquet(f"{base}/in/{name}")
+            rc.recrawl_stream(
+                spark,
+                f"{base}/in/*",
+                store,
+                stream_checkpoint_dir=f"{base}/ckpt",
+                max_files_per_trigger=4,
+            )
+
+        drain(docs.filter(F.col("doc_id") % 3 < 2), "c1")
+        rc.rerank_warm(spark, store, rank_path, n_iter=3)  # cold prior
+        drain(docs.filter(F.col("doc_id") % 3 == 2), "c2")  # delta only
+        final = rc.rerank_warm(spark, store, rank_path, n_iter=3)  # warm
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

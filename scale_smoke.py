@@ -716,6 +716,43 @@ def build_slots(spark: SparkSession, r: int):
         emb.filter(F.col("vec_id") != 0), mq, "vec_id", "embedding", k=5
     ).count()
 
+    # CCNet perplexity lane (r12 verdict item 6): one token explode ->
+    # broadcast unigram-model join -> keyed per-doc aggregation. Cost
+    # must track TOKEN count; the model (built fresh in the thunk — the
+    # LM-count job is part of the lane's cost law) is vocab-bounded and
+    # must stay a broadcast join at any corpus size. Forced through a
+    # row-hash reduction: count() would prune the xent arithmetic.
+    from llm_enhanced_data_pipeline_spark.operators import lm as _lm
+
+    lm_ref = toked.filter(F.col("doc_id") % 4 == 0)
+    slots["lm_perplexity"] = lambda: (
+        _lm.cross_entropy_milli(
+            toked, "doc_id", "toks", _lm.unigram_counts(lm_ref, "toks")
+        )
+        .select(F.bit_xor(F.xxhash64("doc_id", "n_toks", "xent_milli")).alias("h"))
+        .collect()
+    )
+
+    # embedding linear-probe filter (r12 verdict item 6): posexplode ->
+    # 64-group weight agg -> 1-row broadcast fold -> per-vector array
+    # fold. Training and scoring both scale with vector count; a
+    # superlinear ratio would mean the weight fold stopped being a
+    # broadcast. Forced through a row-hash reduction for the same
+    # pruning reason.
+    emb_q = emb.select(
+        "vec_id", "label", vector.quantize_vec(F.col("embedding")).alias("q")
+    )
+    slots["probe_filter"] = lambda: (
+        emb_q.crossJoin(F.broadcast(vector.probe_weights_row(emb_q)))
+        .select(
+            "vec_id",
+            "label",
+            vector.probe_score(F.col("q"), F.col("warr")).alias("score_u"),
+        )
+        .select(F.bit_xor(F.xxhash64("vec_id", "label", "score_u")).alias("h"))
+        .collect()
+    )
+
     def cleanup() -> None:
         docs.unpersist()
         ev.unpersist()

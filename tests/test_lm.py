@@ -131,3 +131,51 @@ def test_score_perplexity_with_fake_scorer_plumbing(spark):
     assert out.columns == ["doc_id", "lm_score"]
     got = {r["doc_id"]: r["lm_score"] for r in out.collect()}
     assert got == {f"d{i}": -float(i + 1) for i in range(10)}
+
+
+def test_trigram_lane_closed_form_pin(spark):
+    """Hand-computed xent for a 5-token doc under its own trigram
+    model: triples (a,b,a) x2 + (b,a,b); all marginals derived from
+    the trigram table; (8,5,3)/16 mixture at 2^20 fixed point."""
+    docs = spark.createDataFrame(
+        [("d1", ["a", "b", "a", "b", "a"]), ("d2", ["x", "y"]), ("d3", [])],
+        "doc_id string, toks array<string>",
+    )
+    tri = lm.trigram_counts(docs, "toks")
+    out = lm.trigram_cross_entropy_milli(docs, "doc_id", "toks", tri)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {"d1"}  # sub-3-token docs dropped
+    assert rows["d1"]["n_trigrams"] == 3
+    FP = lm.FP_ONE
+    # (a,b,a): q3 = (2*FP)//2, q2 = bi23(b,a)=2 over ctx1(b)=2,
+    #          q1 = uni3(a)=2 over N=3
+    m1 = (8 * FP + 5 * FP + 3 * ((2 * FP) // 3)) // 16
+    # (b,a,b): q3 = (1*FP)//1, q2 = bi23(a,b)=1 over ctx1(a)=1,
+    #          q1 = uni3(b)=1 over N=3
+    m2 = (8 * FP + 5 * FP + 3 * (FP // 3)) // 16
+    bits = lambda m: 20000 - _expected_milli(m)  # noqa: E731
+    assert rows["d1"]["xent_milli"] == (2 * bits(m1) + bits(m2)) // 3
+
+
+def test_empty_trigram_model_fails_loud_both_engines(spark):
+    docs = spark.createDataFrame(
+        [("d1", ["a", "b", "c"])], "doc_id string, toks array<string>"
+    )
+    empty = spark.createDataFrame(
+        [], "_w1 string, _w2 string, _w3 string, c_tri bigint"
+    )
+    out = lm.trigram_cross_entropy_milli(docs, "doc_id", "toks", empty)
+    with pytest.raises(Exception, match="trigram reference model is empty"):
+        out.collect()
+    con = duckdb.connect()
+    con.sql("CREATE TABLE docs AS SELECT 'd1' AS doc_id, 'a b c' AS txt")
+    sql = (
+        "WITH tg AS (SELECT 'x' AS _w1, 'x' AS _w2, 'x' AS _w3, "
+        "1::BIGINT AS c_tri WHERE false),\n"
+        + lm.trigram_cross_entropy_sql(
+            "string_split(txt, ' ')", "doc_id", "docs", "tg"
+        )
+        + "\nSELECT * FROM tg_xent"
+    )
+    with pytest.raises(Exception, match="trigram reference model is empty"):
+        con.sql(sql).fetchall()

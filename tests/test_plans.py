@@ -219,6 +219,8 @@ QUADRATIC_BY_DESIGN = {
     # broadcast equi-joins on the pair / token keys
     "lm_bigram_report",
     "ccnet_bigram_buckets",
+    "ccnet_trigram_buckets",  # same 1-row triple-total broadcast; the
+                              # five model joins are broadcast equi-joins
     "corpus_build_v10",  # the quality ensemble inherits exactly the
                          # 1-row broadcasts of its four gates: the NB
                          # model-stats row, the unigram corpus total,
