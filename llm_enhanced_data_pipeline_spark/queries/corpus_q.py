@@ -2066,6 +2066,17 @@ FROM flagged GROUP BY lang
 def corpus_build_v10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    # The four gate lanes each re-derive the tokenized projection (lp,
+    # NB train/score, bigram model/scoring, the report): ~6 scans +
+    # tokenize passes. Deliberately NOT persisted — measured at sf0.1
+    # (settled 3x3-rep probes): recompute 3.96s vs persist_tracked
+    # 6.2s. Tokenize is one cheap regex projection off a pruned
+    # columnar scan, while caching materializes the full token-array
+    # corpus (larger than the source) before the first consumer runs;
+    # each lane's own token shuffle dominates either way, at this SF
+    # and at 100 TB. v4/v9 persist because their reused frame is
+    # EXPENSIVE to recompute (substring excision / WARC decode) — this
+    # one is not.
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", "lang", "source", "text",
         cleaning.tokens(F.col("text")).alias("toks"),

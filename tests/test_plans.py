@@ -620,6 +620,24 @@ def test_corpus_build_v9_plan_shape_golden(spark, sf_dir):
         dedup.release_caches()
 
 
+def test_corpus_build_v10_plan_shape_golden(spark, sf_dir):
+    """The quality-ensemble bench slot, pinned structurally: documents
+    scans pruned to at most (doc_id, text, lang, source) — never
+    n_chars — zero cartesians, and the nested-loop count bounded at
+    the inherited 1-row broadcasts (NB stats, unigram total, bigram
+    pair-total, probe weight row; formatted explain re-lists reused
+    subtrees, hence the headroom). Exchange ceiling measured 250 at
+    sf0.01/shuffle_partitions=8 — creep past 300 means a lane stopped
+    reusing a partitioning or a broadcast fell to a shuffle join."""
+    plan = _plan(spark, sf_dir, "corpus_build_v10")
+    assert "n_chars" not in plan, "documents scan stopped pruning n_chars"
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 48, plan.count(
+        "BroadcastNestedLoopJoin"
+    )
+    assert plan.count("Exchange") <= 300, plan.count("Exchange")
+
+
 def test_bench_slot_plan_shape_goldens(spark, sf_dir):
     """r9 verdict item 6: the top bench slots' load-bearing plan shapes
     must be pinned structurally, not inferred from timing (timing on
