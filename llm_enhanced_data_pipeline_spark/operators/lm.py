@@ -701,3 +701,206 @@ tg_xent AS (
          (sum(bits_milli)::BIGINT // count(*))::BIGINT AS xent_milli
   FROM tg_scored GROUP BY ALL
 )"""
+
+
+# ---------------------------------------------------------------------------
+# ARPA n-gram model ingestion — the REAL-model lane without a model
+# library. KenLM (CCNet's scorer) interchanges models as ARPA text
+# (\data\ counts, \N-grams: sections of "log10prob words [backoff]");
+# parsing one into broadcastable tables lets the engine score a corpus
+# under a PRETRAINED reference LM with plain joins — no kenlm import,
+# no model server, the only way a 100 TB scoring pass works.
+#
+# Determinism discipline: the file's float log10 probabilities are
+# quantized to INTEGER MILLI-UNITS at parse time (round(logp * 1000)),
+# so every per-doc sum is a bigint — order-independent, bit-identical
+# across engines and partitionings. Quantization costs < 0.0005
+# log10-units per token: irrelevant for filtering thresholds and far
+# below the model's own estimation error.
+
+
+def parse_arpa(text: str) -> dict[int, list[tuple]]:
+    """Parse ARPA text → {order: [(w1..wn, logp_milli, backoff_milli)]}.
+
+    Follows the published format: a ``\\data\\`` header with per-order
+    counts, one ``\\N-grams:`` section per order with
+    ``log10prob<ws>w1 .. wN[<ws>log10backoff]`` rows, ``\\end\\``.
+    Missing backoff = 0 (the ARPA convention for highest-order rows
+    and for entries that never appear as a context). Malformed rows
+    raise — a truncated model must fail loud, not score garbage."""
+    out: dict[int, list[tuple]] = {}
+    order = 0
+    in_data = False
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line:
+            continue
+        if line == "\\data\\":
+            in_data = True
+            continue
+        if line == "\\end\\":
+            break
+        if line.endswith("-grams:") and line.startswith("\\"):
+            order = int(line[1:].split("-")[0])
+            out[order] = []
+            in_data = False
+            continue
+        if in_data:
+            if not line.startswith("ngram "):
+                raise ValueError(f"malformed \\data\\ line: {raw!r}")
+            continue
+        if order == 0:
+            raise ValueError(f"n-gram row before any section: {raw!r}")
+        parts = line.split()
+        if len(parts) == order + 2:  # trailing backoff
+            logp, words, bo = parts[0], parts[1:-1], parts[-1]
+        elif len(parts) == order + 1:
+            logp, words, bo = parts[0], parts[1:], "0"
+        else:
+            raise ValueError(f"malformed {order}-gram row: {raw!r}")
+        out[order].append(
+            (*words, round(float(logp) * 1000), round(float(bo) * 1000))
+        )
+    if not out:
+        raise ValueError("no n-gram sections found (not an ARPA file?)")
+    return out
+
+
+def arpa_bigram_tables(spark, parsed: dict[int, list[tuple]]):
+    """(unigrams, bigrams) DataFrames from a parsed order-≥2 ARPA
+    model: ``(w, logp_milli, bo_milli)`` and ``(w1, w2, logp_milli)``.
+    Both are vocab-bounded → broadcast at any corpus size."""
+    uni = spark.createDataFrame(
+        [(w, lp, bo) for (w, lp, bo) in parsed.get(1, [])],
+        "w string, logp_milli bigint, bo_milli bigint",
+    )
+    bi = spark.createDataFrame(
+        [(w1, w2, lp) for (w1, w2, lp, _bo) in parsed.get(2, [])],
+        "w1 string, w2 string, logp_milli bigint",
+    )
+    return uni, bi
+
+
+#: -log10 prob (milli) assigned to a token absent from the model's
+#: vocabulary when the model ships no <unk> entry
+ARPA_OOV_MILLI = -99_000
+
+
+def arpa_bigram_logprob_milli(
+    docs: DataFrame,
+    id_col: str,
+    toks_col: str,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    unk_milli: int = ARPA_OOV_MILLI,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-doc mean NEGATIVE log10-likelihood (milli-units) under a
+    pretrained ARPA bigram model with Katz backoff →
+    ``(id_col, *keep_cols, n_bigrams, nll10_milli)``.
+
+    Per adjacent pair (w1, w2):
+
+        logp = P2(w1, w2)                     if the bigram is listed
+             = backoff(w1) + P1(w2)           otherwise
+        (backoff absent → 0; w2 unseen → the model's <unk> entry if
+         present, else ``unk_milli``)
+
+    — the standard ARPA evaluation rule. Every term is an integer
+    milli-log10, so sums are exact; the mean divides NEGATED totals
+    (both engines floor-divide POSITIVE operands, sidestepping the
+    Spark-trunc vs DuckDB-floor divergence on negatives). Docs with
+    < 2 tokens are dropped. Plan: one pair explode → three broadcast
+    equi-joins → one keyed agg; one corpus scan."""
+    keep = keep_cols or []
+    unk = unigrams.filter(F.col("w") == "<unk>").select(
+        F.col("logp_milli").alias("_unk")
+    )
+    pairs = bigram_pairs(docs, toks_col, [id_col, *keep])
+    bo1 = unigrams.select(
+        F.col("w").alias("_w1"), F.col("bo_milli").alias("_bo1")
+    )
+    p2 = unigrams.select(
+        F.col("w").alias("_w2"), F.col("logp_milli").alias("_p1w2")
+    )
+    bi = bigrams.select(
+        F.col("w1").alias("_w1"),
+        F.col("w2").alias("_w2"),
+        F.col("logp_milli").alias("_p2"),
+    )
+    unk_row = unk.agg(
+        F.coalesce(F.min("_unk"), F.lit(unk_milli)).cast("bigint").alias("_unkp")
+    )
+    scored = (
+        pairs.join(F.broadcast(bi), ["_w1", "_w2"], "left")
+        .join(F.broadcast(bo1), "_w1", "left")
+        .join(F.broadcast(p2), "_w2", "left")
+        .crossJoin(F.broadcast(unk_row))
+        .withColumn(
+            "_logp",
+            F.coalesce(
+                F.col("_p2"),
+                F.coalesce(F.col("_bo1"), F.lit(0))
+                + F.coalesce(F.col("_p1w2"), F.col("_unkp")),
+            ).cast("bigint"),
+        )
+    )
+    return (
+        scored.groupBy(F.col(id_col), *[F.col(c) for c in keep])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("_logp").cast("bigint").alias("_sum_logp"),
+        )
+        .select(
+            id_col,
+            *keep,
+            "n_bigrams",
+            F.expr("cast((-_sum_logp) div n_bigrams as bigint)").alias(
+                "nll10_milli"
+            ),
+        )
+    )
+
+
+def arpa_bigram_logprob_sql(
+    toks_expr: str,
+    id_expr: str,
+    docs_relation: str,
+    uni_cte: str,
+    bi_cte: str,
+    unk_milli: int = ARPA_OOV_MILLI,
+    keep_cols: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`arpa_bigram_logprob_milli` given
+    ``uni_cte(w, logp_milli, bo_milli)`` and
+    ``bi_cte(w1, w2, logp_milli)`` → CTE chain ending in
+    ``ar_xent(_id, *keep, n_bigrams, nll10_milli)``."""
+    keep = keep_cols or []
+    k_sel = "".join(f", {c}" for c in keep)
+    k_p = "".join(f", p.{c}" for c in keep)
+    return f"""
+ar_unk AS (
+  SELECT coalesce(min(logp_milli), {unk_milli})::BIGINT AS _unkp
+  FROM {uni_cte} WHERE w = '<unk>'
+),
+ar_pairs AS (
+  SELECT {id_expr} AS _id{k_sel}, toks[_i] AS _w1, toks[_i + 1] AS _w2
+  FROM (SELECT {id_expr}{k_sel}, {toks_expr} AS toks FROM {docs_relation}),
+       LATERAL unnest(range(1, greatest(len(toks) - 1, 0) + 1)) r(_i)
+),
+ar_scored AS (
+  SELECT p._id{k_p},
+         coalesce(b.logp_milli,
+                  coalesce(u1.bo_milli, 0)
+                  + coalesce(u2.logp_milli, k._unkp))::BIGINT AS logp
+  FROM ar_pairs p
+  LEFT JOIN {bi_cte} b ON p._w1 = b.w1 AND p._w2 = b.w2
+  LEFT JOIN {uni_cte} u1 ON p._w1 = u1.w
+  LEFT JOIN {uni_cte} u2 ON p._w2 = u2.w
+  CROSS JOIN ar_unk k
+),
+ar_xent AS (
+  SELECT _id{k_sel}, count(*)::BIGINT AS n_bigrams,
+         ((-sum(logp))::BIGINT // count(*))::BIGINT AS nll10_milli
+  FROM ar_scored GROUP BY ALL
+)"""

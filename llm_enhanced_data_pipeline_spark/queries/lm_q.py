@@ -264,3 +264,77 @@ def ccnet_head_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") == 1)
         .select("doc_id", "lang", "n_toks", "xent_milli")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pretrained-model scoring via the ARPA interchange format: the gate
+# round-trips a model through the REAL text format (render → parse_arpa
+# → broadcast tables → Katz scoring) while the oracle consumes the SAME
+# numbers as VALUES literals — so the hash-compare verifies the parser
+# AND the distributed backoff arithmetic in one shot. The model is a
+# deliberately tiny corpus-vocabulary bigram LM; production swaps in a
+# real KenLM-exported ARPA file with zero code changes.
+
+_ARPA_UNI = [
+    ("table", -500, -300),
+    ("value", -700, -150),
+    ("row", -900, -250),
+    ("key", -1100, 0),
+    ("a", -1300, -100),
+    ("<unk>", -2500, 0),
+]
+_ARPA_BI = [
+    ("table", "value", -250),
+    ("value", "row", -400),
+    ("row", "key", -550),
+    ("key", "table", -300),
+    ("a", "table", -350),
+]
+
+
+def _arpa_text() -> str:
+    lines = ["\\data\\", f"ngram 1={len(_ARPA_UNI)}", f"ngram 2={len(_ARPA_BI)}", ""]
+    lines.append("\\1-grams:")
+    for w, lp, bo in _ARPA_UNI:
+        lines.append(f"{lp / 1000:.3f}\t{w}\t{bo / 1000:.3f}")
+    lines.append("")
+    lines.append("\\2-grams:")
+    for w1, w2, lp in _ARPA_BI:
+        lines.append(f"{lp / 1000:.3f}\t{w1} {w2}")
+    lines += ["", "\\end\\", ""]
+    return "\n".join(lines)
+
+
+_ARPA_UNI_SQL = ", ".join(f"('{w}', {lp}, {bo})" for w, lp, bo in _ARPA_UNI)
+_ARPA_BI_SQL = ", ".join(f"('{a}', '{b}', {lp})" for a, b, lp in _ARPA_BI)
+
+
+@register(
+    "arpa_bigram_scores",
+    doc="Pretrained-LM corpus scoring through the ARPA interchange "
+    "format (KenLM's export): the model text is parsed by parse_arpa "
+    "(probabilities quantized to integer milli-log10 at parse time), "
+    "loaded as broadcastable unigram/bigram tables, and every "
+    "document scored with the standard Katz backoff rule — listed "
+    "bigram prob, else backoff(w1) + P1(w2), <unk> for OOV — as one "
+    "pair explode + three broadcast joins + one keyed agg. The "
+    "oracle consumes the same model as VALUES literals, so the hash "
+    "compare verifies the parser and the distributed backoff "
+    "arithmetic together.",
+    oracle=f"""
+WITH ar_uni(w, logp_milli, bo_milli) AS (VALUES {_ARPA_UNI_SQL}),
+ar_bi(w1, w2, logp_milli) AS (VALUES {_ARPA_BI_SQL}),
+{lm.arpa_bigram_logprob_sql(tokens_sql("text"), "doc_id", "documents",
+                            "ar_uni", "ar_bi", keep_cols=["lang"]).lstrip()}
+SELECT _id AS doc_id, lang, n_bigrams, nll10_milli FROM ar_xent
+""",
+)
+def arpa_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = lm.parse_arpa(_arpa_text())
+    uni, bi = lm.arpa_bigram_tables(spark, parsed)
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", cleaning.tokens(F.col("text")).alias("toks")
+    )
+    return lm.arpa_bigram_logprob_milli(
+        docs, "doc_id", "toks", uni, bi, keep_cols=["lang"]
+    ).select("doc_id", "lang", "n_bigrams", "nll10_milli")

@@ -179,3 +179,45 @@ def test_empty_trigram_model_fails_loud_both_engines(spark):
     )
     with pytest.raises(Exception, match="trigram reference model is empty"):
         con.sql(sql).fetchall()
+
+
+def test_parse_arpa_format_and_quantization():
+    text = (
+        "\\data\\\nngram 1=3\nngram 2=2\n\n"
+        "\\1-grams:\n-0.5\tthe\t-0.3\n-1.0\ta\n-2.0\t<unk>\n\n"
+        "\\2-grams:\n-0.2\tthe a\n-0.9\ta the\n\n\\end\\\n"
+    )
+    p = lm.parse_arpa(text)
+    assert p[1] == [("the", -500, -300), ("a", -1000, 0), ("<unk>", -2000, 0)]
+    assert p[2] == [("the", "a", -200, 0), ("a", "the", -900, 0)]
+    with pytest.raises(ValueError, match="malformed"):
+        lm.parse_arpa("\\data\\\nbogus\n\\end\\")
+    with pytest.raises(ValueError, match="before any section"):
+        lm.parse_arpa("just some text")
+    with pytest.raises(ValueError, match="no n-gram sections"):
+        lm.parse_arpa("")
+
+
+def test_arpa_katz_backoff_closed_form(spark):
+    """Hand-computed Katz scoring: listed bigram; backoff w/ explicit
+    weight; backoff w/ absent weight; OOV w2 -> <unk>."""
+    uni = spark.createDataFrame(
+        [("the", -500, -300), ("a", -1000, 0), ("cat", -1500, -100),
+         ("<unk>", -2000, 0)],
+        "w string, logp_milli bigint, bo_milli bigint",
+    )
+    bi = spark.createDataFrame(
+        [("the", "a", -200)], "w1 string, w2 string, logp_milli bigint"
+    )
+    docs = spark.createDataFrame(
+        [("d1", ["the", "a", "cat", "zzz", "the"])],
+        "doc_id string, toks array<string>",
+    )
+    out = lm.arpa_bigram_logprob_milli(docs, "doc_id", "toks", uni, bi)
+    row = out.collect()[0]
+    # pairs: (the,a) listed -200; (a,cat) backoff(a)=0 + P1(cat)=-1500;
+    # (cat,zzz) backoff(cat)=-100 + unk -2000; (zzz,the) backoff absent
+    # (zzz not in uni) = 0 + P1(the) = -500
+    total = -200 + (0 - 1500) + (-100 - 2000) + (0 - 500)
+    assert row["n_bigrams"] == 4
+    assert row["nll10_milli"] == (-total) // 4

@@ -221,6 +221,9 @@ QUADRATIC_BY_DESIGN = {
     "ccnet_bigram_buckets",
     "ccnet_trigram_buckets",  # same 1-row triple-total broadcast; the
                               # five model joins are broadcast equi-joins
+    "arpa_bigram_scores",     # 1-row broadcast <unk> fallback frame;
+                              # the ARPA model joins are broadcast
+                              # equi-joins on token keys
     "corpus_build_v10",  # the quality ensemble inherits exactly the
                          # 1-row broadcasts of its four gates: the NB
                          # model-stats row, the unigram corpus total,
