@@ -10,11 +10,25 @@ import pytest
 from llm_enhanced_data_pipeline_spark.queries import REGISTRY
 
 
+#: (sf_dir, name) -> formatted plan string. Plans are deterministic per
+#: session and the sweeps only read the STRING, so memoizing is safe —
+#: and load-bearing for wall time: four package-wide sweeps each call
+#: _plan for every registered gate, and the eager gates (streaming
+#: compositions, the pruning proof) EXECUTE their full pipeline per
+#: call. Without the cache each runs 4x (measured: +4 min of suite).
+_PLAN_CACHE: dict = {}
+
+
 def _plan(spark, sf_dir, name: str) -> str:
-    df = REGISTRY[name].fn(spark, sf_dir)
-    return df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
+    key = (sf_dir, name)
+    if key not in _PLAN_CACHE:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        _PLAN_CACHE[key] = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    return _PLAN_CACHE[key]
 
 
 def test_q1_filter_pushed_and_schema_pruned(spark, sf_dir):
