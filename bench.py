@@ -148,12 +148,90 @@ def load_baseline() -> dict:
         return {}
 
 
+#: a slot whose pinned quiet cost is at least this many seconds is
+#: "heavy": per-slot additive jitter (~0.1-2s of scheduler contention)
+#: moves it by a bounded FRACTION, unlike a 0.2s slot it can inflate 4x
+HEAVY_PIN_CUTOFF = 1.0
+
+
+def inflation_profile(
+    timings: dict[str, float],
+    slots_sec: dict[str, float],
+    cutoff: float = HEAVY_PIN_CUTOFF,
+) -> dict:
+    """Per-slot inflation (median / pinned-min) split by pin size —
+    the ADDITIVE-load detector (settled round 14; the driver's r13
+    record was inadjudicable with a STABLE calibration because
+    sub-second slots sat at 3.3-4.4x their pins while multi-second
+    slots sat at 1.0-1.6x). A multiplicative slowdown (slow CPU,
+    uniform load) inflates small and large slots by the SAME factor;
+    an additive per-slot overhead (scheduling contention adding ~1-2s
+    to every slot) inflates small slots far MORE than large ones. When
+    the small-slot median inflation exceeds 2x the large-slot median
+    inflation (and is itself > 1.5 — a quiet host where both medians
+    sit near 1.0 can never trip on ratio noise alone), the record is
+    stamped ``ambient_additive`` and no scalar correction applies:
+    the normalized fields are suppressed the same way an unstable
+    calibration suppresses them."""
+    ratios = {
+        k: v / slots_sec[k]
+        for k, v in timings.items()
+        if k in slots_sec and slots_sec[k] > 0
+    }
+    small = [v for k, v in ratios.items() if slots_sec[k] < cutoff]
+    large = [v for k, v in ratios.items() if slots_sec[k] >= cutoff]
+    out: dict = {"ambient_additive": False}
+    if small:
+        out["small_slot_median_ratio"] = round(statistics.median(small), 3)
+    if large:
+        out["large_slot_median_ratio"] = round(statistics.median(large), 3)
+    if small and large and out["large_slot_median_ratio"] > 0:
+        divergence = (
+            out["small_slot_median_ratio"] / out["large_slot_median_ratio"]
+        )
+        out["small_vs_large_divergence"] = round(divergence, 3)
+        out["ambient_additive"] = bool(
+            divergence > 2.0 and out["small_slot_median_ratio"] > 1.5
+        )
+    return out
+
+
+def heavy_subtotal_fields(
+    timings: dict[str, float],
+    errors: dict[str, str],
+    baseline: dict,
+    cutoff: float = HEAVY_PIN_CUTOFF,
+) -> dict:
+    """The >=1s-pinned-slot subtotal and its own band — the PRIMARY
+    loaded-host adjudication number (settled round 14): additive
+    per-slot jitter that can quadruple a 0.2s slot moves a 25s
+    subtotal of multi-second slots by only a bounded fraction, so this
+    band stays adjudicable exactly when the legacy band (which mixes
+    ten sub-second slots) drowns in contention. One-sided like the
+    legacy check: only the ceiling signals regression."""
+    slots = baseline.get("slots_sec") or {}
+    heavy_names = {k for k, v in slots.items() if v >= cutoff}
+    if not heavy_names or not heavy_names <= set(timings):
+        return {}
+    if heavy_names & set(errors):
+        return {}
+    subtotal = round(sum(timings[k] for k in heavy_names), 4)
+    out = {"heavy_subtotal": subtotal, "heavy_slot_count": len(heavy_names)}
+    band = baseline.get("heavy_subtotal_band")
+    if band:
+        out["heavy_band"] = band
+        out["heavy_in_band"] = bool(subtotal <= band[1])
+        out["heavy_below_band"] = bool(subtotal < band[0])
+    return out
+
+
 def normalize_record(
     timings: dict[str, float],
     legacy_total: float | None,
     calib_ratio: float | None,
     baseline: dict,
     calib_unstable: bool = False,
+    ambient_additive: bool = False,
 ) -> dict:
     """Load-normalized comparison fields for the payload (empty dict
     when no calibration ratio or no pins are available — the record
@@ -184,12 +262,23 @@ def normalize_record(
     The normalized fields are then SKIPPED entirely and the payload
     carries ``normalized_unreliable: true`` instead, so a consumer
     reading only ``normalized_in_band`` can never adjudicate a record
-    whose own calibration disavows the correction."""
+    whose own calibration disavows the correction.
+
+    ``ambient_additive`` (small-slot inflation >2x the large-slot
+    inflation — see :func:`inflation_profile`) suppresses the
+    normalized fields for the same reason: an additive per-slot
+    overhead is not representable by ANY multiplicative scalar, so a
+    "normalized" subtotal under it is noise wearing a unit.
+
+    Both suppression checks run BEFORE the missing-ratio early return:
+    a record with unstable calibration AND a missing/zero ratio must
+    still carry the 'calibration disavows this record' marker (r13
+    ADVICE)."""
     out: dict = {}
+    if calib_unstable or ambient_additive:
+        return {"normalized_unreliable": True}
     if not calib_ratio or calib_ratio <= 0:
         return out
-    if calib_unstable:
-        return {"normalized_unreliable": True}
     slots = baseline.get("slots_sec") or {}
     ratios = {
         k: round((v / slots[k]) / calib_ratio, 3)
@@ -487,6 +576,22 @@ def main() -> None:
     load_reasons = ambient_load_reasons(
         loadavg_before, timings, errors, legacy_names
     )
+    profile = inflation_profile(timings, baseline.get("slots_sec") or {})
+    # Cap the correction ratio at the observed large-slot median
+    # inflation (settled round 14): the calibration workload is pure
+    # CPU, but Spark wall time is not — on a genuinely slower-CPU host
+    # the judge's r13 run measured calibration 2.43x while the slots
+    # ran only 1.1-2.1x, and dividing by the full 2.43 pushed the
+    # normalized subtotal below physical reality. The large-slot
+    # median is the most load-robust direct observation of how much
+    # the SLOTS actually slowed; the correction may never exceed it
+    # (floored at 1.0 so a fast host is never "corrected" upward).
+    calib_ratio_capped = calib_ratio
+    large_median = profile.get("large_slot_median_ratio")
+    if calib_ratio and large_median:
+        calib_ratio_capped = round(
+            min(calib_ratio, max(1.0, large_median)), 4
+        )
     payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -512,9 +617,12 @@ def main() -> None:
             "unstable": calib_unstable,
             "quiet_sec": calib_quiet,
             "ratio": calib_ratio,
+            "ratio_capped": calib_ratio_capped,
             "threads": CALIB_THREADS,
             "mb_per_thread": CALIB_MB,
         },
+        "inflation_profile": profile,
+        "ambient_additive": profile.get("ambient_additive", False),
         "queries": timings,
         "query_spreads": {
             k: {
@@ -527,13 +635,15 @@ def main() -> None:
         },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    payload.update(heavy_subtotal_fields(timings, errors, baseline))
     payload.update(
         normalize_record(
             timings,
             legacy_total if legacy_names <= set(timings) else None,
-            calib_ratio,
+            calib_ratio_capped,
             baseline,
             calib_unstable=calib_unstable,
+            ambient_additive=profile.get("ambient_additive", False),
         )
     )
     if errors:
@@ -558,6 +668,36 @@ def main() -> None:
             file=sys.stderr,
         )
     print(json.dumps(payload))
+    # Truncation-proof adjudication tail (settled round 14): the
+    # driver keeps only the LAST ~2000 chars of this output, and the
+    # r13 record lost its raw subtotal/calibration/ambient flags to
+    # that cut. This compact final line repeats every adjudication
+    # fact so any fixed-size tail of the stream still carries them.
+    print(
+        json.dumps(
+            {
+                "headline": {
+                    "raw_subtotal": payload.get("legacy_13slot_total"),
+                    "band": baseline.get("legacy_13slot_subtotal_band"),
+                    "heavy_subtotal": payload.get("heavy_subtotal"),
+                    "heavy_band": payload.get("heavy_band"),
+                    "heavy_in_band": payload.get("heavy_in_band"),
+                    "ambient_load": payload["ambient_load"],
+                    "ambient_additive": payload["ambient_additive"],
+                    "contaminated": payload["contaminated"],
+                    "calib_ratio": calib_ratio,
+                    "calib_ratio_capped": calib_ratio_capped,
+                    "normalized_subtotal": payload.get(
+                        "normalized_legacy_subtotal"
+                    ),
+                    "normalized_unreliable": payload.get(
+                        "normalized_unreliable", False
+                    ),
+                    "n_failed": payload["n_failed"],
+                }
+            }
+        )
+    )
     spark.stop()
     if timings == {} and errors:
         sys.exit(1)  # non-zero only when EVERY query failed

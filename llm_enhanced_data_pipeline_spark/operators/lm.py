@@ -727,10 +727,14 @@ def parse_arpa(text: str) -> dict[int, list[tuple]]:
     ``log10prob<ws>w1 .. wN[<ws>log10backoff]`` rows, ``\\end\\``.
     Missing backoff = 0 (the ARPA convention for highest-order rows
     and for entries that never appear as a context). Malformed rows
-    raise — a truncated model must fail loud, not score garbage."""
+    raise, each section's row count is checked against the ``\\data\\``
+    declaration, and a missing ``\\end\\`` raises — a model truncated
+    even at a clean row boundary must fail loud, not score garbage."""
     out: dict[int, list[tuple]] = {}
+    declared: dict[int, int] = {}
     order = 0
     in_data = False
+    saw_end = False
     for raw in text.splitlines():
         line = raw.strip()
         if not line:
@@ -739,6 +743,7 @@ def parse_arpa(text: str) -> dict[int, list[tuple]]:
             in_data = True
             continue
         if line == "\\end\\":
+            saw_end = True
             break
         if line.endswith("-grams:") and line.startswith("\\"):
             order = int(line[1:].split("-")[0])
@@ -748,6 +753,12 @@ def parse_arpa(text: str) -> dict[int, list[tuple]]:
         if in_data:
             if not line.startswith("ngram "):
                 raise ValueError(f"malformed \\data\\ line: {raw!r}")
+            spec = line[len("ngram ") :]
+            n_str, _, cnt_str = spec.partition("=")
+            try:
+                declared[int(n_str)] = int(cnt_str)
+            except ValueError:
+                raise ValueError(f"malformed \\data\\ line: {raw!r}") from None
             continue
         if order == 0:
             raise ValueError(f"n-gram row before any section: {raw!r}")
@@ -763,6 +774,20 @@ def parse_arpa(text: str) -> dict[int, list[tuple]]:
         )
     if not out:
         raise ValueError("no n-gram sections found (not an ARPA file?)")
+    if not saw_end:
+        raise ValueError("ARPA file missing \\end\\ marker (truncated?)")
+    for n, cnt in declared.items():
+        got = len(out.get(n, []))
+        if got != cnt:
+            raise ValueError(
+                f"\\data\\ declares {cnt} {n}-grams but section has "
+                f"{got} rows (truncated or corrupt model)"
+            )
+    for n in out:
+        if n not in declared:
+            raise ValueError(
+                f"{n}-gram section present but undeclared in \\data\\"
+            )
     return out
 
 
@@ -807,9 +832,15 @@ def arpa_bigram_logprob_milli(
          present, else ``unk_milli``)
 
     — the standard ARPA evaluation rule. Every term is an integer
-    milli-log10, so sums are exact; the mean divides NEGATED totals
-    (both engines floor-divide POSITIVE operands, sidestepping the
-    Spark-trunc vs DuckDB-floor divergence on negatives). Docs with
+    milli-log10, so sums are exact. Each per-pair logp is clamped at
+    ≤ 0 (identically in both engines): real ARPA files can carry
+    POSITIVE backoff weights, so an un-clamped backoff path
+    ``bo(w1) + P1(w2)`` could push a per-doc sum positive — negated it
+    goes negative, where Spark's trunc-div and DuckDB's floor-div
+    diverge by 1. With the clamp the mean always divides a
+    NON-NEGATIVE total by a positive count, where the two engines
+    agree exactly (a probability > 1 is a model artifact anyway). Docs
+    with
     < 2 tokens are dropped. Plan: one pair explode → three broadcast
     equi-joins → one keyed agg; one corpus scan."""
     keep = keep_cols or []
@@ -838,10 +869,13 @@ def arpa_bigram_logprob_milli(
         .crossJoin(F.broadcast(unk_row))
         .withColumn(
             "_logp",
-            F.coalesce(
-                F.col("_p2"),
-                F.coalesce(F.col("_bo1"), F.lit(0))
-                + F.coalesce(F.col("_p1w2"), F.col("_unkp")),
+            F.least(
+                F.coalesce(
+                    F.col("_p2"),
+                    F.coalesce(F.col("_bo1"), F.lit(0))
+                    + F.coalesce(F.col("_p1w2"), F.col("_unkp")),
+                ),
+                F.lit(0),
             ).cast("bigint"),
         )
     )
@@ -890,9 +924,9 @@ ar_pairs AS (
 ),
 ar_scored AS (
   SELECT p._id{k_p},
-         coalesce(b.logp_milli,
-                  coalesce(u1.bo_milli, 0)
-                  + coalesce(u2.logp_milli, k._unkp))::BIGINT AS logp
+         least(coalesce(b.logp_milli,
+                        coalesce(u1.bo_milli, 0)
+                        + coalesce(u2.logp_milli, k._unkp)), 0)::BIGINT AS logp
   FROM ar_pairs p
   LEFT JOIN {bi_cte} b ON p._w1 = b.w1 AND p._w2 = b.w2
   LEFT JOIN {uni_cte} u1 ON p._w1 = u1.w

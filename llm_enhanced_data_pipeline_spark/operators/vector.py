@@ -655,7 +655,19 @@ def probe_weights_row(
     one posexplode + one per-dimension aggregation, folded into a
     SINGLE 1-row broadcastable weight-array frame (``warr``). Floor
     divisions keep the weights bit-identical across engines and
-    partitionings."""
+    partitionings.
+
+    An absent class (count 0) fails LOUD here — the same discipline
+    as the empty-LM guards in ``operators/lm.py`` — instead of Spark's
+    non-ANSI div-by-zero silently NULLing every weight (which would
+    coalesce downstream probe gates to all-fail with no signal) while
+    the DuckDB oracle's ``//`` raises."""
+    guard = (
+        "case when count(case when _lbl = {v} then 1 end) = 0 then "
+        "cast(raise_error('probe class {v} is empty: cannot train "
+        "mean-difference weights') as bigint) else "
+        "count(case when _lbl = {v} then 1 end) end"
+    )
     dims = (
         emb.filter(F.col(label_col).isin(pos, neg))
         .select(F.col(label_col).alias("_lbl"), F.posexplode(q_col).alias("_i0", "qi"))
@@ -663,9 +675,9 @@ def probe_weights_row(
         .agg(
             F.expr(
                 f"cast(sum(case when _lbl = {pos} then qi end) div "
-                f"count(case when _lbl = {pos} then 1 end) as bigint) - "
+                f"({guard.format(v=pos)}) as bigint) - "
                 f"cast(sum(case when _lbl = {neg} then qi end) div "
-                f"count(case when _lbl = {neg} then 1 end) as bigint)"
+                f"({guard.format(v=neg)}) as bigint)"
             ).alias("w")
         )
     )

@@ -121,7 +121,16 @@ def recrawl_stream(
     if stream_checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", stream_checkpoint_dir)
     q = writer.start()
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        # A drain that outlives timeout_s must not be silently
+        # truncated mid-batch: downstream re-ranks would read a
+        # partial edge store with no signal. Stop, then fail loud.
+        q.stop()
+        raise TimeoutError(
+            f"recrawl drain did not finish within {timeout_s}s; "
+            "edge store may be partial — raise timeout_s and re-drain"
+        )
     q.stop()
     return q
 

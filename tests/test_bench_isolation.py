@@ -521,3 +521,126 @@ def test_calibration_instability_math():
     before2, after2 = [0.8555, 0.8003, 1.0523], [7.8602, 12.9843, 10.8871]
     m_b, m_a = statistics.median(before2), statistics.median(after2)
     assert max(m_b, m_a) / min(m_b, m_a) > 2.0
+
+
+def test_additive_load_signature_detected_and_suppresses_normalization():
+    """The r13 driver record's failure mode: sub-second slots at
+    3.3-4.4x their pins while multi-second slots sit at 1.0-1.6x — an
+    ADDITIVE per-slot overhead (~1-2s of scheduling contention each)
+    that no multiplicative scalar can represent, with a calibration
+    that reads stable. inflation_profile must stamp ambient_additive
+    and normalize_record must suppress the normalized fields."""
+    baseline = bench.load_baseline()
+    pinned = baseline["slots_sec"]
+    # additive contention: +1.2s on every slot (the r13 shape)
+    timings = {k: v + 1.2 for k, v in pinned.items()}
+    prof = bench.inflation_profile(timings, pinned)
+    assert prof["small_slot_median_ratio"] > 3.0
+    assert prof["large_slot_median_ratio"] < 2.3
+    assert prof["small_vs_large_divergence"] > 2.0
+    assert prof["ambient_additive"] is True
+    out = bench.normalize_record(
+        timings, 18.4, 1.1, baseline, ambient_additive=True
+    )
+    assert out == {"normalized_unreliable": True}
+
+
+def test_quiet_and_uniform_hosts_do_not_trip_the_additive_flag():
+    """Both medians near 1.0 (quiet) or uniformly inflated (slow CPU,
+    uniform load) are MULTIPLICATIVE shapes: small/large divergence
+    stays ~1 and ambient_additive stays false — normalization remains
+    available exactly when it is meaningful."""
+    baseline = bench.load_baseline()
+    pinned = baseline["slots_sec"]
+    quiet = bench.inflation_profile(
+        {k: v * 1.05 for k, v in pinned.items()}, pinned
+    )
+    assert quiet["ambient_additive"] is False
+    uniform = bench.inflation_profile(
+        {k: v * 1.8 for k, v in pinned.items()}, pinned
+    )
+    assert uniform["ambient_additive"] is False
+    assert uniform["small_vs_large_divergence"] == 1.0
+
+
+def test_heavy_subtotal_is_robust_to_additive_jitter():
+    """The heavy (>=1s-pin) subtotal is the primary loaded-host
+    adjudication number: the additive contention that blows the
+    legacy band (ten sub-second slots each +1.2s) moves the
+    multi-second-slot sum by only a bounded fraction, keeping it
+    inside its own band."""
+    baseline = bench.load_baseline()
+    pinned = baseline["slots_sec"]
+    lo, hi = baseline["heavy_subtotal_band"]
+    heavy_names = {k for k, v in pinned.items() if v >= bench.HEAVY_PIN_CUTOFF}
+    assert len(heavy_names) >= 8
+    # the r13-driver shape: +1.2s additive on EVERY slot; heavy slots
+    # gain 11*1.2 = ~13.2s over the 24.8s pinned sum -> within ~1.27x
+    timings = {k: v + 1.2 for k, v in pinned.items()}
+    out = bench.heavy_subtotal_fields(timings, {}, baseline)
+    assert out["heavy_slot_count"] == len(heavy_names)
+    assert out["heavy_subtotal"] == round(
+        sum(timings[k] for k in heavy_names), 4
+    )
+    # sanity on the band itself: the pinned-min sum sits inside it
+    pin_sum = sum(pinned[k] for k in heavy_names)
+    assert lo <= pin_sum * 1.1 <= hi
+    # one-sided: a genuine heavy regression (every heavy slot 2x)
+    # lands ABOVE the ceiling
+    slow = bench.heavy_subtotal_fields(
+        {k: v * 2.0 for k, v in pinned.items()}, {}, baseline
+    )
+    assert slow["heavy_in_band"] is False
+    fast = bench.heavy_subtotal_fields(dict(pinned), {}, baseline)
+    assert fast["heavy_in_band"] is True
+    # an error in a heavy slot voids the subtotal (partial sum would
+    # read as a fake speedup)
+    assert (
+        bench.heavy_subtotal_fields(
+            timings, {"host_pagerank": "boom"}, baseline
+        )
+        == {}
+    )
+
+
+def test_correction_ratio_cap_against_the_r13_judge_host():
+    """The judge's r13 run: pure-CPU calibration 2.43x but slots only
+    1.1-2.1x (median 1.45) — dividing by the full 2.43 normalized the
+    subtotal below the band floor. The capped ratio min(calib, max(1,
+    large_slot_median)) keeps the correction within what the slots
+    actually measured."""
+    baseline = bench.load_baseline()
+    pinned = baseline["slots_sec"]
+    lo, hi = baseline["legacy_13slot_subtotal_band"]
+    timings = {k: v * 1.45 for k, v in pinned.items()}
+    prof = bench.inflation_profile(timings, pinned)
+    capped = min(2.43, max(1.0, prof["large_slot_median_ratio"]))
+    assert abs(capped - 1.45) < 0.01
+    legacy_total = sum(
+        v for k, v in timings.items() if k in bench.LEGACY_SLOT_NAMES
+    )
+    out = bench.normalize_record(timings, legacy_total, capped, baseline)
+    # with the cap the normalized subtotal stays physically meaningful
+    # (>= the pinned-min sum, i.e. not below what a quiet host can do)
+    quiet_sum = sum(
+        v for k, v in pinned.items() if k in bench.LEGACY_SLOT_NAMES
+    )
+    assert out["normalized_legacy_subtotal"] >= quiet_sum * 0.99
+    # whereas the uncapped 2.43 correction lands below the floor
+    raw = bench.normalize_record(timings, legacy_total, 2.43, baseline)
+    assert raw["normalized_legacy_subtotal"] < lo
+    # a fast host (ratio < 1) is never corrected upward
+    assert min(0.9, max(1.0, 0.8)) == 0.9
+
+
+def test_unstable_calibration_marker_survives_missing_ratio():
+    """r13 ADVICE: a record with unstable calibration AND a missing or
+    zero calibration ratio must still carry normalized_unreliable —
+    the 'calibration disavows this record' signal — instead of
+    silently degrading to raw-only."""
+    baseline = bench.load_baseline()
+    for ratio in (None, 0.0):
+        out = bench.normalize_record(
+            {}, 11.0, ratio, baseline, calib_unstable=True
+        )
+        assert out == {"normalized_unreliable": True}, ratio
