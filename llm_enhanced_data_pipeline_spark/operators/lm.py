@@ -938,3 +938,210 @@ ar_xent AS (
          ((-sum(logp))::BIGINT // count(*))::BIGINT AS nll10_milli
   FROM ar_scored GROUP BY ALL
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary-order ARPA scoring — the real 5-gram CCNet path. CCNet
+# (Wenzek et al. 2020 §3) filters with 5-gram KenLM models shipped as
+# ARPA exports; the bigram scorer above is the order-2 special case of
+# the Katz recursion this section implements for any order:
+#
+#   score(w1..wN) = logp_N(w1..wN)                 if the N-gram is listed
+#                 = bo(w1..w_{N-1}) + score(w2..wN) otherwise
+#                   (backoff of an unlisted context = 0)
+#
+# which closed-forms to: find the LONGEST listed suffix (length k*),
+# then  score = logp_{k*}(suffix) + Σ_{j=k*..N-1} bo(last-j context).
+# Distributed shape: one window explode → (2N−1) broadcast equi-joins
+# (N suffix-probability lookups + N−1 context-backoff lookups, every
+# table vocab-bounded) → one keyed aggregation. One corpus scan at any
+# order — the scan cost dominates at 100 TB, the joins are map-side.
+
+
+def arpa_tables(spark, parsed: dict[int, list[tuple]]):
+    """{order: DataFrame(gram, logp_milli, bo_milli)} from a parsed
+    ARPA model; ``gram`` is the space-joined token tuple so every
+    lookup at every order is a single string equi-join key. ARPA
+    orders must be contiguous from 1 (the format guarantees it; a
+    model that skips an order fails loud here rather than silently
+    scoring with a hole in the backoff chain)."""
+    orders = sorted(parsed)
+    if orders != list(range(1, len(orders) + 1)):
+        raise ValueError(f"non-contiguous ARPA orders: {orders}")
+    out = {}
+    for n in orders:
+        out[n] = spark.createDataFrame(
+            [(" ".join(r[:-2]), r[-2], r[-1]) for r in parsed[n]],
+            "gram string, logp_milli bigint, bo_milli bigint",
+        )
+    return out
+
+
+def arpa_ngram_logprob_milli(
+    docs: DataFrame,
+    id_col: str,
+    toks_col: str,
+    tables: dict[int, DataFrame],
+    order: int | None = None,
+    unk_milli: int = ARPA_OOV_MILLI,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-doc mean NEGATIVE log10-likelihood (milli-units) under a
+    pretrained ARPA model of ANY order with Katz backoff →
+    ``(id_col, *keep_cols, n_ngrams, nll10_milli)``.
+
+    Every full-width window of ``order`` adjacent tokens is scored
+    with the longest-listed-suffix rule (module comment above); docs
+    shorter than ``order`` tokens are dropped, mirroring the
+    order-2 lane's < 2-token rule. Per-window logp is clamped at ≤ 0
+    (identically in the SQL twin) so the negated per-doc sum stays
+    non-negative, where Spark trunc-div and DuckDB floor-div agree.
+
+    The cascade evaluates as a single chained CASE over the joined
+    lookup columns — whole-stage-codegen friendly, no UDFs."""
+    n = order or max(tables)
+    if n < 2:
+        raise ValueError(f"order must be >= 2, got {n}")
+    for k in range(1, n + 1):
+        if k not in tables:
+            raise ValueError(f"model has no {k}-gram table (order {n})")
+    keep = keep_cols or []
+    toks = F.col(toks_col)
+    wins = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.explode(
+            F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - n + 1),
+                    lambda i: F.slice(toks, i, n),
+                ),
+            ).otherwise(F.array().cast("array<array<string>>"))
+        ).alias("_win"),
+    )
+    keyed = wins.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        *[
+            F.array_join(F.slice(F.col("_win"), n - k + 1, k), " ").alias(f"_s{k}")
+            for k in range(1, n + 1)
+        ],
+        *[
+            F.array_join(F.slice(F.col("_win"), n - j, j), " ").alias(f"_c{j}")
+            for j in range(1, n)
+        ],
+    )
+    unk_row = (
+        tables[1]
+        .filter(F.col("gram") == "<unk>")
+        .agg(
+            F.coalesce(F.min("logp_milli"), F.lit(unk_milli))
+            .cast("bigint")
+            .alias("_unkp")
+        )
+    )
+    cur = keyed
+    for k in range(1, n + 1):
+        tk = tables[k].select(
+            F.col("gram").alias(f"_s{k}"), F.col("logp_milli").alias(f"_p{k}")
+        )
+        cur = cur.join(F.broadcast(tk), f"_s{k}", "left")
+    for j in range(1, n):
+        tj = tables[j].select(
+            F.col("gram").alias(f"_c{j}"), F.col("bo_milli").alias(f"_bo{j}")
+        )
+        cur = cur.join(F.broadcast(tj), f"_c{j}", "left")
+    cur = cur.crossJoin(F.broadcast(unk_row))
+    cascade = F.coalesce(F.col("_p1"), F.col("_unkp"))
+    for m in range(2, n + 1):
+        cascade = F.when(F.col(f"_p{m}").isNotNull(), F.col(f"_p{m}")).otherwise(
+            F.coalesce(F.col(f"_bo{m - 1}"), F.lit(0)) + cascade
+        )
+    scored = cur.withColumn("_logp", F.least(cascade, F.lit(0)).cast("bigint"))
+    return (
+        scored.groupBy(F.col(id_col), *[F.col(c) for c in keep])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+            F.sum("_logp").cast("bigint").alias("_sum_logp"),
+        )
+        .select(
+            id_col,
+            *keep,
+            "n_ngrams",
+            F.expr("cast((-_sum_logp) div n_ngrams as bigint)").alias(
+                "nll10_milli"
+            ),
+        )
+    )
+
+
+def arpa_ngram_logprob_sql(
+    toks_expr: str,
+    id_expr: str,
+    docs_relation: str,
+    gram_ctes: dict[int, str],
+    order: int,
+    unk_milli: int = ARPA_OOV_MILLI,
+    keep_cols: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`arpa_ngram_logprob_milli` given one CTE
+    name per order, each ``(gram, logp_milli, bo_milli)`` → CTE chain
+    ending in ``arn_xent(_id, *keep, n_ngrams, nll10_milli)``. The
+    window indexing, join keys, CASE cascade and ≤0 clamp mirror the
+    Spark lane token for token."""
+    n = order
+    keep = keep_cols or []
+    k_sel = "".join(f", {c}" for c in keep)
+    k_w = "".join(f", w.{c}" for c in keep)
+    suffix_keys = ",\n         ".join(
+        "concat_ws(' ', "
+        + ", ".join(f"toks[_i + {m}]" for m in range(n - k, n))
+        + f") AS _s{k}"
+        for k in range(1, n + 1)
+    )
+    ctx_keys = ",\n         ".join(
+        "concat_ws(' ', "
+        + ", ".join(f"toks[_i + {m}]" for m in range(n - 1 - j, n - 1))
+        + f") AS _c{j}"
+        for j in range(1, n)
+    )
+    p_joins = "\n  ".join(
+        f"LEFT JOIN {gram_ctes[k]} p{k} ON w._s{k} = p{k}.gram"
+        for k in range(1, n + 1)
+    )
+    bo_joins = "\n  ".join(
+        f"LEFT JOIN {gram_ctes[j]} b{j} ON w._c{j} = b{j}.gram"
+        for j in range(1, n)
+    )
+    cascade = f"coalesce(p1.logp_milli, k._unkp)"
+    for m in range(2, n + 1):
+        cascade = (
+            f"CASE WHEN p{m}.logp_milli IS NOT NULL THEN p{m}.logp_milli "
+            f"ELSE coalesce(b{m - 1}.bo_milli, 0) + {cascade} END"
+        )
+    return f"""
+arn_unk AS (
+  SELECT coalesce(min(logp_milli), {unk_milli})::BIGINT AS _unkp
+  FROM {gram_ctes[1]} WHERE gram = '<unk>'
+),
+arn_wins AS (
+  SELECT {id_expr} AS _id{k_sel},
+         {suffix_keys},
+         {ctx_keys}
+  FROM (SELECT {id_expr}{k_sel}, {toks_expr} AS toks FROM {docs_relation}),
+       LATERAL unnest(range(1, greatest(len(toks) - {n} + 1, 0) + 1)) r(_i)
+),
+arn_scored AS (
+  SELECT w._id{k_w},
+         least({cascade}, 0)::BIGINT AS logp
+  FROM arn_wins w
+  {p_joins}
+  {bo_joins}
+  CROSS JOIN arn_unk k
+),
+arn_xent AS (
+  SELECT _id{k_sel}, count(*)::BIGINT AS n_ngrams,
+         ((-sum(logp))::BIGINT // count(*))::BIGINT AS nll10_milli
+  FROM arn_scored GROUP BY ALL
+)"""

@@ -338,3 +338,102 @@ def arpa_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.arpa_bigram_logprob_milli(
         docs, "doc_id", "toks", uni, bi, keep_cols=["lang"]
     ).select("doc_id", "lang", "n_bigrams", "nll10_milli")
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary-order ARPA scoring — the real CCNet shape (Wenzek et al.
+# 2020 §3 filters with 5-GRAM KenLM exports). The fixture model is a
+# 5-gram ARPA file whose deeper entries are real corpus n-grams, so at
+# sf0.01 every cascade level — full 5-gram hit, each backoff depth,
+# and the <unk> floor — is exercised and hash-compared. Some backoff
+# weights are deliberately POSITIVE (real KenLM exports carry them) to
+# pin the ≤0 clamp in both engines.
+
+_ARPA5 = {
+    1: [
+        ("table", -500, -300), ("value", -700, -150), ("row", -900, -250),
+        ("key", -1100, 0), ("a", -1300, -100), ("hash", -800, -200),
+        ("part", -750, -180), ("filter", -950, -220), ("scan", -850, -160),
+        ("merge", -1000, -240), ("group", -900, -190), ("slow", -1050, -130),
+        ("batch", -950, -170), ("column", -1000, -210), ("sort", -1100, -140),
+        ("the", -600, -110), ("<unk>", -2500, 0),
+    ],
+    2: [
+        ("table hash", -250, -120), ("part filter", -300, -140),
+        ("merge group", -280, 120), ("slow hash", -350, -160),
+        ("row value", -400, -100), ("scan row", -320, -130),
+        ("group part", -290, -150), ("filter scan", -310, -110),
+    ],
+    3: [
+        ("slow hash batch", -200, -90), ("part filter scan", -220, -80),
+        ("merge group part", -210, 70), ("scan row value", -230, -95),
+        ("group part scan", -240, -85),
+    ],
+    4: [
+        ("merge group part scan", -150, -60),
+        ("group part scan row", -160, 50),
+        ("part scan row value", -170, -70),
+    ],
+    5: [
+        ("merge group part scan row", -100, 0),
+        ("group part scan row value", -110, 0),
+        ("part scan row value column", -120, 0),
+    ],
+}
+
+
+def _arpa5_text() -> str:
+    lines = ["\\data\\"]
+    lines += [f"ngram {n}={len(rows)}" for n, rows in sorted(_ARPA5.items())]
+    for n, rows in sorted(_ARPA5.items()):
+        lines += ["", f"\\{n}-grams:"]
+        for gram, lp, bo in rows:
+            if bo:
+                lines.append(f"{lp / 1000:.3f}\t{gram}\t{bo / 1000:.3f}")
+            else:
+                lines.append(f"{lp / 1000:.3f}\t{gram}")
+    lines += ["", "\\end\\", ""]
+    return "\n".join(lines)
+
+
+_ARPA5_CTES = ",\n".join(
+    f"g{n}(gram, logp_milli, bo_milli) AS (VALUES "
+    + ", ".join(f"('{g}', {lp}, {bo})" for g, lp, bo in rows)
+    + ")"
+    for n, rows in sorted(_ARPA5.items())
+)
+
+
+@register(
+    "arpa_5gram_scores",
+    doc="Pretrained 5-gram LM scoring through the ARPA interchange "
+    "format — the real CCNet shape (Wenzek et al. 2020 filter with "
+    "5-gram KenLM exports): the model text round-trips through "
+    "parse_arpa, loads as five broadcastable gram tables, and every "
+    "full-width token window is scored with the "
+    "longest-listed-suffix Katz rule — one window explode + nine "
+    "broadcast joins + one keyed agg; per-window logp clamped at <=0 "
+    "(real exports carry positive backoffs) so trunc-div and "
+    "floor-div agree. The oracle consumes the same model as VALUES "
+    "literals, so the hash compare verifies the parser and the "
+    "arbitrary-order distributed backoff cascade together.",
+    oracle=f"""
+WITH {_ARPA5_CTES},
+{{chain}}
+SELECT _id AS doc_id, lang, n_ngrams, nll10_milli FROM arn_xent
+""".format(
+        chain=lm.arpa_ngram_logprob_sql(
+            tokens_sql("text"), "doc_id", "documents",
+            {n: f"g{n}" for n in range(1, 6)}, 5, keep_cols=["lang"],
+        ).lstrip()
+    ),
+)
+def arpa_5gram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = lm.parse_arpa(_arpa5_text())
+    tables = lm.arpa_tables(spark, parsed)
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", cleaning.tokens(F.col("text")).alias("toks")
+    )
+    return lm.arpa_ngram_logprob_milli(
+        docs, "doc_id", "toks", tables, keep_cols=["lang"]
+    ).select("doc_id", "lang", "n_ngrams", "nll10_milli")

@@ -221,3 +221,150 @@ def test_arpa_katz_backoff_closed_form(spark):
     total = -200 + (0 - 1500) + (-100 - 2000) + (0 - 500)
     assert row["n_bigrams"] == 4
     assert row["nll10_milli"] == (-total) // 4
+
+
+def test_parse_arpa_validates_declared_counts_and_end_marker():
+    """A model truncated at a clean row boundary (section shorter than
+    its \\data\\ declaration) or missing \\end\\ must fail loud (r13
+    ADVICE): a partial model would silently score garbage."""
+    ok = (
+        "\\data\\\nngram 1=2\nngram 2=1\n\n"
+        "\\1-grams:\n-0.5\tthe\t-0.3\n-2.0\t<unk>\n\n"
+        "\\2-grams:\n-0.2\tthe the\n\n\\end\\\n"
+    )
+    assert lm.parse_arpa(ok)[2] == [("the", "the", -200, 0)]
+    short = ok.replace("ngram 2=1", "ngram 2=2")
+    with pytest.raises(ValueError, match="declares 2 2-grams"):
+        lm.parse_arpa(short)
+    no_end = ok.replace("\\end\\\n", "")
+    with pytest.raises(ValueError, match="missing .end."):
+        lm.parse_arpa(no_end)
+    undeclared = ok.replace("ngram 2=1\n", "")
+    with pytest.raises(ValueError, match="undeclared"):
+        lm.parse_arpa(undeclared)
+
+
+def _py_katz(window, tables, unk):
+    """Reference longest-listed-suffix Katz scorer (plain Python)."""
+    n = len(window)
+    for k in range(n, 0, -1):
+        gram = " ".join(window[n - k:])
+        if gram in tables[k]:
+            lp = tables[k][gram][0]
+            break
+    else:
+        k, lp = 1, unk
+    if k == 1 and " ".join(window[n - 1:]) not in tables[1]:
+        lp = unk
+    for j in range(k, n):
+        ctx = " ".join(window[n - 1 - j: n - 1])
+        lp += tables[j].get(ctx, (0, 0))[1]
+    return min(lp, 0)
+
+
+def test_arpa_ngram_cascade_closed_form(spark):
+    """Order-4 Katz cascade against a plain-Python reference scorer on
+    windows engineered to hit EVERY level: full 4-gram, 3-gram +
+    bo3, 2-gram + bo3 + bo2, 1-gram + all backoffs, and the <unk>
+    floor — plus a POSITIVE backoff that pushes one window's logp
+    above 0 to pin the <=0 clamp."""
+    model = {
+        1: {"a": (-400, -100), "b": (-600, -200), "c": (-800, 300),
+            "d": (-500, -50), "<unk>": (-2000, 0)},
+        2: {"a b": (-300, -80), "b c": (-350, 90), "c d": (-320, -60)},
+        3: {"a b c": (-250, -40), "b c d": (-260, 2500)},
+        4: {"a b c d": (-150, 0)},
+    }
+    tables = {
+        n: spark.createDataFrame(
+            [(g, lp, bo) for g, (lp, bo) in rows.items()],
+            "gram string, logp_milli bigint, bo_milli bigint",
+        )
+        for n, rows in model.items()
+    }
+    docs = spark.createDataFrame(
+        [
+            ("full", ["a", "b", "c", "d"]),      # 4-gram listed
+            ("back3", ["d", "b", "c", "d"]),     # suffix "b c d" at k=3
+            ("back2", ["d", "d", "c", "d"]),     # suffix "c d" at k=2
+            ("back1", ["d", "d", "d", "a"]),     # unigram "a" at k=1
+            ("unk", ["d", "d", "d", "zzz"]),     # OOV floor
+            # "b c d" carries bo=+2500: the window (x, b, c, d) whose
+            # 4-gram misses but suffix hits at k=3 stays NEGATIVE, while
+            # a deeper backoff chain crossing it can go positive -> clamp
+            ("clamp", ["b", "c", "d", "c"]),     # suffix "c" (+bo chain)
+        ],
+        "doc_id string, toks array<string>",
+    )
+    out = {
+        r["doc_id"]: (r["n_ngrams"], r["nll10_milli"])
+        for r in lm.arpa_ngram_logprob_milli(
+            docs, "doc_id", "toks", tables, order=4
+        ).collect()
+    }
+    pys = {"full": ["a", "b", "c", "d"], "back3": ["d", "b", "c", "d"],
+           "back2": ["d", "d", "c", "d"], "back1": ["d", "d", "d", "a"],
+           "unk": ["d", "d", "d", "zzz"], "clamp": ["b", "c", "d", "c"]}
+    py_tables = {n: dict(rows) for n, rows in model.items()}
+    for name, win in pys.items():
+        expect = _py_katz(win, py_tables, -2000)
+        assert out[name] == (1, -expect), name
+    # the clamp case really exercised the clamp: unclamped it is > 0
+    # (suffix "c" P1=-800 + bo3("b c d")=+2500 + bo2("c d")=-60 +
+    #  bo1("d")=-50 = +1590)
+    assert out["clamp"] == (1, 0)
+    # docs shorter than the order are dropped
+    short = spark.createDataFrame(
+        [("s", ["a", "b", "c"])], "doc_id string, toks array<string>"
+    )
+    assert (
+        lm.arpa_ngram_logprob_milli(
+            short, "doc_id", "toks", tables, order=4
+        ).count()
+        == 0
+    )
+
+
+def test_arpa_ngram_matches_bigram_lane_at_order_2(spark):
+    """The arbitrary-order cascade at order=2 must reproduce the
+    dedicated bigram lane bit-for-bit on the same model (the bigram
+    scorer is the order-2 special case)."""
+    uni = spark.createDataFrame(
+        [("the", -500, -300), ("a", -1000, 0), ("cat", -1500, -100),
+         ("<unk>", -2000, 0)],
+        "w string, logp_milli bigint, bo_milli bigint",
+    )
+    bi = spark.createDataFrame(
+        [("the", "a", -200)], "w1 string, w2 string, logp_milli bigint"
+    )
+    docs = spark.createDataFrame(
+        [("d1", ["the", "a", "cat", "zzz", "the"]),
+         ("d2", ["a", "the", "a", "a"])],
+        "doc_id string, toks array<string>",
+    )
+    old = {
+        r["doc_id"]: (r["n_bigrams"], r["nll10_milli"])
+        for r in lm.arpa_bigram_logprob_milli(
+            docs, "doc_id", "toks", uni, bi
+        ).collect()
+    }
+    tables = {
+        1: uni.select(F.col("w").alias("gram"), "logp_milli", "bo_milli"),
+        2: bi.select(
+            F.concat_ws(" ", "w1", "w2").alias("gram"),
+            "logp_milli",
+            F.lit(0).cast("bigint").alias("bo_milli"),
+        ),
+    }
+    new = {
+        r["doc_id"]: (r["n_ngrams"], r["nll10_milli"])
+        for r in lm.arpa_ngram_logprob_milli(
+            docs, "doc_id", "toks", tables, order=2
+        ).collect()
+    }
+    assert old == new
+
+
+def test_arpa_tables_rejects_non_contiguous_orders(spark):
+    with pytest.raises(ValueError, match="non-contiguous"):
+        lm.arpa_tables(spark, {1: [("a", -1, 0)], 3: [("a b c", -1, 0)]})
