@@ -42,7 +42,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.arrays import index_1_to
@@ -1145,3 +1145,56 @@ arn_xent AS (
          ((-sum(logp))::BIGINT // count(*))::BIGINT AS nll10_milli
   FROM arn_scored GROUP BY ALL
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Shared CCNet bucketing — ONE builder for every scorer order. The
+# head/middle/tail split is identical whatever produced the per-doc
+# cross-entropy (unigram, JM bigram/trigram, ARPA n-gram): per-language
+# tertiles over (xent, doc_id), per-bucket counts + xent band. Keeping
+# it here means the surface grows linearly in SCORERS, not in
+# (scorers x bucketing) gate pairs, and the keyed-window (no global
+# sort) discipline is pinned once.
+
+
+def ccnet_buckets(
+    scored: DataFrame,
+    xent_col: str = "xent_milli",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing over ANY per-doc xent frame →
+    ``(lang, bucket, n_docs, min_xent_milli, max_xent_milli)``.
+    ntile(3) over the total order (xent, id) PARTITIONED BY language —
+    a keyed window, so no partition ever holds more than one
+    language's docs and there is no global sort at any corpus size."""
+    w = Window.partitionBy(lang_col).orderBy(xent_col, id_col)
+    return (
+        scored.withColumn("bucket", F.ntile(3).over(w).cast("bigint"))
+        .groupBy(lang_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min(xent_col).cast("bigint").alias("min_xent_milli"),
+            F.max(xent_col).cast("bigint").alias("max_xent_milli"),
+        )
+    )
+
+
+def ccnet_buckets_sql(
+    xent_cte: str,
+    xent_col: str = "xent_milli",
+    id_expr: str = "_id",
+    lang_col: str = "lang",
+) -> str:
+    """DuckDB twin of :func:`ccnet_buckets`: a ``cb_bucketed`` CTE body
+    plus the final SELECT, to append after the scorer's xent chain."""
+    return f"""cb_bucketed AS (
+  SELECT {lang_col}, {xent_col},
+         ntile(3) OVER (PARTITION BY {lang_col}
+                        ORDER BY {xent_col}, {id_expr}) AS bucket
+  FROM {xent_cte}
+)
+SELECT {lang_col}, bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
+       min({xent_col})::BIGINT AS min_xent_milli,
+       max({xent_col})::BIGINT AS max_xent_milli
+FROM cb_bucketed GROUP BY {lang_col}, bucket"""

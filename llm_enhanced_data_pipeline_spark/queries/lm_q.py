@@ -76,30 +76,11 @@ def lm_perplexity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_MODEL_CTE},
 {lm.cross_entropy_sql(tokens_sql("text"), "doc_id", "documents",
                       "lm_model", keep_cols=["lang"])},
-bucketed AS (
-  SELECT lang, xent_milli,
-         ntile(3) OVER (PARTITION BY lang
-                        ORDER BY xent_milli, _id) AS bucket
-  FROM lm_xent
-)
-SELECT lang, bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
-       min(xent_milli)::BIGINT AS min_xent_milli,
-       max(xent_milli)::BIGINT AS max_xent_milli
-FROM bucketed GROUP BY lang, bucket
+{lm.ccnet_buckets_sql("lm_xent")}
 """,
 )
 def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = _scored(spark, sf_dir)
-    w = Window.partitionBy("lang").orderBy("xent_milli", "doc_id")
-    return (
-        scored.withColumn("bucket", F.ntile(3).over(w).cast("bigint"))
-        .groupBy("lang", "bucket")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.min("xent_milli").cast("bigint").alias("min_xent_milli"),
-            F.max("xent_milli").cast("bigint").alias("max_xent_milli"),
-        )
-    )
+    return lm.ccnet_buckets(_scored(spark, sf_dir))
 
 
 _BI_MODEL_CTE = f"""
@@ -156,30 +137,11 @@ def lm_bigram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_BI_MODEL_CTE},
 {lm.bigram_cross_entropy_sql(tokens_sql("text"), "doc_id", "documents",
                              "bg_model", keep_cols=["lang"])},
-bg_bucketed AS (
-  SELECT lang, xent_milli,
-         ntile(3) OVER (PARTITION BY lang
-                        ORDER BY xent_milli, _id) AS bucket
-  FROM bg_xent
-)
-SELECT lang, bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
-       min(xent_milli)::BIGINT AS min_xent_milli,
-       max(xent_milli)::BIGINT AS max_xent_milli
-FROM bg_bucketed GROUP BY lang, bucket
+{lm.ccnet_buckets_sql("bg_xent")}
 """,
 )
 def ccnet_bigram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = _bi_scored(spark, sf_dir)
-    w = Window.partitionBy("lang").orderBy("xent_milli", "doc_id")
-    return (
-        scored.withColumn("bucket", F.ntile(3).over(w).cast("bigint"))
-        .groupBy("lang", "bucket")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.min("xent_milli").cast("bigint").alias("min_xent_milli"),
-            F.max("xent_milli").cast("bigint").alias("max_xent_milli"),
-        )
-    )
+    return lm.ccnet_buckets(_bi_scored(spark, sf_dir))
 
 
 _TRI_MODEL_CTE = f"""
@@ -202,16 +164,7 @@ tg_model AS (
 WITH {_TRI_MODEL_CTE},
 {lm.trigram_cross_entropy_sql(tokens_sql("text"), "doc_id", "documents",
                               "tg_model", keep_cols=["lang"])},
-tg_bucketed AS (
-  SELECT lang, xent_milli,
-         ntile(3) OVER (PARTITION BY lang
-                        ORDER BY xent_milli, _id) AS bucket
-  FROM tg_xent
-)
-SELECT lang, bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
-       min(xent_milli)::BIGINT AS min_xent_milli,
-       max(xent_milli)::BIGINT AS max_xent_milli
-FROM tg_bucketed GROUP BY lang, bucket
+{lm.ccnet_buckets_sql("tg_xent")}
 """,
 )
 def ccnet_trigram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,16 +177,7 @@ def ccnet_trigram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = lm.trigram_cross_entropy_milli(
         docs, "doc_id", "toks", tri, keep_cols=["lang"]
     )
-    w = Window.partitionBy("lang").orderBy("xent_milli", "doc_id")
-    return (
-        scored.withColumn("bucket", F.ntile(3).over(w).cast("bigint"))
-        .groupBy("lang", "bucket")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.min("xent_milli").cast("bigint").alias("min_xent_milli"),
-            F.max("xent_milli").cast("bigint").alias("max_xent_milli"),
-        )
-    )
+    return lm.ccnet_buckets(scored)
 
 
 @register(
@@ -437,3 +381,37 @@ def arpa_5gram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.arpa_ngram_logprob_milli(
         docs, "doc_id", "toks", tables, keep_cols=["lang"]
     ).select("doc_id", "lang", "n_ngrams", "nll10_milli")
+
+
+@register(
+    "ccnet_arpa_buckets",
+    doc="CCNet head/middle/tail bucketing under the PRETRAINED 5-gram "
+    "ARPA model — the production CCNet configuration (per-language "
+    "perplexity tertiles under a KenLM export) expressed through the "
+    "same shared bucketing builder as the unigram/bigram/trigram "
+    "lanes: ccnet_buckets(order=1|2|3|arpa) is one operator with the "
+    "scorer injected. The min/max band columns keep the shared "
+    "xent_milli report names whatever the scorer's unit (here "
+    "milli-log10 NLL).",
+    oracle=f"""
+WITH {_ARPA5_CTES},
+{{chain}},
+{{buckets}}
+""".format(
+        chain=lm.arpa_ngram_logprob_sql(
+            tokens_sql("text"), "doc_id", "documents",
+            {n: f"g{n}" for n in range(1, 6)}, 5, keep_cols=["lang"],
+        ).lstrip(),
+        buckets=lm.ccnet_buckets_sql("arn_xent", xent_col="nll10_milli"),
+    ),
+)
+def ccnet_arpa_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = lm.parse_arpa(_arpa5_text())
+    tables = lm.arpa_tables(spark, parsed)
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", cleaning.tokens(F.col("text")).alias("toks")
+    )
+    scored = lm.arpa_ngram_logprob_milli(
+        docs, "doc_id", "toks", tables, keep_cols=["lang"]
+    )
+    return lm.ccnet_buckets(scored, xent_col="nll10_milli")
