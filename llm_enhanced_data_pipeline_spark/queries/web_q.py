@@ -1925,7 +1925,7 @@ def streaming_recrawl_warm_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         store = rc.link_store(spark, f"{base}/store")
         rank_path = f"{base}/ranks"
 
-        def drain(crawl_df, name):
+        def drain(crawl_df, name, crawl_id):
             crawl_df.mapInPandas(synth, synth_schema).coalesce(2).write.mode(
                 "overwrite"
             ).parquet(f"{base}/in/{name}")
@@ -1935,11 +1935,16 @@ def streaming_recrawl_warm_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 store,
                 stream_checkpoint_dir=f"{base}/ckpt",
                 max_files_per_trigger=4,
+                crawl_id=crawl_id,
             )
 
-        drain(docs.filter(F.col("doc_id") % 3 < 2), "c1")
+        # crawl 2 drains under a HIGHER generation: its pages are
+        # disjoint from crawl 1's, so the latest-generation read is
+        # the union both engines expect — while the versioned path
+        # (per-page max-window + sentinels) is what actually runs
+        drain(docs.filter(F.col("doc_id") % 3 < 2), "c1", 0)
         rc.rerank_warm(spark, store, rank_path, n_iter=3)  # cold prior
-        drain(docs.filter(F.col("doc_id") % 3 == 2), "c2")  # delta only
+        drain(docs.filter(F.col("doc_id") % 3 == 2), "c2", 1)  # delta only
         final = rc.rerank_warm(spark, store, rank_path, n_iter=3)  # warm
         return final.localCheckpoint(eager=True)
     finally:

@@ -19,13 +19,18 @@ module joins them:
         ranks = pagerank_int(edges, few rounds, init_ranks=prior)
         save as the next crawl's prior
 
-Exactly-once at the LINK-FACT level: the store key is
-``md5(page_url ':' dst_url)`` — a (page, target) link fact is appended
-once no matter how many times the archive file is re-delivered
-(stream-checkpoint loss, identical recrawl). A page recrawled with
-identical links re-skips; new pages/links append; the edge store is
-the UNION of observed link facts (a crawl-versioned store would key on
-(crawl_id, page, dst) — deliberate simplification, same shape).
+Exactly-once at the LINK-FACT level, CRAWL-VERSIONED (r13 verdict
+item 4): the store key is ``md5(crawl_id ':' page_url ':' dst_url)``,
+so within one crawl generation a (page, target) fact appends once no
+matter how many times the archive file is re-delivered
+(stream-checkpoint loss, engine replay), while a later crawl of the
+same page writes a NEW generation of its facts. Every crawled page
+also records a zero-link sentinel row (``url = ''``, ``n = 0``) so a
+page that DROPPED all its links still advances its generation — the
+failure mode of the old forever-union store, where a removed link kept
+its stale edge in every future re-rank. ``host_edges`` reads only each
+page's LATEST generation (one keyed max-window, no join), so removed
+links demonstrably leave the graph and the warm ranks.
 
 Warm-start contract (pinned in tests/test_graph.py and re-pinned here
 over the streamed composition): the damped iteration contracts by
@@ -52,17 +57,21 @@ from ..sources.checkpoint import ParquetCheckpoint
 
 
 def link_store(spark: SparkSession, path: str) -> ParquetCheckpoint:
-    """The persisted link-fact store: one row per (page_url, dst url)
-    ever observed, keyed by the md5 of the pair."""
+    """The persisted link-fact store: one row per (crawl generation,
+    page_url, dst url) observed — plus a zero-link sentinel per
+    crawled page — keyed by the md5 of the triple."""
     return ParquetCheckpoint(spark, path, key="link_key")
 
 
-def make_link_extract_batch_fn(store: ParquetCheckpoint):
+def make_link_extract_batch_fn(store: ParquetCheckpoint, crawl_id: int = 0):
     """foreachBatch body (exposed for direct replay testing): WARC
     record walk + HTTP gates, anchor extraction from the real page
     HTML, per-(page, target) anchor counting, keyed exactly-once
-    append. Calling it twice with the same batch appends nothing the
-    second time."""
+    append under the given crawl generation. Calling it twice with the
+    same batch and crawl_id appends nothing the second time; the same
+    page under a HIGHER crawl_id appends a new generation of facts
+    (and its sentinel row advances the generation even when the page
+    now has zero links)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         recs = warc.read_warc_records(
@@ -74,17 +83,23 @@ def make_link_extract_batch_fn(store: ParquetCheckpoint):
             & (F.col("target_uri") != "")
         ).select(F.col("target_uri").alias("page_url"), "body_text")
         links = graph.extract_links(pages, "page_url", "body_text", "page_url")
-        facts = (
-            links.groupBy("page_url", "url")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-            .select(
-                hashing.md5_hex(
-                    F.concat(F.col("page_url"), F.lit(":"), F.col("url"))
-                ).alias("link_key"),
-                "page_url",
-                "url",
-                "n",
-            )
+        counted = links.groupBy("page_url", "url").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        sentinels = pages.select("page_url").distinct().select(
+            "page_url", F.lit("").alias("url"), F.lit(0).cast("bigint").alias("n")
+        )
+        facts = counted.unionByName(sentinels).select(
+            hashing.md5_hex(
+                F.concat(
+                    F.lit(str(crawl_id)), F.lit(":"),
+                    F.col("page_url"), F.lit(":"), F.col("url"),
+                )
+            ).alias("link_key"),
+            F.lit(crawl_id).cast("bigint").alias("crawl_id"),
+            "page_url",
+            "url",
+            "n",
         )
         store.append(store.remaining(facts))
 
@@ -98,10 +113,12 @@ def recrawl_stream(
     stream_checkpoint_dir: str | None = None,
     max_files_per_trigger: int = 10,
     timeout_s: int = 120,
+    crawl_id: int = 0,
 ) -> StreamingQuery:
     """availableNow drain of (doc_id, payload) binary WARC parquet
-    files through the link-extraction ingest; restart with the same
-    checkpoint dir to resume from recorded offsets."""
+    files through the link-extraction ingest under the given crawl
+    generation; restart with the same checkpoint dir to resume from
+    recorded offsets."""
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -116,7 +133,7 @@ def recrawl_stream(
         .parquet(input_path)
     )
     writer = stream.writeStream.foreachBatch(
-        make_link_extract_batch_fn(store)
+        make_link_extract_batch_fn(store, crawl_id=crawl_id)
     ).trigger(availableNow=True)
     if stream_checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", stream_checkpoint_dir)
@@ -136,15 +153,28 @@ def recrawl_stream(
 
 
 def host_edges(store: ParquetCheckpoint) -> DataFrame:
-    """Weighted host→host edge list over the accumulated link facts —
-    the same host/self-loop/empty-host discipline as
+    """Weighted host→host edge list over each page's LATEST crawl
+    generation — the same host/self-loop/empty-host discipline as
     ``operators/graph.host_graph``, with anchor multiplicity carried
-    through the stored ``n``. One hash aggregation; |hosts|²-bounded."""
+    through the stored ``n``. The generation filter is one keyed
+    max-window partitioned by page_url (no self-join, one shuffle on
+    the page key); a page whose newest generation dropped a link — or
+    every link, leaving only its sentinel row — contributes only its
+    current facts, so stale edges leave the graph. One hash
+    aggregation after the filter; |hosts|²-bounded output."""
+    from pyspark.sql import Window
+
     rows = store.load()
     if rows is None:  # nothing drained yet: empty graph, not a crash
         return store.spark.createDataFrame(
             [], "src string, dst string, weight bigint"
         )
+    if "crawl_id" not in rows.columns:  # pre-versioning store: one gen
+        rows = rows.withColumn("crawl_id", F.lit(0).cast("bigint"))
+    latest = F.max("crawl_id").over(Window.partitionBy("page_url"))
+    rows = rows.withColumn("_latest", latest).filter(
+        F.col("crawl_id") == F.col("_latest")
+    )
     s = graph.url_host(F.col("page_url"))
     t = graph.url_host(F.col("url"))
     return (

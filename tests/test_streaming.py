@@ -774,3 +774,81 @@ def test_streaming_recrawl_warm_pagerank_on_edge_deltas(spark, tmp_path):
                 for r in rc.rerank_warm(spark, store, rank_path, n_iter=3).collect()}
     for node in target:
         assert abs(warm[node] - target[node]) < 10_000_000, node  # <1% scale
+
+
+def test_recrawl_removed_link_leaves_the_graph_and_warm_ranks(spark, tmp_path):
+    """Crawl-versioned edge store (r13 verdict item 4): a page that
+    DROPS a link on recrawl must lose the stale edge — the old
+    forever-union store kept it in every future re-rank. Covers: a
+    recrawled page replaced by its latest generation; a page recrawled
+    with ZERO links surviving only as its sentinel (generation still
+    advances); a page not recrawled keeping its old-generation facts;
+    and the warm rank of the dropped target demonstrably falling."""
+    from pyspark.sql import Row
+
+    from llm_enhanced_data_pipeline_spark.sources import warc
+    from llm_enhanced_data_pipeline_spark.streaming import recrawl as rc
+
+    indir = tmp_path / "warc_in"
+    indir.mkdir()
+
+    def payload(page_url, hrefs):
+        body = "".join(f'<a href="{h}">t</a>' for h in hrefs)
+        page = f"<html><body>{body}</body></html>"
+        ok = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + page
+        return warc.write_warc(
+            [{"headers": {"WARC-Type": "response",
+                          "WARC-Target-URI": page_url},
+              "content": ok.encode()}],
+            gzip_members=True,
+        )
+
+    def write(name, pages):
+        spark.createDataFrame(
+            [Row(doc_id=i, payload=payload(u, hs))
+             for i, (u, hs) in enumerate(pages)]
+        ).coalesce(1).write.mode("overwrite").parquet(str(indir / name))
+
+    store = rc.link_store(spark, str(tmp_path / "links"))
+    ckpt = str(tmp_path / "stream_ckpt")
+    rank_path = str(tmp_path / "ranks")
+
+    # crawl 0: a links b and c; b links a; d links c (d never recrawled)
+    write("c0.parquet", [
+        ("http://a.com/p", ["http://b.com/x", "http://c.com/y"]),
+        ("http://b.com/p", ["http://a.com/x"]),
+        ("http://d.com/p", ["http://c.com/z"]),
+    ])
+    rc.recrawl_stream(spark, str(indir) + "/*", store,
+                      stream_checkpoint_dir=ckpt, crawl_id=0)
+    edges0 = {(r.src, r.dst): r.weight for r in rc.host_edges(store).collect()}
+    assert edges0 == {
+        ("a.com", "b.com"): 1, ("a.com", "c.com"): 1,
+        ("b.com", "a.com"): 1, ("d.com", "c.com"): 1,
+    }
+    prior = {r.node: r.rank_u
+             for r in rc.rerank_warm(spark, store, rank_path, n_iter=12).collect()}
+
+    # crawl 1: a DROPS its c-link; b recrawled with ZERO links
+    write("c1.parquet", [
+        ("http://a.com/p", ["http://b.com/x"]),
+        ("http://b.com/p", []),
+    ])
+    rc.recrawl_stream(spark, str(indir) + "/*", store,
+                      stream_checkpoint_dir=ckpt, crawl_id=1)
+    edges1 = {(r.src, r.dst): r.weight for r in rc.host_edges(store).collect()}
+    # a->c gone, b->a gone (zero-link generation), d->c (not
+    # recrawled) retained from generation 0
+    assert edges1 == {("a.com", "b.com"): 1, ("d.com", "c.com"): 1}
+
+    # replay-safety per generation: re-running the crawl-1 batch body
+    # appends nothing
+    batch = spark.read.parquet(str(indir / "c1.parquet"))
+    n_before = store.load().count()
+    rc.make_link_extract_batch_fn(store, crawl_id=1)(batch, 99)
+    assert store.load().count() == n_before
+
+    # the dropped target's warm rank falls once the stale edge is gone
+    warm = {r.node: r.rank_u
+            for r in rc.rerank_warm(spark, store, rank_path, n_iter=12).collect()}
+    assert warm["c.com"] < prior["c.com"]
