@@ -2172,3 +2172,94 @@ def corpus_build_v10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_build_v11: the CCNet-FAITHFUL build (Wenzek et al. 2020,
+# end-to-end). CCNet's actual pipeline is (1) paragraph-level exact
+# dedup across shards, (2) language identification, (3) perplexity
+# under a PRETRAINED 5-gram KenLM per language, (4) per-language
+# head/middle/tail tertiles with the head admitted. v10 composed the
+# quality ENSEMBLE (four independent gates); v11 is the sequential
+# CCNet recipe itself, with the real interchange-format model: span
+# dedup (the corpus' paragraph stand-in) feeds lang-ID feeds the ARPA
+# 5-gram Katz scorer feeds the shared bucketing — one lineage, every
+# stage decision per-doc attributable, bit-exact in both engines.
+# 100 TB shape: dedup is the one wide shuffle (span-key window);
+# lang-ID is a projection; ARPA scoring is window explode + 9
+# broadcast joins; bucketing is a keyed ntile. Nothing quadratic.
+
+from ..operators import lm as _lm  # noqa: E402
+from .lm_q import _ARPA5_CTES as _V11_ARPA_CTES  # noqa: E402
+from .lm_q import _arpa5_text as _v11_arpa_text  # noqa: E402
+
+_V11_DD_SQL = corpus.chunk_dedup_sql(tokens_sql("text"), "doc_id", 8, "documents")
+
+
+@register(
+    "corpus_build_v11",
+    doc="CCNet-faithful corpus build (Wenzek et al. 2020): span-level "
+    "exact dedup (8-token windows, the paragraph-dedup stand-in) -> "
+    "n-gram lang-ID on the deduped text -> perplexity under the "
+    "PRETRAINED 5-gram ARPA model (Katz backoff, integer milli-log10) "
+    "-> per-language tertiles via the shared CCNet bucketing, head "
+    "(tertile 1) admitted. Per-doc attribution: dedup survival "
+    "(n_chunks/n_kept), predicted language, n-gram count, NLL, "
+    "bucket, admission.",
+    bench=True,
+    oracle=f"""
+WITH {_V11_ARPA_CTES},
+dd AS (SELECT * FROM ({_V11_DD_SQL})),
+surv AS (
+  SELECT doc_id, n_chunks, n_kept, dedup_text FROM dd WHERE n_kept >= 1
+),
+lg AS (
+  SELECT doc_id, n_chunks, n_kept,
+         {text_analysis.lang_id_sql(tokens_sql("dedup_text"))} AS lang_pred,
+         dedup_text
+  FROM surv
+),
+{{chain}},
+b AS (
+  SELECT _id AS doc_id, lang_pred, n_chunks, n_kept, n_ngrams, nll10_milli,
+         ntile(3) OVER (PARTITION BY lang_pred
+                        ORDER BY nll10_milli, _id) AS bucket
+  FROM arn_xent
+)
+SELECT doc_id, lang_pred, n_chunks, n_kept, n_ngrams, nll10_milli,
+       bucket::BIGINT AS bucket,
+       (CASE WHEN bucket = 1 THEN 1 ELSE 0 END)::BIGINT AS admitted
+FROM b
+""".format(
+        chain=_lm.arpa_ngram_logprob_sql(
+            tokens_sql("dedup_text"), "doc_id", "lg",
+            {n: f"g{n}" for n in range(1, 6)}, 5,
+            keep_cols=["lang_pred", "n_chunks", "n_kept"],
+        ).lstrip()
+    ),
+)
+def corpus_build_v11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", cleaning.tokens(F.col("text")).alias("toks")
+    )
+    dd = corpus.chunk_dedup(docs, "doc_id", "toks", chunk_size=8)
+    surv = dd.filter(F.col("n_kept") >= 1).withColumn(
+        "dtoks", cleaning.tokens(F.col("dedup_text"))
+    )
+    lg = surv.select(
+        "doc_id", "n_chunks", "n_kept", "dtoks",
+        text_analysis.lang_id(F.col("dtoks")).alias("lang_pred"),
+    )
+    tables = _lm.arpa_tables(spark, _lm.parse_arpa(_v11_arpa_text()))
+    scored = _lm.arpa_ngram_logprob_milli(
+        lg, "doc_id", "dtoks", tables,
+        keep_cols=["lang_pred", "n_chunks", "n_kept"],
+    )
+    w = Window.partitionBy("lang_pred").orderBy("nll10_milli", "doc_id")
+    return scored.withColumn("bucket", F.ntile(3).over(w).cast("bigint")).select(
+        "doc_id", "lang_pred", "n_chunks", "n_kept", "n_ngrams", "nll10_milli",
+        "bucket",
+        F.when(F.col("bucket") == 1, 1).otherwise(0).cast("bigint").alias("admitted"),
+    )

@@ -753,6 +753,25 @@ def build_slots(spark: SparkSession, r: int):
         .collect()
     )
 
+    # ARPA 5-gram Katz scoring (r14): one full-width window explode ->
+    # 9 broadcast gram-table joins -> keyed per-doc aggregation. Cost
+    # must track token count; the model is a parsed fixture file, so
+    # (unlike lm_perplexity) the model build is constant-cost and any
+    # superlinear ratio is the scoring lane itself. Forced through a
+    # row-hash reduction: count() would prune the cascade arithmetic.
+    from llm_enhanced_data_pipeline_spark.queries.lm_q import (
+        _arpa5_text as _arpa5_fixture,
+    )
+
+    arpa_tabs = _lm.arpa_tables(spark, _lm.parse_arpa(_arpa5_fixture()))
+    slots["arpa_5gram"] = lambda: (
+        _lm.arpa_ngram_logprob_milli(toked, "doc_id", "toks", arpa_tabs)
+        .select(
+            F.bit_xor(F.xxhash64("doc_id", "n_ngrams", "nll10_milli")).alias("h")
+        )
+        .collect()
+    )
+
     def cleanup() -> None:
         docs.unpersist()
         ev.unpersist()

@@ -12,6 +12,15 @@ import bench
 from llm_enhanced_data_pipeline_spark.queries.registry import QuerySpec
 
 
+def _payload(capsys):
+    """The full payload line from captured stdout. bench.py prints the
+    payload and then the compact truncation-proof {"headline": ...}
+    line LAST (r14) — so the payload is the last line carrying
+    "metric", not the last line."""
+    lines = capsys.readouterr().out.strip().splitlines()
+    return json.loads([l for l in lines if '"metric"' in l][-1])
+
+
 import pytest
 
 
@@ -42,7 +51,7 @@ def test_one_broken_query_does_not_zero_the_bench(spark, monkeypatch, capsys):
 
     bench.main()  # must NOT raise and must NOT sys.exit (one query green)
 
-    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    payload = _payload(capsys)
     assert payload["queries"].keys() == {"zz_good"}
     assert payload["errors"].keys() == {"aa_broken"}
     assert "synthetic loader failure" in payload["errors"]["aa_broken"]
@@ -66,7 +75,7 @@ def test_clean_run_reports_zero_failed(spark, monkeypatch, capsys):
 
     bench.main()
 
-    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    payload = _payload(capsys)
     assert payload["n_failed"] == 0
     assert "errors" not in payload
     assert payload["value"] == payload["queries"]["only_good"]
@@ -86,7 +95,7 @@ def test_all_queries_broken_exits_nonzero(spark, monkeypatch, capsys):
     with pytest.raises(SystemExit) as exc:
         bench.main()
     assert exc.value.code == 1
-    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    payload = _payload(capsys)
     assert payload["queries"] == {}
     assert "only_broken" in payload["errors"]
 
@@ -129,7 +138,7 @@ def test_stalled_slot_gets_recovery_reps_and_recovers(spark, monkeypatch, capsys
 
     bench.main()
 
-    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    payload = _payload(capsys)
     spread = payload["query_spreads"]["stall"]
     assert spread["n"] == bench.REPS + bench.MAX_EXTRA_REPS  # extras granted
     # median over [s, s, f, f, f] is a calm rep -> recovered, not flagged
@@ -165,7 +174,7 @@ def test_persistent_stall_marks_record_contaminated(spark, monkeypatch, capsys):
 
     bench.main()
 
-    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    payload = _payload(capsys)
     assert payload["contaminated"] is True
     assert payload["contaminated_slots"] == ["flaky"]
     spread = payload["query_spreads"]["flaky"]
@@ -284,7 +293,7 @@ def test_ambient_load_flag_on_high_start_loadavg(spark, monkeypatch, capsys):
 
     bench.main()
 
-    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    payload = _payload(capsys)
     assert payload["ambient_load"] is True
     assert any("loadavg" in r for r in payload["ambient_load_reasons"])
     assert payload["ambient_load_max"] == bench.AMBIENT_LOAD_MAX
@@ -307,7 +316,7 @@ def test_quiet_machine_run_is_not_flagged(spark, monkeypatch, capsys):
 
     bench.main()
 
-    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    payload = _payload(capsys)
     assert payload["ambient_load"] is False
     assert payload["ambient_load_reasons"] == []
 
