@@ -1198,3 +1198,25 @@ SELECT {lang_col}, bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
        min({xent_col})::BIGINT AS min_xent_milli,
        max({xent_col})::BIGINT AS max_xent_milli
 FROM cb_bucketed GROUP BY {lang_col}, bucket"""
+
+
+def with_sentence_bounds(toks: Column, order: int) -> Column:
+    """KenLM-exact sentence framing: pad the token array with
+    ``order−1`` leading ``<s>`` markers and one trailing ``</s>``.
+    Real KenLM evaluation conditions a sentence's first tokens on
+    ``<s>`` and scores the ``</s>`` transition; the unpadded window
+    scorer instead skips the first ``order−1`` positions entirely.
+    With the padding every real token (plus the end transition) gets
+    scored — ``n_ngrams = len(toks) + 1`` — matching
+    ``kenlm.Model.score(text, bos=True, eos=True)`` window for
+    window. An empty doc scores the single window
+    ``<s>…<s> </s>`` instead of being dropped."""
+    return F.concat(
+        F.array_repeat(F.lit("<s>"), order - 1), toks, F.array(F.lit("</s>"))
+    )
+
+
+def sentence_bounds_sql(toks_expr: str, order: int) -> str:
+    """DuckDB twin of :func:`with_sentence_bounds`."""
+    bos = ", ".join(["'<s>'"] * (order - 1))
+    return f"([{bos}] || {toks_expr} || ['</s>'])"

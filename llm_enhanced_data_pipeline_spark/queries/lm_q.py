@@ -301,17 +301,23 @@ _ARPA5 = {
         ("merge", -1000, -240), ("group", -900, -190), ("slow", -1050, -130),
         ("batch", -950, -170), ("column", -1000, -210), ("sort", -1100, -140),
         ("the", -600, -110), ("<unk>", -2500, 0),
+        # sentence markers, KenLM-style: <s> carries the placeholder
+        # prob (never predicted) but a REAL backoff weight; </s> is a
+        # normally-predicted event
+        ("<s>", -99000, -60), ("</s>", -700, 0),
     ],
     2: [
         ("table hash", -250, -120), ("part filter", -300, -140),
         ("merge group", -280, 120), ("slow hash", -350, -160),
         ("row value", -400, -100), ("scan row", -320, -130),
         ("group part", -290, -150), ("filter scan", -310, -110),
+        ("<s> merge", -290, -70), ("value </s>", -310, 0),
+        ("<s> <s>", -98000, -80),
     ],
     3: [
         ("slow hash batch", -200, -90), ("part filter scan", -220, -80),
         ("merge group part", -210, 70), ("scan row value", -230, -95),
-        ("group part scan", -240, -85),
+        ("group part scan", -240, -85), ("<s> <s> merge", -240, -60),
     ],
     4: [
         ("merge group part scan", -150, -60),
@@ -415,3 +421,39 @@ def ccnet_arpa_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "toks", tables, keep_cols=["lang"]
     )
     return lm.ccnet_buckets(scored, xent_col="nll10_milli")
+
+
+@register(
+    "arpa_5gram_scores_bos",
+    doc="KenLM-exact sentence-bounded 5-gram scoring: the token array "
+    "is framed with four leading <s> markers and a trailing </s> "
+    "before windowing, so every real token PLUS the end transition is "
+    "scored under the pretrained ARPA model — n_ngrams = len + 1, "
+    "matching kenlm.Model.score(text, bos=True, eos=True) window for "
+    "window (the unpadded gate skips the first order-1 positions). "
+    "Same Katz cascade, same broadcast-join plan; the padding is a "
+    "pure projection.",
+    oracle=f"""
+WITH {_ARPA5_CTES},
+{{chain}}
+SELECT _id AS doc_id, lang, n_ngrams, nll10_milli FROM arn_xent
+""".format(
+        chain=lm.arpa_ngram_logprob_sql(
+            lm.sentence_bounds_sql(tokens_sql("text"), 5),
+            "doc_id", "documents",
+            {n: f"g{n}" for n in range(1, 6)}, 5, keep_cols=["lang"],
+        ).lstrip()
+    ),
+)
+def arpa_5gram_scores_bos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = lm.parse_arpa(_arpa5_text())
+    tables = lm.arpa_tables(spark, parsed)
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang",
+        lm.with_sentence_bounds(
+            cleaning.tokens(F.col("text")), 5
+        ).alias("toks"),
+    )
+    return lm.arpa_ngram_logprob_milli(
+        docs, "doc_id", "toks", tables, keep_cols=["lang"]
+    ).select("doc_id", "lang", "n_ngrams", "nll10_milli")

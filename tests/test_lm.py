@@ -368,3 +368,39 @@ def test_arpa_ngram_matches_bigram_lane_at_order_2(spark):
 def test_arpa_tables_rejects_non_contiguous_orders(spark):
     with pytest.raises(ValueError, match="non-contiguous"):
         lm.arpa_tables(spark, {1: [("a", -1, 0)], 3: [("a b c", -1, 0)]})
+
+
+def test_sentence_bounds_kenlm_framing(spark):
+    """BOS/EOS framing: every real token plus the </s> transition is
+    scored (n_ngrams = len + 1), the first window conditions on
+    <s> markers, and an empty doc scores the single <s>...</s>
+    window instead of being dropped."""
+    model = {
+        1: {"a": (-400, -100), "<s>": (-99000, -60), "</s>": (-700, 0),
+            "<unk>": (-2000, 0)},
+        2: {"<s> a": (-300, -80), "a </s>": (-350, 0), "<s> <s>": (-98000, -50)},
+    }
+    tables = {
+        n: spark.createDataFrame(
+            [(g, lp, bo) for g, (lp, bo) in rows.items()],
+            "gram string, logp_milli bigint, bo_milli bigint",
+        )
+        for n, rows in model.items()
+    }
+    docs = spark.createDataFrame(
+        [("one", ["a"]), ("empty", [])],
+        "doc_id string, toks array<string>",
+    )
+    framed = docs.select(
+        "doc_id", lm.with_sentence_bounds(F.col("toks"), 2).alias("toks")
+    )
+    out = {
+        r["doc_id"]: (r["n_ngrams"], r["nll10_milli"])
+        for r in lm.arpa_ngram_logprob_milli(
+            framed, "doc_id", "toks", tables, order=2
+        ).collect()
+    }
+    # "one": windows (<s>, a) listed -300; (a, </s>) listed -350
+    assert out["one"] == (2, (300 + 350) // 2)
+    # "empty": single window (<s>, </s>) -> backoff bo(<s>)=-60 + P1(</s>)=-700
+    assert out["empty"] == (1, 760)
