@@ -59,6 +59,26 @@ Methodology (settled round 7):
   Raw numbers stay authoritative on a quiet machine; normalized
   numbers are the fallback comparison channel, never a substitute
   when both are clean.
+- Additive-load detection + heavy-slot adjudication (settled round 14
+  — the r13 driver record was inadjudicable with a STABLE calibration:
+  sub-second slots at 3.3-4.4x their pins while multi-second slots sat
+  at 1.0-1.6x, an ADDITIVE per-slot overhead no multiplicative scalar
+  represents): `inflation_profile` splits per-slot inflation by pin
+  size and stamps `ambient_additive: true` (normalized fields
+  suppressed via `normalized_unreliable`) when the small-slot median
+  inflation exceeds 2x the large-slot median. `heavy_subtotal` — the
+  sum over >=1s-pinned slots, with its own one-sided band in
+  bench_baseline.json — is the PRIMARY loaded-host adjudication
+  number: additive jitter that can quadruple a 0.2s slot moves the
+  multi-second-slot sum by only a bounded fraction. The correction
+  ratio is CAPPED at the observed large-slot median inflation
+  (calibration is pure CPU; Spark wall time is not — an uncapped 2.43x
+  correction on a slower-CPU host normalized the r13 judge run below
+  physical reality). After the full payload line the bench prints one
+  compact final `{"headline": ...}` line repeating every adjudication
+  fact (raw/heavy subtotals + bands, ambient/additive/contaminated
+  flags, calibration ratios, n_failed) so a fixed-size tail of the
+  output — the driver keeps ~2000 chars — still carries them.
 """
 
 from __future__ import annotations
