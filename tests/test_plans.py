@@ -238,6 +238,14 @@ QUADRATIC_BY_DESIGN = {
     "arpa_bigram_scores",     # 1-row broadcast <unk> fallback frame;
                               # the ARPA model joins are broadcast
                               # equi-joins on token keys
+    "arpa_5gram_scores",      # same 1-row <unk> broadcast; the 9
+                              # gram-table joins are broadcast
+                              # equi-joins on suffix/context keys
+    "arpa_5gram_scores_bos",  # same (bos/eos framing is a projection)
+    "ccnet_arpa_buckets",     # same scorer + keyed ntile bucketing
+    "corpus_build_v11",       # inherits the ARPA scorer's 1-row <unk>
+                              # broadcast; dedup window + model joins
+                              # are keyed/equi
     "corpus_build_v10",  # the quality ensemble inherits exactly the
                          # 1-row broadcasts of its four gates: the NB
                          # model-stats row, the unigram corpus total,
