@@ -958,22 +958,48 @@ ar_xent AS (
 # order — the scan cost dominates at 100 TB, the joins are map-side.
 
 
+#: total parsed entries at or below which :func:`arpa_ngram_logprob_milli`
+#: inlines the model into the scoring plan as literal maps (one
+#: ``try_element_at`` per lookup) instead of broadcast equi-joins. The
+#: model is a compile-time CONSTANT of the query — its size does not
+#: grow with the corpus — so for small models the (2N−1) broadcast
+#: exchanges + join operators are pure plan overhead: measured r14 at
+#: sf0.1, the 42-entry 5-gram fixture scored the corpus_build_v11
+#: lineage in 2.38s inlined vs 5.38s joined (bit-identical output).
+#: Real CCNet-scale KenLM exports (~1e8 n-grams) stay on the
+#: broadcast-join path, which is the correct 100 TB shape; the
+#: threshold is bounded by codegen expression size, not memory.
+ARPA_INLINE_MAX_ENTRIES = 2048
+
+
+class _ArpaTables(dict):
+    """``{order: DataFrame}`` that also remembers the parsed rows so
+    the scorer can inline small models as literal maps (the DataFrame
+    form stays authoritative for large models and for callers that
+    build the dict by hand)."""
+
+    parsed: dict[int, list[tuple]] | None = None
+
+
 def arpa_tables(spark, parsed: dict[int, list[tuple]]):
     """{order: DataFrame(gram, logp_milli, bo_milli)} from a parsed
     ARPA model; ``gram`` is the space-joined token tuple so every
     lookup at every order is a single string equi-join key. ARPA
     orders must be contiguous from 1 (the format guarantees it; a
     model that skips an order fails loud here rather than silently
-    scoring with a hole in the backoff chain)."""
+    scoring with a hole in the backoff chain). The returned mapping
+    carries the parsed rows (``.parsed``) so the scorer can choose the
+    inline-literal plan for small models."""
     orders = sorted(parsed)
     if orders != list(range(1, len(orders) + 1)):
         raise ValueError(f"non-contiguous ARPA orders: {orders}")
-    out = {}
+    out = _ArpaTables()
     for n in orders:
         out[n] = spark.createDataFrame(
             [(" ".join(r[:-2]), r[-2], r[-1]) for r in parsed[n]],
             "gram string, logp_milli bigint, bo_milli bigint",
         )
+    out.parsed = parsed
     return out
 
 
@@ -997,8 +1023,20 @@ def arpa_ngram_logprob_milli(
     (identically in the SQL twin) so the negated per-doc sum stays
     non-negative, where Spark trunc-div and DuckDB floor-div agree.
 
-    The cascade evaluates as a single chained CASE over the joined
-    lookup columns — whole-stage-codegen friendly, no UDFs."""
+    The cascade evaluates as a single chained CASE over the looked-up
+    columns — whole-stage-codegen friendly, no UDFs.
+
+    Lookup strategy (guide §2.4 — remove exchanges outright): when
+    ``tables`` came from :func:`arpa_tables` (so the parsed rows are
+    attached), the total entry count is at most
+    ``ARPA_INLINE_MAX_ENTRIES``, and every order's keys are unique,
+    the model is INLINED into the plan as literal maps — each of the
+    (2N−1) lookups becomes one ANSI-safe ``try_element_at`` projection
+    and the whole scoring pass is a single codegen stage with zero
+    broadcast exchanges. Larger models (real KenLM exports) take the
+    broadcast equi-join path, the correct 100 TB shape. A model with
+    duplicate keys also falls back to the join path, which preserves
+    its (row-duplicating) left-join semantics exactly."""
     n = order or max(tables)
     if n < 2:
         raise ValueError(f"order must be >= 2, got {n}")
@@ -1032,27 +1070,78 @@ def arpa_ngram_logprob_milli(
             for j in range(1, n)
         ],
     )
-    unk_row = (
-        tables[1]
-        .filter(F.col("gram") == "<unk>")
-        .agg(
-            F.coalesce(F.min("logp_milli"), F.lit(unk_milli))
-            .cast("bigint")
-            .alias("_unkp")
+    parsed = getattr(tables, "parsed", None)
+    inline = (
+        parsed is not None
+        and sum(len(parsed.get(k, ())) for k in range(1, n + 1))
+        <= ARPA_INLINE_MAX_ENTRIES
+        and all(
+            len({r[:-2] for r in parsed.get(k, ())}) == len(parsed.get(k, ()))
+            for k in range(1, n + 1)
         )
     )
-    cur = keyed
-    for k in range(1, n + 1):
-        tk = tables[k].select(
-            F.col("gram").alias(f"_s{k}"), F.col("logp_milli").alias(f"_p{k}")
+    if inline:
+        def lit_map(entries):
+            args: list = []
+            for gram, milli in entries:
+                args += [F.lit(gram), F.lit(int(milli)).cast("bigint")]
+            return F.create_map(*args) if args else None
+
+        def lookup(m, key):
+            # try_element_at: NULL on a missing key (matches the left
+            # join) even under ANSI, where element_at would raise
+            if m is None:
+                return F.lit(None).cast("bigint")
+            return F.try_element_at(m, F.col(key))
+
+        unks = [r[-2] for r in parsed[1] if r[:-2] == ("<unk>",)]
+        unkp = min(unks) if unks else unk_milli
+        cur = keyed.select(
+            "*",
+            *[
+                lookup(
+                    lit_map(
+                        [(" ".join(r[:-2]), r[-2]) for r in parsed[k]]
+                    ),
+                    f"_s{k}",
+                ).alias(f"_p{k}")
+                for k in range(1, n + 1)
+            ],
+            *[
+                lookup(
+                    lit_map(
+                        [(" ".join(r[:-2]), r[-1]) for r in parsed[j]]
+                    ),
+                    f"_c{j}",
+                ).alias(f"_bo{j}")
+                for j in range(1, n)
+            ],
+            F.lit(int(unkp)).cast("bigint").alias("_unkp"),
         )
-        cur = cur.join(F.broadcast(tk), f"_s{k}", "left")
-    for j in range(1, n):
-        tj = tables[j].select(
-            F.col("gram").alias(f"_c{j}"), F.col("bo_milli").alias(f"_bo{j}")
+    else:
+        unk_row = (
+            tables[1]
+            .filter(F.col("gram") == "<unk>")
+            .agg(
+                F.coalesce(F.min("logp_milli"), F.lit(unk_milli))
+                .cast("bigint")
+                .alias("_unkp")
+            )
         )
-        cur = cur.join(F.broadcast(tj), f"_c{j}", "left")
-    cur = cur.crossJoin(F.broadcast(unk_row))
+        cur = keyed
+        for k in range(1, n + 1):
+            tk = tables[k].select(
+                F.col("gram").alias(f"_s{k}"),
+                F.col("logp_milli").alias(f"_p{k}"),
+            )
+            cur = cur.join(F.broadcast(tk), f"_s{k}", "left")
+        for j in range(1, n):
+            tj = tables[j].select(
+                F.col("gram").alias(f"_c{j}"),
+                F.col("bo_milli").alias(f"_bo{j}"),
+            )
+            cur = cur.join(F.broadcast(tj), f"_c{j}", "left")
+        cur = cur.crossJoin(F.broadcast(unk_row))
     cascade = F.coalesce(F.col("_p1"), F.col("_unkp"))
     for m in range(2, n + 1):
         cascade = F.when(F.col(f"_p{m}").isNotNull(), F.col(f"_p{m}")).otherwise(

@@ -370,6 +370,76 @@ def test_arpa_tables_rejects_non_contiguous_orders(spark):
         lm.arpa_tables(spark, {1: [("a", -1, 0)], 3: [("a b c", -1, 0)]})
 
 
+def test_arpa_inline_and_join_paths_agree(spark):
+    """The r14 inline-literal-map fast path (small models from
+    arpa_tables, zero broadcast exchanges) must reproduce the
+    broadcast-join path bit-for-bit — every cascade level, the <unk>
+    floor and the <=0 clamp included. The join path is forced by
+    stripping the parsed-rows attachment (a plain dict of the same
+    DataFrames, the hand-built-caller shape)."""
+    parsed = {
+        1: [("a", -400, -100), ("b", -600, -200), ("c", -800, 300),
+            ("d", -500, -50), ("<unk>", -2000, 0)],
+        2: [("a", "b", -300, -80), ("b", "c", -350, 90),
+            ("c", "d", -320, -60)],
+        3: [("a", "b", "c", -250, -40), ("b", "c", "d", -260, 2500)],
+        4: [("a", "b", "c", "d", -150, 0)],
+    }
+    tables = lm.arpa_tables(spark, parsed)
+    assert tables.parsed is parsed  # inline path eligible
+    plain = dict(tables)  # no .parsed -> join path
+    docs = spark.createDataFrame(
+        [
+            ("full", ["a", "b", "c", "d"]),
+            ("back3", ["d", "b", "c", "d"]),
+            ("back2", ["d", "d", "c", "d"]),
+            ("back1", ["d", "d", "d", "a"]),
+            ("unk", ["d", "d", "d", "zzz"]),
+            ("clamp", ["b", "c", "d", "c"]),
+            ("multi", ["a", "b", "c", "d", "c", "d"]),
+        ],
+        "doc_id string, toks array<string>",
+    )
+    via_inline = sorted(
+        map(tuple, lm.arpa_ngram_logprob_milli(
+            docs, "doc_id", "toks", tables, order=4).collect())
+    )
+    via_join = sorted(
+        map(tuple, lm.arpa_ngram_logprob_milli(
+            docs, "doc_id", "toks", plain, order=4).collect())
+    )
+    assert via_inline == via_join
+    # the inline plan really is join-free; the join plan really joins
+    inline_plan = lm.arpa_ngram_logprob_milli(
+        docs, "doc_id", "toks", tables, order=4
+    )._jdf.queryExecution().executedPlan().toString()
+    join_plan = lm.arpa_ngram_logprob_milli(
+        docs, "doc_id", "toks", plain, order=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in inline_plan
+    assert "BroadcastHashJoin" in join_plan
+
+
+def test_arpa_inline_falls_back_on_duplicate_keys(spark):
+    """A model with duplicate grams at one order keeps the left-join
+    semantics (row duplication) instead of silently deduping through a
+    map literal."""
+    parsed = {
+        1: [("a", -400, 0), ("a", -900, 0), ("<unk>", -2000, 0)],
+        2: [("a", "a", -100, 0)],
+    }
+    tables = lm.arpa_tables(spark, parsed)
+    docs = spark.createDataFrame(
+        [("x", ["a", "b"])], "doc_id string, toks array<string>"
+    )
+    out = lm.arpa_ngram_logprob_milli(docs, "doc_id", "toks", tables, order=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # fell back to the join path
+    # the duplicated unigram "a" context row duplicates the window,
+    # exactly as the raw left join always did
+    assert out.collect()[0]["n_ngrams"] == 2
+
+
 def test_sentence_bounds_kenlm_framing(spark):
     """BOS/EOS framing: every real token plus the </s> transition is
     scored (n_ngrams = len + 1), the first window conditions on
