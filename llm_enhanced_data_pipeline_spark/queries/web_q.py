@@ -1443,9 +1443,17 @@ def corpus_build_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = dedup.persist_tracked(graph.host_graph(links, "base", "url"))
     ranks = graph.pagerank_int(edges, n_iter=5)
-    adm = ranks.filter(
-        F.col("rank_u") >= graph.RANK_SCALE // _GRAPH_H
-    ).select(F.col("node").alias("_ah"), "rank_u")
+    # Explicit broadcast (guide §3.1): ranks is a checkpointed RDD with
+    # no size statistics, so the un-hinted planner broadcast the OTHER
+    # side of each admission join — the per-page lanes, i.e. the corpus
+    # — which is backwards at any scale. The admission frame is
+    # hosts-bounded (the same class the engine already broadcasts for
+    # LM vocab tables and IVF centroids); hint it explicitly.
+    adm = F.broadcast(
+        ranks.filter(
+            F.col("rank_u") >= graph.RANK_SCALE // _GRAPH_H
+        ).select(F.col("node").alias("_ah"), "rank_u")
+    )
 
     # text lane: main content -> token floor -> admission -> exact
     # dedup (A/B layouts collide; lowest url_id wins; admitted-page
