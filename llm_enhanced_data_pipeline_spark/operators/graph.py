@@ -343,7 +343,14 @@ def pagerank_int(
         )
     # r0 is NOT checkpointed: it is a (join-free in the cold case)
     # projection over the persisted node frame, and iteration 1's
-    # checkpoint truncates it along with its own round.
+    # checkpoint truncates it along with its own round. The n_iter=0
+    # degenerate still checkpoints, preserving the documented contract
+    # that the RETURNED frame never references its inputs' lineage
+    # (streaming/recrawl overwrites the warm-start parquet in place).
+    if n_iter <= 0:
+        ranks, ids0 = _truncate_lineage(r0)
+        _LIVE_CKPT_IDS.append((sc, ids0))
+        return ranks.select("node", "rank_u")
     ranks = r0
     live_ids: frozenset = frozenset()
     base_u = (d_den - d_num) * scale

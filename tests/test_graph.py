@@ -172,6 +172,21 @@ def test_pagerank_empty_edges_returns_empty_like_the_oracle(spark):
     assert out.count() == 0
 
 
+def test_pagerank_zero_iterations_returns_truncated_init(spark):
+    """n_iter=0 returns the initial ranks, still behind a checkpoint —
+    the contract streaming/recrawl's in-place warm-start parquet
+    overwrite relies on (the returned frame must not reference its
+    inputs' lineage). Since r14 only the per-iteration frames
+    checkpoint implicitly, so the degenerate needs its own guard."""
+    e = _edges(spark, [("a", "b", 1), ("b", "a", 1), ("a", "c", 2)])
+    out = graph.pagerank_int(e, n_iter=0)
+    r = {row["node"]: row["rank_u"] for row in out.collect()}
+    assert r == {"a": 333333333, "b": 333333333, "c": 333333333}
+    # lineage is truncated: the physical plan reads a checkpointed RDD
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan
+
+
 def test_pagerank_teleport_seed_with_quote_is_injection_safe(spark):
     # url_host can emit a quote from a crafted URL (https://evil'x/);
     # the seed must be compared as a bound value, not spliced SQL text
