@@ -431,8 +431,8 @@ def ccnet_arpa_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scored under the pretrained ARPA model — n_ngrams = len + 1, "
     "matching kenlm.Model.score(text, bos=True, eos=True) window for "
     "window (the unpadded gate skips the first order-1 positions). "
-    "Same Katz cascade, same broadcast-join plan; the padding is a "
-    "pure projection.",
+    "Same Katz cascade, same scoring plan (inline literal maps for "
+    "this small pinned model); the padding is a pure projection.",
     oracle=f"""
 WITH {_ARPA5_CTES},
 {{chain}}
