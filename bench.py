@@ -688,6 +688,16 @@ def main() -> None:
             file=sys.stderr,
         )
     print(json.dumps(payload))
+    # Truncation-proof PER-SLOT medians (settled round 15): the r14
+    # headline line restored the adjudication facts to the driver's
+    # ~2000-char tail, but the per-query medians still lived only in
+    # the full payload line, so the driver's round-over-round and
+    # scaling comparisons came back empty. This compact second line
+    # (~700 chars for 25 slots at 2dp) plus the headline line (~450
+    # chars) both fit inside any 2000-char tail. 2dp is deliberate:
+    # plenty for adjudication, small enough to never crowd out the
+    # headline that follows.
+    print(json.dumps({"medians": {k: round(v, 2) for k, v in timings.items()}}))
     # Truncation-proof adjudication tail (settled round 14): the
     # driver keeps only the LAST ~2000 chars of this output, and the
     # r13 record lost its raw subtotal/calibration/ambient flags to
