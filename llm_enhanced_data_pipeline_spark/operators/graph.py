@@ -305,8 +305,18 @@ def pagerank_int(
     sc = edges.sparkSession.sparkContext
     src_nodes = edges.select(F.col("src").alias("node"))
     nodes = src_nodes.union(edges.select(F.col("dst").alias("node"))).distinct()
+    # coalesce(sum, 0): the dangling test below is `_outw IS NULL`,
+    # which must mean "no outw ROW" (the DuckDB twin tests o.src IS
+    # NULL — row membership). Without the coalesce, a caller-supplied
+    # src whose weights are ALL NULL aggregates to a NULL sum and is
+    # silently counted dangling in Spark but not in the oracle. With
+    # it, such a node keeps _outw = 0 and the share division fails
+    # loud under ANSI (all-NULL edge weights are a caller error, like
+    # the overflow bound above) instead of diverging quietly. Internal
+    # callers derive weight from count(*) — never NULL — so this is
+    # behavior-neutral for every registered query.
     outw = edges.groupBy("src").agg(
-        F.sum("weight").cast("bigint").alias("_outw")
+        F.coalesce(F.sum("weight"), F.lit(0)).cast("bigint").alias("_outw")
     )
     # The node frame carries its STATIC out-weight (null = dangling)
     # so no iteration ever re-joins ranks against outw: the share is a
@@ -320,8 +330,18 @@ def pagerank_int(
     if n == 0:
         # empty graph: the DuckDB twin's pr_nodes CTE is empty and the
         # final SELECT returns no rows — match that instead of raising
-        # an opaque ZeroDivisionError at the scale // n fold below
-        return nodes_w.select("node", F.lit(0).cast("bigint").alias("rank_u"))
+        # an opaque ZeroDivisionError at the scale // n fold below.
+        # Checkpointed like the n_iter=0 degenerate: the documented
+        # contract is that the RETURNED frame never references its
+        # inputs' lineage (streaming/recrawl overwrites the warm-start
+        # parquet in place), and an un-truncated projection over the
+        # persisted nodes_w would reach the edges input if its cached
+        # blocks were ever evicted.
+        empty, ids0 = _truncate_lineage(
+            nodes_w.select("node", F.lit(0).cast("bigint").alias("rank_u"))
+        )
+        _LIVE_CKPT_IDS.append((sc, ids0))
+        return empty
     init = (
         F.when(F.col("node") == teleport, F.lit(scale)).otherwise(F.lit(0))
         if teleport is not None

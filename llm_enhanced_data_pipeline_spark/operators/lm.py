@@ -794,7 +794,14 @@ def parse_arpa(text: str) -> dict[int, list[tuple]]:
 def arpa_bigram_tables(spark, parsed: dict[int, list[tuple]]):
     """(unigrams, bigrams) DataFrames from a parsed order-≥2 ARPA
     model: ``(w, logp_milli, bo_milli)`` and ``(w1, w2, logp_milli)``.
-    Both are vocab-bounded → broadcast at any corpus size."""
+    Both are vocab-bounded → broadcast at any corpus size.
+
+    Both frames carry the parsed rows (``._arpa_parsed``, same
+    invariant as :func:`arpa_tables`: a caller that filters/replaces a
+    frame must not keep the attribute) so
+    :func:`arpa_bigram_logprob_milli` can inline small models as
+    literal maps — the order-2 twin of the generalized scorer's
+    inline path."""
     uni = spark.createDataFrame(
         [(w, lp, bo) for (w, lp, bo) in parsed.get(1, [])],
         "w string, logp_milli bigint, bo_milli bigint",
@@ -803,6 +810,8 @@ def arpa_bigram_tables(spark, parsed: dict[int, list[tuple]]):
         [(w1, w2, lp) for (w1, w2, lp, _bo) in parsed.get(2, [])],
         "w1 string, w2 string, logp_milli bigint",
     )
+    uni._arpa_parsed = parsed
+    bi._arpa_parsed = parsed
     return uni, bi
 
 
@@ -842,12 +851,103 @@ def arpa_bigram_logprob_milli(
     agree exactly (a probability > 1 is a model artifact anyway). Docs
     with
     < 2 tokens are dropped. Plan: one pair explode → three broadcast
-    equi-joins → one keyed agg; one corpus scan."""
+    equi-joins → one keyed agg; one corpus scan.
+
+    Lookup strategy (guide §2.4, the order-2 twin of
+    :func:`arpa_ngram_logprob_milli`'s inline path): when the tables
+    came from :func:`arpa_bigram_tables` (parsed rows attached), the
+    entry count is at most ``ARPA_INLINE_MAX_ENTRIES``, keys are
+    unique, and every model token is space-free, the model is INLINED
+    as literal maps — the three broadcast joins + the 1-row crossJoin
+    become ``try_element_at`` projections and the scoring pass is one
+    codegen stage with zero exchanges. The space-free guard is what
+    makes the bigram map key (``concat(_w1, ' ', _w2)``, NULL-strict)
+    provably equivalent to the two-column equi-join: with space-free
+    model tokens every map key is exactly two words, so a corpus pair
+    whose tokens embed spaces (≥3 words joined) can match neither the
+    map nor the join. Larger/duplicate-key/space-bearing models keep
+    the broadcast-join path — the correct 100 TB shape."""
     keep = keep_cols or []
+    parsed = getattr(unigrams, "_arpa_parsed", None)
+    pairs = bigram_pairs(docs, toks_col, [id_col, *keep])
+    inline = (
+        parsed is not None
+        and parsed is getattr(bigrams, "_arpa_parsed", object())
+        and len(parsed.get(1, ())) + len(parsed.get(2, ()))
+        <= ARPA_INLINE_MAX_ENTRIES
+        and len({w for (w, _lp, _bo) in parsed.get(1, ())})
+        == len(parsed.get(1, ()))
+        and len({(w1, w2) for (w1, w2, _lp, _bo) in parsed.get(2, ())})
+        == len(parsed.get(2, ()))
+        and all(
+            " " not in w
+            for row in parsed.get(2, ())
+            for w in row[:2]
+        )
+    )
+    if inline:
+        def lit_map(entries):
+            args: list = []
+            for key, milli in entries:
+                args += [F.lit(key), F.lit(int(milli)).cast("bigint")]
+            return F.create_map(*args) if args else None
+
+        def lookup(m, key_col):
+            if m is None:
+                return F.lit(None).cast("bigint")
+            return F.try_element_at(m, key_col)
+
+        unks = [lp for (w, lp, _bo) in parsed.get(1, ()) if w == "<unk>"]
+        unkp = min(unks) if unks else unk_milli
+        scored = pairs.select(
+            "*",
+            lookup(
+                lit_map(
+                    [(f"{w1} {w2}", lp) for (w1, w2, lp, _bo) in parsed.get(2, ())]
+                ),
+                # concat (not concat_ws): NULL-strict, so a NULL token
+                # yields a NULL key and a NULL lookup — exactly the
+                # equi-join's null-never-matches behavior
+                F.concat(F.col("_w1"), F.lit(" "), F.col("_w2")),
+            ).alias("_p2"),
+            lookup(
+                lit_map([(w, bo) for (w, _lp, bo) in parsed.get(1, ())]),
+                F.col("_w1"),
+            ).alias("_bo1"),
+            lookup(
+                lit_map([(w, lp) for (w, lp, _bo) in parsed.get(1, ())]),
+                F.col("_w2"),
+            ).alias("_p1w2"),
+            F.lit(int(unkp)).cast("bigint").alias("_unkp"),
+        ).withColumn(
+            "_logp",
+            F.least(
+                F.coalesce(
+                    F.col("_p2"),
+                    F.coalesce(F.col("_bo1"), F.lit(0))
+                    + F.coalesce(F.col("_p1w2"), F.col("_unkp")),
+                ),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+        return (
+            scored.groupBy(F.col(id_col), *[F.col(c) for c in keep])
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                F.sum("_logp").cast("bigint").alias("_sum_logp"),
+            )
+            .select(
+                id_col,
+                *keep,
+                "n_bigrams",
+                F.expr("cast((-_sum_logp) div n_bigrams as bigint)").alias(
+                    "nll10_milli"
+                ),
+            )
+        )
     unk = unigrams.filter(F.col("w") == "<unk>").select(
         F.col("logp_milli").alias("_unk")
     )
-    pairs = bigram_pairs(docs, toks_col, [id_col, *keep])
     bo1 = unigrams.select(
         F.col("w").alias("_w1"), F.col("bo_milli").alias("_bo1")
     )
@@ -989,7 +1089,15 @@ def arpa_tables(spark, parsed: dict[int, list[tuple]]):
     model that skips an order fails loud here rather than silently
     scoring with a hole in the backoff chain). The returned mapping
     carries the parsed rows (``.parsed``) so the scorer can choose the
-    inline-literal plan for small models."""
+    inline-literal plan for small models.
+
+    Invariant: ``.parsed`` must stay in sync with the per-order
+    DataFrames. A caller that replaces or filters one of the mapping's
+    DataFrames must drop ``.parsed`` (or rebuild via this function) —
+    otherwise the scorer's inline path would silently score from the
+    stale attached rows. Callers that build the ``{order: DataFrame}``
+    dict by hand get the join path, for which the DataFrames are
+    authoritative."""
     orders = sorted(parsed)
     if orders != list(range(1, len(orders) + 1)):
         raise ValueError(f"non-contiguous ARPA orders: {orders}")
@@ -1071,12 +1179,21 @@ def arpa_ngram_logprob_milli(
         ],
     )
     parsed = getattr(tables, "parsed", None)
+    # Uniqueness is checked on the SPACE-JOINED key — the key the
+    # literal map (and the equi-join) actually uses. Two distinct
+    # token tuples at one order can collide after joining when tokens
+    # contain spaces (("a b","c") vs ("a","b c")); tuple-level
+    # uniqueness would pass such a model into create_map, which raises
+    # DUPLICATED_MAP_KEY under Spark's default policy where the join
+    # path row-duplicates instead. Joined-key uniqueness sends it down
+    # the join path, preserving those semantics.
     inline = (
         parsed is not None
         and sum(len(parsed.get(k, ())) for k in range(1, n + 1))
         <= ARPA_INLINE_MAX_ENTRIES
         and all(
-            len({r[:-2] for r in parsed.get(k, ())}) == len(parsed.get(k, ()))
+            len({" ".join(r[:-2]) for r in parsed.get(k, ())})
+            == len(parsed.get(k, ()))
             for k in range(1, n + 1)
         )
     )

@@ -440,6 +440,82 @@ def test_arpa_inline_falls_back_on_duplicate_keys(spark):
     assert out.collect()[0]["n_ngrams"] == 2
 
 
+def test_arpa_bigram_inline_and_join_paths_agree(spark):
+    """The order-2 lane's r15 inline path (small models from
+    arpa_bigram_tables → literal maps, zero broadcast exchanges) must
+    reproduce the three-broadcast-join path bit-for-bit: listed
+    bigram, backoff with/without bo, positive-backoff ≤0 clamp, <unk>
+    floor. The join path is forced by re-selecting the frames (which
+    drops the parsed-rows attachment — the hand-built-caller shape)."""
+    parsed = {
+        1: [("a", -400, -100), ("b", -600, -200), ("c", -800, 300),
+            ("d", -500, 0), ("<unk>", -2000, 0)],
+        2: [("a", "b", -300, 0), ("b", "c", -350, 0), ("c", "a", 250, 0)],
+    }
+    uni, bi = lm.arpa_bigram_tables(spark, parsed)
+    assert uni._arpa_parsed is parsed and bi._arpa_parsed is parsed
+    docs = spark.createDataFrame(
+        [
+            ("listed", ["a", "b", "c"]),
+            ("backoff", ["b", "a", "d"]),
+            ("clamp", ["c", "a", "c"]),
+            ("unk", ["d", "zzz", "a"]),
+            ("short", ["a"]),
+        ],
+        "doc_id string, toks array<string>",
+    )
+    via_inline = sorted(
+        map(tuple, lm.arpa_bigram_logprob_milli(
+            docs, "doc_id", "toks", uni, bi).collect())
+    )
+    via_join = sorted(
+        map(tuple, lm.arpa_bigram_logprob_milli(
+            docs, "doc_id", "toks", uni.select("*"), bi.select("*")
+        ).collect())
+    )
+    assert via_inline == via_join
+    assert len(via_inline) == 4  # "short" (<2 toks) dropped by both
+    inline_plan = lm.arpa_bigram_logprob_milli(
+        docs, "doc_id", "toks", uni, bi
+    )._jdf.queryExecution().executedPlan().toString()
+    join_plan = lm.arpa_bigram_logprob_milli(
+        docs, "doc_id", "toks", uni.select("*"), bi.select("*")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in inline_plan
+    assert "BroadcastNestedLoopJoin" not in inline_plan
+    assert "BroadcastHashJoin" in join_plan
+
+
+def test_arpa_bigram_inline_falls_back_on_spaced_or_duplicate_keys(spark):
+    """Space-bearing model tokens would make the concat'd map key
+    ambiguous against the two-column equi-join, and duplicate keys
+    would dedupe through create_map where the join row-duplicates —
+    both model shapes must keep the join path."""
+    docs = spark.createDataFrame(
+        [("x", ["a", "b"])], "doc_id string, toks array<string>"
+    )
+    spaced = {
+        1: [("a", -400, 0), ("<unk>", -2000, 0)],
+        2: [("a b", "c", -100, 0)],
+    }
+    uni_s, bi_s = lm.arpa_bigram_tables(spark, spaced)
+    plan_s = lm.arpa_bigram_logprob_milli(
+        docs, "doc_id", "toks", uni_s, bi_s
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_s
+    dup = {
+        1: [("a", -400, 0), ("a", -900, 0), ("<unk>", -2000, 0)],
+        2: [("a", "a", -100, 0)],
+    }
+    uni_d, bi_d = lm.arpa_bigram_tables(spark, dup)
+    out = lm.arpa_bigram_logprob_milli(docs, "doc_id", "toks", uni_d, bi_d)
+    plan_d = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_d
+    # the duplicated unigram "a" row-duplicates the pair, exactly as
+    # the raw left join always did
+    assert out.collect()[0]["n_bigrams"] == 2
+
+
 def test_sentence_bounds_kenlm_framing(spark):
     """BOS/EOS framing: every real token plus the </s> transition is
     scored (n_ngrams = len + 1), the first window conditions on
