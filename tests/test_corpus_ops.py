@@ -507,6 +507,32 @@ def test_remove_duplicated_spans_excises_exactly_the_islands(spark):
         assert n - kept == report[did]
 
 
+def test_remove_duplicated_spans_keep_cols_carried(spark):
+    """keep_cols ride the per-doc reassembly projection (never the gram
+    shuffle): values match what a doc_id re-join would produce, schema
+    places them right after the id, and the excision output is
+    unchanged."""
+    t = [f"t{i}" for i in range(12)]
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en", toks=t),
+            Row(doc_id=2, lang="fr", toks=["x", "y", "z"] + t[3:11] + ["w"]),
+        ]
+    )
+    out = corpus.remove_duplicated_spans(
+        df, "doc_id", "toks", k=8, keep_cols=["lang"]
+    )
+    assert out.columns == ["doc_id", "lang", "n_tokens", "n_kept", "clean_text"]
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].lang == "en" and rows[2].lang == "fr"
+    plain = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.clean_text)
+        for r in corpus.remove_duplicated_spans(df, "doc_id", "toks", k=8).collect()
+    }
+    for did, r in rows.items():
+        assert (r.n_tokens, r.n_kept, r.clean_text) == plain[did]
+
+
 # ---------------------------------------------------------------------------
 # DoReMi domain reweighting
 # ---------------------------------------------------------------------------
