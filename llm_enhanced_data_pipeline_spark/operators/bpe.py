@@ -29,22 +29,25 @@ Design (all engine-reproducible, oracle-checkable):
   step bit-reproducible across engines. (On degenerate same-symbol
   runs the fixpoint differs from the textbook leftmost-greedy fold by
   at most the grouping of the run — a documented convention choice.)
-- Pair counting reuses the shingle shape: explode symbols, lead() over
-  the (word, pos) window, groupBy (left, right) weighted by word freq.
-  The argmax merge comes to the driver (ONE 1-row collect per
-  iteration, the sanctioned convergence-checksum pattern from
-  connected components); the merge itself is a pure projection, so
-  Catalyst collapses the whole merge chain into one stage over the
-  persisted word table.
+- Pair counting is array algebra: the symbol array zipped with its own
+  tail gives every adjacent pair in one projection, so each round's
+  only shuffle is the (left, right) count aggregation (map-side
+  partials). The argmax merge comes to the driver (ONE 1-row collect
+  per iteration — it is the round's single job and its result must
+  become literal plan constants for the next round's replace chain,
+  so an in-plan broadcast argmax cannot remove it without adding a
+  checkpoint job per round; measured r15, see OPTIMIZATION_r15.md);
+  the merge itself is a pure projection, so Catalyst collapses the
+  whole merge chain into one stage over the persisted word table.
 - At real merge counts (30k) one merge per round-trip is too chatty;
-  the production variant batches the top-k pairwise-disjoint merges
-  per round. ``max_merges_per_round`` exposes that path; the oracle
-  gates pin the k=1 semantics.
+  a production variant would batch the top-k pairwise-disjoint merges
+  per round (an API extension, not built here). The oracle gates pin
+  the k=1 semantics.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.arrays import index_1_to
@@ -88,24 +91,30 @@ def apply_merge(state: F.Column, left: str, right: str) -> F.Column:
 def pair_counts(words: DataFrame) -> DataFrame:
     """(l, r, f): adjacent-symbol pair frequencies, freq-weighted.
 
-    Shingle shape: one explode + lead() over the (word, pos) window;
-    the window's hash partitioning is reused by nothing downstream
-    (the result is immediately argmax'd), so this is one shuffle on
-    the word key plus one on the pair key.
+    Adjacency is pure array algebra — the symbol array zipped with its
+    own tail (``zip_with(sy[0:n-1], sy[1:n], struct)``) — so the ONLY
+    shuffle is the (l, r) aggregation with map-side partial counts.
+    The earlier shape (posexplode + lead() over a (word, pos) window)
+    paid a second shuffle + sort on the word key per merge round for
+    what one row's array arithmetic expresses; measured r15 at sf0.1
+    the 12-round trainer dropped 3.64s -> 3.29s median (guide §2.4),
+    pair counts and learned merges bit-identical.
     """
-    sy = words.select(
-        "word", "freq", F.split(F.trim(F.col("_s")), " ").alias("_sy")
-    )
-    tok = sy.select(
-        "word", "freq", F.posexplode("_sy").alias("_pos", "_a")
-    )
-    w = Window.partitionBy("word").orderBy("_pos")
-    pairs = tok.select(
+    sy = words.select("freq", F.split(F.trim(F.col("_s")), " ").alias("_sy"))
+    n = F.size("_sy")
+    prs = sy.select(
         "freq",
-        F.col("_a").alias("l"),
-        F.lead("_a", 1).over(w).alias("r"),
-    ).filter(F.col("r").isNotNull())
-    return pairs.groupBy("l", "r").agg(F.sum("freq").alias("f"))
+        F.explode(
+            F.zip_with(
+                F.slice("_sy", F.lit(1), n - 1),
+                F.slice("_sy", F.lit(2), n - 1),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+            )
+        ).alias("_p"),
+    )
+    return prs.groupBy(
+        F.col("_p.l").alias("l"), F.col("_p.r").alias("r")
+    ).agg(F.sum("freq").alias("f"))
 
 
 def bpe_train(

@@ -56,6 +56,34 @@ def test_bpe_textbook_example(spark):
     assert segs["low"] == " lo w </w> "
 
 
+def test_pair_counts_array_zip_shape(spark):
+    """r15: adjacency is the symbol array zipped with its own tail —
+    no window, no sort, one aggregation shuffle. A fully-merged word
+    (single symbol, no pairs) contributes nothing; counts match the
+    pure-Python zip reference exactly."""
+    df = spark.createDataFrame(
+        [("aaaa", 3), ("ab", 5), ("a", 2)], "word: string, freq: long"
+    )
+    sy = df.select("word", "freq", bpe.init_symbols(F.col("word")).alias("_s"))
+    got = {(r.l, r.r): r.f for r in bpe.pair_counts(sy).collect()}
+    expected: dict[tuple[str, str], int] = {}
+    for word, freq in [("aaaa", 3), ("ab", 5), ("a", 2)]:
+        syms = _ref_init(word).split()
+        for a, b in zip(syms, syms[1:]):
+            expected[(a, b)] = expected.get((a, b), 0) + freq
+    assert got == expected
+    # single-symbol rows produce zero pair rows (not nulls)
+    one = spark.createDataFrame([("x", 1)], "word: string, freq: long")
+    one_s = one.select(
+        "word", "freq", F.lit(" x ").alias("_s")  # fully merged state
+    )
+    assert bpe.pair_counts(one_s).count() == 0
+    plan = (
+        bpe.pair_counts(sy)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+
+
 def test_bpe_differential_random_corpora(spark):
     """Random word tables agree with the pure-Python reference of the
     documented convention (argmax tie order + two-pass-replace merge)."""
