@@ -95,10 +95,14 @@ def pair_counts(words: DataFrame) -> DataFrame:
     own tail (``zip_with(sy[0:n-1], sy[1:n], struct)``) — so the ONLY
     shuffle is the (l, r) aggregation with map-side partial counts.
     The earlier shape (posexplode + lead() over a (word, pos) window)
-    paid a second shuffle + sort on the word key per merge round for
-    what one row's array arithmetic expresses; measured r15 at sf0.1
-    the 12-round trainer dropped 3.64s -> 3.29s median (guide §2.4),
-    pair counts and learned merges bit-identical.
+    exploded one ROW per symbol and paid a per-round sort + window
+    pass (the window reused the word aggregation's hash partitioning,
+    so the extra cost was the sort and the row blowup, not an
+    exchange) for what one row's array arithmetic expresses; measured
+    r15 at sf0.1 the 12-round trainer dropped 3.64s -> 3.29s median
+    (guide §2.4; plan diff Window 2 -> 0, Sort 2 -> 0 in
+    plans/r15/bpe_pair_counts_*), pair counts and learned merges
+    bit-identical.
     """
     sy = words.select("freq", F.split(F.trim(F.col("_s")), " ").alias("_sy"))
     n = F.size("_sy")
